@@ -1,13 +1,70 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.functions.Scalars
+import graft.ops.{Relational, Sources}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each key in `queries` is one operator from SURVEY §2, implemented as a
+  * pure `(SparkSession, sfDir) => DataFrame` over the harness parquet
+  * tables; SQL-expressible keys have a DuckDB twin in `oracleSql` with
+  * identical output column names and ordering (the driver hash-compares).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Top revenue supplier per nation — join, aggregate, window rank, filter
+    * in one plan (SURVEY §7 minimum slice).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.flagshipNationTopSupplier(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2a sources / sinks
+    "scan_parquet" -> (Sources.scanParquet _),
+    "sink_csv" -> (Sources.sinkCsvRoundTrip _),
+    // §2b projection / filter / cleaning
+    "select_cols" -> (Relational.selectCols _),
+    "select_cast" -> (Relational.selectCast _),
+    "select_alias" -> (Relational.selectAlias _),
+    "drop_col" -> (Relational.dropCol _),
+    "filter_eq" -> (Relational.filterEq _),
+    "filter_compound" -> (Relational.filterCompound _),
+    "na_drop" -> (Relational.naDrop _),
+    // §2c joins
+    "join_inner_equi" -> (Relational.joinInnerEqui _),
+    "join_left" -> (Relational.joinLeft _),
+    "join_semi" -> (Relational.joinSemi _),
+    "join_anti" -> (Relational.joinAnti _),
+    // §2d aggregation
+    "agg_count" -> (Relational.aggCount _),
+    "groupby_agg" -> (Relational.groupbyAgg _),
+    "groupby_ratio" -> (Relational.groupbyRatio _),
+    // §2e windows
+    "window_rank" -> (Relational.windowRank _),
+    "window_top1" -> (Relational.windowTop1 _),
+    // §2f sort / limit
+    "order_limit" -> (Relational.orderLimit _),
+    // §2g set ops / sampling
+    "union_all" -> (Relational.unionAll _),
+    "sample_fraction" -> (Relational.sampleFraction _),
+    "random_split" -> (Relational.randomSplit _),
+    // §2h scalars
+    "str_normalize" -> (Scalars.strNormalize _),
+    "json_extract" -> (Scalars.jsonExtract _),
+    "vec_norm" -> (Scalars.vecNorm _),
+    // flagship as a checked query
+    "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys (RNG-dependent / ML / vector
+    * outputs) get the driver's weaker rows-only check; their semantics are
+    * covered by scalatest invariants instead (SURVEY §5).
+    */
+  def oracleSql: Map[String, String] =
+    Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql
 }

@@ -1,0 +1,405 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2b–§2g relational operators: projection / filter / cleaning, joins,
+  * aggregation, windows, sort-limit, set ops, sampling.
+  *
+  * Every operator is a pure declarative DataFrame transform — no driver-side
+  * collection, no RDD code — so Catalyst applies predicate pushdown, column
+  * pruning, join selection (broadcast vs sort-merge) and AQE for free, which
+  * is exactly what survives a 100× scale-up.
+  *
+  * Determinism contract for the DuckDB oracle (SURVEY §5): every query ends
+  * in an explicit `orderBy` over a unique key set, monetary doubles are cast
+  * to DECIMAL(18,4) *before* summing (double summation order is partition-
+  * dependent; decimal summation is exact), and averages are derived from the
+  * exact decimal sum.
+  */
+object Relational {
+
+  /** Exact money arithmetic: cast each addend to DECIMAL(18,4) pre-sum, so
+    * the aggregate is independent of partition/merge order, then surface a
+    * double. Identical formula on the DuckDB side.
+    */
+  private def moneySum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  // ---------------------------------------------------------------- §2b ----
+
+  /** Column projection by name (`/root/reference/MarchineLearningAlgorithm.txt:62`,
+    * `/root/reference/A related code.txt:57-61`).
+    */
+  def selectCols(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  /** Projection + cast — the reference's post-hoc typing
+    * (`/root/reference/MarchineLearningAlgorithm.txt:75-79` IntegerType,
+    * `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:72-78`
+    * DoubleType). Exercises int, decimal, string and date targets.
+    */
+  def selectCast(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        col("l_quantity").cast(IntegerType).as("qty_int"),
+        col("l_extendedprice").cast(DecimalType(18, 4)).as("price_dec"),
+        col("l_orderkey").cast(StringType).as("okey_str"),
+        col("l_shipdate").cast(DateType).as("ship_date"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** Rename-in-projection via alias
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:70-78`).
+    */
+  def selectAlias(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "supplier")
+      .select(
+        col("s_suppkey").alias("supp_id"),
+        col("s_name").alias("supp_name"),
+        col("s_acctbal").alias("balance"))
+      .orderBy(col("supp_id"))
+
+  /** Join then drop the duplicated key column from one side — the reference's
+    * `.drop(county.col("fips"))` idiom
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:69`).
+    */
+  def dropCol(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val c = table(spark, sfDir, "customer")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .drop(c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Equality predicate (`/root/reference/A related code.txt:62`
+    * `==="CONFIRMED"`;
+    * `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:55`).
+    * Pushed into the parquet scan by Catalyst (`PushedFilters`).
+    */
+  def filterEq(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** AND + NOT + literal compound predicate, mirroring
+    * `col("rank")===lit(1) and !(col("candidate")===lit("Ben Carson"))`
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:99`).
+    */
+  def filterCompound(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === lit("purchase")
+        && !(col("user_id") === lit(0L))
+        && col("value") > lit(100.0))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** Drop rows containing any null
+    * (`/root/reference/MarchineLearningAlgorithm.txt:42`,
+    * `/root/reference/A related code.txt:45`) — `na.drop()` compiles to a
+    * conjunction of IS NOT NULL filters, fully pushed down.
+    */
+  def naDrop(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .na.drop()
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- §2c ----
+
+  /** Inner equi-join with a cast inside the join key, then dedup of the key
+    * column — the reference's exact join shape
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:58,69`).
+    * nation is tiny → explicit broadcast; at 100 TB the fact side streams
+    * through a broadcast-hash join with zero shuffle.
+    */
+  def joinInnerEqui(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+    val n = table(spark, sfDir, "nation")
+    c.join(broadcast(n),
+        c("c_nationkey").cast(LongType) === n("n_nationkey").cast(LongType))
+      .drop(n("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("n_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left outer join (idiomatic variant of the same `ds.join(ds2, cond, how)`
+    * API; SURVEY §2c). Right side pre-filtered so unmatched rows exist.
+    */
+  def joinLeft(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem").filter(col("l_quantity") >= 48.0)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_totalprice"), col("l_linenumber"),
+        col("l_quantity"))
+      .orderBy(col("o_orderkey"), col("l_linenumber"))
+  }
+
+  /** Left-semi join = SQL EXISTS; no right-side columns, no row duplication —
+    * at scale this is the cheap way to express "customers having a big
+    * order" without a join-then-distinct.
+    */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+    val o = table(spark, sfDir, "orders").filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join = SQL NOT EXISTS. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = table(spark, sfDir, "customer")
+    val o = table(spark, sfDir, "orders").filter(col("o_totalprice") > 300000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- §2d ----
+
+  /** Global count (`/root/reference/A related code.txt:77`), expressed as an
+    * aggregate query rather than the `count()` action so it stays a plan.
+    */
+  def aggCount(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"))
+
+  /** Grouped aggregate (sum/avg/count) — the "group the records by county"
+    * intent (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:81-86`)
+    * in TPC-H q1 shape. Partial (map-side) aggregation + exact decimal sums;
+    * the shuffle moves only one row per (flag,status) group per partition.
+    */
+  def groupbyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        (moneySum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Class-distribution ratio — the reference computes it with two driver
+    * `count()` actions (`/root/reference/A related code.txt:77`); a single
+    * conditional aggregate does it in one distributed pass.
+    */
+  def groupbyRatio(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .agg((sum(when(col("event_type") === "error", 1).otherwise(0))
+        .cast(DoubleType) / count(lit(1))).as("error_ratio"))
+
+  // ---------------------------------------------------------------- §2e ----
+
+  /** rank() over a descending partition window
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:88-89`).
+    * One shuffle on the partition key, in-partition sort — the minimal plan.
+    */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        rank().over(w).as("rnk"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Keep the rank-1 row per partition — "winner per county"
+    * (`/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:97-99`).
+    * Tie-broken on the unique event_id so exactly one row per key survives.
+    */
+  def windowTop1(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") === lit(1))
+      .drop("rnk")
+      .orderBy(col("user_id"))
+  }
+
+  // ---------------------------------------------------------------- §2f ----
+
+  /** Bounded ordered preview — deterministic stand-in for the reference's
+    * `show(10)` (`/root/reference/MarchineLearningAlgorithm.txt:50`).
+    * Compiles to TakeOrderedAndProject: per-partition top-N then a single
+    * driver merge of N×partitions rows — no global sort at any scale.
+    */
+  def orderLimit(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  // ---------------------------------------------------------------- §2g ----
+
+  /** Bag union of two filtered subsets — the undersampling rebalance
+    * (`/root/reference/A related code.txt:74-80`). `unionAll` ≡ `union`
+    * since Spark 2.0; no shuffle, partitions are concatenated.
+    */
+  def unionAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_type") === "signup")
+      .unionAll(ev.filter(col("event_type") === "error"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Seeded Bernoulli sample without replacement
+    * (`/root/reference/A related code.txt:78`). RNG differs across engines →
+    * no SQL oracle; invariants (subset, binomial-bounded size) are covered in
+    * the scalatest/scalacheck suites (SURVEY §5.3).
+    */
+  def sampleFraction(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .sample(withReplacement = false, fraction = 0.5, seed = 754L)
+      .orderBy(col("doc_id"))
+
+  /** Seeded 80/20 split, first slice
+    * (`/root/reference/MarchineLearningAlgorithm.txt:91` — seed 754).
+    * Disjointness/union/ratio invariants tested in-suite, not via oracle.
+    */
+  def randomSplit(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .randomSplit(Array(0.8, 0.2), seed = 754L)(0)
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ flagship ----
+
+  /** Flagship: top revenue supplier per nation — the reference's EP2
+    * winner-per-group shape (join → group → window rank → rank=1 filter;
+    * `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:55-99`)
+    * transplanted onto the harness star schema. supplier and nation are dims
+    * → broadcast; lineitem aggregates map-side before the one shuffle on the
+    * group key; the window re-uses the grouped (already small) result.
+    */
+  def flagshipNationTopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val sup = table(spark, sfDir, "supplier")
+    val nat = table(spark, sfDir, "nation")
+    val rev = li
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"), col("s_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+    rev.select(col("n_name"), col("s_suppkey"), col("s_name"), col("revenue"),
+        rank().over(w).as("rnk"))
+      .filter(col("rnk") === lit(1))
+      .select(col("n_name"), col("s_name"), col("revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- SQL ----
+
+  val oracleSql: Map[String, String] = Map(
+    "select_cols" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "select_cast" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS INTEGER) AS qty_int,
+        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec,
+        |  CAST(l_orderkey AS VARCHAR) AS okey_str,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "select_alias" ->
+      """SELECT s_suppkey AS supp_id, s_name AS supp_name, s_acctbal AS balance
+        |FROM supplier ORDER BY supp_id""".stripMargin,
+    "drop_col" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "filter_eq" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
+    "filter_compound" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'purchase' AND NOT (user_id = 0) AND value > 100.0
+        |ORDER BY event_id""".stripMargin,
+    "na_drop" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+        |  AND source IS NOT NULL AND n_chars IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "join_inner_equi" ->
+      """SELECT c_custkey, c_name, c_nationkey, n_name
+        |FROM customer JOIN nation
+        |  ON CAST(c_nationkey AS BIGINT) = CAST(n_nationkey AS BIGINT)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_left" ->
+      """SELECT o_orderkey, o_totalprice, l_linenumber, l_quantity
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 48.0) li
+        |  ON o_orderkey = li.l_orderkey
+        |ORDER BY o_orderkey, l_linenumber NULLS FIRST""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_count" ->
+      "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "groupby_ratio" ->
+      """SELECT CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / COUNT(*) AS error_ratio
+        |FROM events""".stripMargin,
+    "window_rank" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(RANK() OVER (PARTITION BY user_id ORDER BY value DESC) AS INTEGER) AS rnk
+        |FROM events ORDER BY event_id""".stripMargin,
+    "window_top1" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |QUALIFY RANK() OVER (PARTITION BY user_id
+        |                     ORDER BY value DESC, event_id) = 1
+        |ORDER BY user_id""".stripMargin,
+    "order_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "union_all" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'signup'
+        |UNION ALL
+        |SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+    "flagship_nation_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT n_name, s_suppkey, s_name,
+        |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |         AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_suppkey, s_name)
+        |SELECT n_name, s_name, revenue FROM rev
+        |QUALIFY RANK() OVER (PARTITION BY n_name
+        |                     ORDER BY revenue DESC, s_suppkey) = 1
+        |ORDER BY n_name""".stripMargin
+  )
+}
