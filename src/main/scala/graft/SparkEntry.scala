@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Relational, Sources}
+import graft.ops.{MLOps, Relational, Sources}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -56,6 +56,17 @@ object SparkEntry {
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
     "vec_norm" -> (Scalars.vecNorm _),
+    // §2i ML surface
+    "ml_string_indexer" -> (MLOps.stringIndexer _),
+    "ml_string_indexer_multi" -> (MLOps.stringIndexerMulti _),
+    "ml_onehot" -> (MLOps.oneHot _),
+    "ml_assembler" -> (MLOps.assemble _),
+    "ml_rf_classifier" -> (MLOps.rfClassifier _),
+    "ml_pipeline" -> (MLOps.pipeline _),
+    "ml_evaluator" -> (MLOps.evaluate _),
+    "ml_param_grid" -> (MLOps.paramGrid _),
+    "ml_cross_validator" -> (MLOps.crossValidator _),
+    "ml_fit_predict_eval" -> (MLOps.fitPredictEval _),
     // flagship as a checked query
     "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
   )
@@ -66,5 +77,6 @@ object SparkEntry {
     * covered by scalatest invariants instead (SURVEY §5).
     */
   def oracleSql: Map[String, String] =
-    Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql
+    Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
+      MLOps.oracleSql
 }

@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.tuning.{CrossValidator, ParamGridBuilder}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** §2i ML operator surface — the reference's user-extensible compute layer
+  * (its analog of a UDF/UDAF surface) is entirely spark.ml Transformers /
+  * Estimators; each wrapper below reproduces one transcript operator over
+  * the harness tables with every seed pinned (SURVEY §5.4).
+  *
+  * Reference pipelines re-expressed here:
+  *  - StringIndexer single/multi (`/root/reference/MarchineLearningAlgorithm.txt:65-70,95-97`)
+  *  - OneHotEncoder (`/root/reference/A related code.txt:123-127`)
+  *  - VectorAssembler (`/root/reference/MarchineLearningAlgorithm.txt:109-111`;
+  *    the reference lists duplicate input cols at
+  *    `/root/reference/A related code.txt:139-140` — a transcript bug; we
+  *    assemble each column once, per SURVEY §0)
+  *  - RandomForestClassifier seeded (`/root/reference/MarchineLearningAlgorithm.txt:127-130`, seed 1234)
+  *  - Pipeline (`/root/reference/MarchineLearningAlgorithm.txt:145-146`)
+  *  - MulticlassClassificationEvaluator/accuracy (`:168-171`)
+  *  - ParamGridBuilder maxDepth × impurity (`:192-194`)
+  *  - CrossValidator 3-fold (`:217-221`; "12 models" =
+  *    3 folds × 2 depth × 2 impurity,
+  *    `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:189`)
+  *  - fit → transform → evaluate end-to-end (`:237,253,268-270`)
+  *
+  * Scale notes: indexer fit = one distinct-count aggregate; RF induction is
+  * distributed per-partition statistics aggregation (spark.ml); nothing here
+  * collects rows to the driver except the 4-row param grid and the scalar
+  * accuracy — both O(1) in data size. CV input is capped to a deterministic
+  * prefix (`cvCap`) because model *selection* doesn't need the full corpus;
+  * the selected model can then be fit at full scale (ml_fit_predict_eval
+  * trains on the uncapped 80% split).
+  */
+object MLOps {
+
+  private val SplitSeed = 754L // /root/reference/MarchineLearningAlgorithm.txt:91
+  private val RfSeed = 1234L   // /root/reference/MarchineLearningAlgorithm.txt:130
+
+  /** Deterministic row cap for cross-validation (model selection only). */
+  private val cvCap = 20000
+
+  /** events with label + numeric feature columns: the transcripts' cleaned
+    * all-typed projection shape (select + cast + json field).
+    */
+  private def labeledEvents(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        col("event_type"),
+        col("value"),
+        get_json_object(col("props"), "$.k").cast(DoubleType).as("k"),
+        col("user_id").cast(DoubleType).as("user_id_d"),
+        hour(col("ts")).cast(DoubleType).as("event_hour"))
+      .na.drop()
+
+  private def labelIndexer = new StringIndexer()
+    .setInputCol("event_type").setOutputCol("label_idx")
+
+  private def assembler = new VectorAssembler()
+    .setInputCols(Array("value", "k", "user_id_d", "event_hour"))
+    .setOutputCol("features")
+
+  private def rf(maxDepth: Int = 4) = new RandomForestClassifier()
+    .setFeaturesCol("features").setLabelCol("label_idx")
+    .setSeed(RfSeed).setMaxDepth(maxDepth)
+
+  private def evaluator = new MulticlassClassificationEvaluator()
+    .setLabelCol("label_idx").setPredictionCol("prediction")
+    .setMetricName("accuracy")
+
+  private def fullPipeline(maxDepth: Int = 4) = new Pipeline()
+    .setStages(Array(labelIndexer, assembler, rf(maxDepth)))
+
+  // ------------------------------------------------------------- queries ----
+
+  /** Single-column StringIndexer (label indexing). Output is SQL-checkable:
+    * frequencyDesc order = rank by (count desc, value asc) - 1 (documented
+    * tie-break is alphabetical).
+    */
+  def stringIndexer(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val model = new StringIndexer()
+      .setInputCol("lang").setOutputCol("lang_idx").fit(docs)
+    model.transform(docs)
+      .select(col("doc_id"), col("lang"), col("lang_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-column StringIndexer
+    * (`/root/reference/MarchineLearningAlgorithm.txt:65-70` — 4 in / 4 out).
+    */
+  def stringIndexerMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val model = new StringIndexer()
+      .setInputCols(Array("lang", "source"))
+      .setOutputCols(Array("lang_idx", "source_idx"))
+      .fit(docs)
+    model.transform(docs)
+      .select(col("doc_id"), col("lang"), col("lang_idx"),
+        col("source"), col("source_idx"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** OneHotEncoder over an index column → sparse vectors
+    * (`/root/reference/A related code.txt:123-127`). Vector output → no SQL
+    * oracle; determinism + encoding invariants tested in-suite.
+    */
+  def oneHot(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.table(spark, sfDir, "documents")
+    val indexed = new StringIndexer()
+      .setInputCol("lang").setOutputCol("lang_idx").fit(docs).transform(docs)
+    new OneHotEncoder()
+      .setInputCols(Array("lang_idx")).setOutputCols(Array("lang_onehot"))
+      .fit(indexed).transform(indexed)
+      .select(col("doc_id"), col("lang_idx"), col("lang_onehot"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** VectorAssembler → ML feature vector column
+    * (`/root/reference/MarchineLearningAlgorithm.txt:109-111`).
+    */
+  def assemble(spark: SparkSession, sfDir: String): DataFrame =
+    assembler.transform(labeledEvents(spark, sfDir))
+      .select(col("event_id"), col("features"))
+      .orderBy(col("event_id"))
+
+  /** Seeded RandomForestClassifier fit + transform
+    * (`/root/reference/MarchineLearningAlgorithm.txt:127-130`).
+    */
+  def rfClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = labeledEvents(spark, sfDir)
+    val prepped = assembler.transform(
+      labelIndexer.fit(data).transform(data))
+    rf().fit(prepped).transform(prepped)
+      .select(col("event_id"), col("label_idx"), col("prediction"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Pipeline staging: indexer → assembler → RF
+    * (`/root/reference/MarchineLearningAlgorithm.txt:145-146`); equivalent to
+    * the eager stagewise fits of `/root/reference/A related code.txt:102-103`.
+    */
+  def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = labeledEvents(spark, sfDir)
+    fullPipeline().fit(data).transform(data)
+      .select(col("event_id"), col("label_idx"), col("prediction"))
+      .orderBy(col("event_id"))
+  }
+
+  /** MulticlassClassificationEvaluator, metric=accuracy
+    * (`/root/reference/MarchineLearningAlgorithm.txt:168-171`) — scalar
+    * result surfaced as a one-row DataFrame.
+    */
+  def evaluate(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = labeledEvents(spark, sfDir)
+    val pred = fullPipeline().fit(data).transform(data)
+    val acc = evaluator.evaluate(pred)
+    spark.createDataFrame(Seq(Tuple1(acc))).toDF("accuracy")
+  }
+
+  /** Hyper-parameter grid: maxDepth × impurity{entropy,gini}
+    * (`/root/reference/MarchineLearningAlgorithm.txt:192-194`). The expanded
+    * ParamMaps are enumerated back into a DataFrame (4 rows, driver-side by
+    * construction — same as the reference's docx Fig 7 listing).
+    */
+  def paramGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val rfEst = rf()
+    val grid = new ParamGridBuilder()
+      .addGrid(rfEst.maxDepth, Array(3, 4))
+      .addGrid(rfEst.impurity, Array("entropy", "gini"))
+      .build()
+    val rows = grid.toSeq.map { pm =>
+      (pm(rfEst.maxDepth), pm(rfEst.impurity))
+    }
+    spark.createDataFrame(rows).toDF("max_depth", "impurity")
+      .orderBy(col("max_depth"), col("impurity"))
+  }
+
+  /** 3-fold CrossValidator over the pipeline, 2×2 grid = 12 model fits
+    * (`/root/reference/MarchineLearningAlgorithm.txt:217-221`;
+    * `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:189`).
+    * Emits avg CV accuracy per ParamMap. Input capped to a deterministic
+    * prefix — selection, not training, so a bounded sample is the
+    * scale-correct choice.
+    */
+  def crossValidator(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = labeledEvents(spark, sfDir).orderBy(col("event_id")).limit(cvCap)
+    val pipe = fullPipeline()
+    val rfStage = pipe.getStages(2).asInstanceOf[RandomForestClassifier]
+    val grid = new ParamGridBuilder()
+      .addGrid(rfStage.maxDepth, Array(3, 4))
+      .addGrid(rfStage.impurity, Array("entropy", "gini"))
+      .build()
+    val cv = new CrossValidator()
+      .setEstimator(pipe)
+      .setEvaluator(evaluator)
+      .setEstimatorParamMaps(grid)
+      .setNumFolds(3)
+      .setParallelism(4)
+      .setSeed(SplitSeed)
+    val model = cv.fit(data)
+    val rows = grid.toSeq.zip(model.avgMetrics.toSeq).map { case (pm, m) =>
+      (pm(rfStage.maxDepth), pm(rfStage.impurity), m)
+    }
+    spark.createDataFrame(rows)
+      .toDF("max_depth", "impurity", "avg_accuracy")
+      .orderBy(col("max_depth"), col("impurity"))
+  }
+
+  /** End-to-end train/predict/evaluate: seeded 80/20 split, pipeline fit on
+    * train, transform test, accuracy (`/root/reference/MarchineLearningAlgorithm.txt:91,237,253,268-270`).
+    */
+  def fitPredictEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val Array(train, test) =
+      labeledEvents(spark, sfDir).randomSplit(Array(0.8, 0.2), SplitSeed)
+    val model = fullPipeline().fit(train)
+    val acc = evaluator.evaluate(model.transform(test))
+    spark.createDataFrame(Seq((acc, train.count(), test.count())))
+      .toDF("accuracy", "n_train", "n_test")
+  }
+
+  // ---------------------------------------------------------------- SQL ----
+
+  /** StringIndexer frequencyDesc is SQL-expressible: index = dense rank of
+    * the value by (frequency desc, value asc), zero-based, as double.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "ml_string_indexer" ->
+      """WITH freq AS (
+        |  SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |ord AS (
+        |  SELECT lang, ROW_NUMBER() OVER (ORDER BY c DESC, lang) - 1 AS rk
+        |  FROM freq)
+        |SELECT d.doc_id, d.lang, CAST(ord.rk AS DOUBLE) AS lang_idx
+        |FROM documents d JOIN ord ON d.lang = ord.lang
+        |ORDER BY d.doc_id""".stripMargin,
+    "ml_string_indexer_multi" ->
+      """WITH lf AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |lo AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY c DESC, lang) - 1 AS rk
+        |       FROM lf),
+        |sf AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        |so AS (SELECT source, ROW_NUMBER() OVER (ORDER BY c DESC, source) - 1 AS rk
+        |       FROM sf)
+        |SELECT d.doc_id, d.lang, CAST(lo.rk AS DOUBLE) AS lang_idx,
+        |       d.source, CAST(so.rk AS DOUBLE) AS source_idx
+        |FROM documents d
+        |JOIN lo ON d.lang = lo.lang
+        |JOIN so ON d.source = so.source
+        |ORDER BY d.doc_id""".stripMargin,
+    "ml_param_grid" ->
+      """SELECT * FROM (VALUES (3, 'entropy'), (3, 'gini'),
+        |                      (4, 'entropy'), (4, 'gini'))
+        |  AS t(max_depth, impurity)
+        |ORDER BY max_depth, impurity""".stripMargin
+  )
+}
