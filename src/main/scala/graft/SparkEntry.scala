@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{MLOps, Relational, Sources}
+import graft.ops.{Dedup, MLOps, Multimodal, Relational, Similarity, Sources,
+  TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +68,24 @@ object SparkEntry {
     "ml_param_grid" -> (MLOps.paramGrid _),
     "ml_cross_validator" -> (MLOps.crossValidator _),
     "ml_fit_predict_eval" -> (MLOps.fitPredictEval _),
+    // §2j dedup
+    "dedup_exact" -> (Dedup.dedupExact _),
+    "dedup_near" -> (Dedup.dedupNear _),
+    "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_ngram" -> (Dedup.dedupNgram _),
+    "dedup_embed" -> (Dedup.dedupEmbed _),
+    // §2j similarity search
+    "sim_search" -> (Similarity.simSearch _),
+    "sim_search_lsh" -> (Similarity.simSearchLsh _),
+    // §2j text analysis
+    "text_stats" -> (TextAnalysis.textStats _),
+    "lang_id" -> (TextAnalysis.langId _),
+    "token_count" -> (TextAnalysis.tokenCount _),
+    "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // §2j multimodal plumbing
+    "mm_decode_stub" -> (Multimodal.decodeStub _),
+    "mm_frame_sample" -> (Multimodal.frameSample _),
+    "mm_frame_layout" -> (Multimodal.frameLayout _),
     // flagship as a checked query
     "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
   )
@@ -78,5 +97,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
-      MLOps.oracleSql
+      MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql
 }

@@ -1,0 +1,186 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram,
+  BucketedRandomProjectionLSH}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2j deduplication operators for LLM training-data pipelines
+  * (SURVEY §2j; north-star extensions beyond the reference surface).
+  *
+  * Scale design (the point of each method):
+  *  - exact: one shuffle keyed by a 256-bit content hash — state per key is
+  *    O(1), no driver involvement, works at any corpus size.
+  *  - MinHash+LSH: candidate generation is a band-bucket equi-join (shuffle
+  *    on hash-band values), never an all-pairs product; pair count is
+  *    bounded by bucket collisions, not N².
+  *  - SimHash: per-doc 64-bit fingerprint computed inside the row pipeline
+  *    with higher-order functions (no shuffle at all); banding the
+  *    fingerprint turns near-dup search into 4 equi-joins.
+  *  - n-gram Jaccard: exact verification, but only on candidate pairs
+  *    blocked by the min shingle hash (the cheapest 1-band MinHash).
+  *  - embedding cosine: LSH-bucketed candidate join (random hyperplane
+  *    projections), exact cosine re-scored only on candidates.
+  */
+object Dedup {
+
+  private val LshSeed = 42L
+
+  /** Exact dedup on a SHA-256 content hash: keep the lowest doc_id per hash.
+    * `ROW_NUMBER over (partition by hash)` is the deterministic, scalable
+    * form of `dropDuplicates` (which keeps an arbitrary row).
+    */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    table(spark, sfDir, "documents")
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Documents with word tokens; drops docs too short to shingle. */
+  private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+
+  /** MinHash+LSH near-duplicate pairs: word 3-gram shingles → binary
+    * HashingTF (2^18 dims) → MinHashLSH(5 tables) → band-bucket similarity
+    * join at Jaccard distance ≤ 0.5. The harness corpus plants near-dup
+    * pairs at Jaccard ≈ 0.99 with nothing else above 0.1, so the threshold
+    * is robust across scale factors.
+    */
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val shingled = new NGram().setN(3)
+      .setInputCol("tokens").setOutputCol("shingles")
+      .transform(tokenized(spark, sfDir))
+    val featured = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+      .transform(shingled)
+    val model = new MinHashLSH()
+      .setInputCol("features").setOutputCol("minhashes")
+      .setNumHashTables(5).setSeed(LshSeed)
+      .fit(featured)
+    model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        round(col("jaccard_dist"), 6).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash fingerprint per document, plus 4×16-bit bands.
+    * Classic Charikar construction: each token hash votes ±1 per bit
+    * position;
+    * fingerprint bit i is the sign of vote i. All higher-order functions —
+    * stays in the scan stage, zero shuffle; near-dup candidates are then
+    * `GROUP BY band` equi-joins (any band equal ⇒ hamming ≤ 3 candidates
+    * by pigeonhole over 4 bands).
+    */
+  def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    tokenized(spark, sfDir)
+      .withColumn("votes", expr(
+        """aggregate(
+          |  transform(tokens, t -> xxhash64(t)),
+          |  array_repeat(CAST(0 AS BIGINT), 64),
+          |  (acc, h) -> zip_with(
+          |    acc,
+          |    transform(sequence(0, 63),
+          |      i -> IF((shiftright(h, i) & 1) = 1,
+          |              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
+          |    (a, b) -> a + b))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(
+          |  zip_with(votes, sequence(0, 63),
+          |    (v, i) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), i),
+          |                 CAST(0 AS BIGINT))),
+          |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("simhash"),
+        expr("simhash & 65535").as("band0"),
+        expr("shiftright(simhash, 16) & 65535").as("band1"),
+        expr("shiftright(simhash, 32) & 65535").as("band2"),
+        expr("shiftright(simhash, 48) & 65535").as("band3"))
+      .orderBy(col("doc_id"))
+
+  /** Exact n-gram Jaccard near-dup pairs with min-hash blocking: candidate
+    * pairs must share their minimum shingle hash (collision probability for
+    * a pair equals its Jaccard similarity — high-sim pairs almost never
+    * escape the block), then exact Jaccard via array_intersect/array_union
+    * on just those candidates.
+    */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = tokenized(spark, sfDir)
+      .withColumn("shingles", expr(
+        """array_distinct(transform(sequence(0, size(tokens) - 3),
+          |  i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2])))"""
+          .stripMargin))
+      .withColumn("block", expr("array_min(transform(shingles, s -> xxhash64(s)))"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
+      col("block"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
+      col("block"))
+    a.join(b, "block")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding-cosine near-dup report: for each probe vector (vec_id < 100),
+    * its nearest neighbor among LSH candidates with exact cosine re-score
+    * and an `is_dup` flag at cosine ≥ 0.9. Vectors are L2-normalized so the
+    * random-hyperplane LSH's euclidean threshold maps to a cosine floor
+    * (‖a−b‖² = 2−2cos ⇒ dist ≤ 1.2 ⟺ cos ≥ 0.28).
+    */
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = table(spark, sfDir, "embeddings")
+      .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
+      .withColumn("nrm", sqrt(aggregate(col("demb"), lit(0.0),
+        (acc, x) => acc + x * x)))
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .withColumn("vec", array_to_vector(col("unit")))
+      .select(col("vec_id"), col("vec"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("vec").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(3).setSeed(LshSeed)
+      .fit(v)
+    val probes = v.filter(col("vec_id") < 100)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("nn_id"))
+    model.approxSimilarityJoin(probes, v, 1.2, "dist")
+      .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
+      .select(
+        col("datasetA.vec_id").as("q_id"),
+        col("datasetB.vec_id").as("nn_id"),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cosine"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .withColumn("is_dup", col("cosine") >= 0.9)
+      .orderBy(col("q_id"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h
+        |FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text)
+        |                           ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin
+  )
+}

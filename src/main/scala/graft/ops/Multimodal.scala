@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2j multimodal column plumbing (SURVEY §2j).
+  *
+  * Media assets are opaque `binary` columns travelling next to typed
+  * metadata; decode / feature-extraction is per-row imperative work done by
+  * a native library at the executors. This container has no image/audio
+  * codecs, so the decode step is a clearly-marked deterministic STUB
+  * (hash-derived pseudo-features) — but the Spark-side plumbing is real and
+  * is the part that matters at 100 TB:
+  *  - binary payload + metadata struct schema,
+  *  - per-row feature extraction inside the scan stage (no shuffle),
+  *  - a typed `mapPartitions` pipeline for the chunk/frame-explode shape
+  *    (one input row → many frame rows) with partition-local batching, which
+  *    is the Scala analog of arrow-batched `mapInPandas` decode loops.
+  */
+object Multimodal {
+
+  /** One "asset" row per document: UTF-8 payload standing in for an image
+    * blob, metadata struct, and an 8-dim stub feature vector derived from
+    * seeded payload hashes (STUB — replace the `transform(sequence(0,7),…)`
+    * expression with the real decoder's embedding at deploy time).
+    */
+  def decodeStub(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("meta", struct(
+        length(col("payload")).as("n_bytes"),
+        lit("application/octet-stream").as("mime"),
+        xxhash64(col("payload")).as("checksum")))
+      .withColumn("features", expr(
+        """transform(sequence(0, 7),
+          |  i -> CAST(pmod(xxhash64(payload, i), 1000) AS DOUBLE) / 1000.0)"""
+          .stripMargin))
+      .select(col("doc_id"), col("meta"), col("features"))
+      .orderBy(col("doc_id"))
+
+  /** Frame-sampling shape: explode each payload into fixed-size "frames"
+    * (256-byte chunks standing in for video frames / audio windows), one
+    * output row per frame with a stub frame feature. Implemented with a
+    * typed `mapPartitions` to exercise the real executor-side batch loop a
+    * native decoder needs (iterator in, iterator out, nothing driver-side).
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val frameBytes = 256
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (docId, payload) =>
+          payload.grouped(frameBytes).zipWithIndex.map {
+            case (frame, idx) =>
+              // STUB decode: real impl hands `frame` to a codec; here a
+              // deterministic digest stands in for the decoded feature.
+              val digest = frame.foldLeft(1125899906842597L) {
+                (acc, b) => acc * 31 + b
+              }
+              (docId, idx, frame.length, digest)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_digest")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** SQL-checkable slice of the multimodal plumbing: payload sizing layout
+    * (frame counts per asset) is pure arithmetic over octet lengths, so the
+    * schema/partitioning contract is oracle-verified even though decode
+    * content is not.
+    */
+  def frameLayout(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        ceil(length(col("payload")).cast(DoubleType) / 256.0)
+          .cast(IntegerType).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  val oracleSql: Map[String, String] = Map(
+    "mm_frame_layout" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0)
+        |       AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2j similarity search over the embedding column (SURVEY §2j
+  * `sim_search`).
+  *
+  * Two paths:
+  *  - `simSearch` — exact brute-force cosine top-k for a small probe set.
+  *    The probe side is broadcast, so the big side streams through a
+  *    map-only stage computing k dot products per row (no N×N product, no
+  *    shuffle except the final per-probe top-k window over N·k rows). This
+  *    is the correctness baseline and is DuckDB-checkable bit-exactly.
+  *  - `simSearchLsh` — the scale path: random-hyperplane LSH buckets
+  *    restrict candidates to colliding buckets; exact cosine re-scores only
+  *    candidates. At 100 TB the bucket join replaces the full scan per probe.
+  *
+  * All vector math is float→double cast (exact) before multiplying, folded
+  * sequentially, so Spark and DuckDB produce bit-identical doubles; cosine
+  * is rounded to 6dp with doc-id tie-breaks so rank order is engine-stable.
+  */
+object Similarity {
+
+  private val K = 10
+  private val NProbes = 5
+
+  /** embeddings with double-cast vector and precomputed L2 norm (computed
+    * once per row, not once per pair).
+    */
+  private def prepped(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
+      .withColumn("nrm", sqrt(aggregate(col("demb"), lit(0.0),
+        (acc, x) => acc + x * x)))
+
+  /** Exact top-k cosine neighbors for probe vectors (vec_id < NProbes). */
+  def simSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = prepped(spark, sfDir)
+    val probes = v.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val cands = v.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+      col("nrm").as("c_nrm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    cands.crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as `simSearch`, but
+    * candidates come from `approxSimilarityJoin` on unit vectors (euclidean
+    * threshold 1.2 ⟺ cosine ≥ 0.28 floor). Recall vs the exact path is
+    * asserted in-suite; results are seed-deterministic, not SQL-checkable.
+    */
+  def simSearchLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = prepped(spark, sfDir)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .withColumn("vec", array_to_vector(col("unit")))
+      .select(col("vec_id"), col("vec"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("vec").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+      .fit(v)
+    val probes = v.filter(col("vec_id") < NProbes)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    model.approxSimilarityJoin(probes, v, 1.2, "dist")
+      .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
+      .select(
+        col("datasetA.vec_id").as("q_id"),
+        col("datasetB.vec_id").as("c_id"),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "sim_search" ->
+      """WITH v AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |         SQRT(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM v WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q_id, v.vec_id AS c_id,
+        |    ROUND(list_sum(list_transform(list_zip(q_emb, v.emb),
+        |      p -> p[1] * p[2])) / (q_nrm * v.nrm), 6) AS sim
+        |  FROM q, v WHERE v.vec_id != q_id)
+        |SELECT q_id, c_id, sim, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |    ORDER BY sim DESC, c_id) AS rnk FROM pairs) t
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+  )
+}

@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2j text analysis for training-data curation (SURVEY §2j `text_stats`
+  * plus language-ID, token counting and fingerprinting).
+  *
+  * Everything here is built-in scalar/higher-order expressions evaluated
+  * inside the scan's whole-stage-codegen pipeline: per-document work, no
+  * shuffle, no UDF — the shape that scales linearly with corpus size.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicons (alphabetical language order). */
+  private val Lexicons: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "es" -> Seq("el", "la", "los", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "et", "est"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  private def hits(tokens: Column, lex: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(lex.map(lit(_)): _*)))
+
+  /** Per-document quality statistics: char/token counts, average token
+    * length, stopword ratio, and a deterministic [0,1] quality score
+    * (longer docs with organic stopword share score higher).
+    */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("alpha_chars", length(regexp_replace(col("text"), " ", "")))
+      .withColumn("avg_token_len",
+        round(col("alpha_chars").cast(DoubleType) / col("n_tokens"), 6))
+      .withColumn("stop_tokens", hits(col("tokens"), Stopwords))
+      .withColumn("stop_ratio",
+        round(col("stop_tokens").cast(DoubleType) / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
+          (lit(1.0) - col("stop_ratio")), 6))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("avg_token_len"), col("stop_tokens"), col("stop_ratio"),
+        col("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** n-gram-heuristic language ID: count stopword-lexicon hits per language,
+    * argmax with alphabetical tie-break (so a doc with zero hits everywhere
+    * deterministically maps to 'de'). Mechanical but scale-shaped: one pass,
+    * no shuffle.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+    val withHits = Lexicons.foldLeft(base) { case (df, (lang, lex)) =>
+      df.withColumn(s"${lang}_hits", hits(col("tokens"), lex))
+    }
+    val pred = when(
+      col("de_hits") >= col("en_hits") && col("de_hits") >= col("es_hits")
+        && col("de_hits") >= col("fr_hits"), "de")
+      .when(col("en_hits") >= col("es_hits")
+        && col("en_hits") >= col("fr_hits"), "en")
+      .when(col("es_hits") >= col("fr_hits"), "es")
+      .otherwise("fr")
+    withHits
+      .withColumn("pred_lang", pred)
+      .select(col("doc_id"), col("de_hits"), col("en_hits"), col("es_hits"),
+        col("fr_hits"), col("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
+    * (letter runs | digit runs | single non-space symbol runs) — the
+    * standard pre-tokenizer shape.
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
+          .as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over the
+    * token-hash sequence, mod a ~2^57 prime (keeps acc·31 + token term well
+    * inside i64 — Spark 4 runs ANSI mode, so wrap-around multiplication
+    * would raise ARITHMETIC_OVERFLOW). Unlike the SHA content hash this is
+    * streamable/rolling — the building block for chunk-level dedup.
+    * Engine-specific hash → rows-only check; determinism +
+    * order-sensitivity asserted in-suite.
+    */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+            |  (acc, t) -> pmod(acc * 31 + (xxhash64(t) & 1048575),
+            |              CAST(144115188075855881 AS BIGINT)))""".stripMargin)
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |  ROUND(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER)
+        |    AS stop_tokens,
+        |  ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |  ROUND(LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |        * (1.0 - ROUND(CAST(len(list_filter(string_split(text, ' '),
+        |            t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |            / len(string_split(text, ' ')), 6)), 6) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(tokens, x -> x IN ('der','die','und','ist','das'))) AS INTEGER) AS de_hits,
+        |    CAST(len(list_filter(tokens, x -> x IN ('the','and','is','of','to'))) AS INTEGER) AS en_hits,
+        |    CAST(len(list_filter(tokens, x -> x IN ('el','la','los','que','es'))) AS INTEGER) AS es_hits,
+        |    CAST(len(list_filter(tokens, x -> x IN ('le','les','des','et','est'))) AS INTEGER) AS fr_hits
+        |  FROM t)
+        |SELECT doc_id, de_hits, en_hits, es_hits, fr_hits,
+        |  CASE
+        |    WHEN de_hits >= en_hits AND de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+        |    WHEN en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+        |    WHEN es_hits >= fr_hits THEN 'es'
+        |    ELSE 'fr'
+        |  END AS pred_lang
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
