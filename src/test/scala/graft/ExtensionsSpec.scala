@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** §2j extension operator semantics (SURVEY §5): dedup idempotence and
+  * recall against the corpus's planted near-duplicates, similarity-search
+  * agreement between exact and LSH paths, text-analysis edge cases,
+  * multimodal plumbing shape.
+  */
+class ExtensionsSpec extends SparkSpec {
+
+  test("dedup_exact is idempotent and keeps the lowest doc_id per hash") {
+    val once = Dedup.dedupExact(spark, sf)
+    val n = once.count()
+    // dedup of unique-text corpus == input; second pass is a no-op
+    assert(n == Tables.table(spark, sf, "documents").count())
+    assert(once.dropDuplicates("h").count() == n)
+  }
+
+  test("minhash and exact n-gram dedup agree on the planted near-dup pairs") {
+    import spark.implicits._
+    val near = Dedup.dedupNear(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val ngram = Dedup.dedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(ngram.nonEmpty, "corpus should contain planted near-dups")
+    // MinHash (5 tables, dist<=0.5) must recover the exact >=0.5 pairs
+    assert(ngram.subsetOf(near))
+  }
+
+  test("simhash separates near-dups from random pairs by hamming distance") {
+    import spark.implicits._
+    val fp = Dedup.dedupSimhash(spark, sf)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val pairs = Dedup.dedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val planted = pairs.map { case (a, b) => ham(fp(a), fp(b)) }
+    val ids = fp.keys.toArray.sorted
+    val random = ids.take(50).zip(ids.reverse.take(50))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => ham(fp(a), fp(b)) }
+    // distributions must be well separated (near-dups cluster near 0,
+    // random pairs near 32); individual outliers are expected
+    val plantedMean = planted.sum.toDouble / planted.length
+    val randomMean = random.sum.toDouble / random.length
+    assert(planted.nonEmpty)
+    assert(plantedMean < 6, s"planted mean too high: $plantedMean")
+    assert(randomMean > 12, s"random mean too low: $randomMean")
+  }
+
+  test("exact sim_search returns k neighbors per probe, descending, self-free") {
+    val df = Similarity.simSearch(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5 * 10)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH sim_search similarities never exceed exact-path top-1") {
+    import spark.implicits._
+    val exact = Similarity.simSearch(spark, sf)
+      .filter(col("rnk") === 1).select("q_id", "sim")
+      .as[(Long, Double)].collect().toMap
+    val lsh = Similarity.simSearchLsh(spark, sf)
+      .filter(col("rnk") === 1).select("q_id", "sim")
+      .as[(Long, Double)].collect()
+    lsh.foreach { case (q, s) => assert(s <= exact(q) + 1e-9) }
+  }
+
+  test("text_stats ratios are in [0,1] and token math is consistent") {
+    val df = TextAnalysis.textStats(spark, sf)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1).count() == 0)
+    assert(df.filter(col("stop_tokens") > col("n_tokens")).count() == 0)
+  }
+
+  test("lang_id lexicon scoring on hand-built sentences") {
+    import spark.implicits._
+    // run the same column logic via a temp view shape: reuse op on corpus,
+    // then check the argmax rule on explicit hit columns
+    val df = TextAnalysis.langId(spark, sf)
+    val bad = df.filter(
+      (col("pred_lang") === "en" && (col("de_hits") > col("en_hits"))) ||
+        (col("pred_lang") === "es" &&
+          (col("de_hits") > col("es_hits") || col("en_hits") > col("es_hits"))))
+    assert(bad.count() == 0)
+    assert(df.count() == Tables.table(spark, sf, "documents").count())
+  }
+
+  test("doc_fingerprint is order-sensitive and deterministic") {
+    import spark.implicits._
+    val a = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()
+    val b = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+    // order sensitivity on a fixture
+    val fx = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val fps = fx.select(expr(
+      """aggregate(split(text, ' '), CAST(0 AS BIGINT),
+        |  (acc, t) -> pmod(acc * 31 + (xxhash64(t) & 1048575),
+        |              CAST(144115188075855881 AS BIGINT)))""".stripMargin))
+      .collect().map(_.getLong(0))
+    assert(fps(0) != fps(1))
+  }
+
+  test("token_count: BPE-ish regex splits punctuation off words") {
+    import spark.implicits._
+    val fx = Seq((1L, "ab1 cd, x")).toDF("doc_id", "text")
+    val n = fx.select(size(regexp_extract_all(col("text"),
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))).first().getInt(0)
+    assert(n == 5) // ab, 1, cd, ",", x
+  }
+
+  test("multimodal frame explode covers every payload byte exactly once") {
+    val frames = Multimodal.frameSample(spark, sf)
+    val bytesPerDoc = frames.groupBy("doc_id")
+      .agg(sum("frame_bytes").as("total"), count(lit(1)).as("frames_seen"))
+    val layout = Multimodal.frameLayout(spark, sf)
+    val joined = bytesPerDoc.join(layout, "doc_id")
+    assert(joined.filter(col("total") =!= col("n_bytes")).count() == 0)
+    assert(joined.filter(col("frames_seen").cast("int") =!= col("n_frames"))
+      .count() == 0)
+  }
+
+  test("decode stub emits bounded features and faithful byte counts") {
+    val df = Multimodal.decodeStub(spark, sf)
+    assert(df.filter(expr(
+      "exists(features, f -> f < 0.0 OR f >= 1.0)")).count() == 0)
+    assert(df.filter(col("meta.n_bytes") <= 0).count() == 0)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.feature.{StringIndexer, VectorAssembler}
+import org.apache.spark.sql.functions._
+
+import graft.ops.MLOps
+
+/** §2i determinism + semantics (SURVEY §5.4): pinned seeds must reproduce
+  * identical outputs; StringIndexer frequency ordering; pipeline staging
+  * equivalence with eager stagewise fit/transform
+  * (the `/root/reference/A related code.txt:102-103` shape).
+  */
+class MLSpec extends SparkSpec {
+
+  test("StringIndexer assigns 0 to the most frequent label") {
+    val docs = Tables.table(spark, sf, "documents")
+    val top = docs.groupBy("lang").count()
+      .orderBy(col("count").desc, col("lang")).first().getString(0)
+    val indexed = MLOps.stringIndexer(spark, sf)
+    val zeroLang = indexed.filter(col("lang_idx") === 0.0)
+      .select("lang").distinct().collect().map(_.getString(0)).toSeq
+    assert(zeroLang == Seq(top))
+  }
+
+  test("same seeds => identical predictions across two independent fits") {
+    val a = MLOps.pipeline(spark, sf).collect()
+    val b = MLOps.pipeline(spark, sf).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("evaluator accuracy is within [0,1]") {
+    val acc = MLOps.evaluate(spark, sf).first().getDouble(0)
+    assert(acc >= 0.0 && acc <= 1.0)
+  }
+
+  test("cross validator emits one avg metric per grid point, all in [0,1]") {
+    val rows = MLOps.crossValidator(spark, sf).collect()
+    assert(rows.length == 4)
+    assert(rows.forall { r =>
+      val m = r.getDouble(2); m >= 0.0 && m <= 1.0
+    })
+  }
+
+  test("pipeline fit-then-transform == eager stagewise fit/transform") {
+    import spark.implicits._
+    val data = Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        col("value"), col("user_id").cast("double").as("user_id_d"))
+    val indexer = new StringIndexer()
+      .setInputCol("event_type").setOutputCol("label_idx")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("value", "user_id_d")).setOutputCol("features")
+    val rf = new RandomForestClassifier()
+      .setFeaturesCol("features").setLabelCol("label_idx")
+      .setSeed(1234L).setMaxDepth(3)
+    val piped = new Pipeline().setStages(Array(indexer, assembler, rf))
+      .fit(data).transform(data)
+      .select("event_id", "prediction").as[(Long, Double)].collect().toMap
+    val eagerIndexed = indexer.fit(data).transform(data)
+    val eagerAssembled = assembler.transform(eagerIndexed)
+    val eager = rf.fit(eagerAssembled).transform(eagerAssembled)
+      .select("event_id", "prediction").as[(Long, Double)].collect().toMap
+    assert(piped == eager)
+  }
+
+  test("onehot vector size is cardinality-1 (dropLast) and one-hot") {
+    import org.apache.spark.ml.linalg.Vector
+    val rows = MLOps.oneHot(spark, sf).collect()
+    val nLangs = Tables.table(spark, sf, "documents")
+      .select("lang").distinct().count().toInt
+    rows.foreach { r =>
+      val v = r.getAs[Vector]("lang_onehot")
+      assert(v.size == nLangs - 1)
+      assert(v.toArray.sum <= 1.0)
+    }
+  }
+
+  test("assembler output vector length equals number of input cols") {
+    import org.apache.spark.ml.linalg.Vector
+    val first = MLOps.assemble(spark, sf).first()
+    assert(first.getAs[Vector]("features").size == 4)
+  }
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Relational
+
+/** §2b–§2g invariants (SURVEY §5.2/§5.3) over the deterministic sf0.001
+  * corpus plus in-memory fixtures for exact-row checks.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("select_cols projects exactly the requested columns") {
+    val df = Relational.selectCols(spark, sf)
+    assert(df.columns.toSeq == Seq("c_custkey", "c_name", "c_mktsegment"))
+    assert(df.count() == Tables.table(spark, sf, "customer").count())
+  }
+
+  test("select_cast yields requested types") {
+    val sch = Relational.selectCast(spark, sf).schema
+    assert(sch("qty_int").dataType.typeName == "integer")
+    assert(sch("price_dec").dataType.typeName == "decimal(18,4)")
+    assert(sch("okey_str").dataType.typeName == "string")
+    assert(sch("ship_date").dataType.typeName == "date")
+  }
+
+  test("filter_eq keeps only matching rows") {
+    val df = Relational.filterEq(spark, sf)
+    assert(df.filter(col("o_orderstatus") =!= "F").count() == 0)
+    assert(df.count() > 0)
+  }
+
+  test("na_drop equals input when input has no nulls, drops rows with any null") {
+    import spark.implicits._
+    assert(Relational.naDrop(spark, sf).count() ==
+      Tables.table(spark, sf, "documents").count())
+    val withNulls = Seq(("a", Some(1)), ("b", None), ("c", Some(3)))
+      .toDF("k", "v")
+    assert(withNulls.na.drop().count() == 2)
+  }
+
+  test("join variants partition customers: semi ∪ anti == all, semi ∩ anti == ∅") {
+    val semi = Relational.joinSemi(spark, sf)
+    val anti = Relational.joinAnti(spark, sf)
+    val all = Tables.table(spark, sf, "customer")
+    assert(semi.count() + anti.count() == all.count())
+    assert(semi.join(anti, Seq("c_custkey"), "inner").count() == 0)
+  }
+
+  test("join_left preserves every left row at least once") {
+    val left = Relational.joinLeft(spark, sf)
+    val orders = Tables.table(spark, sf, "orders")
+    assert(left.select("o_orderkey").distinct().count() == orders.count())
+  }
+
+  test("groupby_agg sums reconcile with global aggregate") {
+    val g = Relational.groupbyAgg(spark, sf)
+    val total = g.agg(sum("count_order")).first().getLong(0)
+    assert(total == Tables.table(spark, sf, "lineitem").count())
+  }
+
+  test("window_top1 returns exactly one row per partition key") {
+    val df = Relational.windowTop1(spark, sf)
+    val dupKeys = df.groupBy("user_id").count().filter(col("count") > 1)
+    assert(dupKeys.count() == 0)
+  }
+
+  test("window_rank rank-1 rows hold the partition max") {
+    val ranked = Relational.windowRank(spark, sf)
+    val top = ranked.filter(col("rnk") === 1)
+      .groupBy("user_id").agg(min("value").as("top_value"))
+    val mx = Tables.events(spark, sf)
+      .groupBy("user_id").agg(max("value").as("max_value"))
+    assert(top.join(mx, "user_id")
+      .filter(col("top_value") =!= col("max_value")).count() == 0)
+  }
+
+  test("order_limit returns the global top-10 in descending order") {
+    val rows = Relational.orderLimit(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(2))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("union_all count is additive") {
+    val ev = Tables.events(spark, sf)
+    val a = ev.filter(col("event_type") === "signup").count()
+    val b = ev.filter(col("event_type") === "error").count()
+    assert(Relational.unionAll(spark, sf).count() == a + b)
+  }
+
+  test("sample_fraction is a subset with binomially-plausible size") {
+    val all = Tables.table(spark, sf, "documents")
+    val sampled = Relational.sampleFraction(spark, sf)
+    assert(sampled.join(all, Seq("doc_id"), "left_anti").count() == 0)
+    val n = all.count().toDouble
+    val k = sampled.count().toDouble
+    // p=0.5: allow ±5 standard deviations
+    assert(math.abs(k - 0.5 * n) < 5 * math.sqrt(n * 0.25))
+  }
+
+  test("random_split slices are disjoint and union to input (~80/20)") {
+    val all = Tables.table(spark, sf, "documents")
+    val Array(train, test) = all.randomSplit(Array(0.8, 0.2), 754L)
+    assert(train.join(test, Seq("doc_id"), "inner").count() == 0)
+    assert(train.count() + test.count() == all.count())
+    val ratio = train.count().toDouble / all.count()
+    assert(ratio > 0.7 && ratio < 0.9)
+  }
+
+  test("flagship picks the true max-revenue supplier per nation") {
+    val flag = Relational.flagshipNationTopSupplier(spark, sf)
+    assert(flag.count() > 0)
+    // every nation appears at most once (rank ties broken by supp key)
+    assert(flag.groupBy("n_name").count().filter(col("count") > 1).count() == 0)
+  }
+}
