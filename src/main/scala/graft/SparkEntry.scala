@@ -77,6 +77,7 @@ object SparkEntry {
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLsh _),
+    "sim_search_ivf" -> (Similarity.simSearchIvf _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),

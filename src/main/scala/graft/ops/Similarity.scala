@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -8,6 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables.table
+import graft.functions.VectorMath
 
 /** §2j similarity search over the embedding column (SURVEY §2j
   * `sim_search`).
@@ -32,13 +34,13 @@ object Similarity {
   private val NProbes = 5
 
   /** embeddings with double-cast vector and precomputed L2 norm (computed
-    * once per row, not once per pair).
+    * once per row, not once per pair). Norm via the codegen'd native
+    * `dot_product` (same sequential fold as the HOF form → bit-identical).
     */
   private def prepped(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings")
       .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
-      .withColumn("nrm", sqrt(aggregate(col("demb"), lit(0.0),
-        (acc, x) => acc + x * x)))
+      .withColumn("nrm", sqrt(VectorMath.dot(col("demb"), col("demb"))))
 
   /** Exact top-k cosine neighbors for probe vectors (vec_id < NProbes). */
   def simSearch(spark: SparkSession, sfDir: String): DataFrame = {
@@ -53,11 +55,56 @@ object Similarity {
     cands.crossJoin(broadcast(probes))
       .filter(col("c_id") =!= col("q_id"))
       .withColumn("sim", round(
-        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("q_nrm") * col("c_nrm")), 6))
+        VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF-style approximate top-k: a seeded k-means coarse quantizer
+    * clusters the corpus once; each probe searches only its `nProbe`
+    * nearest clusters, re-scored with exact cosine. This is the classic
+    * inverted-file ANN layout: at 100 TB the cluster assignment is a
+    * write-once partitioning column, and each query touches
+    * nProbe/nClusters of the data instead of all of it.
+    */
+  def simSearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val nClusters = 16
+    val nProbe = 4
+    val v = prepped(spark, sfDir)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .withColumn("vec", array_to_vector(col("unit")))
+    val km = new KMeans().setK(nClusters).setSeed(42L)
+      .setFeaturesCol("vec").setPredictionCol("cluster")
+    val model = km.fit(v)
+    val assigned = model.transform(v)
+      .select(col("vec_id"), col("unit"), col("cluster"))
+    // centroids as a tiny broadcastable table
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) })
+      .toDF("cluster", "centroid")
+    // each probe picks its nProbe nearest centroids (16 rows → broadcast)
+    val probes = assigned.filter(col("vec_id") < NProbes)
+      .select(col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cluster"))
+    val probeClusters = probes.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", VectorMath.dot(col("q_unit"), col("centroid")))
+      .withColumn("c_rnk", row_number().over(wC))
+      .filter(col("c_rnk") <= nProbe)
+      .select(col("q_id"), col("q_unit"), col("cluster"))
+    // candidates = corpus rows in the probed clusters only
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    assigned.join(broadcast(probeClusters), "cluster")
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(VectorMath.dot(col("q_unit"), col("unit")), 6))
+      .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= K)
       .orderBy(col("q_id"), col("rnk"))
   }
 

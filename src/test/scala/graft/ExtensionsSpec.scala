@@ -62,6 +62,37 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("native dot_product is bit-identical to the HOF fold formulation") {
+    import graft.functions.VectorMath
+    val v = Tables.table(spark, sf, "embeddings")
+      .withColumn("demb", transform(col("embedding"),
+        x => x.cast(org.apache.spark.sql.types.DoubleType)))
+    val mismatches = v.select(
+      VectorMath.dot(col("demb"), col("demb")).as("native"),
+      aggregate(zip_with(col("demb"), col("demb"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof"))
+    assert(mismatches.count() == 0)
+  }
+
+  test("IVF sim_search: bounded by exact results, sane recall") {
+    import spark.implicits._
+    val exact = Similarity.simSearch(spark, sf)
+      .select("q_id", "c_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    val ivf = Similarity.simSearchIvf(spark, sf)
+      .select("q_id", "c_id", "sim", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(ivf.length == exact.length)
+    val exactTop1 = exact.filter(_._4 == 1).map(r => r._1 -> r._3).toMap
+    ivf.foreach { case (q, _, s, _) => assert(s <= exactTop1(q) + 1e-9) }
+    // probing 4/16 clusters of structure-free embeddings: expect partial
+    // but non-trivial overlap with the exact top-10
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(ivf.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
+    assert(recall >= 0.2, s"ivf recall too low: $recall")
+  }
+
   test("LSH sim_search similarities never exceed exact-path top-1") {
     import spark.implicits._
     val exact = Similarity.simSearch(spark, sf)
