@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams
+
+/** Drives the streaming surface end-to-end with a real file-source stream:
+  * parquet batches dropped into a temp landing dir, micro-batches processed
+  * to a memory sink, watermark advancement closing windows/sessions.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def writeBatch(dir: String, rows: Seq[(Long, Timestamp, Long, String, Double)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  test("windowed counts aggregate a file stream incrementally") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    writeBatch(dir, Seq(
+      (1L, ts(5), 1L, "click", 1.0),
+      (2L, ts(10), 2L, "click", 2.0),
+      (3L, ts(15), 1L, "view", 3.0)))
+    val q = Streams.windowedCounts(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r1 = spark.sql("SELECT event_type, n_events FROM wc ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(r1 == Seq(("click", 2L), ("view", 1L)))
+    // second batch lands; restartable incremental processing picks it up
+    writeBatch(dir, Seq((4L, ts(20), 3L, "click", 4.0)))
+    val q2 = Streams.windowedCounts(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("wc2")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val r2 = spark.sql("SELECT n_events FROM wc2 WHERE event_type='click'")
+      .first().getLong(0)
+    assert(r2 == 3L)
+  }
+
+  test("sessionization closes sessions when the watermark passes the gap") {
+    val dir = Files.createTempDirectory("graft_sess_in").toString
+    // user 1: two events 5 min apart (one session); user 2: one event.
+    writeBatch(dir, Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(5), 1L, "click", 2.0),
+      (3L, ts(1), 2L, "view", 5.0)))
+    // late batch 2h later: advances the watermark far past the 30-min gap,
+    // so the first sessions time out and emit.
+    writeBatch(dir, Seq(
+      (4L, Timestamp.valueOf("2024-01-01 12:30:00"), 3L, "click", 9.0)))
+    val checkpoint = Files.createTempDirectory("graft_sess_ck").toString
+    val q = Streams.sessionize(spark, Streams.readEvents(spark, dir), 30)
+      .writeStream.format("memory").queryName("sess")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val sessions = spark.sql(
+      "SELECT user_id, n_events, total_value FROM sess ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(sessions.contains((1L, 2L, 3.0)))
+    assert(sessions.contains((2L, 1L, 5.0)))
+  }
+}
