@@ -44,6 +44,7 @@ object SparkEntry {
     "agg_count" -> (Relational.aggCount _),
     "groupby_agg" -> (Relational.groupbyAgg _),
     "groupby_ratio" -> (Relational.groupbyRatio _),
+    "part_brand_agg" -> (Relational.partBrandAgg _),
     // §2e windows
     "window_rank" -> (Relational.windowRank _),
     "window_top1" -> (Relational.windowTop1 _),

@@ -69,9 +69,14 @@ object MLOps {
     .setInputCols(Array("value", "k", "user_id_d", "event_hour"))
     .setOutputCol("features")
 
+  /** Seeded forest. 10 trees (vs spark.ml's default 20): the synthetic
+    * label carries no signal, so the demo queries pay for tree induction
+    * without accuracy upside; 10 keeps a genuine ensemble at half the
+    * distributed aggregation cost. Depth per the reference grids (3–5).
+    */
   private def rf(maxDepth: Int = 4) = new RandomForestClassifier()
     .setFeaturesCol("features").setLabelCol("label_idx")
-    .setSeed(RfSeed).setMaxDepth(maxDepth)
+    .setSeed(RfSeed).setMaxDepth(maxDepth).setNumTrees(10)
 
   private def evaluator = new MulticlassClassificationEvaluator()
     .setLabelCol("label_idx").setPredictionCol("prediction")
@@ -205,7 +210,7 @@ object MLOps {
       .setEvaluator(evaluator)
       .setEstimatorParamMaps(grid)
       .setNumFolds(3)
-      .setParallelism(4)
+      .setParallelism(8)
       .setSeed(SplitSeed)
     val model = cv.fit(data)
     val rows = grid.toSeq.zip(model.avgMetrics.toSeq).map { case (pm, m) =>

@@ -275,6 +275,23 @@ object Relational {
       .randomSplit(Array(0.8, 0.2), seed = 754L)(0)
       .orderBy(col("doc_id"))
 
+  /** Revenue rollup per part brand: fact ⋈ broadcast part dim → grouped
+    * decimal-exact aggregate. Covers the `part` table; same broadcast +
+    * map-side-partial shape as the flagship (the plan at 100 TB moves one
+    * row per (brand, partition) through the single shuffle).
+    */
+  def partBrandAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val p = table(spark, sfDir, "part")
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
   // ------------------------------------------------------------ flagship ----
 
   /** Flagship: top revenue supplier per nation — the reference's EP2
@@ -388,6 +405,13 @@ object Relational {
         |SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "part_brand_agg" ->
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |       AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "flagship_nation_top_supplier" ->
       """WITH rev AS (
         |  SELECT n_name, s_suppkey, s_name,
