@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
   ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for the embedding hot path (SURVEY §2j
   * `sim_search`; design rule "custom Expression beats UDF").
@@ -27,6 +27,32 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Null ELEMENTS inside the arrays null the result, so the expression is
+  // nullable even when the array columns themselves are not (otherwise
+  // codegen treats isNull as constant-false and drops the assignment).
+  override def nullable: Boolean = true
+
+  // Manual input validation (ExpectsInputTypes' AbstractDataType is
+  // private[sql]): both children must be array<double>; anything else —
+  // e.g. SQL `array(1, 2, 3)` which is array<int> — must fail analysis,
+  // not read garbage through UnsafeArrayData.getDouble at runtime.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isDoubleArray(t: DataType): Boolean = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  // Null ELEMENTS propagate to a null result, matching the HOF fold
+  // (`x * y` with a null operand is null and poisons the aggregate).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -34,6 +60,7 @@ case class DotProduct(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -49,6 +76,7 @@ case class DotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

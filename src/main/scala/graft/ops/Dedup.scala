@@ -146,8 +146,9 @@ object Dedup {
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= 0.5)
+      // no distinct needed: each doc has exactly one block value, so the
+      // equi-join yields each (doc_a, doc_b) pair at most once
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -158,17 +159,10 @@ object Dedup {
     * (‖a−b‖² = 2−2cos ⇒ dist ≤ 1.2 ⟺ cos ≥ 0.28).
     */
   def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = table(spark, sfDir, "embeddings")
-      .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
-      .withColumn("nrm", sqrt(aggregate(col("demb"), lit(0.0),
-        (acc, x) => acc + x * x)))
-      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
-      .withColumn("vec", array_to_vector(col("unit")))
-      .select(col("vec_id"), col("vec"))
-    val model = new BucketedRandomProjectionLSH()
-      .setInputCol("vec").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(3).setSeed(LshSeed)
-      .fit(v)
+    // shared unit-vector prep + LSH config from Similarity — one source of
+    // truth for normalization, bucket length, tables, seed, dist→cosine
+    val v = Similarity.unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
+    val model = Similarity.fitBrpLsh(v)
     val probes = v.filter(col("vec_id") < 100)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
@@ -177,7 +171,7 @@ object Dedup {
       .select(
         col("datasetA.vec_id").as("q_id"),
         col("datasetB.vec_id").as("nn_id"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cosine"))
+        Similarity.cosineFromDist(col("dist")).as("cosine"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")

@@ -17,9 +17,12 @@ import graft.functions.VectorMath
   * Two paths:
   *  - `simSearch` — exact brute-force cosine top-k for a small probe set.
   *    The probe side is broadcast, so the big side streams through a
-  *    map-only stage computing k dot products per row (no N×N product, no
-  *    shuffle except the final per-probe top-k window over N·k rows). This
-  *    is the correctness baseline and is DuckDB-checkable bit-exactly.
+  *    map-only stage computing one dot product per (row, probe). The
+  *    per-probe top-k runs as a rank-limited window: Spark's
+  *    WindowGroupLimit (verified in the plan) computes a partial top-k
+  *    per input partition BEFORE the exchange, so the shuffle carries at
+  *    most k·partitions rows per probe, not N. This is the correctness
+  *    baseline and is DuckDB-checkable bit-exactly.
   *  - `simSearchLsh` — the scale path: random-hyperplane LSH buckets
   *    restrict candidates to colliding buckets; exact cosine re-scores only
   *    candidates. At 100 TB the bucket join replaces the full scan per probe.
@@ -41,6 +44,29 @@ object Similarity {
     table(spark, sfDir, "embeddings")
       .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
       .withColumn("nrm", sqrt(VectorMath.dot(col("demb"), col("demb"))))
+
+  /** embeddings as L2-normalized unit vectors (array + ml Vector forms) —
+    * the shared prep for every LSH/ANN path (also used by
+    * [[Dedup.dedupEmbed]]); on unit vectors euclidean distance maps to
+    * cosine via ‖a−b‖² = 2−2cos.
+    */
+  private[ops] def unitVectors(spark: SparkSession, sfDir: String): DataFrame =
+    prepped(spark, sfDir)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .withColumn("vec", array_to_vector(col("unit")))
+
+  /** The engine's standard random-hyperplane LSH config over unit vectors
+    * (single source of truth for bucket length / tables / seed).
+    */
+  private[ops] def fitBrpLsh(v: DataFrame) =
+    new BucketedRandomProjectionLSH()
+      .setInputCol("vec").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
+      .fit(v)
+
+  /** cosine = 1 − d²/2 for euclidean distance d between unit vectors. */
+  private[ops] def cosineFromDist(dist: org.apache.spark.sql.Column) =
+    round(lit(1.0) - dist * dist / 2.0, 6)
 
   /** Exact top-k cosine neighbors for probe vectors (vec_id < NProbes). */
   def simSearch(spark: SparkSession, sfDir: String): DataFrame = {
@@ -73,9 +99,7 @@ object Similarity {
   def simSearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val nClusters = 16
     val nProbe = 4
-    val v = prepped(spark, sfDir)
-      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
-      .withColumn("vec", array_to_vector(col("unit")))
+    val v = unitVectors(spark, sfDir)
     val km = new KMeans().setK(nClusters).setSeed(42L)
       .setFeaturesCol("vec").setPredictionCol("cluster")
     val model = km.fit(v)
@@ -114,14 +138,8 @@ object Similarity {
     * asserted in-suite; results are seed-deterministic, not SQL-checkable.
     */
   def simSearchLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = prepped(spark, sfDir)
-      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
-      .withColumn("vec", array_to_vector(col("unit")))
-      .select(col("vec_id"), col("vec"))
-    val model = new BucketedRandomProjectionLSH()
-      .setInputCol("vec").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(3).setSeed(42L)
-      .fit(v)
+    val v = unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
+    val model = fitBrpLsh(v)
     val probes = v.filter(col("vec_id") < NProbes)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
@@ -130,7 +148,7 @@ object Similarity {
       .select(
         col("datasetA.vec_id").as("q_id"),
         col("datasetB.vec_id").as("c_id"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("sim"))
+        cosineFromDist(col("dist")).as("sim"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= K)
       .orderBy(col("q_id"), col("rnk"))

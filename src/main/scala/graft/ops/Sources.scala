@@ -35,7 +35,10 @@ object Sources {
     * to the original table.
     */
   def sinkCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") + "/graft_sink_csv"
+    // per-session path: two concurrent runs (e.g. a Bench overlapping a
+    // Verify) must not overwrite each other's sink mid-read
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_sink_csv_${spark.sparkContext.applicationId}"
     Tables.table(spark, sfDir, "nation")
       .write.mode("overwrite").format("csv").option("header", "true").save(out)
     Tables.csv(spark, out)

@@ -81,13 +81,26 @@ object Streams {
         var closed = List.empty[SessionOut]
         var cur = state.getOption
         sorted.foreach { e =>
+          val t = e.ts.getTime
           cur match {
-            case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
-              cur = Some(SessionState(s.nEvents + 1, s.start, e.ts,
+            // overlap with the open session (late events within the
+            // watermark may arrive out of order: extend both boundaries,
+            // never regress them)
+            case Some(s) if t <= s.last.getTime + gapMs
+                && t + gapMs >= s.start.getTime =>
+              val start = if (t < s.start.getTime) e.ts else s.start
+              val last = if (t > s.last.getTime) e.ts else s.last
+              cur = Some(SessionState(s.nEvents + 1, start, last,
                 s.total + e.value))
-            case Some(s) =>
+            // disjoint after the open session: close it, start fresh
+            case Some(s) if t > s.last.getTime + gapMs =>
               closed ::= SessionOut(userId, s.nEvents, s.start, s.last, s.total)
               cur = Some(SessionState(1, e.ts, e.ts, e.value))
+            // disjoint before the open session (very late singleton):
+            // emit immediately — nothing older can still arrive to merge
+            // with it once it is already behind the open session
+            case Some(_) =>
+              closed ::= SessionOut(userId, 1, e.ts, e.ts, e.value)
             case None =>
               cur = Some(SessionState(1, e.ts, e.ts, e.value))
           }

@@ -25,6 +25,18 @@ object SqlFunctionProbe {
     val err = try { spark.sql("SELECT dot_product(array(1.0d))"); "NO_ERROR" }
       catch { case e: Exception => e.getClass.getSimpleName }
     println(s"ARITY_ERROR=$err")
+    // negative probe: array<int> must be rejected at analysis time, not
+    // read as garbage doubles at runtime
+    val typeErr = try {
+      spark.sql("SELECT dot_product(array(1, 2), array(3, 4))").collect()
+      "NO_ERROR"
+    } catch { case e: Exception => e.getClass.getSimpleName }
+    println(s"TYPE_ERROR=$typeErr")
+    // null elements poison the result to null (HOF-fold parity)
+    val nullRes = spark.sql(
+      "SELECT dot_product(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) IS NULL")
+      .first().getBoolean(0)
+    println(s"NULL_ELEMENT_IS_NULL=$nullRes")
     spark.stop()
     assert(r == 32.0)
   }
