@@ -88,6 +88,7 @@ object SparkEntry {
     "mm_decode_stub" -> (Multimodal.decodeStub _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
+    "mm_resize_stub" -> (Multimodal.resizeStub _),
     // flagship as a checked query
     "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
   )

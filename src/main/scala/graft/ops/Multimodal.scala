@@ -71,6 +71,26 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Resize shape: downsample each payload to a fixed-length thumbnail by
+    * striding over the bytes (STUB for an image resize — a real kernel
+    * would interpolate pixels; the stride keeps it deterministic and
+    * byte-faithful). Fixed output size regardless of input size is the
+    * contract a downstream feature extractor needs.
+    */
+  def resizeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    val thumbLen = 64
+    table(spark, sfDir, "documents")
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("thumb", expr(
+        s"""transform(sequence(0, $thumbLen - 1),
+           |  i -> ascii(substring(text,
+           |         CAST(i * n_chars / $thumbLen AS INT) + 1, 1)))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_chars"),
+        size(col("thumb")).as("thumb_len"), col("thumb"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SQL-checkable slice of the multimodal plumbing: payload sizing layout
     * (frame counts per asset) is pure arithmetic over octet lengths, so the
     * schema/partitioning contract is oracle-verified even though decode

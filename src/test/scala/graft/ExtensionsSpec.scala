@@ -159,6 +159,13 @@ class ExtensionsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("resize stub yields fixed-length thumbnails of valid char codes") {
+    val df = Multimodal.resizeStub(spark, sf)
+    assert(df.filter(col("thumb_len") =!= 64).count() == 0)
+    assert(df.filter(expr(
+      "exists(thumb, b -> b IS NULL OR b < 0 OR b > 127)")).count() == 0)
+  }
+
   test("decode stub emits bounded features and faithful byte counts") {
     val df = Multimodal.decodeStub(spark, sf)
     assert(df.filter(expr(
