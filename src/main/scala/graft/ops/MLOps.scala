@@ -48,6 +48,16 @@ object MLOps {
   /** Deterministic row cap for cross-validation (model selection only). */
   private val cvCap = 20000
 
+  /** Deterministic training cap for the standalone fit demos: models are
+    * fit on the first `fitCap` rows (sample-sized, the methodology you'd
+    * use at 100 TB) and then transform the FULL table. The uncapped
+    * full-corpus training path is `ml_fit_predict_eval`.
+    */
+  private val fitCap = 50000
+
+  private def trainSlice(data: DataFrame): DataFrame =
+    data.orderBy(col("event_id")).limit(fitCap)
+
   /** events with label + numeric feature columns: the transcripts' cleaned
     * all-typed projection shape (select + cast + json field).
     */
@@ -143,9 +153,10 @@ object MLOps {
     */
   def rfClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
-    val prepped = assembler.transform(
-      labelIndexer.fit(data).transform(data))
-    rf().fit(prepped).transform(prepped)
+    val indexerModel = labelIndexer.fit(trainSlice(data))
+    val model = rf().fit(assembler.transform(
+      indexerModel.transform(trainSlice(data))))
+    model.transform(assembler.transform(indexerModel.transform(data)))
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
   }
@@ -156,7 +167,7 @@ object MLOps {
     */
   def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
-    fullPipeline().fit(data).transform(data)
+    fullPipeline().fit(trainSlice(data)).transform(data)
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
   }
@@ -167,7 +178,7 @@ object MLOps {
     */
   def evaluate(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
-    val pred = fullPipeline().fit(data).transform(data)
+    val pred = fullPipeline().fit(trainSlice(data)).transform(data)
     val acc = evaluator.evaluate(pred)
     spark.createDataFrame(Seq(Tuple1(acc))).toDF("accuracy")
   }
