@@ -125,18 +125,23 @@ object MLOps {
       .orderBy(col("doc_id"))
   }
 
-  /** OneHotEncoder over an index column → sparse vectors
+  /** Multi-column OneHotEncoder over index columns → sparse vectors,
+    * the reference's multi-input shape
     * (`/root/reference/A related code.txt:123-127`). Vector output → no SQL
     * oracle; determinism + encoding invariants tested in-suite.
     */
   def oneHot(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.table(spark, sfDir, "documents")
     val indexed = new StringIndexer()
-      .setInputCol("lang").setOutputCol("lang_idx").fit(docs).transform(docs)
+      .setInputCols(Array("lang", "source"))
+      .setOutputCols(Array("lang_idx", "source_idx"))
+      .fit(docs).transform(docs)
     new OneHotEncoder()
-      .setInputCols(Array("lang_idx")).setOutputCols(Array("lang_onehot"))
+      .setInputCols(Array("lang_idx", "source_idx"))
+      .setOutputCols(Array("lang_onehot", "source_onehot"))
       .fit(indexed).transform(indexed)
-      .select(col("doc_id"), col("lang_idx"), col("lang_onehot"))
+      .select(col("doc_id"), col("lang_idx"), col("lang_onehot"),
+        col("source_idx"), col("source_onehot"))
       .orderBy(col("doc_id"))
   }
 
