@@ -27,6 +27,8 @@ object SparkEntry {
     // §2a sources / sinks
     "scan_parquet" -> (Sources.scanParquet _),
     "sink_csv" -> (Sources.sinkCsvRoundTrip _),
+    "sink_parquet_partitioned" -> (Sources.sinkParquetPartitioned _),
+    "bucketed_join" -> (Sources.bucketedJoin _),
     // §2b projection / filter / cleaning
     "select_cols" -> (Relational.selectCols _),
     "select_cast" -> (Relational.selectCast _),

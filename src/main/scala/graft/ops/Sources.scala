@@ -49,7 +49,70 @@ object Sources {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Partitioned parquet sink + partition-pruned re-read: documents written
+    * `partitionBy(lang)`, then read back filtered to one language. At 100 TB
+    * the filter never touches the other partitions' files (explain shows
+    * `PartitionFilters`, not a data filter) — the layout decision that turns
+    * a full scan into a directory listing.
+    */
+  def sinkParquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_sink_parquet_${spark.sparkContext.applicationId}"
+    Tables.table(spark, sfDir, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bucketed co-located join: lineitem and orders written `bucketBy(8, key)`
+    * + `sortBy(key)` as external tables, then joined and aggregated on that
+    * key. Both sides pre-hashed into matching buckets → the sort-merge join
+    * AND the following groupBy need no Exchange at all (verified in the
+    * plan) — the write-once layout that removes the per-query shuffle for
+    * repeated joins on the same key, the biggest lever for 100 TB fact-to-
+    * fact joins.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sys.props("java.io.tmpdir") +
+      s"/graft_bucketed_${spark.sparkContext.applicationId}"
+    def bucketize(name: String, key: String): Unit = {
+      val tbl = s"graft_bucketed_$name"
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      Tables.table(spark, sfDir, name)
+        .write.mode("overwrite")
+        .option("path", s"$base/$name")
+        .bucketBy(8, key).sortBy(key)
+        .saveAsTable(tbl)
+    }
+    bucketize("lineitem", "l_orderkey")
+    bucketize("orders", "o_orderkey")
+    val li = spark.table("graft_bucketed_lineitem")
+    val o = spark.table("graft_bucketed_orders")
+    // MERGE hint: at harness scale Catalyst would broadcast the small
+    // orders side, which hides the point — at 100 TB neither fact side is
+    // broadcastable, and the bucket-aligned sort-merge join is the plan
+    // that runs with zero Exchange and zero Sort (buckets are sortBy'd).
+    o.hint("merge").join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "sink_parquet_partitioned" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+    "bucketed_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_csv" ->
