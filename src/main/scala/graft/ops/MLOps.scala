@@ -127,31 +127,54 @@ object MLOps {
 
   /** Multi-column OneHotEncoder over index columns → sparse vectors,
     * the reference's multi-input shape
-    * (`/root/reference/A related code.txt:123-127`). Vector output → no SQL
-    * oracle; determinism + encoding invariants tested in-suite.
+    * (`/root/reference/A related code.txt:123-127`). The sparse vectors are
+    * surfaced as (vector size, active index) scalar pairs — the complete
+    * information content of a one-hot vector — because the driver comparator
+    * can't hash ML Vector structs, and the scalar form makes the encoder's
+    * whole contract (size = #categories − 1 under dropLast, hot slot =
+    * string index, last category → all-zeros) SQL-checkable.
     */
   def oneHot(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
     val docs = Tables.table(spark, sfDir, "documents")
     val indexed = new StringIndexer()
       .setInputCols(Array("lang", "source"))
       .setOutputCols(Array("lang_idx", "source_idx"))
       .fit(docs).transform(docs)
+    def vecSize(c: String) = size(vector_to_array(col(c)))
+    def hotIdx(c: String) =
+      (array_position(vector_to_array(col(c)), 1.0) - 1).cast(IntegerType)
     new OneHotEncoder()
       .setInputCols(Array("lang_idx", "source_idx"))
       .setOutputCols(Array("lang_onehot", "source_onehot"))
       .fit(indexed).transform(indexed)
-      .select(col("doc_id"), col("lang_idx"), col("lang_onehot"),
-        col("source_idx"), col("source_onehot"))
+      .select(col("doc_id"),
+        col("lang_idx"),
+        vecSize("lang_onehot").as("lang_vec_size"),
+        hotIdx("lang_onehot").as("lang_hot_idx"),
+        col("source_idx"),
+        vecSize("source_onehot").as("source_vec_size"),
+        hotIdx("source_onehot").as("source_hot_idx"))
       .orderBy(col("doc_id"))
   }
 
   /** VectorAssembler → ML feature vector column
-    * (`/root/reference/MarchineLearningAlgorithm.txt:109-111`).
+    * (`/root/reference/MarchineLearningAlgorithm.txt:109-111`). The vector is
+    * surfaced as per-slot DOUBLE columns (`vector_to_array` + element_at):
+    * the driver comparator can't hash ML Vector structs, and per-slot
+    * scalars make the assembler's contract (slot i = input col i, in
+    * declaration order) directly SQL-checkable.
     */
-  def assemble(spark: SparkSession, sfDir: String): DataFrame =
+  def assemble(spark: SparkSession, sfDir: String): DataFrame = {
+    val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
     assembler.transform(labeledEvents(spark, sfDir))
-      .select(col("event_id"), col("features"))
+      .select(col("event_id"),
+        element_at(arr, 1).as("f_value"),
+        element_at(arr, 2).as("f_k"),
+        element_at(arr, 3).as("f_user_id"),
+        element_at(arr, 4).as("f_hour"))
       .orderBy(col("event_id"))
+  }
 
   /** Seeded RandomForestClassifier fit + transform
     * (`/root/reference/MarchineLearningAlgorithm.txt:127-130`).
@@ -273,6 +296,41 @@ object MLOps {
         |       FROM sf)
         |SELECT d.doc_id, d.lang, CAST(lo.rk AS DOUBLE) AS lang_idx,
         |       d.source, CAST(so.rk AS DOUBLE) AS source_idx
+        |FROM documents d
+        |JOIN lo ON d.lang = lo.lang
+        |JOIN so ON d.source = so.source
+        |ORDER BY d.doc_id""".stripMargin,
+    // assembler slot i = input column i in declaration order, so the vector
+    // surfaced as per-slot doubles is a plain projection of the inputs
+    "ml_assembler" ->
+      """SELECT event_id,
+        |  value AS f_value,
+        |  CAST(json_extract_string(props, '$.k') AS DOUBLE) AS f_k,
+        |  CAST(user_id AS DOUBLE) AS f_user_id,
+        |  CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS DOUBLE) AS f_hour
+        |FROM events
+        |WHERE event_id IS NOT NULL AND event_type IS NOT NULL
+        |  AND value IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+        |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    // one-hot under dropLast: vector size = #categories − 1, hot slot =
+    // frequencyDesc string index, last (rarest) category → all zeros (−1)
+    "ml_onehot" ->
+      """WITH lf AS (SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang),
+        |lo AS (SELECT lang, ROW_NUMBER() OVER (ORDER BY c DESC, lang) - 1 AS rk,
+        |              COUNT(*) OVER () AS n FROM lf),
+        |sf AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source),
+        |so AS (SELECT source, ROW_NUMBER() OVER (ORDER BY c DESC, source) - 1 AS rk,
+        |              COUNT(*) OVER () AS n FROM sf)
+        |SELECT d.doc_id,
+        |  CAST(lo.rk AS DOUBLE) AS lang_idx,
+        |  CAST(lo.n - 1 AS INTEGER) AS lang_vec_size,
+        |  CAST(CASE WHEN lo.rk < lo.n - 1 THEN lo.rk ELSE -1 END AS INTEGER)
+        |    AS lang_hot_idx,
+        |  CAST(so.rk AS DOUBLE) AS source_idx,
+        |  CAST(so.n - 1 AS INTEGER) AS source_vec_size,
+        |  CAST(CASE WHEN so.rk < so.n - 1 THEN so.rk ELSE -1 END AS INTEGER)
+        |    AS source_hot_idx
         |FROM documents d
         |JOIN lo ON d.lang = lo.lang
         |JOIN so ON d.source = so.source

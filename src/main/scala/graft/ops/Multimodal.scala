@@ -26,6 +26,10 @@ object Multimodal {
     * blob, metadata struct, and an 8-dim stub feature vector derived from
     * seeded payload hashes (STUB — replace the `transform(sequence(0,7),…)`
     * expression with the real decoder's embedding at deploy time).
+    * Registered output is flat scalars + a JSON rendering of the feature
+    * array — the driver comparator can't hash struct/array cells; the
+    * struct-typed form stays available internally via the `meta` column
+    * before the final projection.
     */
   def decodeStub(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
@@ -38,7 +42,11 @@ object Multimodal {
         """transform(sequence(0, 7),
           |  i -> CAST(pmod(xxhash64(payload, i), 1000) AS DOUBLE) / 1000.0)"""
           .stripMargin))
-      .select(col("doc_id"), col("meta"), col("features"))
+      .select(col("doc_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.mime").as("mime"),
+        col("meta.checksum").as("checksum"),
+        to_json(col("features")).as("features_json"))
       .orderBy(col("doc_id"))
 
   /** Frame-sampling shape: explode each payload into fixed-size "frames"
@@ -87,7 +95,12 @@ object Multimodal {
            |         CAST(i * n_chars / $thumbLen AS INT) + 1, 1)))"""
           .stripMargin))
       .select(col("doc_id"), col("n_chars"),
-        size(col("thumb")).as("thumb_len"), col("thumb"))
+        size(col("thumb")).as("thumb_len"),
+        // CSV rendering: the comparator needs hashable cells, and int→string
+        // formatting is engine-independent so the byte content stays
+        // oracle-checked
+        array_join(transform(col("thumb"), _.cast(StringType)), ",")
+          .as("thumb_csv"))
       .orderBy(col("doc_id"))
   }
 
@@ -107,6 +120,18 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   val oracleSql: Map[String, String] = Map(
+    // stride-downsample is pure arithmetic over ASCII codepoints (corpus is
+    // all-ASCII), so the resize contract gets a full hash oracle; DuckDB
+    // needs an explicit FLOOR where Spark's CAST AS INT truncates
+    "mm_resize_stub" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(64 AS INTEGER) AS thumb_len,
+        |  array_to_string(list_transform(range(0, 64),
+        |    i -> CAST(ascii(substr(text,
+        |           CAST(FLOOR(i * length(text) / 64.0) AS INTEGER) + 1, 1))
+        |         AS VARCHAR)), ',') AS thumb_csv
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_layout" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

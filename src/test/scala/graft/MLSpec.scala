@@ -66,20 +66,28 @@ class MLSpec extends SparkSpec {
   }
 
   test("onehot vector size is cardinality-1 (dropLast) and one-hot") {
-    import org.apache.spark.ml.linalg.Vector
     val rows = MLOps.oneHot(spark, sf).collect()
     val nLangs = Tables.table(spark, sf, "documents")
       .select("lang").distinct().count().toInt
     rows.foreach { r =>
-      val v = r.getAs[Vector]("lang_onehot")
-      assert(v.size == nLangs - 1)
-      assert(v.toArray.sum <= 1.0)
+      val idx = r.getAs[Double]("lang_idx").toInt
+      val size = r.getAs[Int]("lang_vec_size")
+      val hot = r.getAs[Int]("lang_hot_idx")
+      assert(size == nLangs - 1)
+      // hot slot is the string index; the dropped (last) category is all-zeros
+      assert(hot == (if (idx < size) idx else -1))
     }
   }
 
-  test("assembler output vector length equals number of input cols") {
-    import org.apache.spark.ml.linalg.Vector
-    val first = MLOps.assemble(spark, sf).first()
-    assert(first.getAs[Vector]("features").size == 4)
+  test("assembler slots carry the input columns in declaration order") {
+    val sample = MLOps.assemble(spark, sf).limit(100)
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("value"),
+        col("user_id").cast("double").as("user_id_d"))
+    val joined = sample.join(src, "event_id")
+    assert(joined.filter(col("f_value") =!= col("value")).count() == 0)
+    assert(joined.filter(col("f_user_id") =!= col("user_id_d")).count() == 0)
+    assert(joined.filter(col("f_hour") < 0.0 || col("f_hour") > 23.0)
+      .count() == 0)
   }
 }
