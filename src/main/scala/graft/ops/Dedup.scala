@@ -61,15 +61,23 @@ object Dedup {
     val shingled = new NGram().setN(3)
       .setInputCol("tokens").setOutputCol("shingles")
       .transform(tokenized(spark, sfDir))
+    // prune to the two columns the join needs, then materialize ONCE: the
+    // shingle→TF lineage is the expensive part and is otherwise recomputed
+    // for the fit and for each side of the self-join
     val featured = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
       .transform(shingled)
+      .select(col("doc_id"), col("features"))
+      .persist()
     val model = new MinHashLSH()
       .setInputCol("features").setOutputCol("minhashes")
       .setNumHashTables(5).setSeed(LshSeed)
       .fit(featured)
-    model.approxSimilarityJoin(featured, featured, 0.5, "jaccard_dist")
+    // pre-transform once and reuse on both sides — approxSimilarityJoin
+    // skips its own transform when the minhashes column is already present
+    val hashed = model.transform(featured).persist()
+    model.approxSimilarityJoin(hashed, hashed, 0.5, "jaccard_dist")
       .select(
         col("datasetA.doc_id").as("doc_a"),
         col("datasetB.doc_id").as("doc_b"),
