@@ -26,6 +26,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a sources / sinks
     "scan_parquet" -> (Sources.scanParquet _),
+    "scan_csv_typed" -> (Sources.scanCsvTyped _),
     "sink_csv" -> (Sources.sinkCsvRoundTrip _),
     "sink_parquet_partitioned" -> (Sources.sinkParquetPartitioned _),
     "bucketed_join" -> (Sources.bucketedJoin _),
@@ -71,6 +72,7 @@ object SparkEntry {
     "ml_param_grid" -> (MLOps.paramGrid _),
     "ml_cross_validator" -> (MLOps.crossValidator _),
     "ml_fit_predict_eval" -> (MLOps.fitPredictEval _),
+    "ml_rebalance_fit" -> (MLOps.rebalanceFit _),
     // §2j dedup
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_near" -> (Dedup.dedupNear _),

@@ -121,13 +121,16 @@ object Dedup {
         expr("shiftright(simhash, 48) & 65535").as("band3"))
       .orderBy(col("doc_id"))
 
-  /** Exact n-gram Jaccard near-dup pairs with min-hash blocking: candidate
-    * pairs must share their minimum shingle hash (collision probability for
-    * a pair equals its Jaccard similarity — high-sim pairs almost never
-    * escape the block), then exact Jaccard via array_intersect/array_union
-    * on just those candidates.
+  /** Per-doc shingle-hash sets + the blocking key: the TWO smallest shingle
+    * hashes. Requiring candidates to share both minima (not just one) means
+    * a single boilerplate shingle shared corpus-wide — a header, a license
+    * line — cannot collapse everything into one quadratic block: the second
+    * minimum still separates unrelated docs. High-sim pairs still collide
+    * with probability ≈ J² (≈0.98 for the planted J≈0.99 corpus).
+    * Input: (doc_id, tokens). Exposed package-private for the hot-block
+    * boundedness test.
     */
-  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def shingleSets(docs: DataFrame): DataFrame = {
     // Shingle hashing is done on exploded rows (posexplode + lead window +
     // xxhash64), not inside array-lambda HOFs: row expressions stay in
     // whole-stage codegen while lambda bodies are interpreted per element —
@@ -135,30 +138,44 @@ object Dedup {
     // hashes; set ops on fixed i64s beat variable-length strings and the
     // Jaccard estimate is exact up to 2^-64 collisions.
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = tokenized(spark, sfDir)
+    docs
       .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "tok")))
       .withColumn("tok1", lead(col("tok"), 1).over(byDoc))
       .withColumn("tok2", lead(col("tok"), 2).over(byDoc))
       .filter(col("tok2").isNotNull)
       .withColumn("shingle", xxhash64(col("tok"), col("tok1"), col("tok2")))
       .groupBy(col("doc_id"))
-      .agg(collect_set(col("shingle")).as("shingles"),
-        min(col("shingle")).as("block"))
+      .agg(sort_array(collect_set(col("shingle"))).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        element_at(col("shingles"), 1).as("block1"),
+        // singleton-shingle docs block on (min, min)
+        coalesce(element_at(col("shingles"), 2),
+          element_at(col("shingles"), 1)).as("block2"))
+  }
+
+  /** Candidate join + exact Jaccard over a `shingleSets` frame; split from
+    * `dedupNgram` so the hot-block test can run it over a synthetic corpus.
+    */
+  private[graft] def ngramPairs(sh: DataFrame): DataFrame = {
     val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"),
-      col("block"))
+      col("block1"), col("block2"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"),
-      col("block"))
-    a.join(b, "block")
+      col("block1"), col("block2"))
+    a.join(b, Seq("block1", "block2"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
       .filter(col("jaccard") >= 0.5)
-      // no distinct needed: each doc has exactly one block value, so the
+      // no distinct needed: each doc has exactly one block key, so the
       // equi-join yields each (doc_a, doc_b) pair at most once
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Exact n-gram Jaccard near-dup pairs with two-minima blocking. */
+  def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    ngramPairs(shingleSets(tokenized(spark, sfDir)))
 
   /** Embedding-cosine near-dup report: for each probe vector (vec_id < 100),
     * its nearest neighbor among LSH candidates with exact cosine re-score

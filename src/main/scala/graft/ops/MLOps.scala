@@ -290,6 +290,77 @@ object MLOps {
     out
   }
 
+  /** EP3 composed class-rebalance pipeline, the reference's third transcript
+    * end-to-end (`/root/reference/A related code.txt:57-212`): filter to the
+    * two outcome classes → minority/total count ratio → seeded undersample of
+    * the majority → unionAll → multi-column StringIndexer + label indexer →
+    * integer-cast index projection → OneHotEncoder → VectorAssembler over
+    * the one-hot vectors plus index columns (each column once — the
+    * transcript's duplicated inputs at `:139-140` are a bug, per SURVEY §0)
+    * → seeded RF fit on the 80/20 train split → predictions on test.
+    *
+    * Harness mapping: outcome FATAL/RESOLVED → event_type purchase/view;
+    * the four categorical features are derived buckets (hour-of-day,
+    * day-of-week, user decile, k mod 5). Scale notes: the two class counts
+    * and the sample run over a cached pruned projection; `sample` is a
+    * per-partition Bernoulli draw (no shuffle); the union is append-only.
+    * Output (label index, feature indexes, prediction per test row) follows
+    * the reference's final CSV projection (`:196-207`).
+    */
+  def rebalanceFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val catCols = Array("hour_cat", "dow_cat", "user_cat", "k_cat")
+    val idxCols = catCols.map(_ + "_idx")
+    val vecCols = catCols.map(_ + "_vec")
+    val dataset = Tables.events(spark, sfDir)
+      .na.drop()
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(
+        col("event_id"),
+        col("event_type"),
+        hour(col("ts")).cast(StringType).as("hour_cat"),
+        dayofweek(col("ts")).cast(StringType).as("dow_cat"),
+        (col("user_id") % 10).cast(StringType).as("user_cat"),
+        (get_json_object(col("props"), "$.k").cast(IntegerType) % 5)
+          .cast(StringType).as("k_cat"))
+      .na.drop()
+      .persist()
+    val minority = dataset.filter(col("event_type") === "purchase")
+    val majority = dataset.filter(col("event_type") === "view")
+    val sampleRatio = minority.count().toDouble / dataset.count().toDouble
+    val balanced = minority
+      .unionAll(majority.sample(withReplacement = false, sampleRatio, SplitSeed))
+      .persist()
+    val indexed = new StringIndexer()
+      .setInputCols(catCols).setOutputCols(idxCols)
+      .fit(balanced).transform(balanced)
+    val labeled = new StringIndexer()
+      .setInputCol("event_type").setOutputCol("outcome_idx")
+      .fit(indexed).transform(indexed)
+    // the reference's rankDF: integer-cast projection of the index columns
+    val rankDf = labeled.select(
+      col("event_id") +: col("outcome_idx").cast(IntegerType).as("outcome_idx")
+        +: idxCols.map(c => col(c).cast(IntegerType).as(c)): _*)
+    val encoded = new OneHotEncoder()
+      .setInputCols(idxCols).setOutputCols(vecCols)
+      .fit(rankDf).transform(rankDf)
+    val assembled = new VectorAssembler()
+      .setInputCols(vecCols ++ idxCols)
+      .setOutputCol("assembled_features")
+      .transform(encoded)
+    val Array(trainData, testData) =
+      assembled.randomSplit(Array(0.8, 0.2), SplitSeed)
+    trainData.persist(); testData.persist()
+    val model = new RandomForestClassifier()
+      .setFeaturesCol("assembled_features").setLabelCol("outcome_idx")
+      .setSeed(RfSeed).setMaxDepth(4).setNumTrees(10)
+      .fit(trainData)
+    val out = model.transform(testData)
+      .select(col("event_id") +: col("outcome_idx")
+        +: idxCols.map(col) :+ col("prediction"): _*)
+      .orderBy(col("event_id"))
+    out
+  }
+
   // ---------------------------------------------------------------- SQL ----
 
   /** StringIndexer frequencyDesc is SQL-expressible: index = dense rank of

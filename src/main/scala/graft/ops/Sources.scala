@@ -49,6 +49,31 @@ object Sources {
       .orderBy(col("n_nationkey"))
   }
 
+  /** CSV as the PRIMARY source — the reference's load shape: header CSV
+    * arrives all-string (no schema inference), then the projection re-imposes
+    * types by cast and `na.drop` cleans, before any relational work
+    * (`/root/reference/MarchineLearningAlgorithm.txt:38-41` + SURVEY §1).
+    * The harness corpus ships as parquet, so the CSV is materialized once
+    * per session from `customer` and then treated as the entry relation;
+    * the post-cast predicate shows filters still push into the CSV scan.
+    */
+  def scanCsvTyped(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = sys.props("java.io.tmpdir") +
+      s"/graft_scan_csv_${spark.sparkContext.applicationId}"
+    Tables.table(spark, sfDir, "customer")
+      .write.mode("overwrite").format("csv").option("header", "true").save(out)
+    Tables.csv(spark, out) // all-string schema, the reference's entry shape
+      .select(
+        col("c_custkey").cast(IntegerType).as("c_custkey"),
+        col("c_name"),
+        col("c_nationkey").cast(IntegerType).as("c_nationkey"),
+        col("c_acctbal").cast(DoubleType).as("c_acctbal"),
+        col("c_mktsegment"))
+      .na.drop()
+      .filter(col("c_acctbal") > 0.0)
+      .orderBy(col("c_custkey"))
+  }
+
   /** Partitioned parquet sink + partition-pruned re-read: documents written
     * `partitionBy(lang)`, then read back filtered to one language. At 100 TB
     * the filter never touches the other partitions' files (explain shows
@@ -116,6 +141,17 @@ object Sources {
     "scan_parquet" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "sink_csv" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // doubles round-trip CSV exactly (shortest-repr write, exact parse), so
+    // the oracle can compare against the original parquet values
+    "scan_csv_typed" ->
+      """SELECT CAST(c_custkey AS INTEGER) AS c_custkey, c_name,
+        |  CAST(c_nationkey AS INTEGER) AS c_nationkey,
+        |  c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+        |  AND c_nationkey IS NOT NULL AND c_acctbal IS NOT NULL
+        |  AND c_mktsegment IS NOT NULL AND c_acctbal > 0.0
+        |ORDER BY c_custkey""".stripMargin
   )
 }

@@ -30,6 +30,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(ngram.subsetOf(near))
   }
 
+  test("ngram two-minima blocking bounds hot blocks from a shared shingle") {
+    import spark.implicits._
+    // every doc opens with the same boilerplate shingle (header,of,legal):
+    // under single-min blocking these can all collapse into one quadratic
+    // block; two-minima blocking keeps unrelated docs apart because their
+    // second minimum is the doc-unique shingle
+    val boiler = (0 until 200).map(i =>
+      (i.toLong, Seq("header", "of", "legal", s"uniq$i")))
+    // planted near-dup pair: 9-token doc and the same doc plus one token
+    val base = Seq("p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7")
+    val planted = Seq((1000L, base), (1001L, base :+ "extra"))
+    val corpus = (boiler ++ planted).toDF("doc_id", "tokens")
+    val sh = Dedup.shingleSets(corpus)
+    val maxBlock = Dedup.shingleSets(corpus)
+      .groupBy("block1", "block2").count()
+      .agg(max("count")).first().getLong(0)
+    assert(maxBlock <= 2, s"hot block of size $maxBlock")
+    val pairs = Dedup.ngramPairs(sh)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1000L, 1001L)))
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     import spark.implicits._
     val fp = Dedup.dedupSimhash(spark, sf)

@@ -90,4 +90,14 @@ class MLSpec extends SparkSpec {
     assert(joined.filter(col("f_hour") < 0.0 || col("f_hour") > 23.0)
       .count() == 0)
   }
+
+  test("rebalance pipeline is deterministic and keeps only the two classes") {
+    val a = MLOps.rebalanceFit(spark, sf).collect()
+    val b = MLOps.rebalanceFit(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.sameElements(b))
+    // binary outcome (purchase/view) and binary predictions
+    assert(a.forall(r => Set(0, 1).contains(r.getAs[Int]("outcome_idx"))))
+    assert(a.forall(r => Set(0.0, 1.0).contains(r.getAs[Double]("prediction"))))
+  }
 }
