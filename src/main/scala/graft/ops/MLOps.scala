@@ -186,12 +186,14 @@ object MLOps {
     */
   def rfClassifier(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
-    val indexerModel = labelIndexer.fit(trainSlice(data))
-    val model = rf().fit(assembler.transform(
-      indexerModel.transform(trainSlice(data))))
-    model.transform(assembler.transform(indexerModel.transform(data)))
+    // one cached pass feeds the indexer fit and the multi-pass RF fit
+    val train = trainSlice(data).persist()
+    val indexerModel = labelIndexer.fit(train)
+    val model = rf().fit(assembler.transform(indexerModel.transform(train)))
+    val out = model.transform(assembler.transform(indexerModel.transform(data)))
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
+    out
   }
 
   /** Pipeline staging: indexer → assembler → RF
@@ -200,9 +202,11 @@ object MLOps {
     */
   def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
-    fullPipeline().fit(trainSlice(data)).transform(data)
+    val train = trainSlice(data).persist()
+    val out = fullPipeline().fit(train).transform(data)
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
+    out
   }
 
   /** MulticlassClassificationEvaluator, metric=accuracy
@@ -249,7 +253,11 @@ object MLOps {
     * scale-correct choice.
     */
   def crossValidator(spark: SparkSession, sfDir: String): DataFrame = {
-    val data = labeledEvents(spark, sfDir).filter(col("event_id") < cvCap)
+    // cache the capped slice: CV materializes 3 fold splits (each persisting
+    // train+validation) from this lineage, then refits the winner on the
+    // full slice — without the cache the parquet+JSON parse reruns each time
+    val data = labeledEvents(spark, sfDir)
+      .filter(col("event_id") < cvCap).persist()
     val pipe = fullPipeline()
     val rfStage = pipe.getStages(2).asInstanceOf[RandomForestClassifier]
     val grid = new ParamGridBuilder()
@@ -264,6 +272,7 @@ object MLOps {
       .setParallelism(8)
       .setSeed(SplitSeed)
     val model = cv.fit(data)
+    data.unpersist()
     val rows = grid.toSeq.zip(model.avgMetrics.toSeq).map { case (pm, m) =>
       (pm(rfStage.maxDepth), pm(rfStage.impurity), m)
     }
