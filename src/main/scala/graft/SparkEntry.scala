@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact _),
     "dedup_near" -> (Dedup.dedupNear _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
+    "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
     // §2j similarity search

@@ -121,6 +121,32 @@ object Dedup {
         expr("shiftright(simhash, 48) & 65535").as("band3"))
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup PAIRS: completes `dedupSimhash` with the banded
+    * self-join. Each doc emits its 4×16-bit bands; candidates are pairs
+    * agreeing on ANY band (4 equi-joins expressed as one unpivoted join —
+    * by pigeonhole every pair at hamming ≤ 3 shares at least one intact
+    * band), then the exact hamming distance over the 64-bit fingerprints
+    * filters to ≤ 3. Pairs colliding in several bands are deduped with a
+    * groupBy on the pair key, not `distinct` over the whole row.
+    */
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = dedupSimhash(spark, sfDir).persist()
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("hamming")).as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-doc shingle-hash sets + the blocking key: the TWO smallest shingle
     * hashes. Requiring candidates to share both minima (not just one) means
     * a single boilerplate shingle shared corpus-wide — a header, a license

@@ -73,6 +73,23 @@ class ExtensionsSpec extends SparkSpec {
     assert(randomMean > 12, s"random mean too low: $randomMean")
   }
 
+  test("simhash banded pairs equal brute-force hamming<=3 pairs (pigeonhole)") {
+    import spark.implicits._
+    val banded = Dedup.dedupSimhashPairs(spark, sf)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(banded.nonEmpty, "planted near-dups should fall within hamming 3")
+    // the 4-band join is EXACT for hamming <= 3: any pair within distance 3
+    // leaves at least one of the 4 16-bit bands untouched, so banding loses
+    // nothing vs the quadratic scan (verified here against brute force)
+    val fp = Dedup.dedupSimhash(spark, sf)
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(banded.toSet == brute)
+  }
+
   test("exact sim_search returns k neighbors per probe, descending, self-free") {
     val df = Similarity.simSearch(spark, sf)
     val rows = df.collect()
