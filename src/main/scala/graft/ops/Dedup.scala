@@ -95,6 +95,13 @@ object Dedup {
     * by pigeonhole over 4 bands).
     */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFingerprints(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Unordered fingerprint+bands relation — the shared core of the
+    * fingerprint key and the banded pair join (which must not pay the
+    * display ordering's Exchange+Sort).
+    */
+  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     tokenized(spark, sfDir)
       .withColumn("votes", expr(
         """aggregate(
@@ -119,7 +126,6 @@ object Dedup {
         expr("shiftright(simhash, 16) & 65535").as("band1"),
         expr("shiftright(simhash, 32) & 65535").as("band2"),
         expr("shiftright(simhash, 48) & 65535").as("band3"))
-      .orderBy(col("doc_id"))
 
   /** SimHash near-dup PAIRS: completes `dedupSimhash` with the banded
     * self-join. Each doc emits its 4×16-bit bands; candidates are pairs
@@ -130,7 +136,7 @@ object Dedup {
     * groupBy on the pair key, not `distinct` over the whole row.
     */
   def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = dedupSimhash(spark, sfDir).persist()
+    val fp = simhashFingerprints(spark, sfDir).persist()
     val banded = fp.select(col("doc_id"), col("simhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),
           col("band3"))).as(Seq("band_idx", "band_val")))
