@@ -23,31 +23,35 @@ import graft.Tables.table
 object Multimodal {
 
   /** One "asset" row per document: UTF-8 payload standing in for an image
-    * blob, metadata struct, and an 8-dim stub feature vector derived from
-    * seeded payload hashes (STUB — replace the `transform(sequence(0,7),…)`
-    * expression with the real decoder's embedding at deploy time).
-    * Registered output is flat scalars + a JSON rendering of the feature
-    * array — the driver comparator can't hash struct/array cells; the
-    * struct-typed form stays available internally via the `meta` column
-    * before the final projection.
+    * blob, metadata struct (byte count, mime, md5 checksum), and an 8-dim
+    * stub feature vector (STUB — replace the per-slot expressions with the
+    * real decoder's embedding at deploy time). Each feature slot is a
+    * strided codepoint-sum over one eighth of the content — pure arithmetic,
+    * content-sensitive, and engine-neutral, so the WHOLE output (checksum
+    * and features included) is hash-checked against the DuckDB oracle.
+    * Surfaced as per-slot doubles: the driver comparator can't hash array
+    * cells, and float JSON formatting differs between engines.
     */
-  def decodeStub(spark: SparkSession, sfDir: String): DataFrame =
+  def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    // slot i samples 32 strided positions from segment i of the doc:
+    // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1)
+    def slot(i: Int) = expr(
+      s"""CAST(pmod(aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+         |  (acc, j) -> acc + ascii(substring(text,
+         |    CAST((${i * 32} + j) * length(text) / 256 AS INT) + 1, 1))),
+         |  1000) AS DOUBLE) / 1000.0""".stripMargin).as(s"f$i")
     table(spark, sfDir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("meta", struct(
         length(col("payload")).as("n_bytes"),
         lit("application/octet-stream").as("mime"),
-        xxhash64(col("payload")).as("checksum")))
-      .withColumn("features", expr(
-        """transform(sequence(0, 7),
-          |  i -> CAST(pmod(xxhash64(payload, i), 1000) AS DOUBLE) / 1000.0)"""
-          .stripMargin))
-      .select(col("doc_id"),
+        md5(col("payload")).as("checksum")))
+      .select(Seq(col("doc_id"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.mime").as("mime"),
-        col("meta.checksum").as("checksum"),
-        to_json(col("features")).as("features_json"))
+        col("meta.checksum").as("checksum")) ++ (0 until 8).map(slot): _*)
       .orderBy(col("doc_id"))
+  }
 
   /** Frame-sampling shape: explode each payload into fixed-size "frames"
     * (256-byte chunks standing in for video frames / audio windows), one
@@ -120,6 +124,23 @@ object Multimodal {
       .orderBy(col("doc_id"))
 
   val oracleSql: Map[String, String] = Map(
+    // stub decode is engine-neutral arithmetic over the ASCII corpus: byte
+    // count, md5 hex digest (identical in both engines over UTF-8 bytes),
+    // and strided codepoint-sum features
+    "mm_decode_stub" -> {
+      val slots = (0 until 8).map { i =>
+        s"""  CAST((list_sum(list_transform(range(0, 32),
+           |    j -> ascii(substr(text,
+           |      CAST(FLOOR((${i * 32} + j) * length(text) / 256.0) AS INTEGER) + 1,
+           |      1)))) % 1000) AS DOUBLE) / 1000.0 AS f$i""".stripMargin
+      }.mkString(",\n")
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         |  'application/octet-stream' AS mime,
+         |  md5(text) AS checksum,
+         |$slots
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     // stride-downsample is pure arithmetic over ASCII codepoints (corpus is
     // all-ASCII), so the resize contract gets a full hash oracle; DuckDB
     // needs an explicit FLOOR where Spark's CAST AS INT truncates

@@ -28,8 +28,8 @@ object TextAnalysis {
     size(filter(tokens, t => t.isin(lex.map(lit(_)): _*)))
 
   /** Per-document quality statistics: char/token counts, average token
-    * length, stopword ratio, and a deterministic [0,1] quality score
-    * (longer docs with organic stopword share score higher).
+    * length, punctuation ratio, stopword ratio, and a deterministic [0,1]
+    * quality score (longer docs with organic stopword share score higher).
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
@@ -39,6 +39,10 @@ object TextAnalysis {
       .withColumn("alpha_chars", length(regexp_replace(col("text"), " ", "")))
       .withColumn("avg_token_len",
         round(col("alpha_chars").cast(DoubleType) / col("n_tokens"), 6))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
+      .withColumn("punct_ratio",
+        round(col("punct_chars").cast(DoubleType) / col("n_chars"), 6))
       .withColumn("stop_tokens", hits(col("tokens"), Stopwords))
       .withColumn("stop_ratio",
         round(col("stop_tokens").cast(DoubleType) / col("n_tokens"), 6))
@@ -46,8 +50,8 @@ object TextAnalysis {
         round(least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
           (lit(1.0) - col("stop_ratio")), 6))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
-        col("avg_token_len"), col("stop_tokens"), col("stop_ratio"),
-        col("quality_score"))
+        col("avg_token_len"), col("punct_chars"), col("punct_ratio"),
+        col("stop_tokens"), col("stop_ratio"), col("quality_score"))
       .orderBy(col("doc_id"))
 
   /** n-gram-heuristic language ID: count stopword-lexicon hits per language,
@@ -115,6 +119,10 @@ object TextAnalysis {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
         |  ROUND(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
         |        / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        |    AS INTEGER) AS punct_chars,
+        |  ROUND(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        |    AS DOUBLE) / length(text), 6) AS punct_ratio,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER)
         |    AS stop_tokens,

@@ -209,12 +209,13 @@ class ExtensionsSpec extends SparkSpec {
 
   test("decode stub emits bounded features and faithful byte counts") {
     val df = Multimodal.decodeStub(spark, sf)
-      .withColumn("features", from_json(col("features_json"),
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.DoubleType)))
-    assert(df.filter(expr(
-      "exists(features, f -> f < 0.0 OR f >= 1.0)")).count() == 0)
-    assert(df.filter(size(col("features")) =!= 8).count() == 0)
+    val oob = (0 until 8).map(i =>
+      col(s"f$i").isNull || col(s"f$i") < 0.0 || col(s"f$i") >= 1.0)
+      .reduce(_ || _)
+    assert(df.filter(oob).count() == 0)
     assert(df.filter(col("n_bytes") <= 0).count() == 0)
+    // content-sensitivity: distinct docs should not collapse to one vector
+    assert(df.select((0 until 8).map(i => col(s"f$i")): _*)
+      .distinct().count() > 1)
   }
 }
