@@ -71,10 +71,12 @@ object Multimodal {
           payload.grouped(frameBytes).zipWithIndex.map {
             case (frame, idx) =>
               // STUB decode: real impl hands `frame` to a codec; here a
-              // deterministic digest stands in for the decoded feature.
-              val digest = frame.foldLeft(1125899906842597L) {
-                (acc, b) => acc * 31 + b
-              }
+              // deterministic position-weighted digest stands in for the
+              // decoded feature. Mod-prime (not wrap-around) arithmetic so
+              // the SQL oracle reproduces it exactly.
+              val digest = frame.zipWithIndex.map {
+                case (b, k) => (k + 1L) * b
+              }.sum % 144115188075855881L
               (docId, idx, frame.length, digest)
           }
         }
@@ -141,6 +143,19 @@ object Multimodal {
          |$slots
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+    // frame explode reproduced with a correlated unnest(range(...)) — one
+    // row per 256-byte frame; the position-weighted digest is plain
+    // arithmetic in both engines
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(LEAST(256, length(text) - j*256) AS INTEGER) AS frame_bytes,
+        |  CAST(list_sum(list_transform(
+        |    range(1, LEAST(256, length(text) - j*256) + 1),
+        |    k -> k * ascii(substr(text, j*256 + k, 1))))
+        |    % 144115188075855881 AS BIGINT) AS frame_digest
+        |FROM documents,
+        |  unnest(range(0, CAST(CEIL(length(text)/256.0) AS INTEGER))) AS t(j)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // stride-downsample is pure arithmetic over ASCII codepoints (corpus is
     // all-ASCII), so the resize contract gets a full hash oracle; DuckDB
     // needs an explicit FLOOR where Spark's CAST AS INT truncates
