@@ -59,6 +59,22 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming dedup-on-ingest: drop re-deliveries of the same content
+    * within the watermark horizon — the streaming form of `dedup_exact` and
+    * the first stage of a training-data ingest pipeline (at-least-once
+    * sources re-deliver; exactly-once content survives). Keyed by the
+    * sha2-256 of the content columns; `dropDuplicatesWithinWatermark`
+    * evicts seen-key state older than the watermark, so state is bounded by
+    * the horizon's key cardinality, not the stream's lifetime (the property
+    * that makes this runnable forever at 100 TB/day).
+    */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("h", sha2(concat_ws("|",
+        col("event_type"), col("value").cast(StringType), col("props")), 256))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("h")
+
   /** Event-time sessionization with a gap timeout: emits one row per closed
     * session (no activity for `gapMinutes` past the watermark). Custom state
     * via `flatMapGroupsWithState` — per-user state is one small case class,

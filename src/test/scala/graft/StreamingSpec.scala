@@ -48,6 +48,22 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == 3L)
   }
 
+  test("streaming dedup drops content re-deliveries within the watermark") {
+    val dir = Files.createTempDirectory("graft_dedup_in").toString
+    // events 1 and 2 carry identical content (re-delivery); 3 differs
+    writeBatch(dir, Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(2), 1L, "click", 1.0),
+      (3L, ts(4), 2L, "view", 5.0)))
+    val q = Streams.dedupEvents(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.sql("SELECT event_type, value FROM dedup ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(kept == Seq(("click", 1.0), ("view", 5.0)))
+  }
+
   test("sessionization closes sessions when the watermark passes the gap") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 1: two events 5 min apart (one session); user 2: one event.
