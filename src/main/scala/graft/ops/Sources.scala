@@ -58,10 +58,15 @@ object Sources {
     * the post-cast predicate shows filters still push into the CSV scan.
     */
   def scanCsvTyped(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_scan_csv_${spark.sparkContext.applicationId}"
-    Tables.table(spark, sfDir, "customer")
-      .write.mode("overwrite").format("csv").option("header", "true").save(out)
+    // the CSV stand-in for the reference's source file is materialized once
+    // per corpus (stable path, _SUCCESS-guarded) — the key's point is the
+    // all-string SCAN + post-hoc cast, not the write
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val out = sys.props("java.io.tmpdir") + s"/graft_scan_csv_v1$sfTag"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      Tables.table(spark, sfDir, "customer")
+        .write.mode("overwrite").format("csv").option("header", "true").save(out)
+    }
     Tables.csv(spark, out) // all-string schema, the reference's entry shape
       .select(
         col("c_custkey").cast(IntegerType).as("c_custkey"),
