@@ -41,6 +41,39 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ngram pair join is exact over its blocking for random corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // random docs over a small vocab (so shared shingles + real dups occur),
+    // with forced duplicate docs appended
+    val docGen = Gen.listOfN(8, Gen.oneOf("w0", "w1", "w2", "w3", "w4", "w5"))
+    samples(Gen.listOfN(20, docGen), 5).foreach { docs =>
+      val corpus = (docs ++ docs.take(3)).zipWithIndex
+        .map { case (toks, i) => (i.toLong, toks) }
+        .toDF("doc_id", "tokens")
+      val sh = Dedup.shingleSets(corpus)
+      val byDoc = sh.collect().map { r =>
+        (r.getAs[Long]("doc_id"),
+          (r.getAs[Seq[Long]]("shingles").toSet,
+            r.getAs[Long]("block1"), r.getAs[Long]("block2")))
+      }.toMap
+      // expected = every blocked pair with true Jaccard >= 0.5 — the join
+      // must find exactly these (soundness AND completeness given blocking)
+      val expected = (for {
+        (a, (sa, a1, a2)) <- byDoc; (b, (sb, b1, b2)) <- byDoc
+        if a < b && a1 == b1 && a2 == b2
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if math.rint(j * 1e6) / 1e6 >= 0.5
+      } yield (a, b)).toSet
+      val actual = Dedup.ngramPairs(sh)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(actual == expected)
+      // the forced identical dups share all shingles => always found
+      assert((0 until 3).forall(i =>
+        actual.contains((i.toLong, (docs.size + i).toLong))))
+    }
+  }
+
   test("randomSplit partitions any input: disjoint, exhaustive") {
     import spark.implicits._
     samples(Gen.zip(Gen.choose(10, 60), Gen.choose(1L, 9999L)), 10)
