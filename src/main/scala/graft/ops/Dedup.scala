@@ -100,25 +100,29 @@ object Dedup {
   /** Unordered fingerprint+bands relation — the shared core of the
     * fingerprint key and the banded pair join (which must not pay the
     * display ordering's Exchange+Sort).
+    *
+    * Computed as exploded token rows + 64 codegen'd conditional-sum
+    * aggregates (one per bit position), not array-lambda HOFs: row
+    * expressions stay in whole-stage codegen while lambda bodies are
+    * interpreted per element, and the vote matrix is tokens×64 — the
+    * interpreted form was the single most CPU-heavy expression in the
+    * engine. Map-side partial aggregation means the one shuffle carries 64
+    * longs per doc per partition, not per token.
     */
-  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
+  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$i")
+    }
+    val simhash = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
     tokenized(spark, sfDir)
-      .withColumn("votes", expr(
-        """aggregate(
-          |  transform(tokens, t -> xxhash64(t)),
-          |  array_repeat(CAST(0 AS BIGINT), 64),
-          |  (acc, h) -> zip_with(
-          |    acc,
-          |    transform(sequence(0, 63),
-          |      i -> IF((shiftright(h, i) & 1) = 1,
-          |              CAST(1 AS BIGINT), CAST(-1 AS BIGINT))),
-          |    (a, b) -> a + b))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(
-          |  zip_with(votes, sequence(0, 63),
-          |    (v, i) -> IF(v > 0, shiftleft(CAST(1 AS BIGINT), i),
-          |                 CAST(0 AS BIGINT))),
-          |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin))
+      .select(col("doc_id"), explode(col("tokens")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("simhash", simhash)
       .select(
         col("doc_id"),
         col("simhash"),
@@ -126,6 +130,7 @@ object Dedup {
         expr("shiftright(simhash, 16) & 65535").as("band1"),
         expr("shiftright(simhash, 32) & 65535").as("band2"),
         expr("shiftright(simhash, 48) & 65535").as("band3"))
+  }
 
   /** SimHash near-dup PAIRS: completes `dedupSimhash` with the banded
     * self-join. Each doc emits its 4×16-bit bands; candidates are pairs
