@@ -225,10 +225,14 @@ object Dedup {
     // truth for normalization, bucket length, tables, seed, dist→cosine
     val v = Similarity.unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
     val model = Similarity.fitBrpLsh(v)
-    val probes = v.filter(col("vec_id") < 100)
+    // normalize+hash ONCE (persisted) for both self-join sides — same
+    // recompute-avoidance as dedupNear; approxSimilarityJoin skips its
+    // transform when the hash column is present
+    val hashed = model.transform(v).persist()
+    val probes = hashed.filter(col("vec_id") < 100)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
-    model.approxSimilarityJoin(probes, v, 1.2, "dist")
+    model.approxSimilarityJoin(probes, hashed, 1.2, "dist")
       .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
       .select(
         col("datasetA.vec_id").as("q_id"),

@@ -152,10 +152,12 @@ object Similarity {
   def simSearchLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val v = unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
     val model = fitBrpLsh(v)
-    val probes = v.filter(col("vec_id") < NProbes)
+    // normalize+hash once for both join sides (see Dedup.dedupNear)
+    val hashed = model.transform(v).persist()
+    val probes = hashed.filter(col("vec_id") < NProbes)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
-    model.approxSimilarityJoin(probes, v, 1.2, "dist")
+    model.approxSimilarityJoin(probes, hashed, 1.2, "dist")
       .filter(col("datasetA.vec_id") =!= col("datasetB.vec_id"))
       .select(
         col("datasetA.vec_id").as("q_id"),
