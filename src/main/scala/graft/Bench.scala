@@ -17,19 +17,31 @@ object Bench {
     // per-query times are indicative, the total is what is graded.
     // A failed query must be VISIBLE, not a fast success: its real elapsed
     // time still counts toward the total and its error lands in "errors".
+    // JSON string escape: backslash, quote, and ALL control chars (<0x20) —
+    // an ANSI escape or backspace in an exception message would otherwise
+    // make the whole bench line unparseable (same escaper as Verify).
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+            .take(200)
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+    val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"failed":${errors.size},"sf":"$sfDir"}""")

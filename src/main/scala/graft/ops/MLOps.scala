@@ -190,10 +190,12 @@ object MLOps {
     val train = trainSlice(data).persist()
     val indexerModel = labelIndexer.fit(train)
     val model = rf().fit(assembler.transform(indexerModel.transform(train)))
-    val out = model.transform(assembler.transform(indexerModel.transform(data)))
+    // fits are eager, and the returned plan reads `data`, not `train` —
+    // safe to release the cache before returning
+    train.unpersist()
+    model.transform(assembler.transform(indexerModel.transform(data)))
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
-    out
   }
 
   /** Pipeline staging: indexer → assembler → RF
@@ -203,10 +205,11 @@ object MLOps {
   def pipeline(spark: SparkSession, sfDir: String): DataFrame = {
     val data = labeledEvents(spark, sfDir)
     val train = trainSlice(data).persist()
-    val out = fullPipeline().fit(train).transform(data)
+    val model = fullPipeline().fit(train)
+    train.unpersist() // fit is eager; the returned plan reads `data`
+    model.transform(data)
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))
-    out
   }
 
   /** MulticlassClassificationEvaluator, metric=accuracy
@@ -301,8 +304,8 @@ object MLOps {
 
   /** EP3 composed class-rebalance pipeline, the reference's third transcript
     * end-to-end (`/root/reference/A related code.txt:57-212`): filter to the
-    * two outcome classes → minority/total count ratio → seeded undersample of
-    * the majority → unionAll → multi-column StringIndexer + label indexer →
+    * two outcome classes → minority/majority count ratio → seeded undersample
+    * of the majority → unionAll → multi-column StringIndexer + label indexer →
     * integer-cast index projection → OneHotEncoder → VectorAssembler over
     * the one-hot vectors plus index columns (each column once — the
     * transcript's duplicated inputs at `:139-140` are a bug, per SURVEY §0)
@@ -333,9 +336,18 @@ object MLOps {
           .cast(StringType).as("k_cat"))
       .na.drop()
       .persist()
-    val minority = dataset.filter(col("event_type") === "purchase")
-    val majority = dataset.filter(col("event_type") === "view")
-    val sampleRatio = minority.count().toDouble / dataset.count().toDouble
+    val purchases = dataset.filter(col("event_type") === "purchase")
+    val views = dataset.filter(col("event_type") === "view")
+    val (nP, nV) = (purchases.count(), views.count())
+    // undersampling ratio = minority/MAJORITY (decided by actual counts, so
+    // the construction is valid at every scale factor), so the kept
+    // majority sample has the minority's expected size. The transcript
+    // divides by the WHOLE dataset — `A related code.txt:77` — which
+    // under-samples the majority below the minority count; a transcript
+    // bug fixed here like the duplicated assembler inputs, per SURVEY §0.
+    val (minority, majority, sampleRatio) =
+      if (nP <= nV) (purchases, views, nP.toDouble / nV)
+      else (views, purchases, nV.toDouble / nP)
     val balanced = minority
       .unionAll(majority.sample(withReplacement = false, sampleRatio, SplitSeed))
       .persist()

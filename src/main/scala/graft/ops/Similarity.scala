@@ -106,13 +106,18 @@ object Similarity {
     // assignment. (Seeded fit → identical centroids either way.)
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val modelPath = sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1$sfTag"
+    // the reuse guard is OUR marker written after save() returns, not the
+    // writer's internal _SUCCESS (metadata lands before data — a crash
+    // mid-save must not poison the cache for every later session)
+    val ready = new java.io.File(s"$modelPath/.graft_ready")
     val model =
-      if (new java.io.File(s"$modelPath/metadata/_SUCCESS").exists())
+      if (ready.exists())
         org.apache.spark.ml.clustering.KMeansModel.load(modelPath)
       else {
         val m = new KMeans().setK(nClusters).setSeed(42L)
           .setFeaturesCol("vec").setPredictionCol("cluster").fit(v)
         m.write.overwrite().save(modelPath)
+        ready.createNewFile()
         m
       }
     val assigned = model.transform(v)

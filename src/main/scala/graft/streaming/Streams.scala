@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
@@ -70,8 +72,12 @@ object Streams {
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
-      .withColumn("h", sha2(concat_ws("|",
-        col("event_type"), col("value").cast(StringType), col("props")), 256))
+      // null-SAFE content key: concat_ws silently skips NULLs (a null value
+      // and a shifted field would collide), so serialize via to_json with
+      // ignoreNullFields=false — every column slot is always present
+      .withColumn("h", sha2(to_json(
+        struct(col("event_type"), col("value"), col("props")),
+        Map("ignoreNullFields" -> "false").asJava), 256))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("h")
 

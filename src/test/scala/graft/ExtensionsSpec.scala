@@ -43,8 +43,9 @@ class ExtensionsSpec extends SparkSpec {
     val planted = Seq((1000L, base), (1001L, base :+ "extra"))
     val corpus = (boiler ++ planted).toDF("doc_id", "tokens")
     val sh = Dedup.shingleSets(corpus)
-    val maxBlock = Dedup.shingleSets(corpus)
-      .groupBy("block1", "block2").count()
+    // no band may contain a hot block: every band key needs BOTH minima
+    val maxBlock = Dedup.bandKeys(sh)
+      .groupBy("band", "m1", "m2").count()
       .agg(max("count")).first().getLong(0)
     assert(maxBlock <= 2, s"hot block of size $maxBlock")
     val pairs = Dedup.ngramPairs(sh)

@@ -52,16 +52,19 @@ class PropertiesSpec extends SparkSpec {
         .map { case (toks, i) => (i.toLong, toks) }
         .toDF("doc_id", "tokens")
       val sh = Dedup.shingleSets(corpus)
-      val byDoc = sh.collect().map { r =>
-        (r.getAs[Long]("doc_id"),
-          (r.getAs[Seq[Long]]("shingles").toSet,
-            r.getAs[Long]("block1"), r.getAs[Long]("block2")))
+      val shingleByDoc = sh.collect().map { r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Seq[Long]]("shingles").toSet)
       }.toMap
-      // expected = every blocked pair with true Jaccard >= 0.5 — the join
-      // must find exactly these (soundness AND completeness given blocking)
+      val keysByDoc = Dedup.bandKeys(sh).collect()
+        .map(r => (r.getAs[Long]("doc_id"),
+          (r.getAs[Int]("band"), r.getAs[Long]("m1"), r.getAs[Long]("m2"))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      // expected = every pair blocked in ANY band with true Jaccard >= 0.5 —
+      // the join must find exactly these (soundness AND completeness given
+      // the blocking)
       val expected = (for {
-        (a, (sa, a1, a2)) <- byDoc; (b, (sb, b1, b2)) <- byDoc
-        if a < b && a1 == b1 && a2 == b2
+        (a, sa) <- shingleByDoc; (b, sb) <- shingleByDoc
+        if a < b && keysByDoc(a).intersect(keysByDoc(b)).nonEmpty
         j = sa.intersect(sb).size.toDouble / sa.union(sb).size
         if math.rint(j * 1e6) / 1e6 >= 0.5
       } yield (a, b)).toSet
