@@ -16,19 +16,9 @@ object Bench {
     // extra for JIT steady-state. Cold-JIT cost lands on the first queries;
     // per-query times are indicative, the total is what is graded.
     // A failed query must be VISIBLE, not a fast success: its real elapsed
-    // time still counts toward the total and its error lands in "errors".
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20) —
-    // an ANSI escape or backspace in an exception message would otherwise
-    // make the whole bench line unparseable (same escaper as Verify).
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // time still counts toward the total and its error lands in "errors"
+    // (JsonFormat.q escapes control chars so the line stays parseable).
+    import JsonFormat.q
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
