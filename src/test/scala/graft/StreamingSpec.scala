@@ -64,6 +64,26 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(("click", 1.0), ("view", 5.0)))
   }
 
+  test("streaming dedup key is null-safe: shifted null fields don't collide") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_dedupn_in").toString
+    // A: value=NULL, props='1.0'; B: value=1.0, props=NULL — with a
+    // null-skipping serializer (concat_ws) both would key to 'click|1.0'
+    spark.createDataFrame(Seq(
+      (1L, ts(0), 1L, "click", "1.0"),
+      (2L, ts(2), 1L, "click", null.asInstanceOf[String])))
+      .toDF("event_id", "ts", "user_id", "event_type", "props")
+      .withColumn("value",
+        when(col("event_id") === 2L, 1.0).otherwise(lit(null)))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val q = Streams.dedupEvents(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedupn")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.sql("SELECT * FROM dedupn").count() == 2)
+  }
+
   test("sessionization closes sessions when the watermark passes the gap") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 1: two events 5 min apart (one session); user 2: one event.
