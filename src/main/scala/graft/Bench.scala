@@ -19,10 +19,15 @@ object Bench {
     // time still counts toward the total and its error lands in "errors"
     // (JsonFormat.q escapes control chars so the line stays parseable).
     import JsonFormat.q
+    // Execute via queryExecution.toRdd.count(), NOT Dataset.count(): a
+    // count() on top lets Catalyst prune every projected expression and
+    // drop the final sort, so projection-only queries would be timed as
+    // parquet-footer row counts. toRdd runs the exact physical plan —
+    // every expression, every sort — without collecting rows to the driver.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      try { fn(spark, sfDir).queryExecution.toRdd.count() } catch {
         case e: Throwable =>
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .take(200)

@@ -20,13 +20,22 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Options shared by the engine's CSV reads and writes so round-trips
+    * are lossless: NULL is spelled `\N` (write) and only `\N` parses back
+    * as NULL (read) — with the defaults an empty string and a NULL are
+    * written identically and both come back NULL, silently corrupting
+    * string columns through any CSV hop.
+    */
+  val csvOptions: Map[String, String] = Map("nullValue" -> "\\N")
+
   /** CSV relation, header-driven schema, mirroring the reference's load shape
     * (`/root/reference/MarchineLearningAlgorithm.txt:38-41`): all columns
     * arrive as strings unless a schema is supplied; types are imposed after
     * load by explicit `cast` (SURVEY §1).
     */
   def csv(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("csv").option("header", "true").load(path)
+    spark.read.format("csv").option("header", "true")
+      .options(csvOptions).load(path)
 
   /** `events` with its timestamp normalized to Spark's native µs precision.
     *

@@ -53,10 +53,14 @@ case class DotProduct(left: Expression, right: Expression)
 
   // Null ELEMENTS propagate to a null result, matching the HOF fold
   // (`x * y` with a null operand is null and poisons the aggregate).
+  // Length-MISMATCHED arrays are also null, matching zip_with's null
+  // padding poisoning the fold — a truncated embedding must not silently
+  // score as a plausible prefix dot product.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -73,9 +77,10 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}

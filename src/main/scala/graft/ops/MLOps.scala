@@ -77,8 +77,15 @@ object MLOps {
         hour(col("ts")).cast(DoubleType).as("event_hour"))
       .na.drop()
 
+  // handleInvalid=skip: the indexer is fit on a capped/split slice and then
+  // transforms the full corpus — with the default ("error") a label first
+  // seen outside the slice crashes the job at exactly the scale this
+  // module targets. Skipping drops such rows from the transform, the
+  // standard train-time contract. (No-op on the harness corpus: all five
+  // event types appear in every slice.)
   private def labelIndexer = new StringIndexer()
     .setInputCol("event_type").setOutputCol("label_idx")
+    .setHandleInvalid("skip")
 
   private def assembler = new VectorAssembler()
     .setInputCols(Array("value", "k", "user_id_d", "event_hour"))
@@ -375,6 +382,9 @@ object MLOps {
       .setFeaturesCol("assembled_features").setLabelCol("outcome_idx")
       .setSeed(RfSeed).setMaxDepth(4).setNumTrees(10)
       .fit(trainData)
+    // the eager fit materialized the chain through `balanced`; the returned
+    // plan reads only the cached balanced/testData — release the rest
+    trainData.unpersist(); dataset.unpersist()
     val out = model.transform(testData)
       .select(col("event_id") +: col("outcome_idx")
         +: idxCols.map(col) :+ col("prediction"): _*)

@@ -34,12 +34,21 @@ object Multimodal {
     */
   def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     // slot i samples 32 strided positions from segment i of the doc:
-    // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1)
-    def slot(i: Int) = expr(
-      s"""CAST(pmod(aggregate(sequence(0, 31), CAST(0 AS BIGINT),
-         |  (acc, j) -> acc + ascii(substring(text,
-         |    CAST((${i * 32} + j) * length(text) / 256 AS INT) + 1, 1))),
-         |  1000) AS DOUBLE) / 1000.0""".stripMargin).as(s"f$i")
+    // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1).
+    // Built as 32 explicit codegen'd terms, not an aggregate-lambda HOF —
+    // lambda bodies evaluate interpreted per element and this is a hot
+    // per-row expression. Position arithmetic over BIGINT: (255 × INT
+    // length) would overflow under ANSI mode for multi-GB documents.
+    def slot(i: Int) = {
+      val n = length(col("text")).cast(LongType)
+      val terms = (0 until 32).map { j =>
+        val pos = ((lit((i * 32 + j).toLong) * n) / 256L)
+          .cast(IntegerType) + 1
+        ascii(col("text").substr(pos, lit(1))).cast(LongType)
+      }
+      (pmod(terms.reduce(_ + _), lit(1000L)).cast(DoubleType) / 1000.0)
+        .as(s"f$i")
+    }
     table(spark, sfDir, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("meta", struct(
@@ -95,11 +104,13 @@ object Multimodal {
     val thumbLen = 64
     table(spark, sfDir, "documents")
       .withColumn("n_chars", length(col("text")))
-      .withColumn("thumb", expr(
-        s"""transform(sequence(0, $thumbLen - 1),
-           |  i -> ascii(substring(text,
-           |         CAST(i * n_chars / $thumbLen AS INT) + 1, 1)))"""
-          .stripMargin))
+      // 64 explicit codegen'd stride reads, not a transform-lambda (see
+      // decodeStub); BIGINT position arithmetic for ANSI-overflow safety
+      .withColumn("thumb", array((0 until thumbLen).map { i =>
+        val pos = ((lit(i.toLong) * col("n_chars").cast(LongType))
+          / thumbLen.toLong).cast(IntegerType) + 1
+        ascii(col("text").substr(pos, lit(1)))
+      }: _*))
       .select(col("doc_id"), col("n_chars"),
         size(col("thumb")).as("thumb_len"),
         // CSV rendering: the comparator needs hashable cells, and int→string

@@ -106,18 +106,21 @@ object Similarity {
     // assignment. (Seeded fit → identical centroids either way.)
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val modelPath = sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1$sfTag"
-    // the reuse guard is OUR marker written after save() returns, not the
-    // writer's internal _SUCCESS (metadata lands before data — a crash
-    // mid-save must not poison the cache for every later session)
-    val ready = new java.io.File(s"$modelPath/.graft_ready")
+    // saved to a session-private path, then atomically renamed into place:
+    // the stable path only ever holds a COMPLETE model (ML writers land
+    // metadata before data, so guarding on the writer's own files would
+    // let a crash mid-save poison the cache for every later session)
+    val dest = new java.io.File(modelPath)
     val model =
-      if (ready.exists())
+      if (dest.exists())
         org.apache.spark.ml.clustering.KMeansModel.load(modelPath)
       else {
         val m = new KMeans().setK(nClusters).setSeed(42L)
           .setFeaturesCol("vec").setPredictionCol("cluster").fit(v)
-        m.write.overwrite().save(modelPath)
-        ready.createNewFile()
+        val tmp = s"$modelPath.tmp.${spark.sparkContext.applicationId}"
+        m.write.overwrite().save(tmp)
+        graft.LocalFs.publishDir(new java.io.File(tmp), dest,
+          destValid = dest.exists())
         m
       }
     val assigned = model.transform(v)

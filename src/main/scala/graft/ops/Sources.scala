@@ -40,7 +40,7 @@ object Sources {
     val out = sys.props("java.io.tmpdir") +
       s"/graft_sink_csv_${spark.sparkContext.applicationId}"
     Tables.table(spark, sfDir, "nation")
-      .write.mode("overwrite").format("csv").option("header", "true").save(out)
+      .write.mode("overwrite").format("csv").option("header", "true").options(Tables.csvOptions).save(out)
     Tables.csv(spark, out)
       .select(
         col("n_nationkey").cast(IntegerType).as("n_nationkey"),
@@ -64,8 +64,13 @@ object Sources {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val out = sys.props("java.io.tmpdir") + s"/graft_scan_csv_v1$sfTag"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      // write session-private, publish by atomic rename (no two sessions
+      // ever interleave files in the stable path — see LocalFs)
+      val tmp = s"$out.tmp.${spark.sparkContext.applicationId}"
       Tables.table(spark, sfDir, "customer")
-        .write.mode("overwrite").format("csv").option("header", "true").save(out)
+        .write.mode("overwrite").format("csv").option("header", "true").options(Tables.csvOptions).save(tmp)
+      graft.LocalFs.publishDir(new java.io.File(tmp), new java.io.File(out),
+        destValid = new java.io.File(s"$out/_SUCCESS").exists())
     }
     Tables.csv(spark, out) // all-string schema, the reference's entry shape
       .select(
@@ -117,19 +122,28 @@ object Sources {
       val tbl = s"graft_bucketed_$name"
       val path = s"$base/$name"
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      if (new java.io.File(s"$path/_SUCCESS").exists()) {
-        val schemaDdl = Tables.table(spark, sfDir, name).schema.toDDL
-        spark.sql(
-          s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
-             |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
-             |LOCATION '$path'""".stripMargin)
-      } else {
+      if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+        // bucketed write goes to a session-private path via a throwaway
+        // external table (dropping an external table keeps its files),
+        // then the directory is atomically renamed into the stable path —
+        // concurrent first-runs can't interleave part files
+        val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
+        spark.sql(s"DROP TABLE IF EXISTS ${tbl}_stage")
         Tables.table(spark, sfDir, name)
           .write.mode("overwrite")
-          .option("path", path)
+          .option("path", tmp)
           .bucketBy(8, key).sortBy(key)
-          .saveAsTable(tbl)
+          .saveAsTable(s"${tbl}_stage")
+        spark.sql(s"DROP TABLE ${tbl}_stage")
+        graft.LocalFs.publishDir(new java.io.File(tmp), new java.io.File(path),
+          destValid = new java.io.File(s"$path/_SUCCESS").exists())
       }
+      // metadata-only registration of the (now-complete) bucketed files
+      val schemaDdl = Tables.table(spark, sfDir, name).schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+           |LOCATION '$path'""".stripMargin)
     }
     bucketize("lineitem", "l_orderkey")
     bucketize("orders", "o_orderkey")

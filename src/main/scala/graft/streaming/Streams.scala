@@ -43,6 +43,10 @@ object Streams {
   /** File-source stream of events-shaped parquet dropped into `dir` —
     * the streaming analog of `Tables.table` (new files are discovered per
     * micro-batch; at scale this is a cloud-storage landing zone).
+    * NOTE: landing files must carry a true µs TIMESTAMP `ts` column (write
+    * via `Tables.events`, like StreamDemoMain does). The RAW harness
+    * `events.parquet` stores TIMESTAMP(NANOS), which the mandatory
+    * `nanosAsLong` flag surfaces as a long — normalize before landing.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
@@ -61,22 +65,31 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
-  /** Streaming dedup-on-ingest: drop re-deliveries of the same content
-    * within the watermark horizon — the streaming form of `dedup_exact` and
-    * the first stage of a training-data ingest pipeline (at-least-once
-    * sources re-deliver; exactly-once content survives). Keyed by the
-    * sha2-256 of the content columns; `dropDuplicatesWithinWatermark`
-    * evicts seen-key state older than the watermark, so state is bounded by
-    * the horizon's key cardinality, not the stream's lifetime (the property
-    * that makes this runnable forever at 100 TB/day).
+  /** Streaming re-delivery dedup: at-least-once sources re-deliver the
+    * same RECORD, so the dedup key is the record identity (`event_id`) —
+    * two distinct events that happen to carry identical payloads are both
+    * kept. `dropDuplicatesWithinWatermark` evicts seen-key state older
+    * than the watermark, so state is bounded by the horizon's key
+    * cardinality, not the stream's lifetime (the property that makes this
+    * runnable forever at 100 TB/day).
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
-      // null-SAFE content key: concat_ws silently skips NULLs (a null value
-      // and a shifted field would collide), so serialize via to_json with
-      // ignoreNullFields=false — every column slot is always present
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming CONTENT dedup — the streaming form of `dedup_exact` for a
+    * training-data ingest pipeline: only the first document with a given
+    * content survives the watermark horizon, regardless of id. Keyed by
+    * sha2-256 over a null-SAFE serialization: concat_ws silently skips
+    * NULLs (a null value and a shifted field would collide), so the key
+    * serializes via to_json with ignoreNullFields=false — every column
+    * slot is always present.
+    */
+  def dedupContent(events: DataFrame, contentCols: Seq[String]): DataFrame =
+    events
       .withColumn("h", sha2(to_json(
-        struct(col("event_type"), col("value"), col("props")),
+        struct(contentCols.map(col): _*),
         Map("ignoreNullFields" -> "false").asJava), 256))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("h")
@@ -99,39 +112,33 @@ object Streams {
         state.remove()
         Iterator.single(SessionOut(userId, s.nEvents, s.start, s.last, s.total))
       } else {
-        val sorted = rows.toSeq.sortBy(_.ts.getTime)
-        var closed = List.empty[SessionOut]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val t = e.ts.getTime
-          cur match {
-            // overlap with the open session (late events within the
-            // watermark may arrive out of order: extend both boundaries,
-            // never regress them)
-            case Some(s) if t <= s.last.getTime + gapMs
-                && t + gapMs >= s.start.getTime =>
-              val start = if (t < s.start.getTime) e.ts else s.start
-              val last = if (t > s.last.getTime) e.ts else s.last
-              cur = Some(SessionState(s.nEvents + 1, start, last,
-                s.total + e.value))
-            // disjoint after the open session: close it, start fresh
-            case Some(s) if t > s.last.getTime + gapMs =>
-              closed ::= SessionOut(userId, s.nEvents, s.start, s.last, s.total)
-              cur = Some(SessionState(1, e.ts, e.ts, e.value))
-            // disjoint before the open session (very late singleton):
-            // emit immediately — nothing older can still arrive to merge
-            // with it once it is already behind the open session
-            case Some(_) =>
-              closed ::= SessionOut(userId, 1, e.ts, e.ts, e.value)
-            case None =>
-              cur = Some(SessionState(1, e.ts, e.ts, e.value))
+        // General interval merge: the open state plus every batch event is
+        // an interval; sort by start and fold, merging any unit within
+        // `gap` of the growing session. This also merges LATE events with
+        // EACH OTHER (not just with the open session) — two late events
+        // within gap of each other but behind the open session form one
+        // session, not two singletons. The chronologically last session
+        // stays open; everything before it is closed (nothing older can
+        // arrive and extend an interval that already has a successor).
+        val units = (rows.map(e => SessionState(1, e.ts, e.ts, e.value))
+          ++ state.getOption).toSeq.sortBy(_.start.getTime)
+        val merged = units.foldLeft(List.empty[SessionState]) { (acc, u) =>
+          acc match {
+            case h :: t if u.start.getTime <= h.last.getTime + gapMs =>
+              SessionState(h.nEvents + u.nEvents, h.start,
+                if (u.last.getTime > h.last.getTime) u.last else h.last,
+                h.total + u.total) :: t
+            case _ => u :: acc
           }
+        } // head = chronologically last session
+        merged match {
+          case Nil => Iterator.empty
+          case open :: closed =>
+            state.update(open)
+            state.setTimeoutTimestamp(open.last.getTime + gapMs)
+            closed.reverseIterator.map(s =>
+              SessionOut(userId, s.nEvents, s.start, s.last, s.total))
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.last.getTime + gapMs)
-        }
-        closed.reverseIterator
       }
     }
 

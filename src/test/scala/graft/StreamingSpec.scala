@@ -48,40 +48,47 @@ class StreamingSpec extends SparkSpec {
     assert(r2 == 3L)
   }
 
-  test("streaming dedup drops content re-deliveries within the watermark") {
+  test("streaming dedup drops re-deliveries by id, keeps identical payloads") {
     val dir = Files.createTempDirectory("graft_dedup_in").toString
-    // events 1 and 2 carry identical content (re-delivery); 3 differs
+    // event 1 is delivered twice (same event_id = re-delivery); events 2
+    // and 3 are DISTINCT events that happen to carry identical payloads
     writeBatch(dir, Seq(
       (1L, ts(0), 1L, "click", 1.0),
-      (2L, ts(2), 1L, "click", 1.0),
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(2), 1L, "view", 5.0),
       (3L, ts(4), 2L, "view", 5.0)))
     val q = Streams.dedupEvents(Streams.readEvents(spark, dir))
       .writeStream.format("memory").queryName("dedup")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val kept = spark.sql("SELECT event_type, value FROM dedup ORDER BY event_type")
-      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
-    assert(kept == Seq(("click", 1.0), ("view", 5.0)))
+    val kept = spark.sql("SELECT event_id FROM dedup ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L, 3L))
   }
 
-  test("streaming dedup key is null-safe: shifted null fields don't collide") {
+  test("streaming content-dedup key is null-safe: shifted nulls don't collide") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft_dedupn_in").toString
     // A: value=NULL, props='1.0'; B: value=1.0, props=NULL — with a
-    // null-skipping serializer (concat_ws) both would key to 'click|1.0'
+    // null-skipping serializer (concat_ws) both would key to 'click|1.0';
+    // C re-delivers A's exact content and must be dropped
     spark.createDataFrame(Seq(
       (1L, ts(0), 1L, "click", "1.0"),
-      (2L, ts(2), 1L, "click", null.asInstanceOf[String])))
+      (2L, ts(2), 1L, "click", null.asInstanceOf[String]),
+      (3L, ts(4), 2L, "click", "1.0")))
       .toDF("event_id", "ts", "user_id", "event_type", "props")
       .withColumn("value",
         when(col("event_id") === 2L, 1.0).otherwise(lit(null)))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(dir)
-    val q = Streams.dedupEvents(Streams.readEvents(spark, dir))
+    val q = Streams.dedupContent(Streams.readEvents(spark, dir),
+        Seq("event_type", "value", "props"))
       .writeStream.format("memory").queryName("dedupn")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    assert(spark.sql("SELECT * FROM dedupn").count() == 2)
+    val kept = spark.sql("SELECT event_id FROM dedupn ORDER BY event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(1L, 2L))
   }
 
   test("sessionization closes sessions when the watermark passes the gap") {
