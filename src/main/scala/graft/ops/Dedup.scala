@@ -37,9 +37,16 @@ object Dedup {
     * `ROW_NUMBER over (partition by hash)` is the deterministic, scalable
     * form of `dropDuplicates` (which keeps an arbitrary row).
     */
-  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    dedupExactOn(table(spark, sfDir, "documents"))
+
+  /** Core of `dedupExact` over any (doc_id, text, …) frame — exposed
+    * package-private so the tie-break (keep the LOWEST doc_id per hash)
+    * is testable on a fixture that actually contains duplicates.
+    */
+  private[graft] def dedupExactOn(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
-    table(spark, sfDir, "documents")
+    docs
       .withColumn("h", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

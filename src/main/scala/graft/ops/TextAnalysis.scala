@@ -88,9 +88,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         size(split(col("text"), " ")).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
-          .as("n_bpe_tokens"))
+        bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
@@ -103,14 +101,24 @@ object TextAnalysis {
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(split(text, ' '), CAST(0 AS BIGINT),
-            |  (acc, t) -> pmod(acc * 31 + (xxhash64(t) & 1048575),
-            |              CAST(144115188075855881 AS BIGINT)))""".stripMargin)
-          .as("rolling_fp"))
+      .select(col("doc_id"), rollingFp(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
+
+  /** Rolling-hash column — the single source the op and its fixture tests
+    * share (a test asserting on an inline copy would keep passing after
+    * the op's mask/modulus drifted).
+    */
+  private[graft] def rollingFp(text: Column): Column =
+    aggregate(split(text, " "), lit(0L),
+      (acc, t) => pmod(acc * 31 + xxhash64(t).bitwiseAND(lit(1048575L)),
+        lit(144115188075855881L)))
+
+  /** BPE-ish segment count column (letter runs | digit runs | symbol
+    * runs) — shared by `tokenCount` and its fixture tests.
+    */
+  private[graft] def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
 
   val oracleSql: Map[String, String] = Map(
     "text_stats" ->

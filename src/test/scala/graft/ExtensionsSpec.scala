@@ -12,11 +12,19 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 class ExtensionsSpec extends SparkSpec {
 
   test("dedup_exact is idempotent and keeps the lowest doc_id per hash") {
+    import spark.implicits._
     val once = Dedup.dedupExact(spark, sf)
     val n = once.count()
     // dedup of unique-text corpus == input; second pass is a no-op
     assert(n == Tables.table(spark, sf, "documents").count())
     assert(once.dropDuplicates("h").count() == n)
+    // the tie-break needs ACTUAL duplicates: a fixture with repeated text
+    // must keep the LOWEST doc_id of each duplicate group
+    val fx = Seq((7L, "same text"), (3L, "same text"), (5L, "other"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupExactOn(fx)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(3L, 5L))
   }
 
   test("minhash and exact n-gram dedup agree on the planted near-dup pairs") {
@@ -26,8 +34,11 @@ class ExtensionsSpec extends SparkSpec {
     val ngram = Dedup.dedupNgram(spark, sf)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(ngram.nonEmpty, "corpus should contain planted near-dups")
-    // MinHash (5 tables, dist<=0.5) must recover the exact >=0.5 pairs
-    assert(ngram.subsetOf(near))
+    // set EQUALITY, not subset: a MinHash precision collapse (near ⊋ ngram)
+    // or an ngram recall collapse (ngram ⊊ near) must both fail. The
+    // corpus plants pairs at J≈0.99 with everything else <0.1, and both
+    // paths are seed-deterministic, so equality is stable.
+    assert(ngram == near)
   }
 
   test("ngram two-minima blocking bounds hot blocks from a shared shingle") {
@@ -107,12 +118,14 @@ class ExtensionsSpec extends SparkSpec {
     val v = Tables.table(spark, sf, "embeddings")
       .withColumn("demb", transform(col("embedding"),
         x => x.cast(org.apache.spark.sql.types.DoubleType)))
-    val mismatches = v.select(
+    val both = v.select(
       VectorMath.dot(col("demb"), col("demb")).as("native"),
       aggregate(zip_with(col("demb"), col("demb"), (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x).as("hof"))
-      .filter(col("native") =!= col("hof"))
-    assert(mismatches.count() == 0)
+    // null-safe inequality: with `=!=` a regression making `native` NULL
+    // on every row would drop every row from the filter and pass
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
   }
 
   test("IVF sim_search: bounded by exact results, sane recall") {
@@ -169,13 +182,11 @@ class ExtensionsSpec extends SparkSpec {
     val a = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()
     val b = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()
     assert(a.sameElements(b))
-    // order sensitivity on a fixture
+    // order sensitivity on a fixture, through the op's OWN column (an
+    // inline copy of the expression would keep passing after a drift)
     val fx = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
       .toDF("doc_id", "text")
-    val fps = fx.select(expr(
-      """aggregate(split(text, ' '), CAST(0 AS BIGINT),
-        |  (acc, t) -> pmod(acc * 31 + (xxhash64(t) & 1048575),
-        |              CAST(144115188075855881 AS BIGINT)))""".stripMargin))
+    val fps = fx.select(TextAnalysis.rollingFp(col("text")))
       .collect().map(_.getLong(0))
     assert(fps(0) != fps(1))
   }
@@ -183,8 +194,7 @@ class ExtensionsSpec extends SparkSpec {
   test("token_count: BPE-ish regex splits punctuation off words") {
     import spark.implicits._
     val fx = Seq((1L, "ab1 cd, x")).toDF("doc_id", "text")
-    val n = fx.select(size(regexp_extract_all(col("text"),
-      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))).first().getInt(0)
+    val n = fx.select(TextAnalysis.bpeTokenCount(col("text"))).first().getInt(0)
     assert(n == 5) // ab, 1, cd, ",", x
   }
 
@@ -194,6 +204,8 @@ class ExtensionsSpec extends SparkSpec {
       .agg(sum("frame_bytes").as("total"), count(lit(1)).as("frames_seen"))
     val layout = Multimodal.frameLayout(spark, sf)
     val joined = bytesPerDoc.join(layout, "doc_id")
+    // the inner join must not hide docs dropped entirely by frameSample
+    assert(joined.count() == layout.count())
     assert(joined.filter(col("total") =!= col("n_bytes")).count() == 0)
     assert(joined.filter(col("frames_seen").cast("int") =!= col("n_frames"))
       .count() == 0)

@@ -31,7 +31,7 @@ object LateEventProbe {
       }.toDF("event_id", "ts", "user_id", "event_type", "value")
         .withColumn("props", lit("{}"))
         .coalesce(1).write.mode("append").parquet(dir)
-    def drain(name: String): Unit = {
+    def drain(): Unit = {
       // parquet sink: memory sink cannot recover from a checkpoint
       val q = Streams.sessionize(spark, Streams.readEvents(spark, dir), 30)
         .writeStream.format("parquet")
@@ -40,21 +40,22 @@ object LateEventProbe {
       q.awaitTermination()
     }
     land(Seq((1L, "2024-01-01 10:10:00", 1L, "click", 1.0)))
-    drain("late1")
+    drain()
     // batch 2: late 10:02 for user1, plus 10:35, plus a far-future event to
     // advance the watermark and close user1's session
     land(Seq(
       (2L, "2024-01-01 10:02:00", 1L, "click", 2.0),
       (3L, "2024-01-01 10:35:00", 1L, "click", 4.0),
       (4L, "2024-01-01 14:00:00", 9L, "view", 0.0)))
-    drain("late2")
+    drain()
     val out = spark.read.parquet(sink)
       .filter(col("user_id") === 1L)
-      .select("user_id", "n_events", "start", "end").collect()
+      .select("user_id", "n_events", "start", "end", "total_value").collect()
     out.foreach(r => println(s"SESSION=${r.mkString("|")}"))
     val ok = out.length == 1 && out(0).getLong(1) == 3 &&
       out(0).getTimestamp(2).toString.startsWith("2024-01-01 10:02") &&
-      out(0).getTimestamp(3).toString.startsWith("2024-01-01 10:35")
+      out(0).getTimestamp(3).toString.startsWith("2024-01-01 10:35") &&
+      out(0).getDouble(4) == 7.0 // value accumulation through the late merge
     println(s"LATE_EVENT_MERGE=${if (ok) "PASS" else "FAIL"}")
     spark.stop()
   }

@@ -62,18 +62,25 @@ class RelationalSpec extends SparkSpec {
 
   test("window_top1 returns exactly one row per partition key") {
     val df = Relational.windowTop1(spark, sf)
+    // EXACT cardinality (one per distinct key), not just "no duplicates":
+    // a regression returning zero rows must fail, not pass vacuously
+    val nKeys = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(df.count() == nKeys)
     val dupKeys = df.groupBy("user_id").count().filter(col("count") > 1)
     assert(dupKeys.count() == 0)
   }
 
   test("window_rank rank-1 rows hold the partition max") {
     val ranked = Relational.windowRank(spark, sf)
+    assert(ranked.count() == Tables.events(spark, sf).count())
     val top = ranked.filter(col("rnk") === 1)
       .groupBy("user_id").agg(min("value").as("top_value"))
     val mx = Tables.events(spark, sf)
       .groupBy("user_id").agg(max("value").as("max_value"))
-    assert(top.join(mx, "user_id")
-      .filter(col("top_value") =!= col("max_value")).count() == 0)
+    val joined = top.join(mx, "user_id")
+    // every key present (vacuous-empty guard), every top == the max
+    assert(joined.count() == mx.count())
+    assert(joined.filter(col("top_value") =!= col("max_value")).count() == 0)
   }
 
   test("order_limit returns the global top-10 in descending order") {

@@ -111,7 +111,8 @@ class StreamingSpec extends SparkSpec {
     val sessions = spark.sql(
       "SELECT user_id, n_events, total_value FROM sess ORDER BY user_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(sessions.contains((1L, 2L, 3.0)))
-    assert(sessions.contains((2L, 1L, 5.0)))
+    // EXACT emission set: duplicates or a premature emission of user 3's
+    // still-open session must fail, not hide behind contains-checks
+    assert(sessions == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 }

@@ -20,7 +20,9 @@ object TimeMain {
     spark.sparkContext.setLogLevel("WARN")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = SparkEntry.queries(key)(spark, sfDir).count()
+      // toRdd.count(): execute the exact physical plan — a Dataset.count()
+      // would let Catalyst prune the projections being timed (see Bench)
+      val n = SparkEntry.queries(key)(spark, sfDir).queryExecution.toRdd.count()
       println(f"TIMING $key rep$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
     spark.stop()
