@@ -32,7 +32,13 @@ object Bench {
           errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
             .take(200)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // cache contract: operators may persist() intermediates their
+      // returned plan reads; the CALLER releases them once the output is
+      // consumed. Without this, a 58-query session accumulates every
+      // LSH/banded/ML cache in executor storage for its whole lifetime.
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release op-level persists once the output is consumed (the
+      // engine's cache-lifetime contract; see Bench)
+      spark.catalog.clearCache()
     }
     import JsonFormat.q
     val json = SparkEntry.oracleSql

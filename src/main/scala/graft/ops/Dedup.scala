@@ -116,6 +116,12 @@ object Dedup {
     * interpreted form was the single most CPU-heavy expression in the
     * engine. Map-side partial aggregation means the one shuffle carries 64
     * longs per doc per partition, not per token.
+    *
+    * The token hash is md5-derived (first 15 hex chars = 60 bits; md5 hex
+    * is engine-identical) rather than xxhash64 so the fingerprints are
+    * cross-engine checkable — this key and the banded pairs run under the
+    * full DuckDB hash oracle. Bits 60–63 are structurally 0; band3 keeps
+    * 12 effective bits, which only widens its candidate set marginally.
     */
   private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val votes = (0 until 64).map { i =>
@@ -127,7 +133,8 @@ object Dedup {
     }.reduce(_ bitwiseOR _)
     tokenized(spark, sfDir)
       .select(col("doc_id"), explode(col("tokens")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
       .groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .withColumn("simhash", simhash)
@@ -214,31 +221,46 @@ object Dedup {
 
   /** Unpivots a `shingleSets` frame to one row per (doc, band) with that
     * band's two-minima key — the join/unpivot shape shared by `ngramPairs`
-    * and the hot-block boundedness test.
+    * and the hot-block boundedness test. Deliberately SLIM: only
+    * (doc_id, band, m1, m2) — the heavy shingle arrays must not ride
+    * through the 3-band explode or the collision join (at 100 TB the band
+    * frame is what crosses the wire; the sets are joined back by doc_id
+    * once per SURVIVING pair in `ngramPairs`).
     */
   private[graft] def bandKeys(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), col("shingles"),
+    sh.select(col("doc_id"),
         posexplode(array((0 until NgramBands).map(k =>
           struct(col(s"b${k}m1").as("m1"), col(s"b${k}m2").as("m2"))): _*))
           .as(Seq("band", "bk")))
-      .select(col("doc_id"), col("shingles"), col("band"),
+      .select(col("doc_id"), col("band"),
         col("bk.m1").as("m1"), col("bk.m2").as("m2"))
 
   /** Candidate join + exact Jaccard over a `shingleSets` frame; split from
     * `dedupNgram` so the blocking tests can run it over synthetic corpora.
-    * Pairs colliding in several bands are deduped by the pair-key groupBy
-    * before the Jaccard is computed (once per pair, not per collision).
+    *
+    * Shuffle-volume shape: the band self-join carries only the 4-long band
+    * keys per side; candidate pairs are reduced to distinct (doc_a, doc_b)
+    * ids BEFORE the shingle sets are joined back (by doc_id, once per
+    * surviving pair) for the exact Jaccard. The shingle arrays therefore
+    * cross the wire once per side, not 3× through the band explode plus
+    * once per band collision.
     */
   private[graft] def ngramPairs(sh: DataFrame): DataFrame = {
     val bk = bandKeys(sh)
     val a = bk.select(col("band"), col("m1"), col("m2"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+      col("doc_id").as("doc_a"))
     val b = bk.select(col("band"), col("m1"), col("m2"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "m1", "m2"))
+      col("doc_id").as("doc_b"))
+    val cands = a.join(b, Seq("band", "m1", "m2"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("sh_a")).as("sh_a"), first(col("sh_b")).as("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("shingles"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")),
+        Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")),
+        Seq("doc_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))), 6))
@@ -247,9 +269,14 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs with two-minima blocking. */
+  /** Exact n-gram Jaccard near-dup pairs with two-minima blocking. The
+    * shingle-set frame feeds three consumers (two band sides + the
+    * set-join-back), so it is persisted; Bench/Verify release all op-level
+    * caches via `spark.catalog.clearCache()` after consuming each query
+    * (the documented cache-lifetime contract).
+    */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    ngramPairs(shingleSets(tokenized(spark, sfDir)))
+    ngramPairs(shingleSets(tokenized(spark, sfDir)).persist())
 
   /** Embedding-cosine near-dup report: for each probe vector (vec_id < 100),
     * its nearest neighbor among LSH candidates with exact cosine re-score
@@ -282,12 +309,69 @@ object Dedup {
       .orderBy(col("q_id"))
   }
 
+  /** Shared CTE chain recomputing `simhashFingerprints` in DuckDB SQL:
+    * same token split + length floor, same md5-derived 60-bit token hash
+    * (md5 hex is engine-identical; `CAST('0x…' AS BIGINT)` parses it), and
+    * the 64 vote sums / sign bits generated programmatically — the literal
+    * SQL twin of the 64 codegen'd aggregates above.
+    */
+  private def simhashSqlCtes: String = {
+    val votes = (0 until 64).map(i =>
+      s"SUM(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(",\n    ")
+    val fp = (0 until 64).map(i =>
+      s"(CASE WHEN v$i > 0 THEN (CAST(1 AS BIGINT) << $i) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" +\n    ")
+    s"""t AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+       |  FROM t),
+       |v AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM h GROUP BY doc_id),
+       |s AS (
+       |  SELECT doc_id,
+       |    $fp AS simhash
+       |  FROM v)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h
         |FROM documents
         |QUALIFY ROW_NUMBER() OVER (PARTITION BY sha256(text)
         |                           ORDER BY doc_id) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $simhashSqlCtes
+         |SELECT doc_id, simhash,
+         |  simhash & 65535 AS band0,
+         |  (simhash >> 16) & 65535 AS band1,
+         |  (simhash >> 32) & 65535 AS band2,
+         |  (simhash >> 48) & 65535 AS band3
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $simhashSqlCtes,
+         |b AS (
+         |  SELECT doc_id, simhash,
+         |    unnest([simhash & 65535, (simhash >> 16) & 65535,
+         |            (simhash >> 32) & 65535, (simhash >> 48) & 65535])
+         |      AS band_val,
+         |    unnest([0, 1, 2, 3]) AS band_idx
+         |  FROM s)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(MIN(bit_count(xor(a.simhash, c.simhash))) AS INTEGER)
+         |    AS hamming
+         |FROM b a JOIN b c
+         |  ON a.band_idx = c.band_idx AND a.band_val = c.band_val
+         |  AND a.doc_id < c.doc_id
+         |GROUP BY a.doc_id, c.doc_id
+         |HAVING MIN(bit_count(xor(a.simhash, c.simhash))) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -55,10 +55,13 @@ object MLOps {
     */
   private val fitCap = 50000
 
-  /** Deterministic prefix via a pushed-down range predicate: event_ids are
-    * contiguous from 0, so `event_id < cap` selects the same rows as a
-    * sort+limit prefix but reaches the parquet scan as a PushedFilter —
-    * no global Sort, no single-partition limit funnel at scale.
+  /** Deterministic sample-sized training slice via a pushed-down range
+    * predicate: the rows with `event_id < cap` that survive cleaning. This
+    * reaches the parquet scan as a PushedFilter — no global Sort, no
+    * single-partition limit funnel at scale. (It equals a sort+limit
+    * prefix only when ids are contiguous from 0 and `na.drop` removes
+    * nothing below the cap; the contract here is just "a deterministic,
+    * pushdown-friendly slice", not prefix equality.)
     */
   private def trainSlice(data: DataFrame): DataFrame =
     data.filter(col("event_id") < fitCap)
@@ -178,13 +181,22 @@ object MLOps {
     * declaration order) directly SQL-checkable.
     */
   def assemble(spark: SparkSession, sfDir: String): DataFrame = {
-    val arr = org.apache.spark.ml.functions.vector_to_array(col("features"))
+    // vector_to_array is a scala UDF: hoist it into its OWN projection so
+    // the conversion provably evaluates once per row. Inlining it into each
+    // element_at would embed four copies of the UDF call in one Project and
+    // leave dedup to subexpression elimination, which is not guaranteed
+    // around non-deterministic-capable UDF nodes (CollapseProject keeps the
+    // two Projects apart precisely because the alias is non-cheap and
+    // referenced four times).
     assembler.transform(labeledEvents(spark, sfDir))
       .select(col("event_id"),
-        element_at(arr, 1).as("f_value"),
-        element_at(arr, 2).as("f_k"),
-        element_at(arr, 3).as("f_user_id"),
-        element_at(arr, 4).as("f_hour"))
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .as("farr"))
+      .select(col("event_id"),
+        element_at(col("farr"), 1).as("f_value"),
+        element_at(col("farr"), 2).as("f_k"),
+        element_at(col("farr"), 3).as("f_user_id"),
+        element_at(col("farr"), 4).as("f_hour"))
       .orderBy(col("event_id"))
   }
 
@@ -326,10 +338,17 @@ object MLOps {
     * Output (label index, feature indexes, prediction per test row) follows
     * the reference's final CSV projection (`:196-207`).
     */
-  def rebalanceFit(spark: SparkSession, sfDir: String): DataFrame = {
-    val catCols = Array("hour_cat", "dow_cat", "user_cat", "k_cat")
-    val idxCols = catCols.map(_ + "_idx")
-    val vecCols = catCols.map(_ + "_vec")
+  /** The rebalance pipeline's post-union frame: filtered two-class events,
+    * majority undersampled to the minority's expected size, unioned with
+    * the minority. Split out (package-private) so the class-balance
+    * property — minority/majority ratio ≈ 1 after the union, the entire
+    * point of EP3 — is directly assertable in MLSpec; a regression
+    * re-introducing the transcript's whole-dataset divisor fails that test.
+    * Returned persisted and already materialized (callers fit several
+    * estimators over it); Bench/Verify release op caches via
+    * `spark.catalog.clearCache()` per the engine's cache contract.
+    */
+  private[graft] def balancedDataset(spark: SparkSession, sfDir: String): DataFrame = {
     val dataset = Tables.events(spark, sfDir)
       .na.drop()
       .filter(col("event_type").isin("purchase", "view"))
@@ -358,6 +377,18 @@ object MLOps {
     val balanced = minority
       .unionAll(majority.sample(withReplacement = false, sampleRatio, SplitSeed))
       .persist()
+    // materialize the (small, pruned) union so the wide upstream projection
+    // cache can be released immediately — one cheap cached pass
+    balanced.count()
+    dataset.unpersist()
+    balanced
+  }
+
+  def rebalanceFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val catCols = Array("hour_cat", "dow_cat", "user_cat", "k_cat")
+    val idxCols = catCols.map(_ + "_idx")
+    val vecCols = catCols.map(_ + "_vec")
+    val balanced = balancedDataset(spark, sfDir)
     val indexed = new StringIndexer()
       .setInputCols(catCols).setOutputCols(idxCols)
       .fit(balanced).transform(balanced)
@@ -384,7 +415,7 @@ object MLOps {
       .fit(trainData)
     // the eager fit materialized the chain through `balanced`; the returned
     // plan reads only the cached balanced/testData — release the rest
-    trainData.unpersist(); dataset.unpersist()
+    trainData.unpersist()
     val out = model.transform(testData)
       .select(col("event_id") +: col("outcome_idx")
         +: idxCols.map(col) :+ col("prediction"): _*)

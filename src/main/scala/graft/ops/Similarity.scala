@@ -104,8 +104,14 @@ object Similarity {
     // infrastructure, not per-query work. The fitted model is persisted at
     // a corpus-keyed path; later sessions load it and only pay cluster
     // assignment. (Seeded fit → identical centroids either way.)
+    // the cache tag fingerprints the corpus content: regenerating the
+    // embeddings table in place changes the tag → the quantizer refits
+    // instead of silently serving stale centroids
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val modelPath = sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1$sfTag"
+    val fp = graft.LocalFs.sourceFingerprint(
+      new java.io.File(s"$sfDir/embeddings.parquet"))
+    val modelPath =
+      sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1${sfTag}_$fp"
     // saved to a session-private path, then atomically renamed into place:
     // the stable path only ever holds a COMPLETE model (ML writers land
     // metadata before data, so guarding on the writer's own files would

@@ -60,9 +60,13 @@ object Sources {
   def scanCsvTyped(spark: SparkSession, sfDir: String): DataFrame = {
     // the CSV stand-in for the reference's source file is materialized once
     // per corpus (stable path, _SUCCESS-guarded) — the key's point is the
-    // all-string SCAN + post-hoc cast, not the write
+    // all-string SCAN + post-hoc cast, not the write. The tag includes a
+    // source-content fingerprint: regenerating the corpus at the same path
+    // changes the tag, so a stale CSV can never be served.
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val out = sys.props("java.io.tmpdir") + s"/graft_scan_csv_v1$sfTag"
+    val fp = graft.LocalFs.sourceFingerprint(
+      new java.io.File(s"$sfDir/customer.parquet"))
+    val out = sys.props("java.io.tmpdir") + s"/graft_scan_csv_v1${sfTag}_$fp"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       // write session-private, publish by atomic rename (no two sessions
       // ever interleave files in the stable path — see LocalFs)
@@ -111,13 +115,18 @@ object Sources {
     * fact joins.
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    // Write-once layout, keyed by corpus + layout version (NOT per session):
-    // at 100 TB the whole point of bucketing is paying the clustered write
-    // once and reusing it for every subsequent join on that key. A later
-    // JVM re-registers the existing bucketed files with a metadata-only
-    // CREATE TABLE ... CLUSTERED BY and skips the rewrite.
+    // Write-once layout, keyed by corpus + layout version + source content
+    // fingerprint (NOT per session): at 100 TB the whole point of bucketing
+    // is paying the clustered write once and reusing it for every
+    // subsequent join on that key. A later JVM re-registers the existing
+    // bucketed files with a metadata-only CREATE TABLE ... CLUSTERED BY and
+    // skips the rewrite; a regenerated corpus changes the fingerprint and
+    // provably rebuilds.
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val base = sys.props("java.io.tmpdir") + s"/graft_bucketed_v2$sfTag"
+    val fp = graft.LocalFs.sourceFingerprint(
+      new java.io.File(s"$sfDir/lineitem.parquet"),
+      new java.io.File(s"$sfDir/orders.parquet"))
+    val base = sys.props("java.io.tmpdir") + s"/graft_bucketed_v2${sfTag}_$fp"
     def bucketize(name: String, key: String): Unit = {
       val tbl = s"graft_bucketed_$name"
       val path = s"$base/$name"

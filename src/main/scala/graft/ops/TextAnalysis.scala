@@ -96,8 +96,10 @@ object TextAnalysis {
     * inside i64 — Spark 4 runs ANSI mode, so wrap-around multiplication
     * would raise ARITHMETIC_OVERFLOW). Unlike the SHA content hash this is
     * streamable/rolling — the building block for chunk-level dedup.
-    * Engine-specific hash → rows-only check; determinism +
-    * order-sensitivity asserted in-suite.
+    * The per-token term is md5-derived (first 5 hex chars = 20 bits; md5
+    * hex is engine-identical), so the fingerprint is cross-engine
+    * reproducible and runs under the full DuckDB hash oracle; determinism +
+    * order-sensitivity are additionally asserted in-suite.
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
@@ -110,7 +112,8 @@ object TextAnalysis {
     */
   private[graft] def rollingFp(text: Column): Column =
     aggregate(split(text, " "), lit(0L),
-      (acc, t) => pmod(acc * 31 + xxhash64(t).bitwiseAND(lit(1048575L)),
+      (acc, t) => pmod(
+        acc * 31 + conv(substring(md5(t), 1, 5), 16, 10).cast(LongType),
         lit(144115188075855881L)))
 
   /** BPE-ish segment count column (letter runs | digit runs | symbol
@@ -165,6 +168,16 @@ object TextAnalysis {
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(text,
         |    '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // same fold as rollingFp: list_reduce seeds from the list head, so a 0
+    // is prepended to reproduce Spark's aggregate(…, 0L, …) initial value
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST(concat('0x', substr(md5(t), 1, 5)) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 144115188075855881) AS rolling_fp
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -93,6 +93,9 @@ object Streams {
         Map("ignoreNullFields" -> "false").asJava), 256))
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("h")
+      // internal dedup key: the state key is captured by the operator above,
+      // so dropping it keeps the output schema identical to the input's
+      .drop("h")
 
   /** Event-time sessionization with a gap timeout: emits one row per closed
     * session (no activity for `gapMinutes` past the watermark). Custom state

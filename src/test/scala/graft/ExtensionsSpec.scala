@@ -64,6 +64,20 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs == Set((1000L, 1001L)))
   }
 
+  test("caller cache contract: clearCache releases every op-level persist") {
+    // LSH/banded operators persist intermediates their returned plan reads,
+    // so they cannot unpersist eagerly; the engine contract is that the
+    // CALLER releases caches once the output is consumed (Bench/Verify do
+    // this between queries). This locks the mechanism end-to-end.
+    spark.catalog.clearCache()
+    Dedup.dedupNear(spark, sf).queryExecution.toRdd.count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "dedupNear is expected to persist its hashed frame")
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearCache must release all op-level persists")
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     import spark.implicits._
     val fp = Dedup.dedupSimhash(spark, sf)

@@ -91,6 +91,20 @@ class MLSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("rebalance undersampling equalizes the two classes (EP3's point)") {
+    // post-union minority/majority count ratio ≈ 1: the fixed ratio divides
+    // by the MAJORITY count. Re-introducing the transcript's whole-dataset
+    // divisor (A related code.txt:77) under-samples the majority to
+    // ~minority·(majority/total) and fails this bound.
+    val counts = MLOps.balancedDataset(spark, sf)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("purchase", "view"), counts.toString)
+    val ratio = counts.values.min.toDouble / counts.values.max
+    assert(ratio > 0.9, s"classes not balanced after rebalance: $counts")
+    spark.catalog.clearCache() // caller-side cache release (engine contract)
+  }
+
   test("rebalance pipeline is deterministic and keeps only the two classes") {
     val a = MLOps.rebalanceFit(spark, sf).collect()
     val b = MLOps.rebalanceFit(spark, sf).collect()

@@ -44,4 +44,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("bucketed_join joins and aggregates with zero shuffle exchange") {
+    // the write-once bucketed layout's whole claim: both sides pre-hashed
+    // and pre-sorted into matching buckets, so the sort-merge join AND the
+    // following groupBy run without any hash-partitioning Exchange; the
+    // only Exchange allowed is the final presentation sort's range
+    // partitioning
+    val p = plan("bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("ml_assembler evaluates the vector conversion exactly once") {
+    // two UDF invocations total: the VectorAssembler itself and ONE hoisted
+    // vector_to_array — four inlined copies (one per element_at slot) would
+    // show four
+    val p = plan("ml_assembler")
+    val n = "UDF\\(".r.findAllIn(p).length
+    assert(n == 2, s"expected 2 UDF invocations, got $n in:\n$p")
+  }
+
 }

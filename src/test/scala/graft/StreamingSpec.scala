@@ -89,6 +89,40 @@ class StreamingSpec extends SparkSpec {
     val kept = spark.sql("SELECT event_id FROM dedupn ORDER BY event_id")
       .collect().map(_.getLong(0)).toSeq
     assert(kept == Seq(1L, 2L))
+    // the internal hash key must not leak into the output schema
+    assert(!spark.table("dedupn").columns.contains("h"))
+  }
+
+  test("streaming windowed counts equal the batch aggregation over the corpus") {
+    import org.apache.spark.sql.functions._
+    // the harness events table replayed as landing files must produce
+    // EXACTLY the batch engine's answer — the stream/batch consistency
+    // contract (same query, two execution modes). complete output mode
+    // emits every window, so no watermark eviction asymmetry applies.
+    val dir = Files.createTempDirectory("graft_sb_in").toString
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("append").parquet(dir)
+    val q = Streams.windowedCounts(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("sbwc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // total_value rounded to 4dp: partial-agg sum order differs between
+    // the incremental and batch plans, so the doubles agree to fp error
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    val streamed = spark.sql(
+      """SELECT window_start, event_type, n_events,
+        |  ROUND(total_value, 4) AS tv FROM sbwc""".stripMargin)
+      .collect().map(key).toSet
+    val batch = ev
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n_events"),
+        round(col("total_value"), 4))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
   }
 
   test("sessionization closes sessions when the watermark passes the gap") {
