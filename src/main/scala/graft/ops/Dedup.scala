@@ -355,6 +355,27 @@ object Dedup {
          |  (simhash >> 32) & 65535 AS band2,
          |  (simhash >> 48) & 65535 AS band3
          |FROM s ORDER BY doc_id""".stripMargin,
+    // EXACT all-pairs 3-gram Jaccard twin: the Spark op is exact Jaccard
+    // over banded candidates, so oracle equality additionally proves the
+    // two-minima blocking has recall 1.0 on this corpus (deterministic:
+    // fixed corpus + fixed salts). Jaccard over hashed shingle sets equals
+    // Jaccard over string shingle sets absent xxhash64 collisions.
+    "dedup_ngram" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(a.sh || b.sh)) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSqlCtes,
          |b AS (
