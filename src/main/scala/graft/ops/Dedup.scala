@@ -355,6 +355,29 @@ object Dedup {
          |  (simhash >> 32) & 65535 AS band2,
          |  (simhash >> 48) & 65535 AS band3
          |FROM s ORDER BY doc_id""".stripMargin,
+    // EXACT all-pairs 3-gram Jaccard distance twin for the MinHash-LSH
+    // path: approxSimilarityJoin's distCol is spark.ml's EXACT key
+    // distance (1 − Jaccard over the binary-TF index sets) — LSH only
+    // gates candidates. Oracle equality therefore proves (a) the distance
+    // arithmetic, (b) LSH candidate recall 1.0 on this corpus, and (c) no
+    // 2^18-bucket TF collisions perturb the values (all deterministic:
+    // fixed corpus + seed). Verified bit-exact at sf0.01.
+    "dedup_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard_dist
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE 1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      len(list_distinct(a.sh || b.sh)) <= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // EXACT all-pairs 3-gram Jaccard twin: the Spark op is exact Jaccard
     // over banded candidates, so oracle equality additionally proves the
     // two-minima blocking has recall 1.0 on this corpus (deterministic:
