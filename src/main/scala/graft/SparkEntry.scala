@@ -99,9 +99,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys (RNG-dependent / ML / vector
-    * outputs) get the driver's weaker rows-only check; their semantics are
-    * covered by scalatest invariants instead (SURVEY §5).
+    * the same parquet tables (47 of 58 keys). Omitted keys — Spark-RNG
+    * sampling, spark.ml model internals, and genuinely approximate LSH
+    * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
+    * rows-only check; their semantics are covered by scalatest invariants
+    * instead (SURVEY §5, COVERAGE.md).
     */
   def oracleSql: Map[String, String] =
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
