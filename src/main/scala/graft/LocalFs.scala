@@ -20,20 +20,66 @@ object LocalFs {
     ()
   }
 
+  /** Cheap content fingerprint of source parquet paths (file or directory):
+    * a hash over every file's (name, length, mtime). Folded into write-once
+    * cache tags (see [[cachePath]]) so regenerating a corpus IN PLACE
+    * changes the tag and provably rebuilds, instead of silently serving
+    * stale artifacts. A missing source path fails loudly — a constant
+    * fingerprint for a nonexistent file would silently disable exactly the
+    * staleness protection this exists for. (Granularity caveat: a
+    * regeneration producing identical byte lengths within the same mtime
+    * tick is invisible; local-FS mtime is millisecond-resolution.)
+    */
+  def sourceFingerprint(paths: File*): String = {
+    def stat(f: File): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles).getOrElse(Array.empty[File])
+          .sortBy(_.getName).toSeq.flatMap(stat)
+      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+    paths.foreach(p =>
+      require(p.exists(), s"fingerprint source does not exist: $p"))
+    val s = paths.flatMap(stat).mkString("|")
+    f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
+  }
+
+  /** Stable cache path for a write-once artifact derived from `sources`:
+    * `<tmpdir>/<prefix><sfTag>_<fp>`. The single place the tag scheme
+    * lives (CSV materialization, bucketed layout, IVF quantizer all use
+    * it), so staleness behavior cannot diverge between caches. Also sweeps
+    * SUPERSEDED siblings — same prefix+tag, different fingerprint — since
+    * those can only refer to a corpus state that no longer exists at
+    * `sfDir` (their readers, if any, are already broken by the in-place
+    * regeneration).
+    */
+  def cachePath(prefix: String, sfDir: String, sources: File*): String = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val fp = sourceFingerprint(sources: _*)
+    val name = s"$prefix${sfTag}_$fp"
+    val dir = new File(sys.props("java.io.tmpdir"))
+    Option(dir.listFiles).getOrElse(Array.empty[File])
+      .filter(f => f.getName.startsWith(s"$prefix${sfTag}_") &&
+        f.getName != name && !f.getName.contains(".tmp."))
+      .foreach(deleteRecursively)
+    new File(dir, name).getPath
+  }
+
   /** Atomically publish `tmp` at `dest`. Returns true if this call won;
     * on a lost race the tmp artifact is discarded and the winner's stands.
     * `destValid` guards an existing-but-incomplete dest (crashed legacy
-    * writer): when false it is cleared before the rename attempt. The
-    * validity marker (`_SUCCESS`) is deleted FIRST, so a repair that dies
-    * (or races a concurrent publisher) mid-delete can never leave a dest
-    * that still passes the `_SUCCESS` guard while missing data files.
-    * Sibling `<dest>.tmp.*` orphans stranded by crashed sessions are swept
-    * opportunistically — only when stale by `OrphanTtlMs` (an in-flight
-    * concurrent writer's fresh tmp is never touched; if one ever were, its
-    * rename would lose the race and it falls back to the winner's dest).
+    * writer) and is a CLOSURE re-evaluated immediately before any repair
+    * delete: a session holding a stale invalid verdict cannot tear down an
+    * artifact a faster session just completed (the check-to-delete window
+    * shrinks to microseconds; the rename itself stays atomic). On repair,
+    * the validity marker (`_SUCCESS`) is deleted FIRST, so a repair that
+    * dies mid-delete can never leave a dest that still passes the guard
+    * while missing data files. Sibling `<dest>.tmp.*` orphans stranded by
+    * crashed sessions are swept only when stale by `OrphanTtlMs` — sized
+    * for this harness's seconds-long writes; a deployment with hours-long
+    * jobs must raise it (a committer-staged write may not touch the tmp
+    * root's mtime until job commit).
     */
-  def publishDir(tmp: File, dest: File, destValid: Boolean): Boolean = {
-    if (dest.exists() && !destValid) {
+  def publishDir(tmp: File, dest: File, destValid: () => Boolean): Boolean = {
+    if (dest.exists() && !destValid()) {
       new File(dest, "_SUCCESS").delete()
       deleteRecursively(dest)
     }
@@ -43,26 +89,10 @@ object LocalFs {
     won
   }
 
-  /** Cheap content fingerprint of source parquet paths (file or directory):
-    * a hash over every file's (name, length, mtime). Folded into write-once
-    * cache tags (CSV materializations, bucketed layouts, persisted models)
-    * so regenerating a corpus IN PLACE changes the tag and provably
-    * rebuilds, instead of silently serving stale artifacts.
-    */
-  def sourceFingerprint(paths: File*): String = {
-    def stat(f: File): Seq[String] =
-      if (f.isDirectory)
-        Option(f.listFiles).getOrElse(Array.empty[File])
-          .sortBy(_.getName).toSeq.flatMap(stat)
-      else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
-    val s = paths.flatMap(stat).mkString("|")
-    f"${scala.util.hashing.MurmurHash3.stringHash(s)}%08x"
-  }
-
   /** Age after which a stranded `<dest>.tmp.<appId>` directory is presumed
     * dead (crashed writer) rather than in-flight.
     */
-  private val OrphanTtlMs = 60L * 60 * 1000
+  private val OrphanTtlMs = 12L * 60 * 60 * 1000
 
   private def sweepOrphans(dest: File, keep: File): Unit = {
     val prefix = dest.getName + ".tmp."

@@ -94,7 +94,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** 64-bit SimHash fingerprint per document, plus 4×16-bit bands.
+  /** 64-bit SimHash fingerprint per document, plus 4×15-bit bands
+    * over the 60 real hash bits.
     * Classic Charikar construction: each token hash votes ±1 per bit
     * position;
     * fingerprint bit i is the sign of vote i. All higher-order functions —
@@ -120,8 +121,12 @@ object Dedup {
     * The token hash is md5-derived (first 15 hex chars = 60 bits; md5 hex
     * is engine-identical) rather than xxhash64 so the fingerprints are
     * cross-engine checkable — this key and the banded pairs run under the
-    * full DuckDB hash oracle. Bits 60–63 are structurally 0; band3 keeps
-    * 12 effective bits, which only widens its candidate set marginally.
+    * full DuckDB hash oracle. Bits 60–63 are structurally 0, so the bands
+    * are 4×15 bits over the 60 REAL bits (bits 0–59): uniform bucket
+    * cardinality per band (a 16-bit band over bits 48–63 would collapse to
+    * 12 effective bits — 16× the candidate volume in that band at scale).
+    * Pigeonhole is preserved: a pair at hamming ≤ 3 differs in ≤ 3 of the
+    * 60 real bits, leaving at least one of the 4 bands intact.
     */
   private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val votes = (0 until 64).map { i =>
@@ -141,14 +146,14 @@ object Dedup {
       .select(
         col("doc_id"),
         col("simhash"),
-        expr("simhash & 65535").as("band0"),
-        expr("shiftright(simhash, 16) & 65535").as("band1"),
-        expr("shiftright(simhash, 32) & 65535").as("band2"),
-        expr("shiftright(simhash, 48) & 65535").as("band3"))
+        expr("simhash & 32767").as("band0"),
+        expr("shiftright(simhash, 15) & 32767").as("band1"),
+        expr("shiftright(simhash, 30) & 32767").as("band2"),
+        expr("shiftright(simhash, 45) & 32767").as("band3"))
   }
 
   /** SimHash near-dup PAIRS: completes `dedupSimhash` with the banded
-    * self-join. Each doc emits its 4×16-bit bands; candidates are pairs
+    * self-join. Each doc emits its 4×15-bit bands; candidates are pairs
     * agreeing on ANY band (4 equi-joins expressed as one unpivoted join —
     * by pigeonhole every pair at hamming ≤ 3 shares at least one intact
     * band), then the exact hamming distance over the 64-bit fingerprints
@@ -350,10 +355,10 @@ object Dedup {
     "dedup_simhash" ->
       s"""WITH $simhashSqlCtes
          |SELECT doc_id, simhash,
-         |  simhash & 65535 AS band0,
-         |  (simhash >> 16) & 65535 AS band1,
-         |  (simhash >> 32) & 65535 AS band2,
-         |  (simhash >> 48) & 65535 AS band3
+         |  simhash & 32767 AS band0,
+         |  (simhash >> 15) & 32767 AS band1,
+         |  (simhash >> 30) & 32767 AS band2,
+         |  (simhash >> 45) & 32767 AS band3
          |FROM s ORDER BY doc_id""".stripMargin,
     // EXACT all-pairs 3-gram Jaccard distance twin for the MinHash-LSH
     // path: approxSimilarityJoin's distCol is spark.ml's EXACT key
@@ -361,7 +366,8 @@ object Dedup {
     // gates candidates. Oracle equality therefore proves (a) the distance
     // arithmetic, (b) LSH candidate recall 1.0 on this corpus, and (c) no
     // 2^18-bucket TF collisions perturb the values (all deterministic:
-    // fixed corpus + seed). Verified bit-exact at sf0.01.
+    // fixed corpus + seed). Verified bit-exact at sf0.01. The WHERE is a
+    // STRICT < 0.5: spark.ml filters `distCol < threshold` (exclusive).
     "dedup_near" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
@@ -376,13 +382,15 @@ object Dedup {
         |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard_dist
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE 1.0 - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(a.sh || b.sh)) <= 0.5
+        |      len(list_distinct(a.sh || b.sh)) < 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     // EXACT all-pairs 3-gram Jaccard twin: the Spark op is exact Jaccard
     // over banded candidates, so oracle equality additionally proves the
     // two-minima blocking has recall 1.0 on this corpus (deterministic:
     // fixed corpus + fixed salts). Jaccard over hashed shingle sets equals
-    // Jaccard over string shingle sets absent xxhash64 collisions.
+    // Jaccard over string shingle sets absent xxhash64 collisions. The
+    // WHERE filters the ROUNDED value — exactly what the Spark op does —
+    // so the twins agree even for raw ratios in [0.4999995, 0.5).
     "dedup_ngram" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
@@ -391,20 +399,21 @@ object Dedup {
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(toks) - 1),
         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM t)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |      len(list_distinct(a.sh || b.sh)) >= 0.5
+        |  FROM t),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |          len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, jaccard FROM p
+        |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSqlCtes,
          |b AS (
          |  SELECT doc_id, simhash,
-         |    unnest([simhash & 65535, (simhash >> 16) & 65535,
-         |            (simhash >> 32) & 65535, (simhash >> 48) & 65535])
+         |    unnest([simhash & 32767, (simhash >> 15) & 32767,
+         |            (simhash >> 30) & 32767, (simhash >> 45) & 32767])
          |      AS band_val,
          |    unnest([0, 1, 2, 3]) AS band_idx
          |  FROM s)

@@ -104,14 +104,11 @@ object Similarity {
     // infrastructure, not per-query work. The fitted model is persisted at
     // a corpus-keyed path; later sessions load it and only pay cluster
     // assignment. (Seeded fit → identical centroids either way.)
-    // the cache tag fingerprints the corpus content: regenerating the
-    // embeddings table in place changes the tag → the quantizer refits
-    // instead of silently serving stale centroids
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val fp = graft.LocalFs.sourceFingerprint(
+    // the cache tag fingerprints the corpus content (LocalFs.cachePath):
+    // regenerating the embeddings table in place changes the tag → the
+    // quantizer refits instead of silently serving stale centroids
+    val modelPath = graft.LocalFs.cachePath("graft_ivf_quantizer_v1", sfDir,
       new java.io.File(s"$sfDir/embeddings.parquet"))
-    val modelPath =
-      sys.props("java.io.tmpdir") + s"/graft_ivf_quantizer_v1${sfTag}_$fp"
     // saved to a session-private path, then atomically renamed into place:
     // the stable path only ever holds a COMPLETE model (ML writers land
     // metadata before data, so guarding on the writer's own files would
@@ -126,7 +123,7 @@ object Similarity {
         val tmp = s"$modelPath.tmp.${spark.sparkContext.applicationId}"
         m.write.overwrite().save(tmp)
         graft.LocalFs.publishDir(new java.io.File(tmp), dest,
-          destValid = dest.exists())
+          destValid = () => dest.exists())
         m
       }
     val assigned = model.transform(v)

@@ -61,12 +61,11 @@ object Sources {
     // the CSV stand-in for the reference's source file is materialized once
     // per corpus (stable path, _SUCCESS-guarded) — the key's point is the
     // all-string SCAN + post-hoc cast, not the write. The tag includes a
-    // source-content fingerprint: regenerating the corpus at the same path
-    // changes the tag, so a stale CSV can never be served.
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val fp = graft.LocalFs.sourceFingerprint(
+    // source-content fingerprint (LocalFs.cachePath): regenerating the
+    // corpus at the same path changes the tag, so a stale CSV can never be
+    // served.
+    val out = graft.LocalFs.cachePath("graft_scan_csv_v1", sfDir,
       new java.io.File(s"$sfDir/customer.parquet"))
-    val out = sys.props("java.io.tmpdir") + s"/graft_scan_csv_v1${sfTag}_$fp"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       // write session-private, publish by atomic rename (no two sessions
       // ever interleave files in the stable path — see LocalFs)
@@ -74,7 +73,7 @@ object Sources {
       Tables.table(spark, sfDir, "customer")
         .write.mode("overwrite").format("csv").option("header", "true").options(Tables.csvOptions).save(tmp)
       graft.LocalFs.publishDir(new java.io.File(tmp), new java.io.File(out),
-        destValid = new java.io.File(s"$out/_SUCCESS").exists())
+        destValid = () => new java.io.File(s"$out/_SUCCESS").exists())
     }
     Tables.csv(spark, out) // all-string schema, the reference's entry shape
       .select(
@@ -122,11 +121,9 @@ object Sources {
     // bucketed files with a metadata-only CREATE TABLE ... CLUSTERED BY and
     // skips the rewrite; a regenerated corpus changes the fingerprint and
     // provably rebuilds.
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val fp = graft.LocalFs.sourceFingerprint(
+    val base = graft.LocalFs.cachePath("graft_bucketed_v2", sfDir,
       new java.io.File(s"$sfDir/lineitem.parquet"),
       new java.io.File(s"$sfDir/orders.parquet"))
-    val base = sys.props("java.io.tmpdir") + s"/graft_bucketed_v2${sfTag}_$fp"
     def bucketize(name: String, key: String): Unit = {
       val tbl = s"graft_bucketed_$name"
       val path = s"$base/$name"
@@ -145,7 +142,7 @@ object Sources {
           .saveAsTable(s"${tbl}_stage")
         spark.sql(s"DROP TABLE ${tbl}_stage")
         graft.LocalFs.publishDir(new java.io.File(tmp), new java.io.File(path),
-          destValid = new java.io.File(s"$path/_SUCCESS").exists())
+          destValid = () => new java.io.File(s"$path/_SUCCESS").exists())
       }
       // metadata-only registration of the (now-complete) bucketed files
       val schemaDdl = Tables.table(spark, sfDir, name).schema.toDDL

@@ -6,14 +6,14 @@ import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Write-once cache plumbing: content-fingerprinted tags (a regenerated
-  * corpus can never serve a stale artifact), invalid-dest repair, and
-  * stale-orphan sweeping.
+  * corpus can never serve a stale artifact), invalid-dest repair, stale
+  * orphan sweeping, and superseded-fingerprint cleanup.
   */
 class LocalFsSpec extends AnyFunSuite {
 
   private def mkTmp(): File = Files.createTempDirectory("graft_fs").toFile
 
-  test("sourceFingerprint changes when source content is regenerated") {
+  test("sourceFingerprint changes on regeneration and rejects missing paths") {
     val dir = mkTmp()
     val f = new File(dir, "t.parquet")
     Files.writeString(f.toPath, "aaa")
@@ -23,6 +23,24 @@ class LocalFsSpec extends AnyFunSuite {
     assert(fp1 != fp2)
     // directories fingerprint their contents recursively
     assert(LocalFs.sourceFingerprint(dir) == LocalFs.sourceFingerprint(dir))
+    // a missing source must fail loudly, not fingerprint as a constant
+    intercept[IllegalArgumentException] {
+      LocalFs.sourceFingerprint(new File(dir, "nope.parquet"))
+    }
+  }
+
+  test("cachePath changes with the source and sweeps superseded siblings") {
+    val dir = mkTmp()
+    val src = new File(dir, "t.parquet")
+    Files.writeString(src.toPath, "v1")
+    val p1 = LocalFs.cachePath("graft_fs_spec_", dir.getPath, src)
+    new File(p1).mkdirs()
+    Files.writeString(new File(p1, "artifact").toPath, "old")
+    Files.writeString(src.toPath, "v2-longer") // regenerate in place
+    val p2 = LocalFs.cachePath("graft_fs_spec_", dir.getPath, src)
+    assert(p1 != p2)
+    // the v1 artifact is superseded — cachePath removed it
+    assert(!new File(p1).exists(), "superseded cache dir should be swept")
   }
 
   test("publishDir repairs an invalid dest and sweeps stale tmp orphans") {
@@ -34,12 +52,13 @@ class LocalFsSpec extends AnyFunSuite {
     // stale orphan from a crashed session (old mtime → presumed dead)
     val orphan = new File(root, "cache.tmp.dead")
     orphan.mkdirs()
-    orphan.setLastModified(System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    orphan.setLastModified(System.currentTimeMillis() - 13L * 60 * 60 * 1000)
     val tmp = new File(root, "cache.tmp.live")
     tmp.mkdirs()
     Files.writeString(new File(tmp, "_SUCCESS").toPath, "")
     Files.writeString(new File(tmp, "data").toPath, "good")
-    assert(LocalFs.publishDir(tmp, dest, destValid = false))
+    assert(LocalFs.publishDir(tmp, dest,
+      destValid = () => new File(dest, "_SUCCESS").exists()))
     assert(new File(dest, "data").exists())
     assert(new File(dest, "_SUCCESS").exists())
     assert(!new File(dest, "partial").exists())
@@ -55,8 +74,26 @@ class LocalFsSpec extends AnyFunSuite {
     val tmp = new File(root, "cache.tmp.loser")
     tmp.mkdirs()
     Files.writeString(new File(tmp, "data").toPath, "loser")
-    assert(!LocalFs.publishDir(tmp, dest, destValid = true))
+    assert(!LocalFs.publishDir(tmp, dest, destValid = () => true))
     assert(!tmp.exists(), "losing tmp should be discarded")
+    assert(Files.readString(new File(dest, "data").toPath) == "winner")
+  }
+
+  test("publishDir re-evaluates validity at delete time (stale verdict is safe)") {
+    // session B computed destValid=false earlier, but session A has since
+    // published a complete artifact; B's publish must NOT tear it down
+    val root = mkTmp()
+    val dest = new File(root, "cache")
+    dest.mkdirs()
+    Files.writeString(new File(dest, "_SUCCESS").toPath, "")
+    Files.writeString(new File(dest, "data").toPath, "winner")
+    val tmp = new File(root, "cache.tmp.stale")
+    tmp.mkdirs()
+    Files.writeString(new File(tmp, "data").toPath, "stale-session")
+    // the CLOSURE sees the current (valid) state even though the session's
+    // earlier check said invalid
+    assert(!LocalFs.publishDir(tmp, dest,
+      destValid = () => new File(dest, "_SUCCESS").exists()))
     assert(Files.readString(new File(dest, "data").toPath) == "winner")
   }
 }

@@ -107,22 +107,27 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("sbwc")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    // total_value rounded to 4dp: partial-agg sum order differs between
-    // the incremental and batch plans, so the doubles agree to fp error
-    def key(r: org.apache.spark.sql.Row) =
-      (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
-    val streamed = spark.sql(
-      """SELECT window_start, event_type, n_events,
-        |  ROUND(total_value, 4) AS tv FROM sbwc""".stripMargin)
-      .collect().map(key).toSet
-    val batch = ev
+    // group keys and counts must agree EXACTLY; the double sums agree to a
+    // tolerance (partial-agg sum order differs between the incremental and
+    // batch plans, and rounding both sides could still split at a 4dp
+    // half-boundary)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getTimestamp(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val streamed = rows(spark.sql(
+      "SELECT window_start, event_type, n_events, total_value FROM sbwc"))
+    val batch = rows(ev
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
       .select(col("window.start"), col("event_type"), col("n_events"),
-        round(col("total_value"), 4))
-      .collect().map(key).toSet
+        col("total_value")))
     assert(streamed.nonEmpty)
-    assert(streamed == batch)
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (n, tv)) =>
+      val (bn, btv) = batch(k)
+      assert(n == bn, s"count mismatch at $k: $n vs $bn")
+      assert(math.abs(tv - btv) < 1e-6, s"sum mismatch at $k: $tv vs $btv")
+    }
   }
 
   test("sessionization closes sessions when the watermark passes the gap") {
