@@ -197,30 +197,36 @@ object Dedup {
     * boundedness test.
     */
   private[graft] def shingleSets(docs: DataFrame): DataFrame = {
-    // Shingle hashing is done on exploded rows (posexplode + lead window +
-    // xxhash64), not inside array-lambda HOFs: row expressions stay in
-    // whole-stage codegen while lambda bodies are interpreted per element —
-    // measured ~3× cheaper on this corpus. Shingles are carried as 64-bit
-    // hashes; set ops on fixed i64s beat variable-length strings and the
-    // Jaccard estimate is exact up to 2^-64 collisions.
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val aggs = collect_set(col("shingle")).as("shingles") +:
-      (0 until NgramBands).map(k =>
-        sort_array(collect_set(xxhash64(col("shingle"), lit(k)))).as(s"bh$k"))
+    // Shingle hashes are built IN-ROW from the `tokens` array with
+    // higher-order functions — a pure projection, ZERO shuffle (plan-guarded
+    // in PlanSpec). The earlier exploded-rows form (posexplode + lead window
+    // + re-group) kept row expressions in whole-stage codegen (~3× less CPU
+    // per shingle than interpreted lambda bodies) but its window forced an
+    // `Exchange hashpartitioning(doc_id)` of EVERY token row — at 100 TB
+    // that is the whole corpus' text crossing the wire before a single
+    // shingle exists. A constant CPU factor is the right price for removing
+    // a corpus-sized shuffle. Shingles are carried as 64-bit hashes; set
+    // ops on fixed i64s beat variable-length strings and the Jaccard
+    // estimate is exact up to 2^-64 collisions.
+    val shingles = array_distinct(
+      transform(sequence(lit(0), size(col("tokens")) - 3),
+        i => xxhash64(
+          element_at(col("tokens"), i + 1),
+          element_at(col("tokens"), i + 2),
+          element_at(col("tokens"), i + 3))))
     val bandCols = (0 until NgramBands).flatMap { k =>
-      Seq(element_at(col(s"bh$k"), 1).as(s"b${k}m1"),
-        // singleton-shingle docs block on (min, min)
-        coalesce(element_at(col(s"bh$k"), 2), element_at(col(s"bh$k"), 1))
+      // two smallest salted hashes of the DISTINCT shingle set (matching
+      // the previous collect_set semantics up to 64-bit collisions)
+      val bh = array_sort(array_distinct(
+        transform(col("shingles"), s => xxhash64(s, lit(k)))))
+      Seq(element_at(bh, 1).as(s"b${k}m1"),
+        // singleton-shingle docs block on (min, min); try_element_at is the
+        // ANSI-safe out-of-bounds probe (element_at would throw)
+        coalesce(try_element_at(bh, lit(2)), element_at(bh, 1))
           .as(s"b${k}m2"))
     }
     docs
-      .select(col("doc_id"), posexplode(col("tokens")).as(Seq("pos", "tok")))
-      .withColumn("tok1", lead(col("tok"), 1).over(byDoc))
-      .withColumn("tok2", lead(col("tok"), 2).over(byDoc))
-      .filter(col("tok2").isNotNull)
-      .withColumn("shingle", xxhash64(col("tok"), col("tok1"), col("tok2")))
-      .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), shingles.as("shingles"))
       .select(col("doc_id") +: col("shingles") +: bandCols: _*)
   }
 

@@ -55,6 +55,29 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("ngram shingle sets are built in-row: zero Exchange before the band join") {
+    // the 100 TB property behind the r3 rewrite: shingle construction is a
+    // pure projection over the scan — no posexplode + window shuffle of
+    // every token row. The only Exchanges in dedup_ngram are the slim band
+    // self-join and the pair set-join-back, never the raw text.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+    val p = ops.Dedup.shingleSets(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("simhash fingerprints aggregate map-side before the doc_id exchange") {
+    // the shuffle-volume claim in Dedup.simhashFingerprints: partial
+    // (map-side) aggregation means the one shuffle carries 64 longs per doc
+    // per partition, not one row per token. A refactor that loses partial
+    // aggregation (e.g. votes through a non-partial agg form) must fail.
+    val p = plan("dedup_simhash")
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("ml_assembler evaluates the vector conversion exactly once") {
     // two UDF invocations total: the VectorAssembler itself and ONE hoisted
     // vector_to_array — four inlined copies (one per element_at slot) would
