@@ -94,13 +94,35 @@ object LocalFs {
     */
   private val OrphanTtlMs = 12L * 60 * 60 * 1000
 
-  private def sweepOrphans(dest: File, keep: File): Unit = {
-    val prefix = dest.getName + ".tmp."
+  private def sweepOrphans(dest: File, keep: File): Unit =
+    sweepAged(dest.getParentFile, dest.getName + ".tmp.", keep, OrphanTtlMs)
+
+  /** Delete sibling entries of `parent` whose name starts with `prefix`,
+    * excluding `keep`, once older than `ttlMs` — the crashed-session
+    * garbage collector shared by the publish tmp dirs and the per-session
+    * sink dirs. The age guard is what makes the sweep safe against a LIVE
+    * concurrent session's directory (a crashed one stops touching its
+    * files; a live one is younger than any sane TTL).
+    */
+  def sweepAged(parent: File, prefix: String, keep: File, ttlMs: Long): Unit = {
     val now = System.currentTimeMillis()
-    Option(dest.getParentFile).flatMap(p => Option(p.listFiles))
+    Option(parent).flatMap(p => Option(p.listFiles))
       .getOrElse(Array.empty[File])
       .filter(f => f.getName.startsWith(prefix) && f != keep &&
-        now - f.lastModified() > OrphanTtlMs)
+        now - f.lastModified() > ttlMs)
       .foreach(deleteRecursively)
   }
+
+  private val exitHooks =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Register one-time JVM-exit deletion for a session-scoped directory
+    * (per-session sink outputs: written and read within one session, junk
+    * after it). Idempotent per path.
+    */
+  def deleteOnExit(f: File): Unit =
+    if (exitHooks.add(f.getPath)) {
+      sys.addShutdownHook(deleteRecursively(f))
+      ()
+    }
 }

@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // production config: the engine's native SQL functions (dot_product)
+      // are registered in the graded sessions, not just the dev probe
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as a long (ns) and let Tables.events normalize.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -295,7 +295,14 @@ object Dedup {
     * random-hyperplane LSH's euclidean threshold maps to a cosine floor
     * (‖a−b‖² = 2−2cos ⇒ dist ≤ 1.2 ⟺ cos ≥ 0.28).
     */
-  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupEmbed(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbed(spark, sfDir, col("vec_id") < 100)
+
+  /** Embedding near-dup report for an arbitrary probe predicate over the
+    * embeddings table (the default query probes vec_id < 100).
+    */
+  def dedupEmbed(spark: SparkSession, sfDir: String,
+      probe: org.apache.spark.sql.Column): DataFrame = {
     // shared unit-vector prep + LSH config from Similarity — one source of
     // truth for normalization, bucket length, tables, seed, dist→cosine
     val v = Similarity.unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
@@ -304,7 +311,7 @@ object Dedup {
     // recompute-avoidance as dedupNear; approxSimilarityJoin skips its
     // transform when the hash column is present
     val hashed = model.transform(v).persist()
-    val probes = hashed.filter(col("vec_id") < 100)
+    val probes = hashed.filter(probe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("nn_id"))
     model.approxSimilarityJoin(probes, hashed, 1.2, "dist")

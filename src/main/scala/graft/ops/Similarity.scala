@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -35,6 +35,13 @@ object Similarity {
 
   private val K = 10
   private val NProbes = 5
+
+  /** Default probe set for the demo queries: the first `NProbes` vectors.
+    * Every search path also has an overload taking an arbitrary probe
+    * predicate — the ANN surface is an API, not a fixed demo (any filter
+    * over the embeddings table selects the query side).
+    */
+  private def defaultProbe: Column = col("vec_id") < NProbes
 
   /** embeddings with double-cast vector and precomputed L2 norm (computed
     * once per row, not once per pair). Norm via the codegen'd native
@@ -68,10 +75,17 @@ object Similarity {
   private[ops] def cosineFromDist(dist: org.apache.spark.sql.Column) =
     round(lit(1.0) - dist * dist / 2.0, 6)
 
-  /** Exact top-k cosine neighbors for probe vectors (vec_id < NProbes). */
-  def simSearch(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Exact top-k cosine neighbors for the default probe set. */
+  def simSearch(spark: SparkSession, sfDir: String): DataFrame =
+    simSearch(spark, sfDir, defaultProbe)
+
+  /** Exact top-k cosine neighbors for an arbitrary probe predicate over the
+    * embeddings table. `k` bounds neighbors per probe.
+    */
+  def simSearch(spark: SparkSession, sfDir: String, probe: Column,
+      k: Int = K): DataFrame = {
     val v = prepped(spark, sfDir)
-    val probes = v.filter(col("vec_id") < NProbes)
+    val probes = v.filter(probe)
       .select(col("vec_id").as("q_id"), col("demb").as("q_emb"),
         col("nrm").as("q_nrm"))
     val cands = v.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
@@ -84,7 +98,7 @@ object Similarity {
         VectorMath.dot(col("q_emb"), col("c_emb"))
           / (col("q_nrm") * col("c_nrm")), 6))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
       .orderBy(col("q_id"), col("rnk"))
   }
@@ -96,7 +110,12 @@ object Similarity {
     * write-once partitioning column, and each query touches
     * nProbe/nClusters of the data instead of all of it.
     */
-  def simSearchIvf(spark: SparkSession, sfDir: String): DataFrame = {
+  def simSearchIvf(spark: SparkSession, sfDir: String): DataFrame =
+    simSearchIvf(spark, sfDir, defaultProbe)
+
+  /** IVF search for an arbitrary probe predicate over the embeddings table. */
+  def simSearchIvf(spark: SparkSession, sfDir: String, probe: Column,
+      k: Int = K): DataFrame = {
     val nClusters = 16
     val nProbe = 4
     val v = unitVectors(spark, sfDir)
@@ -134,7 +153,7 @@ object Similarity {
         .map { case (c, i) => (i, c.toArray.toSeq) })
       .toDF("cluster", "centroid")
     // each probe picks its nProbe nearest centroids (16 rows → broadcast)
-    val probes = assigned.filter(col("vec_id") < NProbes)
+    val probes = assigned.filter(probe)
       .select(col("vec_id").as("q_id"), col("unit").as("q_unit"))
     val wC = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cluster"))
@@ -151,7 +170,7 @@ object Similarity {
       .withColumn("sim", round(VectorMath.dot(col("q_unit"), col("unit")), 6))
       .select(col("q_id"), col("vec_id").as("c_id"), col("sim"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -160,12 +179,17 @@ object Similarity {
     * threshold 1.2 ⟺ cosine ≥ 0.28 floor). Recall vs the exact path is
     * asserted in-suite; results are seed-deterministic, not SQL-checkable.
     */
-  def simSearchLsh(spark: SparkSession, sfDir: String): DataFrame = {
+  def simSearchLsh(spark: SparkSession, sfDir: String): DataFrame =
+    simSearchLsh(spark, sfDir, defaultProbe)
+
+  /** LSH-bucketed search for an arbitrary probe predicate. */
+  def simSearchLsh(spark: SparkSession, sfDir: String, probe: Column,
+      k: Int = K): DataFrame = {
     val v = unitVectors(spark, sfDir).select(col("vec_id"), col("vec"))
     val model = fitBrpLsh(v)
     // normalize+hash once for both join sides (see Dedup.dedupNear)
     val hashed = model.transform(v).persist()
-    val probes = hashed.filter(col("vec_id") < NProbes)
+    val probes = hashed.filter(probe)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))
     model.approxSimilarityJoin(probes, hashed, 1.2, "dist")
@@ -175,7 +199,7 @@ object Similarity {
         col("datasetB.vec_id").as("c_id"),
         cosineFromDist(col("dist")).as("sim"))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= K)
+      .filter(col("rnk") <= k)
       .orderBy(col("q_id"), col("rnk"))
   }
 

@@ -19,6 +19,27 @@ import graft.Tables
   */
 object Sources {
 
+  /** Age after which another session's sink directory is presumed dead.
+    * Sink outputs are written and read WITHIN one session (the per-appId
+    * name exists only so concurrent runs can't tear each other's files), so
+    * an hour-old sibling can only be a crashed session's leftover.
+    */
+  private val SinkTtlMs = 60L * 60 * 1000
+
+  /** Per-session sink path under tmp: unique per appId (concurrent runs
+    * stay isolated), deleted on JVM exit, with aged crashed-session
+    * siblings swept on allocation — repeated sessions leave at most the
+    * live session's directory behind.
+    */
+  private def sessionSinkPath(spark: SparkSession, prefix: String): String = {
+    val parent = new java.io.File(sys.props("java.io.tmpdir"))
+    val self = new java.io.File(parent,
+      s"$prefix${spark.sparkContext.applicationId}")
+    graft.LocalFs.sweepAged(parent, prefix, keep = self, ttlMs = SinkTtlMs)
+    graft.LocalFs.deleteOnExit(self)
+    self.getPath
+  }
+
   /** Plain parquet scan. Catalyst prunes `ReadSchema` to the projected
     * columns — on a wide 100 TB table this is the difference between reading
     * two columns and reading all of them.
@@ -37,8 +58,7 @@ object Sources {
   def sinkCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     // per-session path: two concurrent runs (e.g. a Bench overlapping a
     // Verify) must not overwrite each other's sink mid-read
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_sink_csv_${spark.sparkContext.applicationId}"
+    val out = sessionSinkPath(spark, "graft_sink_csv_")
     Tables.table(spark, sfDir, "nation")
       .write.mode("overwrite").format("csv").option("header", "true").options(Tables.csvOptions).save(out)
     Tables.csv(spark, out)
@@ -94,8 +114,7 @@ object Sources {
     * a full scan into a directory listing.
     */
   def sinkParquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = sys.props("java.io.tmpdir") +
-      s"/graft_sink_parquet_${spark.sparkContext.applicationId}"
+    val out = sessionSinkPath(spark, "graft_sink_parquet_")
     Tables.table(spark, sfDir, "documents")
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     spark.read.parquet(out)

@@ -152,4 +152,36 @@ object Streams {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
   }
+
+  /** Batch twin of [[sessionize]]: the same session definition — maximal
+    * runs of per-user events where consecutive gaps are ≤ `gapMinutes` —
+    * computed with window functions over data at rest (`lag` + cumulative
+    * session-start counter, the classic formulation). One output row per
+    * session, same columns as [[SessionOut]].
+    *
+    * Exists both as the batch API for the operator AND as the independent
+    * formulation the suite pins the streaming interval-merge against:
+    * stream(corpus) replayed to completion must equal batch(corpus).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gapMs = gapMinutes * 60L * 1000L
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(byUser))
+      // a session STARTS where there is no predecessor within the gap;
+      // boundary inclusive on gap == gapMs, matching the interval merge
+      .withColumn("sess_start", when(col("prev_ms").isNull ||
+        unix_millis(col("ts")) - col("prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("sess_start")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("start"),
+        max(col("ts")).as("end"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("n_events"), col("start"), col("end"),
+        col("total_value"))
+  }
 }

@@ -160,6 +160,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.2, s"ivf recall too low: $recall")
   }
 
+  test("LSH sim_search recalls a floor of the exact top-10") {
+    import spark.implicits._
+    // mirrors the IVF recall floor: bounded-by-exact alone would pass a
+    // bucket-config regression that degrades to near-empty candidate sets;
+    // requiring overlap with the exact top-10 pins candidate volume too
+    val exact = Similarity.simSearch(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.simSearchLsh(spark, sf)
+      .select("q_id", "c_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.2, s"lsh recall too low: $recall")
+  }
+
+  test("probe predicate overloads select the query side of every ANN path") {
+    import spark.implicits._
+    // the ANN surface is an API, not a fixed demo: any predicate over the
+    // embeddings table picks the probes; k bounds neighbors per probe
+    val ex = Similarity.simSearch(spark, sf, col("vec_id").between(7, 9), k = 3)
+    assert(ex.select("q_id").distinct().as[Long].collect().toSet ==
+      Set(7L, 8L, 9L))
+    assert(ex.groupBy("q_id").count().filter(col("count") =!= 3).count() == 0)
+    // default query unchanged (oracle depends on it)
+    assert(Similarity.simSearch(spark, sf)
+      .select("q_id").distinct().as[Long].collect().toSet ==
+      (0L until 5L).toSet)
+    assert(Similarity.simSearchLsh(spark, sf, col("vec_id") === 3L)
+      .select("q_id").distinct().as[Long].collect().toSet == Set(3L))
+    assert(Similarity.simSearchIvf(spark, sf, col("vec_id") === 4L)
+      .select("q_id").distinct().as[Long].collect().toSet == Set(4L))
+    assert(Dedup.dedupEmbed(spark, sf, col("vec_id") === 5L)
+      .select("q_id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("LSH sim_search similarities never exceed exact-path top-1") {
     import spark.implicits._
     val exact = Similarity.simSearch(spark, sf)

@@ -79,6 +79,28 @@ class LocalFsSpec extends AnyFunSuite {
     assert(Files.readString(new File(dest, "data").toPath) == "winner")
   }
 
+  test("sweepAged removes only aged prefix-matching siblings") {
+    // the crashed-session GC behind per-session sink dirs: a dead session's
+    // hour-old directory goes; a LIVE concurrent session's (younger than
+    // TTL), the caller's own, and foreign-prefix entries all stay
+    val parent = mkTmp()
+    def mk(name: String, aged: Boolean): File = {
+      val d = new File(parent, name)
+      d.mkdirs()
+      if (aged) d.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+      d
+    }
+    val dead = mk("sink_a_dead", aged = true)
+    val live = mk("sink_a_live", aged = false)
+    val self = mk("sink_a_self", aged = true) // excluded even when aged
+    val foreign = mk("other_x", aged = true)
+    LocalFs.sweepAged(parent, "sink_a_", keep = self, ttlMs = 3600 * 1000L)
+    assert(!dead.exists(), "aged sibling should be swept")
+    assert(live.exists(), "young sibling must survive (live session)")
+    assert(self.exists(), "keep-dir must survive")
+    assert(foreign.exists(), "foreign prefix must survive")
+  }
+
   test("publishDir re-evaluates validity at delete time (stale verdict is safe)") {
     // session B computed destValid=false earlier, but session A has since
     // published a complete artifact; B's publish must NOT tear it down

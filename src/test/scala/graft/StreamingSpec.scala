@@ -130,6 +130,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sessionization equals the batch twin over the corpus") {
+    import org.apache.spark.sql.functions._
+    // the interval-merge in Streams.sessionize, pinned against an
+    // INDEPENDENT formulation (lag + cumulative session counter) over the
+    // harness events corpus: every closed streaming session must match the
+    // batch session row for that (user, start)
+    val dir = Files.createTempDirectory("graft_sessb_in").toString
+    val ev = Tables.events(spark, sf)
+      .filter(col("value").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    ev.write.mode("append").parquet(dir)
+    // sentinel batch far past every corpus event: advances the watermark
+    // beyond last + gap for all real users, so every real session closes
+    val maxTs = ev.agg(max(col("ts"))).first().getTimestamp(0)
+    writeBatch(dir, Seq((-1L,
+      new Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000), -1L,
+      "sentinel", 0.0)))
+    val checkpoint = Files.createTempDirectory("graft_sessb_ck").toString
+    val q = Streams.sessionize(spark, Streams.readEvents(spark, dir), 30)
+      .writeStream.format("memory").queryName("sessb")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getTimestamp(2)) ->
+        (r.getLong(1), r.getTimestamp(3), r.getDouble(4))).toMap
+    val streamed = keyed(spark.sql(
+      "SELECT user_id, n_events, start, end, total_value FROM sessb WHERE user_id >= 0"))
+    val batch = keyed(Streams.sessionizeBatch(ev, 30))
+    assert(streamed.nonEmpty, "corpus should close at least one session")
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (n, end, tv)) =>
+      val (bn, bEnd, btv) = batch(k)
+      assert(n == bn, s"event count mismatch at $k: $n vs $bn")
+      assert(end == bEnd, s"session end mismatch at $k: $end vs $bEnd")
+      // double sum order differs between the incremental fold and the
+      // batch partial aggregation
+      assert(math.abs(tv - btv) < 1e-6, s"sum mismatch at $k: $tv vs $btv")
+    }
+  }
+
   test("sessionization closes sessions when the watermark passes the gap") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 1: two events 5 min apart (one session); user 2: one event.
