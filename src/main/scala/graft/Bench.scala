@@ -54,7 +54,7 @@ object Bench {
     "bucketed_join" -> 2.35, "ml_evaluator" -> 2.94,
     "dedup_simhash_pairs" -> 2.95, "ml_rf_classifier" -> 3.46,
     "ml_fit_predict_eval" -> 3.74, "ml_cross_validator" -> 4.43,
-    "dedup_near" -> 4.46, "mm_decode_stub" -> 4.78, "part_brand_agg" -> 5.38,
+    "dedup_near" -> 4.46, "mm_decode_stub" -> 0.6, "part_brand_agg" -> 5.38,
     "json_extract" -> 5.39, "ml_pipeline" -> 5.94, "ml_rebalance_fit" -> 5.90)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */

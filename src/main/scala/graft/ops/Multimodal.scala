@@ -35,26 +35,25 @@ object Multimodal {
   def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     // slot i samples 32 strided positions from segment i of the doc:
     // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1).
-    // Built as 32 explicit codegen'd terms, not an aggregate-lambda HOF —
-    // lambda bodies evaluate interpreted per element and this is a hot
-    // per-row expression. Position arithmetic over BIGINT: (255 × INT
-    // length) would overflow under ANSI mode for multi-GB documents.
-    def slot(i: Int) = {
-      val n = length(col("text")).cast(LongType)
-      val terms = (0 until 32).map { j =>
-        val pos = ((lit((i * 32 + j).toLong) * n) / 256L)
-          .cast(IntegerType) + 1
-        ascii(col("text").substr(pos, lit(1))).cast(LongType)
-      }
-      (pmod(terms.reduce(_ + _), lit(1000L)).cast(DoubleType) / 1000.0)
-        .as(s"f$i")
-    }
+    // All 8 slot sums come from ONE native single-pass expression
+    // (StridedAsciiSums): the composed 256-term ascii/substr tree both
+    // overflowed janino's method limit (whole stage silently interpreted)
+    // and re-walked the string from offset 0 per term. The sums array is
+    // hoisted into its own projection so it evaluates once — CollapseProject
+    // never re-inlines a non-cheap alias referenced 8× (same hoist as
+    // ml_assembler, plan-guarded in the suite). The suite also pins the
+    // native expression bit-equal to the composed form.
+    def slot(i: Int) =
+      (pmod(element_at(col("slot_sums"), i + 1), lit(1000L))
+        .cast(DoubleType) / 1000.0).as(s"f$i")
     table(spark, sfDir, "documents")
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("meta", struct(
         length(col("payload")).as("n_bytes"),
         lit("application/octet-stream").as("mime"),
         md5(col("payload")).as("checksum")))
+      .withColumn("slot_sums", graft.functions.StringMath.stridedAsciiSums(
+        col("text"), slots = 8, terms = 32, denom = 256))
       .select(Seq(col("doc_id"),
         col("meta.n_bytes").as("n_bytes"),
         col("meta.mime").as("mime"),

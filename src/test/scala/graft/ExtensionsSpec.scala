@@ -204,6 +204,33 @@ class ExtensionsSpec extends SparkSpec {
     lsh.foreach { case (q, s) => assert(s <= exact(q) + 1e-9) }
   }
 
+  test("native strided_ascii_sums equals the composed ascii/substr form") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import graft.functions.StringMath
+    import spark.implicits._
+    // the decode stub's single-pass loop must be bit-equal to the
+    // expression tree it replaced (which the suite keeps as the semantic
+    // spec), including the empty-string, multi-byte-codepoint, and
+    // shorter-than-sample-count edges
+    def composed(textCol: org.apache.spark.sql.Column, i: Int) = {
+      val n = length(textCol).cast(LongType)
+      (0 until 32).map { j =>
+        val pos = ((lit((i * 32 + j).toLong) * n) / 256L)
+          .cast(IntegerType) + 1
+        ascii(textCol.substr(pos, lit(1))).cast(LongType)
+      }.reduce(_ + _)
+    }
+    val corpus = Tables.table(spark, sf, "documents").select(col("text"))
+    val edges = Seq("", "é", "héllo wörld", "a").toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val sums = StringMath.stridedAsciiSums(col("text"), 8, 32, 256)
+      val bad = (0 until 8).map { i =>
+        !(element_at(sums, i + 1) <=> composed(col("text"), i))
+      }.reduce(_ || _)
+      assert(df.filter(bad).count() == 0)
+    }
+  }
+
   test("text_stats ratios are in [0,1] and token math is consistent") {
     val df = TextAnalysis.textStats(spark, sf)
     assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)

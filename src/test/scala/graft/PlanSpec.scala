@@ -78,6 +78,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("mm_decode_stub evaluates the slot-sum pass exactly once") {
+    // the hoisted slot_sums alias is referenced by 8 element_at slots; if a
+    // rewrite let CollapseProject inline it, the single-pass expression
+    // would run 8× per row and the plan would show 8 copies
+    val p = plan("mm_decode_stub")
+    val n = "strided_ascii_sums".r.findAllIn(p).length
+    assert(n == 1, s"expected 1 strided_ascii_sums evaluation, got $n in:\n$p")
+  }
+
   test("ml_assembler evaluates the vector conversion exactly once") {
     // two UDF invocations total: the VectorAssembler itself and ONE hoisted
     // vector_to_array — four inlined copies (one per element_at slot) would
