@@ -57,7 +57,8 @@ object Bench {
     "ml_onehot" -> 0.66, "window_top1" -> 0.68, "lang_id" -> 0.69,
     "doc_fingerprint" -> 0.7, "json_extract" -> 0.72, "join_left" -> 0.73,
     "ml_string_indexer_multi" -> 0.74, "text_stats" -> 0.76,
-    "window_rank" -> 0.78, "scan_csv_typed" -> 0.81, "dedup_embed" -> 1.01,
+    "window_rank" -> 0.78, "scan_csv_typed" -> 0.81,
+    "sessionize_batch" -> 0.9, "dedup_embed" -> 1.01,
     "sink_parquet_partitioned" -> 1.06,
     "flagship_nation_top_supplier" -> 1.12, "part_brand_agg" -> 1.15,
     "sim_search_lsh" -> 1.17, "groupby_agg" -> 1.21, "dedup_ngram" -> 1.3,

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.Scalars
 import graft.ops.{Dedup, MLOps, Multimodal, Relational, Similarity, Sources,
   TextAnalysis}
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -89,6 +90,8 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    // sessionization, batch form (streaming twin suite-pinned equal)
+    "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
     // §2j multimodal plumbing
     "mm_decode_stub" -> (Multimodal.decodeStub _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
@@ -99,7 +102,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (47 of 58 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (48 of 59 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants
@@ -108,5 +111,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql
 }

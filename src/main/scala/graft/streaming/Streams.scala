@@ -163,6 +163,45 @@ object Streams {
     * formulation the suite pins the streaming interval-merge against:
     * stream(corpus) replayed to completion must equal batch(corpus).
     */
+  /** `sessionize_batch` query key: 30-minute-gap sessions over the harness
+    * events table. The double sum is rounded to 6dp only here (the oracle
+    * engine's sum order is unknown; the raw [[sessionizeBatch]] keeps full
+    * precision for the stream-equality suite) and the output is ordered on
+    * the (user, session-start) key for the hash compare. Tie-safety: `lag`
+    * over equal timestamps is order-ambiguous, but a tied pair has gap 0,
+    * so session membership and all aggregates are invariant to the tie
+    * order — the output is deterministic across engines and partitionings.
+    */
+  def sessionizeBatchQuery(spark: SparkSession, sfDir: String): DataFrame =
+    sessionizeBatch(graft.Tables.events(spark, sfDir), gapMinutes = 30)
+      .select(col("user_id"), col("n_events"), col("start"), col("end"),
+        round(col("total_value"), 6).as("total_value"))
+      .orderBy(col("user_id"), col("start"))
+
+  val oracleSql: Map[String, String] = Map(
+    // lag + cumulative session counter, the same independent formulation
+    // the suite pins the streaming interval-merge against; epoch_ms diffs
+    // in BIGINT ms exactly mirror unix_millis. "end" needs quoting in
+    // DuckDB (reserved); the unquoted Spark column name is identical.
+    "sessionize_batch" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |      THEN 1 ELSE 0 END AS sess_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, SUM(sess_start) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m)
+        |SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS start,
+        |  MAX(ts) AS "end", ROUND(SUM(value), 6) AS total_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, start""".stripMargin
+  )
+
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gapMs = gapMinutes * 60L * 1000L
