@@ -167,22 +167,29 @@ object Streams {
     * events table. The double sum is rounded to 6dp only here (the oracle
     * engine's sum order is unknown; the raw [[sessionizeBatch]] keeps full
     * precision for the stream-equality suite) and the output is ordered on
-    * the (user, session-start) key for the hash compare. Tie-safety: `lag`
-    * over equal timestamps is order-ambiguous, but a tied pair has gap 0,
-    * so session membership and all aggregates are invariant to the tie
-    * order — the output is deterministic across engines and partitionings.
+    * the (user, session-start) key for the hash compare. Session bounds
+    * are surfaced as epoch-millis BIGINTs, not timestamps: Spark writes
+    * parquet timestamps tz-adjusted while the oracle engine produces
+    * tz-naive ones — an integer is the comparator-safe representation.
+    * Tie-safety: `lag` over equal timestamps is order-ambiguous, but a
+    * tied pair has gap 0, so session membership and all aggregates are
+    * invariant to the tie order — the output is deterministic across
+    * engines and partitionings.
     */
   def sessionizeBatchQuery(spark: SparkSession, sfDir: String): DataFrame =
     sessionizeBatch(graft.Tables.events(spark, sfDir), gapMinutes = 30)
-      .select(col("user_id"), col("n_events"), col("start"), col("end"),
+      .select(col("user_id"), col("n_events"),
+        unix_millis(col("start")).as("start_ms"),
+        unix_millis(col("end")).as("end_ms"),
         round(col("total_value"), 6).as("total_value"))
-      .orderBy(col("user_id"), col("start"))
+      .orderBy(col("user_id"), col("start_ms"))
 
   val oracleSql: Map[String, String] = Map(
     // lag + cumulative session counter, the same independent formulation
-    // the suite pins the streaming interval-merge against; epoch_ms diffs
-    // in BIGINT ms exactly mirror unix_millis. "end" needs quoting in
-    // DuckDB (reserved); the unquoted Spark column name is identical.
+    // the suite pins the streaming interval-merge against; epoch_ms over
+    // the µs-floored timestamp exactly mirrors unix_millis on the Spark
+    // side, and integer session bounds sidestep tz-aware/naive parquet
+    // timestamp representation differences between the engines.
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
@@ -196,10 +203,11 @@ object Streams {
         |  SELECT *, SUM(sess_start) OVER (PARTITION BY user_id ORDER BY ts
         |    ROWS UNBOUNDED PRECEDING) AS sess_id
         |  FROM m)
-        |SELECT user_id, COUNT(*) AS n_events, MIN(ts) AS start,
-        |  MAX(ts) AS "end", ROUND(SUM(value), 6) AS total_value
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+        |  ROUND(SUM(value), 6) AS total_value
         |FROM s GROUP BY user_id, sess_id
-        |ORDER BY user_id, start""".stripMargin
+        |ORDER BY user_id, start_ms""".stripMargin
   )
 
   def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
