@@ -19,9 +19,9 @@ import graft.Tables.table
   *  - MinHash+LSH: candidate generation is a band-bucket equi-join (shuffle
   *    on hash-band values), never an all-pairs product; pair count is
   *    bounded by bucket collisions, not N².
-  *  - SimHash: per-doc 64-bit fingerprint via 64 codegen'd conditional-sum
-  *    aggregates over exploded tokens (one shuffle carrying 64 longs per
-  *    doc per partition); banding the fingerprint turns near-dup search
+  *  - SimHash: per-doc 64-bit fingerprint via a native in-row expression
+  *    (one pass over the token array inside the scan stage, zero shuffle);
+  *    banding the fingerprint turns near-dup search
   *    into 4 equi-joins, exact for hamming ≤ 3.
   *  - n-gram Jaccard: exact verification, but only on candidate pairs
   *    blocked by three conjunctive two-minima MinHash bands (hot-block-
@@ -110,13 +110,14 @@ object Dedup {
     * fingerprint key and the banded pair join (which must not pay the
     * display ordering's Exchange+Sort).
     *
-    * Computed as exploded token rows + 64 codegen'd conditional-sum
-    * aggregates (one per bit position), not array-lambda HOFs: row
-    * expressions stay in whole-stage codegen while lambda bodies are
-    * interpreted per element, and the vote matrix is tokens×64 — the
-    * interpreted form was the single most CPU-heavy expression in the
-    * engine. Map-side partial aggregation means the one shuffle carries 64
-    * longs per doc per partition, not per token.
+    * The fingerprint is a native in-row expression
+    * ([[graft.functions.SimhashFingerprint]]): one pass over the token
+    * array per document, inside the scan stage — no token explode, no
+    * 64-aggregate groupBy, ZERO shuffle (plan-guarded). Earlier forms paid
+    * either tokens×64 interpreted lambda calls (HOFs) or a 64-conditional-
+    * sum aggregation shuffling 64 longs per doc per partition (exploded
+    * rows); the native pass does the same arithmetic as tight JVM code and
+    * is suite-pinned bit-equal to the exploded formulation.
     *
     * The token hash is md5-derived (first 15 hex chars = 60 bits; md5 hex
     * is engine-identical) rather than xxhash64 so the fingerprints are
@@ -128,21 +129,11 @@ object Dedup {
     * Pigeonhole is preserved: a pair at hamming ≤ 3 differs in ≤ 3 of the
     * 60 real bits, leaving at least one of the 4 bands intact.
     */
-  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
-    val votes = (0 until 64).map { i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"v$i")
-    }
-    val simhash = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce(_ bitwiseOR _)
+  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
     tokenized(spark, sfDir)
-      .select(col("doc_id"), explode(col("tokens")).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
-      .groupBy(col("doc_id"))
-      .agg(votes.head, votes.tail: _*)
-      .withColumn("simhash", simhash)
+      .select(col("doc_id"),
+        graft.functions.StringMath.simhashFingerprint(col("tokens"))
+          .as("simhash"))
       .select(
         col("doc_id"),
         col("simhash"),
@@ -150,7 +141,6 @@ object Dedup {
         expr("shiftright(simhash, 15) & 32767").as("band1"),
         expr("shiftright(simhash, 30) & 32767").as("band2"),
         expr("shiftright(simhash, 45) & 32767").as("band3"))
-  }
 
   /** SimHash near-dup PAIRS: completes `dedupSimhash` with the banded
     * self-join. Each doc emits its 4×15-bit bands; candidates are pairs

@@ -78,6 +78,36 @@ class ExtensionsSpec extends SparkSpec {
       "clearCache must release all op-level persists")
   }
 
+  test("native simhash fingerprint equals the exploded 64-vote aggregation") {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    // the in-row native pass must be bit-equal to the exploded
+    // md5/conv/64-conditional-sum formulation it replaced (kept here as
+    // the executable spec), token for token, including NULL-hash voting
+    val docs = Tables.table(spark, sf, "documents")
+      .withColumn("tokens", split(col("text"), " "))
+      .filter(size(col("tokens")) >= 3)
+    val native = docs.select(col("doc_id"),
+      graft.functions.StringMath.simhashFingerprint(col("tokens")).as("fp"))
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$i")
+    }
+    val fpFromVotes = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    val composed = docs
+      .select(col("doc_id"), explode(col("tokens")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpFromVotes.as("fp2"))
+    val joined = native.join(composed, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(!(col("fp") <=> col("fp2"))).count() == 0)
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     import spark.implicits._
     val fp = Dedup.dedupSimhash(spark, sf)

@@ -69,13 +69,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("simhash fingerprints aggregate map-side before the doc_id exchange") {
-    // the shuffle-volume claim in Dedup.simhashFingerprints: partial
-    // (map-side) aggregation means the one shuffle carries 64 longs per doc
-    // per partition, not one row per token. A refactor that loses partial
-    // aggregation (e.g. votes through a non-partial agg form) must fail.
+  test("simhash fingerprints are a pure projection: no aggregation, no hash exchange") {
+    // the shuffle-volume claim in Dedup.simhashFingerprints: the native
+    // in-row fingerprint makes the whole relation a projection in the scan
+    // stage — a refactor back to an explode + groupBy (or any shuffling
+    // form) must fail. The only allowed Exchange is the display orderBy's
+    // range partitioning.
     val p = plan("dedup_simhash")
-    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("simhash_fingerprint"), p)
   }
 
   test("mm_decode_stub evaluates the slot-sum pass exactly once") {
