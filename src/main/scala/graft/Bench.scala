@@ -63,7 +63,7 @@ object Bench {
     "flagship_nation_top_supplier" -> 1.12, "part_brand_agg" -> 1.15,
     "sim_search_lsh" -> 1.17, "groupby_agg" -> 1.21, "dedup_ngram" -> 1.3,
     "sim_search_ivf" -> 1.36, "bucketed_join" -> 1.43,
-    "mm_resize_stub" -> 1.53, "dedup_simhash" -> 0.7,
+    "mm_resize_stub" -> 0.7, "dedup_simhash" -> 0.7,
     "select_cast" -> 1.72, "ml_assembler" -> 1.84,
     "dedup_simhash_pairs" -> 0.9, "dedup_near" -> 2.52,
     "ml_fit_predict_eval" -> 3.3, "ml_evaluator" -> 3.6,

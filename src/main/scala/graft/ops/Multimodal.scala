@@ -103,13 +103,12 @@ object Multimodal {
     val thumbLen = 64
     table(spark, sfDir, "documents")
       .withColumn("n_chars", length(col("text")))
-      // 64 explicit codegen'd stride reads, not a transform-lambda (see
-      // decodeStub); BIGINT position arithmetic for ANSI-overflow safety
-      .withColumn("thumb", array((0 until thumbLen).map { i =>
-        val pos = ((lit(i.toLong) * col("n_chars").cast(LongType))
-          / thumbLen.toLong).cast(IntegerType) + 1
-        ascii(col("text").substr(pos, lit(1)))
-      }: _*))
+      // the strided downsample is StridedAsciiSums degenerated to one term
+      // per slot: element i = codepoint at position ⌊i·n/64⌋+1 — the same
+      // single-pass walk as the decode stub instead of 64 independent
+      // substr reads each re-walking the string (see StringMath)
+      .withColumn("thumb", graft.functions.StringMath.stridedAsciiSums(
+        col("text"), slots = thumbLen, terms = 1, denom = thumbLen))
       .select(col("doc_id"), col("n_chars"),
         size(col("thumb")).as("thumb_len"),
         // CSV rendering: the comparator needs hashable cells, and int→string
