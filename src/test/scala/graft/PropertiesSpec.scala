@@ -77,6 +77,71 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("strided_ascii_sums equals the composed form for arbitrary strings") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    import spark.implicits._
+    import graft.functions.StringMath
+    // arbitrary content including multi-byte codepoints and a surrogate
+    // pair; smaller slot/term params keep the composed spec tree compact
+    val (slots, terms, denom) = (4, 8, 32)
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      1 -> Gen.oneOf("é", "ß", "语", "🙂", " "),
+      1 -> Gen.const(""))
+    val strGen = Gen.listOfN(20, charGen).map(_.mkString)
+    val texts = samples(strGen, 40) :+ "" :+ "ab"
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    def composed(i: Int) = {
+      val n = length(col("text")).cast(LongType)
+      (0 until terms).map { j =>
+        val pos = ((lit((i * terms + j).toLong) * n) / denom.toLong)
+          .cast(IntegerType) + 1
+        ascii(col("text").substr(pos, lit(1))).cast(LongType)
+      }.reduce(_ + _)
+    }
+    val sums = StringMath.stridedAsciiSums(col("text"), slots, terms, denom)
+    val bad = (0 until slots).map { i =>
+      !(element_at(sums, i + 1) <=> composed(i))
+    }.reduce(_ || _)
+    assert(df.filter(bad).count() == 0)
+  }
+
+  test("simhash fingerprint equals exploded votes for arbitrary token lists") {
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    import graft.functions.StringMath
+    // tokens include empty strings and multi-byte content; compare the
+    // native one-pass fingerprint against the exploded md5/conv/vote spec
+    val tokGen = Gen.frequency(
+      6 -> Gen.listOfN(4, Gen.alphaChar).map(_.mkString),
+      1 -> Gen.const(""),
+      1 -> Gen.oneOf("héllo", "语言", "🙂"))
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks) }
+      .toDF("doc_id", "tokens")
+    val native = docs.select(col("doc_id"),
+      StringMath.simhashFingerprint(col("tokens")).as("fp"))
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"v$i")
+    }
+    val fpFromVotes = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_ bitwiseOR _)
+    val composed = docs
+      .select(col("doc_id"), explode(col("tokens")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType))
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fpFromVotes.as("fp2"))
+    val joined = native.join(composed, "doc_id")
+    assert(joined.count() == docs.count())
+    assert(joined.filter(!(col("fp") <=> col("fp2"))).count() == 0)
+  }
+
   test("randomSplit partitions any input: disjoint, exhaustive") {
     import spark.implicits._
     samples(Gen.zip(Gen.choose(10, 60), Gen.choose(1L, 9999L)), 10)
