@@ -66,6 +66,7 @@ object Bench {
     "mm_resize_stub" -> 0.7, "dedup_simhash" -> 0.7,
     "select_cast" -> 1.72, "ml_assembler" -> 1.84,
     "dedup_simhash_pairs" -> 0.9, "dedup_near" -> 2.52,
+    "dedup_cluster" -> 3.2,
     "ml_fit_predict_eval" -> 3.3, "ml_evaluator" -> 3.6,
     "ml_pipeline" -> 3.61, "ml_rebalance_fit" -> 4.07,
     "ml_rf_classifier" -> 4.36, "ml_cross_validator" -> 4.55)

@@ -80,6 +80,7 @@ object SparkEntry {
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
+    "dedup_cluster" -> (Dedup.dedupClusters _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
@@ -102,7 +103,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (48 of 59 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (49 of 60 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -279,6 +279,70 @@ object Dedup {
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
     ngramPairs(shingleSets(tokenized(spark, sfDir)).persist())
 
+  /** Min-label propagation over an undirected pair graph: returns one row
+    * per distinct endpoint with the component's minimum doc_id as its
+    * label. Each iteration is one distributed join+groupBy over the PAIR
+    * graph only (candidates, not the corpus — at 100 TB the near-dup graph
+    * is tiny next to the documents table); iteration count is bounded by
+    * the component diameter, which for near-dup clusters at Jaccard ≥ 0.5
+    * is small (duplicate groups are near-cliques). A 50-iteration cap
+    * fails loudly rather than returning half-propagated labels; graphs
+    * with genuinely long chains want the large-star/small-star
+    * path-doubling variant, which halves label distance per round.
+    * Per-iteration persist + unpersist keeps the lineage flat; the final
+    * labels stay cached for the caller's join (released by the engine's
+    * caller-clearCache contract).
+    */
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
+      .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
+      .persist()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist()
+    var iters = 0
+    var converged = false
+    while (!converged && iters < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("t"), col("lbl").as("nlbl")), "t")
+        .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
+        .persist()
+      // one action per iteration: count of labels that still moved
+      val moved = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = moved == 0
+      iters += 1
+    }
+    require(converged, s"clusterLabels did not converge in $iters iterations")
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS: every document labeled with the minimum
+    * doc_id of its connected component in the `dedupNgram` pair graph
+    * (docs outside any pair label themselves). This is the operator a
+    * dedup pipeline actually keys on — "keep one representative per
+    * duplicate GROUP" needs the transitive closure of pairwise matches,
+    * not the raw pairs. The iterative propagation runs on the candidate
+    * subgraph only; the corpus-sized step is a single broadcast-friendly
+    * left join of the (tiny) labels back onto documents.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = dedupNgram(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val labels = clusterLabels(pairs)
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup report: for each probe vector (vec_id < 100),
     * its nearest neighbor among LSH candidates with exact cosine re-score
     * and an `is_dup` flag at cosine ≥ 0.9. Vectors are L2-normalized so the
@@ -411,6 +475,38 @@ object Dedup {
         |SELECT doc_a, doc_b, jaccard FROM p
         |WHERE jaccard >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // EXACT twin for the cluster labels: the same all-pairs Jaccard edge
+    // set (proven equal to the blocked Spark pairs by the dedup_ngram
+    // oracle), closed transitively with a recursive CTE — equality proves
+    // the iterative min-label propagation computes the true connected
+    // components on this corpus, singletons included.
+    "dedup_cluster" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |st AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM tk),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM st a JOIN st b ON a.doc_id < b.doc_id
+        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+        |eg AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p),
+        |reach AS (
+        |  SELECT u, v FROM eg
+        |  UNION
+        |  SELECT r.u, g.v FROM reach r JOIN eg g ON r.v = g.u),
+        |lbl AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+        |  FROM reach GROUP BY u)
+        |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN lbl l USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSqlCtes,
          |b AS (

@@ -64,6 +64,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(pairs == Set((1000L, 1001L)))
   }
 
+  test("cluster labels compute the transitive closure, not just pairs") {
+    import spark.implicits._
+    // chain a-b-c plus an isolated pair and a self-contained triangle:
+    // every member of a component must get the component MIN, including
+    // endpoints never directly paired (a,c) — that's the closure property
+    // the iterative propagation exists for
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain: 1-2-3
+      (10L, 11L),                   // pair
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // corpus-level: dedup_cluster agrees with dedup_ngram's pair graph —
+    // paired docs share labels, and a doc pairs with its label's component
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val corpusPairs = Dedup.dedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(corpusPairs.nonEmpty)
+    corpusPairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // docs in no pair are singletons labeled by themselves
+    val paired = corpusPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    clusters.foreach { case (d, c) =>
+      if (!paired.contains(d)) assert(c == d, s"singleton $d got label $c")
+    }
+  }
+
   test("caller cache contract: clearCache releases every op-level persist") {
     // LSH/banded operators persist intermediates their returned plan reads,
     // so they cannot unpersist eagerly; the engine contract is that the
