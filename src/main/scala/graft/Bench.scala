@@ -69,7 +69,8 @@ object Bench {
     "dedup_cluster" -> 3.2,
     "ml_fit_predict_eval" -> 3.3, "ml_evaluator" -> 3.6,
     "ml_pipeline" -> 3.61, "ml_rebalance_fit" -> 4.07,
-    "ml_rf_classifier" -> 4.36, "ml_cross_validator" -> 4.55)
+    "ml_rf_classifier" -> 4.36, "ml_cross_validator" -> 4.55,
+    "corpus_clean" -> 6.1)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

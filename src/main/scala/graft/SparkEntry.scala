@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Dedup, MLOps, Multimodal, Relational, Similarity, Sources,
-  TextAnalysis}
+import graft.ops.{Curation, Dedup, MLOps, Multimodal, Relational, Similarity,
+  Sources, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -82,6 +82,8 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_cluster" -> (Dedup.dedupClusters _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
+    // composed curation pipeline (quality → lang → exact → cluster-keep)
+    "corpus_clean" -> (Curation.corpusClean _),
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLsh _),
@@ -103,7 +105,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (49 of 60 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (50 of 61 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants
@@ -112,5 +114,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
-      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql
+      TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
+      Curation.oracleSql
 }

@@ -46,9 +46,7 @@ object TextAnalysis {
       .withColumn("stop_tokens", hits(col("tokens"), Stopwords))
       .withColumn("stop_ratio",
         round(col("stop_tokens").cast(DoubleType) / col("n_tokens"), 6))
-      .withColumn("quality_score",
-        round(least(col("n_tokens").cast(DoubleType) / 100.0, lit(1.0)) *
-          (lit(1.0) - col("stop_ratio")), 6))
+      .withColumn("quality_score", qualityScore(col("tokens")))
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("avg_token_len"), col("punct_chars"), col("punct_ratio"),
         col("stop_tokens"), col("stop_ratio"), col("quality_score"))
@@ -65,13 +63,8 @@ object TextAnalysis {
     val withHits = Lexicons.foldLeft(base) { case (df, (lang, lex)) =>
       df.withColumn(s"${lang}_hits", hits(col("tokens"), lex))
     }
-    val pred = when(
-      col("de_hits") >= col("en_hits") && col("de_hits") >= col("es_hits")
-        && col("de_hits") >= col("fr_hits"), "de")
-      .when(col("en_hits") >= col("es_hits")
-        && col("en_hits") >= col("fr_hits"), "en")
-      .when(col("es_hits") >= col("fr_hits"), "es")
-      .otherwise("fr")
+    val pred = argmaxLang(col("de_hits"), col("en_hits"), col("es_hits"),
+      col("fr_hits"))
     withHits
       .withColumn("pred_lang", pred)
       .select(col("doc_id"), col("de_hits"), col("en_hits"), col("es_hits"),
@@ -105,6 +98,34 @@ object TextAnalysis {
     table(spark, sfDir, "documents")
       .select(col("doc_id"), rollingFp(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
+
+  /** The [0,1] quality score from a tokens column — the single source
+    * `textStats` and the composed `corpus_clean` pipeline share: longer
+    * docs with organic stopword share score higher;
+    * `round(least(n/100, 1) · (1 − round(stop/n, 6)), 6)` (the stop ratio
+    * is rounded before use, matching the surfaced `stop_ratio` column).
+    */
+  private[graft] def qualityScore(tokens: Column): Column =
+    round(least(size(tokens).cast(DoubleType) / 100.0, lit(1.0)) *
+      (lit(1.0) - round(
+        hits(tokens, Stopwords).cast(DoubleType) / size(tokens), 6)), 6)
+
+  /** Alphabetical-tie-break argmax over the four lexicon hit counts — the
+    * single source of the language decision rule (`langId` + the composed
+    * pipeline).
+    */
+  private def argmaxLang(de: Column, en: Column, es: Column,
+      fr: Column): Column =
+    when(de >= en && de >= es && de >= fr, "de")
+      .when(en >= es && en >= fr, "en")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+
+  /** Language prediction directly from a tokens column. */
+  private[graft] def predLang(tokens: Column): Column =
+    argmaxLang(
+      hits(tokens, Lexicons(0)._2), hits(tokens, Lexicons(1)._2),
+      hits(tokens, Lexicons(2)._2), hits(tokens, Lexicons(3)._2))
 
   /** Rolling-hash column — the single source the op and its fixture tests
     * share (a test asserting on an inline copy would keep passing after

@@ -96,6 +96,29 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("corpus_clean output is deduped, threshold-clean, and near-dup-free") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val clean = Curation.corpusClean(spark, sf)
+      .as[(Long, String, Double)].collect()
+    assert(clean.nonEmpty)
+    // every survivor passes both gates
+    clean.foreach { case (id, lang, q) =>
+      assert(lang == "en", s"doc $id kept with lang $lang")
+      assert(q >= 0.3, s"doc $id kept with quality $q")
+    }
+    // no kept pair may be a near-duplicate: for every corpus near-dup pair
+    // at most one side survives (the smaller id, when both passed the
+    // gates) — the cluster-representative stage's whole contract
+    val kept = clean.map(_._1).toSet
+    val pairs = Dedup.dedupNgram(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"near-dup pair ($a,$b) both kept")
+    }
+  }
+
   test("caller cache contract: clearCache releases every op-level persist") {
     // LSH/banded operators persist intermediates their returned plan reads,
     // so they cannot unpersist eagerly; the engine contract is that the
