@@ -51,7 +51,8 @@ object Bench {
     "random_split" -> 0.35, "join_anti" -> 0.39, "union_all" -> 0.39,
     "mm_frame_sample" -> 0.41, "str_normalize" -> 0.41,
     "join_inner_equi" -> 0.42, "select_alias" -> 0.43, "filter_eq" -> 0.44,
-    "sim_search" -> 0.47, "token_count" -> 0.49, "vec_norm" -> 0.52,
+    "sim_search" -> 0.47, "token_count" -> 0.49, "vocab_topk" -> 0.45,
+    "vec_norm" -> 0.52,
     "join_semi" -> 0.54, "ml_string_indexer" -> 0.56, "dedup_exact" -> 0.6,
     "mm_decode_stub" -> 0.6, "drop_col" -> 0.65, "sink_csv" -> 0.65,
     "ml_onehot" -> 0.66, "window_top1" -> 0.68, "lang_id" -> 0.69,

@@ -92,6 +92,7 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
     "token_count" -> (TextAnalysis.tokenCount _),
+    "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
@@ -105,7 +106,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (50 of 61 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (51 of 62 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -84,6 +84,20 @@ object TextAnalysis {
         bpeTokenCount(col("text")).as("n_bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Corpus vocabulary top-k: the canonical distributed word count. The
+    * aggregation combines map-side (shuffle carries one row per distinct
+    * token per partition, not per occurrence) and the rank cut runs as
+    * TakeOrderedAndProject (per-partition top-k, driver merges k×partitions
+    * rows) — constant driver memory at any corpus size. Ties break on the
+    * token for a deterministic, oracle-stable cut.
+    */
+  def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token-hash sequence, mod a ~2^57 prime (keeps acc·31 + token term well
     * inside i64 — Spark 4 runs ANSI mode, so wrap-around multiplication
@@ -184,6 +198,11 @@ object TextAnalysis {
         |    ELSE 'fr'
         |  END AS pred_lang
         |FROM h ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """SELECT token, COUNT(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,

@@ -336,6 +336,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.count() == Tables.table(spark, sf, "documents").count())
   }
 
+  test("vocab_topk is the true global top-k with a deterministic cut") {
+    import spark.implicits._
+    val topk = TextAnalysis.vocabTopK(spark, sf)
+      .as[(String, Long)].collect()
+    val full = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").count()
+      .as[(String, Long)].collect().toMap
+    // the synthetic corpus vocabulary is smaller than k: the list is then
+    // the COMPLETE vocabulary, not a truncation
+    assert(topk.length == math.min(50, full.size))
+    // descending counts with token tie-break — the cut is deterministic
+    topk.sliding(2).foreach {
+      case Array((ta, na), (tb, nb)) =>
+        assert(na > nb || (na == nb && ta < tb))
+      case _ =>
+    }
+    // completeness: no out-of-list token may beat the last in-list count
+    // (the per-partition partial top-k must not drop a global winner)
+    val inList = topk.map(_._1).toSet
+    val floor = topk.last._2
+    full.foreach { case (t, n) =>
+      if (!inList.contains(t))
+        assert(n <= floor, s"token $t (n=$n) beats the top-k floor $floor")
+    }
+  }
+
   test("doc_fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val a = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()
