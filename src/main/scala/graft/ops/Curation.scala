@@ -42,8 +42,11 @@ object Curation {
         col("pred_lang") === KeepLang)
     // persisted: the survivor set feeds the shingle pipeline (whose
     // clustering runs one action per propagation round) AND the final
-    // representative join — released by the caller-clearCache contract
-    val exact = Dedup.dedupExactOn(docs).drop("h").persist()
+    // representative join — released by the caller-clearCache contract.
+    // Unordered core: a mid-pipeline global sort would range-exchange the
+    // whole survivor corpus for nothing (the query's ordering is applied
+    // once, at the end)
+    val exact = Dedup.dedupExactKeepMin(docs).drop("h").persist()
     val sh = Dedup.shingleSets(exact.select(col("doc_id"), col("tokens")))
       .persist()
     val labels = Dedup.clusterLabels(

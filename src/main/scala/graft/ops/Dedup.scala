@@ -40,19 +40,27 @@ object Dedup {
   def dedupExact(spark: SparkSession, sfDir: String): DataFrame =
     dedupExactOn(table(spark, sfDir, "documents"))
 
-  /** Core of `dedupExact` over any (doc_id, text, …) frame — exposed
-    * package-private so the tie-break (keep the LOWEST doc_id per hash)
-    * is testable on a fixture that actually contains duplicates.
+  /** Unordered keep-min core of exact dedup over any (doc_id, text, …)
+    * frame — what pipeline compositions consume: a mid-pipeline global
+    * sort is presentation-only waste (at 100 TB it is a full range
+    * exchange of the survivor corpus), so the ordering lives only in the
+    * display wrapper below.
     */
-  private[graft] def dedupExactOn(docs: DataFrame): DataFrame = {
+  private[graft] def dedupExactKeepMin(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
     docs
       .withColumn("h", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
-      .orderBy(col("doc_id"))
   }
+
+  /** Ordered form of [[dedupExactKeepMin]] — exposed package-private so
+    * the tie-break (keep the LOWEST doc_id per hash) is testable on a
+    * fixture that actually contains duplicates.
+    */
+  private[graft] def dedupExactOn(docs: DataFrame): DataFrame =
+    dedupExactKeepMin(docs).orderBy(col("doc_id"))
 
   /** Documents with word tokens; drops docs too short to shingle. */
   private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
