@@ -111,7 +111,7 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       // cache contract: operators may persist() intermediates their
       // returned plan reads; the CALLER releases them once the output is
-      // consumed. Without this, a 58-query session accumulates every
+      // consumed. Without this, a full-registry session accumulates every
       // LSH/banded/ML cache in executor storage for its whole lifetime.
       spark.catalog.clearCache()
       elapsed
