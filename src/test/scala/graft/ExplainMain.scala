@@ -21,7 +21,8 @@ object ExplainMain {
     val keys = if (args.nonEmpty) args.toSeq
       else Seq("flagship_nation_top_supplier", "filter_eq", "select_cols",
         "groupby_agg", "join_inner_equi", "sim_search", "json_extract",
-        "window_top1")
+        "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode_stub",
+        "corpus_clean")
     keys.foreach { k =>
       println(s"\n================ $k ================")
       SparkEntry.queries(k)(spark, sf).explain("formatted")
