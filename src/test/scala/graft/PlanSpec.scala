@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("simhash_fingerprint"), p)
   }
 
+  test("vocab_topk combines map-side and cuts with TakeOrderedAndProject") {
+    // the word-count scale claims: partial aggregation before the token
+    // shuffle (one row per distinct token per partition) and a partial
+    // top-k cut instead of a global sort
+    val p = plan("vocab_topk")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("mm_decode_stub evaluates the slot-sum pass exactly once") {
     // the hoisted slot_sums alias is referenced by 8 element_at slots; if a
     // rewrite let CollapseProject inline it, the single-pass expression
