@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
 import graft.ops.{Curation, Dedup, MLOps, Multimodal, Relational, Similarity,
-  Sources, TextAnalysis}
+  Sketches, Sources, Temporal, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -44,11 +44,19 @@ object SparkEntry {
     "join_left" -> (Relational.joinLeft _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
+    // §2c temporal joins (as-of / bounded range — event attribution)
+    "join_asof" -> (Temporal.joinAsof _),
+    "join_range" -> (Temporal.joinRange _),
     // §2d aggregation
     "agg_count" -> (Relational.aggCount _),
     "groupby_agg" -> (Relational.groupbyAgg _),
     "groupby_ratio" -> (Relational.groupbyRatio _),
     "part_brand_agg" -> (Relational.partBrandAgg _),
+    "pivot_wide" -> (Relational.pivotWide _),
+    "agg_rollup" -> (Relational.aggRollup _),
+    "quantile_bins" -> (Relational.quantileBins _),
+    // distinct-count sketching (KMV — cross-engine-exact estimator)
+    "sketch_kmv" -> (Sketches.kmvDistinct _),
     // §2e windows
     "window_rank" -> (Relational.windowRank _),
     "window_top1" -> (Relational.windowTop1 _),
@@ -58,6 +66,7 @@ object SparkEntry {
     "union_all" -> (Relational.unionAll _),
     "sample_fraction" -> (Relational.sampleFraction _),
     "random_split" -> (Relational.randomSplit _),
+    "sample_stratified" -> (Relational.sampleStratified _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
@@ -94,6 +103,7 @@ object SparkEntry {
     "token_count" -> (TextAnalysis.tokenCount _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
+    "text_redact" -> (TextAnalysis.textRedact _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
     // §2j multimodal plumbing
@@ -116,5 +126,5 @@ object SparkEntry {
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
-      Curation.oracleSql
+      Curation.oracleSql ++ Temporal.oracleSql ++ Sketches.oracleSql
 }

@@ -294,40 +294,80 @@ object Dedup {
     * is tiny next to the documents table); iteration count is bounded by
     * the component diameter, which for near-dup clusters at Jaccard ≥ 0.5
     * is small (duplicate groups are near-cliques). A 50-iteration cap
-    * fails loudly rather than returning half-propagated labels; graphs
-    * with genuinely long chains want the large-star/small-star
-    * path-doubling variant, which halves label distance per round.
-    * Per-iteration persist + unpersist keeps the lineage flat; the final
-    * labels stay cached for the caller's join (released by the engine's
-    * caller-clearCache contract).
+    * fails loudly rather than returning half-propagated labels — and with
+    * the pointer-jump below it covers chains of ~2^49 hops, not 50.
+    *
+    * Lineage discipline: each iteration references the previous labels
+    * frame FOUR times (neighbor-min join, left join, and both sides of the
+    * shortcut self-join), so carrying the logical plan forward would grow
+    * it 4× per round — `persist` does NOT truncate lineage, and by round 8
+    * plan-tree stringification alone (AQE emits a plan description per
+    * query) dominates runtime. `localCheckpoint(eager)` materializes each
+    * round's labels as a flat `LogicalRDD`, keeping every iteration's plan
+    * constant-size. (On a real cluster prefer reliable `checkpoint` to a
+    * fault-tolerant dir for lineage this iterative; localCheckpoint trades
+    * executor-loss recovery for zero-HDFS round-trips — the right trade in
+    * a single-JVM harness, same plan-flattening either way.)
     */
   private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .persist()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist()
+    // every localCheckpoint of the loop, released before return: checkpoint
+    // blocks are NOT catalog-managed, so leaving them would silently break
+    // the engine's clearCache cache-lifetime contract (suite-locked)
+    val loopChk = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def chk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => loopChk += lr.rdd
+      }
+      out
+    }
+    var labels = chk(edges.select(col("s").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     var iters = 0
     var converged = false
     while (!converged && iters < 50) {
       val nbrMin = edges
         .join(labels.select(col("id").as("t"), col("lbl").as("nlbl")), "t")
         .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val prop = chk(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
-        .persist()
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")))
+      // pointer-jump (path doubling): shortcut every label to its label's
+      // label in the same round. Labels are always node ids of the same
+      // component (they start as self-ids and only ever adopt other nodes'
+      // ids), so the self-join resolves; each round then at least HALVES
+      // the remaining label distance to the component minimum — convergence
+      // is O(log diameter) instead of O(diameter). Per-iteration cost gains
+      // one equi-join on the (tiny) label frame; total driver actions drop
+      // from O(diameter) counts to O(log).
+      val next = chk(prop.join(
+          prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       // one action per iteration: count of labels that still moved
       val moved = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = moved == 0
       iters += 1
     }
     require(converged, s"clusterLabels did not converge in $iters iterations")
     edges.unpersist()
-    labels
+    // Hand the result back as a CATALOG-managed cache and drop every loop
+    // checkpoint: the caller's clearCache() then releases everything this
+    // operator allocated (the suite-locked lifetime contract). The copy is
+    // materialized BEFORE the checkpoints are released — after clearCache
+    // the output is consumed and done (re-running the OPERATOR rebuilds
+    // from scratch; a stale handle to this frame is outside the contract).
+    val out = labels.persist()
+    out.count()
+    loopChk.foreach(_.unpersist(false))
+    out
   }
 
   /** Near-duplicate CLUSTERS: every document labeled with the minimum

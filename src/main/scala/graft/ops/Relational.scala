@@ -296,6 +296,75 @@ object Relational {
       .orderBy(col("p_brand"))
   }
 
+  /** Wide pivot: per return-flag row, one quantity-sum column per line
+    * status. The pivot VALUES are passed explicitly — at 100 TB letting
+    * `.pivot(col)` discover them costs a full extra distinct-scan job, and
+    * an unbounded value domain would explode the schema; a declared domain
+    * keeps this one map-side-partial aggregate with a fixed output width.
+    * Decimal-exact sums (partition-order-independent), surfaced as DOUBLE.
+    */
+  def pivotWide(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(moneySum(col("l_quantity")))
+      .orderBy(col("l_returnflag"))
+
+  /** Hierarchical totals: ROLLUP over (returnflag, linestatus) — per-pair,
+    * per-flag, and grand-total rows in ONE pass (Expand + a single grouped
+    * aggregate; three separate GROUP BYs would each rescan the fact table).
+    * Rollup null markers are surfaced as 'ALL' so the output is
+    * comparator-safe and self-describing (the corpus columns are
+    * themselves never null).
+    */
+  def aggRollup(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** DETERMINISTIC stratified sampling: per-priority rates (URGENT 50%,
+    * HIGH 20%, rest 10%) decided by a 60-bit md5-derived hash of the key,
+    * `hash mod 100 < rate`. Unlike `sampleBy` (RNG, irreproducible across
+    * engines/reruns) this is a pure pushdown-able filter — zero shuffle,
+    * zero state, bit-identical on re-execution and across engines, which
+    * is what a 100 TB curation pipeline needs for auditable lineage: the
+    * sample is a FUNCTION of the data, not of the scheduler.
+    */
+  def sampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val h = conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 15),
+      16, 10).cast(LongType)
+    val rate = when(col("o_orderpriority") === "1-URGENT", 50)
+      .when(col("o_orderpriority") === "2-HIGH", 20)
+      .otherwise(10)
+    table(spark, sfDir, "orders")
+      .filter(h % 100 < rate)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Per-segment exact quartiles of account balance (linear interpolation
+    * at rank p·(n−1) — the same formula as DuckDB's `quantile_cont`).
+    * Exact percentile holds a per-group sorted buffer, fine for bounded
+    * group cardinality; at 100 TB with huge groups the drop-in scale path
+    * is `approx_percentile` (t-digest, mergeable, bounded memory) at the
+    * cost of engine-specific values — the oracle pins the exact form.
+    */
+  def quantileBins(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(c_acctbal, array(0.25D, 0.5D, 0.75D))").as("qs"))
+      .select(col("c_mktsegment"),
+        round(element_at(col("qs"), 1), 6).as("q1"),
+        round(element_at(col("qs"), 2), 6).as("q2"),
+        round(element_at(col("qs"), 3), 6).as("q3"))
+      .orderBy(col("c_mktsegment"))
+
   // ------------------------------------------------------------ flagship ----
 
   /** Flagship: top revenue supplier per nation — the reference's EP2
@@ -327,6 +396,34 @@ object Relational {
   // ---------------------------------------------------------------- SQL ----
 
   val oracleSql: Map[String, String] = Map(
+    "pivot_wide" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |       FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+        |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+        |WHERE CAST(concat('0x', substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+        |           AS BIGINT) % 100
+        |  < CASE o_orderpriority WHEN '1-URGENT' THEN 50
+        |                         WHEN '2-HIGH' THEN 20 ELSE 10 END
+        |ORDER BY o_orderkey""".stripMargin,
+    "quantile_bins" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS q2,
+        |  round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "select_cols" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |ORDER BY c_custkey""".stripMargin,

@@ -36,6 +36,14 @@ object Sources {
     val self = new java.io.File(parent,
       s"$prefix${spark.sparkContext.applicationId}")
     graft.LocalFs.sweepAged(parent, prefix, keep = self, ttlMs = SinkTtlMs)
+    // Defuse the sweep's mtime race for LONG-lived sessions: a directory's
+    // mtime tracks only direct-child churn, so a session older than the TTL
+    // whose sink key re-executes later (e.g. a Bench anomaly retry) could
+    // look dead to a CONCURRENT session's sweep between allocation and the
+    // write. Touch the directory itself at every allocation/reuse so its
+    // age is measured from the last use, not the first.
+    self.mkdirs()
+    self.setLastModified(System.currentTimeMillis())
     graft.LocalFs.deleteOnExit(self)
     self.getPath
   }

@@ -113,6 +113,23 @@ object TextAnalysis {
       .select(col("doc_id"), rollingFp(col("text")).as("rolling_fp"))
       .orderBy(col("doc_id"))
 
+  /** Pattern redaction over the events `props` payload: digit runs are
+    * replaced by a `<NUM>` placeholder and the hit count is surfaced per
+    * row. This is the PII-scrub plumbing a curation pipeline needs —
+    * swapping the digit-run pattern for email/phone/SSN patterns changes
+    * one regex, not the plan: a codegen'd scalar projection inside the
+    * scan stage, zero shuffle, linear at any scale. (The harness corpus
+    * contains no planted PII, so digit runs are the honest non-vacuous
+    * stand-in — every row carries at least one hit to redact.)
+    */
+  def textRedact(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.table(spark, sfDir, "events")
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
+        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
+          .as("n_hits"))
+      .orderBy(col("event_id"))
+
   /** The [0,1] quality score from a tokens column — the single source
     * `textStats` and the composed `corpus_clean` pipeline share: longer
     * docs with organic stopword share score higher;
@@ -159,6 +176,11 @@ object TextAnalysis {
       lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
 
   val oracleSql: Map[String, String] = Map(
+    "text_redact" ->
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS INTEGER) AS n_hits
+        |FROM events ORDER BY event_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS n_chars,

@@ -22,7 +22,8 @@ object ExplainMain {
       else Seq("flagship_nation_top_supplier", "filter_eq", "select_cols",
         "groupby_agg", "join_inner_equi", "sim_search", "json_extract",
         "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode_stub",
-        "corpus_clean")
+        "corpus_clean", "join_asof", "join_range", "sketch_kmv",
+        "pivot_wide", "sample_stratified")
     keys.foreach { k =>
       println(s"\n================ $k ================")
       SparkEntry.queries(k)(spark, sf).explain("formatted")

@@ -96,6 +96,18 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels converge on a long chain (path doubling)") {
+    import spark.implicits._
+    // a 120-hop path: plain min-propagation moves the minimum one hop per
+    // iteration and would blow the 50-iteration loud cap; the pointer-jump
+    // step halves the remaining distance each round, so this must converge
+    // in ~O(log 120) rounds with every node labeled by the chain head
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.clusterLabels(chain).as[(Long, Long)].collect()
+    assert(labels.length == 121)
+    assert(labels.forall(_._2 == 0L), "chain must collapse to the head label")
+  }
+
   test("corpus_clean output is deduped, threshold-clean, and near-dup-free") {
     import spark.implicits._
     import graft.ops.Curation

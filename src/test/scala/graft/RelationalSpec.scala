@@ -122,4 +122,90 @@ class RelationalSpec extends SparkSpec {
     // every nation appears at most once (rank ties broken by supp key)
     assert(flag.groupBy("n_name").count().filter(col("count") > 1).count() == 0)
   }
+
+  test("pivot_wide cells equal the equivalent filtered group sums") {
+    import spark.implicits._
+    val piv = Relational.pivotWide(spark, sf)
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val li = Tables.table(spark, sf, "lineitem")
+    def cell(rf: String, ls: String): Option[Double] = {
+      val r = li.filter(col("l_returnflag") === rf && col("l_linestatus") === ls)
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).cast("double"))
+        .first()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    piv.foreach { case (rf, (f, o)) =>
+      assert(f == cell(rf, "F"), s"pivot cell ($rf, F)")
+      assert(o == cell(rf, "O"), s"pivot cell ($rf, O)")
+    }
+    assert(piv.nonEmpty)
+  }
+
+  test("agg_rollup subtotals and grand total reconcile") {
+    import spark.implicits._
+    val rows = Relational.aggRollup(spark, sf)
+      .as[(String, String, Double, Long)].collect()
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val flagTotals = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1)
+    assert(grand(0)._4 == leaves.map(_._4).sum)
+    flagTotals.foreach { ft =>
+      assert(ft._4 == leaves.filter(_._1 == ft._1).map(_._4).sum,
+        s"rollup subtotal for ${ft._1}")
+    }
+    assert(grand(0)._4 == Tables.table(spark, sf, "lineitem").count())
+  }
+
+  test("sample_stratified hits per-stratum rates and is deterministic") {
+    import spark.implicits._
+    val orders = Tables.table(spark, sf, "orders")
+    val sampled = Relational.sampleStratified(spark, sf)
+    // subset of input, reproducible exactly (pure function of the data)
+    assert(sampled.join(orders, Seq("o_orderkey"), "left_anti").count() == 0)
+    val again = Relational.sampleStratified(spark, sf)
+      .select("o_orderkey").as[Long].collect().toSeq
+    assert(again == sampled.select("o_orderkey").as[Long].collect().toSeq)
+    // per-stratum frequency ≈ declared rate (±5σ binomial)
+    val totals = orders.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val kept = sampled.groupBy("o_orderpriority").count()
+      .as[(String, Long)].collect().toMap
+    val rates = Map("1-URGENT" -> 0.5, "2-HIGH" -> 0.2)
+    totals.foreach { case (prio, n) =>
+      val p = rates.getOrElse(prio, 0.1)
+      val k = kept.getOrElse(prio, 0L).toDouble
+      assert(math.abs(k - p * n) < 5 * math.sqrt(n * p * (1 - p)) + 1,
+        s"stratum $prio kept $k of $n at declared rate $p")
+    }
+  }
+
+  test("quantile_bins quartiles are ordered and bracket the data") {
+    import spark.implicits._
+    val qs = Relational.quantileBins(spark, sf)
+      .as[(String, Double, Double, Double)].collect()
+    assert(qs.nonEmpty)
+    val cust = Tables.table(spark, sf, "customer")
+    qs.foreach { case (seg, q1, q2, q3) =>
+      assert(q1 <= q2 && q2 <= q3, s"quartiles out of order for $seg")
+      val below = cust.filter(col("c_mktsegment") === seg &&
+        col("c_acctbal") <= q2).count().toDouble
+      val n = cust.filter(col("c_mktsegment") === seg).count().toDouble
+      assert(math.abs(below / n - 0.5) < 0.1,
+        s"median of $seg splits $below/$n")
+    }
+  }
+
+  test("text_redact leaves no digits and counts every hit") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val red = TextAnalysis.textRedact(spark, sf)
+    assert(red.filter(col("redacted").rlike("[0-9]")).count() == 0)
+    assert(red.filter(col("n_hits") <= 0).count() == 0)
+    // redaction is reversible in count: hits == placeholder occurrences
+    val bad = red.filter(
+      size(expr("regexp_extract_all(redacted, '<NUM>', 0)")) =!= col("n_hits"))
+    assert(bad.count() == 0)
+  }
 }

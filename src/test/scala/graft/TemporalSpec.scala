@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, Temporal}
+
+/** Temporal joins + the KMV sketch: exact semantics pinned against
+  * in-memory brute force over the sf0.001 corpus, plan shapes pinned
+  * against the 100 TB claims (no nested-loop joins, single shuffle for the
+  * as-of, partial top-k for the sketch minima).
+  */
+class TemporalSpec extends SparkSpec {
+
+  private def eventRows: Seq[(Long, Long, String, Long)] = {
+    import spark.implicits._
+    Temporal.eventsNs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_ns"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+  }
+
+  test("join_asof equals brute-force latest-click-at-or-before per purchase") {
+    import spark.implicits._
+    val ev = eventRows
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, rs) => u -> rs.map(_._4).sorted }
+    val expected = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      val last = clicksByUser.getOrElse(u, Nil).takeWhile(_ <= ts).lastOption
+      (id, last)
+    }.toMap
+    val got = Temporal.joinAsof(spark, sf)
+      .select(col("event_id"), col("click_ts_ns"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.exists(_.isDefined))
+  }
+
+  test("join_range equals brute-force 24h-window click counts") {
+    import spark.implicits._
+    val ev = eventRows
+    val clicks = ev.filter(_._3 == "click")
+    val expected = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      id -> clicks.count(c =>
+        c._2 == u && c._4 > ts - Temporal.DayNs && c._4 <= ts).toLong
+    }.toMap
+    val got = Temporal.joinRange(spark, sf)
+      .select(col("event_id"), col("n_clicks"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // the binned join must restore zero-click purchases, not drop them
+    assert(got.values.exists(_ == 0L) || got.values.forall(_ > 0L))
+    assert(got.values.exists(_ > 0L))
+  }
+
+  test("temporal joins avoid nested-loop plans; as-of shuffles exactly once") {
+    val asof = Temporal.joinAsof(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!asof.contains("BroadcastNestedLoop"), asof)
+    assert(!asof.contains("CartesianProduct"), asof)
+    // ONE hash exchange (user_id for the window); the display orderBy adds
+    // only a range partitioning. A second hash exchange would mean the
+    // union-tag trick regressed to a join.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(asof).length
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx in:\n$asof")
+    val range = Temporal.joinRange(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!range.contains("BroadcastNestedLoop"), range)
+    assert(!range.contains("CartesianProduct"), range)
+  }
+
+  test("sketch_kmv estimates within KMV error bounds and is deterministic") {
+    val row = Sketches.kmvDistinct(spark, sf).collect()(0)
+    val (k, kth, est, exact) = (row.getLong(0), row.getLong(1),
+      row.getDouble(2), row.getLong(3))
+    assert(k == 64L)
+    assert(kth > 0L)
+    // ~1/√(K−2) ≈ 13% stddev; 4σ bound keeps the test deterministic-safe
+    assert(math.abs(est - exact) / exact < 0.52,
+      s"KMV est $est vs exact $exact out of bounds")
+    val again = Sketches.kmvDistinct(spark, sf).collect()(0)
+    assert(again.getLong(1) == kth && again.getDouble(2) == est)
+  }
+
+  test("sketch_kmv cuts the minima with a partial top-k, not a global sort") {
+    val p = Sketches.kmvDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
