@@ -90,15 +90,15 @@ object Bench {
     "mm_resize_stub" -> 0.7, "dedup_simhash" -> 0.7,
     "select_cast" -> 1.72, "ml_assembler" -> 1.84,
     "dedup_simhash_pairs" -> 0.9, "dedup_near" -> 2.52,
-    "dedup_cluster" -> 3.2,
+    "dedup_cluster" -> 3.7,
     "ml_fit_predict_eval" -> 3.3, "ml_evaluator" -> 3.6,
     "ml_pipeline" -> 3.61, "ml_rebalance_fit" -> 4.07,
     "ml_rf_classifier" -> 4.36, "ml_cross_validator" -> 4.55,
-    "corpus_clean" -> 6.1,
-    // round-5 additions — TimeMain steady-states at sf0.1
-    "join_asof" -> 0.6, "join_range" -> 0.8, "sketch_kmv" -> 0.6,
-    "pivot_wide" -> 0.5, "agg_rollup" -> 0.6, "sample_stratified" -> 0.4,
-    "quantile_bins" -> 0.4, "text_redact" -> 0.7)
+    "corpus_clean" -> 4.0,
+    // round-5 additions — TimeMain rep-3 steady-states at sf0.1
+    "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
+    "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
+    "quantile_bins" -> 0.25, "text_redact" -> 0.39)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

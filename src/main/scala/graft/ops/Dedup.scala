@@ -318,8 +318,12 @@ object Dedup {
     // the engine's clearCache cache-lifetime contract (suite-locked)
     val loopChk = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
+    // LAZY checkpoints: the plan is truncated immediately (a flat
+    // LogicalRDD), but the blocks materialize inside the iteration's one
+    // `moved`-count job — eager would add a separate blocking job per
+    // checkpoint per iteration (measured +0.7s steady on the corpus).
     def chk(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager = false)
       out.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => loopChk += lr.rdd
       }
@@ -333,22 +337,30 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("t"), col("lbl").as("nlbl")), "t")
         .groupBy(col("s").as("id")).agg(min(col("nlbl")).as("nbr"))
-      val prop = chk(labels.join(nbrMin, Seq("id"), "left")
+      // prop needs no checkpoint of its own: labels is a flat LogicalRDD,
+      // so this plan is constant-size even when the jump below references
+      // it twice (the cost there is recomputing nbrMin once more in the
+      // rare jumping rounds, not plan growth)
+      val prop = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl")))
+          least(col("lbl"), coalesce(col("nbr"), col("lbl"))).as("lbl"))
       // pointer-jump (path doubling): shortcut every label to its label's
-      // label in the same round. Labels are always node ids of the same
-      // component (they start as self-ids and only ever adopt other nodes'
-      // ids), so the self-join resolves; each round then at least HALVES
-      // the remaining label distance to the component minimum — convergence
-      // is O(log diameter) instead of O(diameter). Per-iteration cost gains
-      // one equi-join on the (tiny) label frame; total driver actions drop
-      // from O(diameter) counts to O(log).
-      val next = chk(prop.join(
-          prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
-          Seq("lbl"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
+      // label. Labels are always node ids of the same component (they
+      // start as self-ids and only ever adopt other nodes' ids), so the
+      // self-join resolves; each jumping round at least HALVES the
+      // remaining label distance to the component minimum — convergence in
+      // O(log diameter) instead of O(diameter). Engaged only from round 4:
+      // near-dup components are near-cliques that converge in ≤3 plain
+      // rounds (the common case pays zero extra joins), while a
+      // pathological chain graph flips into doubling and still finishes
+      // far inside the 50-round loud cap (≈ 3 + log₂(diameter) rounds).
+      val next = chk(
+        if (iters < 3) prop
+        else prop.join(
+            prop.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+            Seq("lbl"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
       // one action per iteration: count of labels that still moved
       val moved = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
