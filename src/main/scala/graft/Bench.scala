@@ -98,7 +98,8 @@ object Bench {
     // round-5 additions — TimeMain rep-3 steady-states at sf0.1
     "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
     "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
-    "quantile_bins" -> 0.25, "text_redact" -> 0.39)
+    "quantile_bins" -> 0.25, "text_redact" -> 0.39,
+    "dedup_incremental" -> 4.0)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

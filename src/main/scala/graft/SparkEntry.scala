@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_cluster" -> (Dedup.dedupClusters _),
+    "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_embed" -> (Dedup.dedupEmbed _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),

@@ -391,7 +391,15 @@ object Dedup {
     * subgraph only; the corpus-sized step is a single broadcast-friendly
     * left join of the (tiny) labels back onto documents.
     */
-  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    clusterAssignments(spark, sfDir).orderBy(col("doc_id"))
+
+  /** Unordered core of [[dedupClusters]] — pipeline compositions
+    * (`dedupIncremental`, `corpus_clean`'s keep-rule) consume this; the
+    * presentation sort lives only in the display wrapper.
+    */
+  private[graft] def clusterAssignments(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val pairs = dedupNgram(spark, sfDir).select(col("doc_a"), col("doc_b"))
     val labels = clusterLabels(pairs)
     table(spark, sfDir, "documents")
@@ -400,6 +408,35 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** INCREMENTAL dedup — the shape a training-data pipeline actually runs:
+    * a NEW batch of documents deduped against an already-curated corpus,
+    * not a corpus against itself. Odd doc_ids stand in for the incoming
+    * batch, even for the existing corpus (a deterministic split of the
+    * harness table). An incoming doc survives iff its near-dup component
+    * (transitive closure over the blocked exact-Jaccard pair graph of the
+    * COMBINED corpus) contains no existing doc, and it is the minimum
+    * incoming id of that component — i.e. both cross-corpus near-dups and
+    * within-batch near-dups are collapsed in one rule.
+    *
+    * Scale shape: reuses the blocked pair graph + O(log diameter) cluster
+    * labeling (candidates only, never all-pairs); the survivor filter is
+    * one groupBy over the (tiny) label frame joined back to the incoming
+    * side. At 100 TB the existing corpus contributes only its blocking
+    * keys and labels — its text crosses the wire once for shingling, the
+    * same as a self-dedup run.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = clusterAssignments(spark, sfDir)
+      .withColumn("is_new", col("doc_id") % 2 === 1)
+    val byCluster = clusters.groupBy(col("cluster_id")).agg(
+      max(when(col("is_new"), 0).otherwise(1)).as("has_existing"),
+      min(when(col("is_new"), col("doc_id"))).as("min_new"))
+    clusters.filter(col("is_new"))
+      .join(byCluster, Seq("cluster_id"))
+      .filter(col("has_existing") === 0 && col("doc_id") === col("min_new"))
+      .select(col("doc_id"), col("cluster_id"))
       .orderBy(col("doc_id"))
   }
 
@@ -472,6 +509,37 @@ object Dedup {
        |  FROM v)""".stripMargin
   }
 
+  /** Shared CTE chain (used inside a `WITH RECURSIVE`) computing the
+    * near-dup transitive closure in DuckDB: exact all-pairs 3-gram Jaccard
+    * edges at ≥ 0.5, symmetric closure by recursive reachability, and the
+    * component-minimum label per reached node — the independent twin the
+    * iterative min-label/pointer-jump propagation is checked against.
+    */
+  private val clusterSqlCtes: String =
+    """tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |st AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+      |  FROM tk),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM st a JOIN st b ON a.doc_id < b.doc_id
+      |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
+      |eg AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION ALL SELECT doc_b, doc_a FROM p),
+      |reach AS (
+      |  SELECT u, v FROM eg
+      |  UNION
+      |  SELECT r.u, g.v FROM reach r JOIN eg g ON r.v = g.u),
+      |lbl AS (
+      |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
+      |  FROM reach GROUP BY u)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h
@@ -541,32 +609,28 @@ object Dedup {
     // the iterative min-label propagation computes the true connected
     // components on this corpus, singletons included.
     "dedup_cluster" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |st AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-        |  FROM tk),
-        |p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM st a JOIN st b ON a.doc_id < b.doc_id
-        |  WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-        |        len(list_distinct(a.sh || b.sh)), 6) >= 0.5),
-        |eg AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM p
-        |  UNION ALL SELECT doc_b, doc_a FROM p),
-        |reach AS (
-        |  SELECT u, v FROM eg
-        |  UNION
-        |  SELECT r.u, g.v FROM reach r JOIN eg g ON r.v = g.u),
-        |lbl AS (
-        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
-        |  FROM reach GROUP BY u)
+      s"""WITH RECURSIVE $clusterSqlCtes
         |SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
         |FROM documents d LEFT JOIN lbl l USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // incremental curation: the same transitive closure, then the
+    // keep-rule over the parity split — no even (existing) member in the
+    // component, minimum odd (incoming) id wins
+    "dedup_incremental" ->
+      s"""WITH RECURSIVE $clusterSqlCtes,
+        |cl AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN lbl l USING (doc_id))
+        |SELECT c.doc_id, c.cluster_id
+        |FROM cl c
+        |WHERE c.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM cl e
+        |                  WHERE e.cluster_id = c.cluster_id
+        |                    AND e.doc_id % 2 = 0)
+        |  AND c.doc_id = (SELECT MIN(i.doc_id) FROM cl i
+        |                  WHERE i.cluster_id = c.cluster_id
+        |                    AND i.doc_id % 2 = 1)
+        |ORDER BY c.doc_id""".stripMargin,
     "dedup_simhash_pairs" ->
       s"""WITH $simhashSqlCtes,
          |b AS (

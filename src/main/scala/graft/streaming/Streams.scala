@@ -40,6 +40,11 @@ object Streams {
   case class SessionOut(user_id: Long, n_events: Long, start: Timestamp,
     end: Timestamp, total_value: Double)
 
+  case class ClickState(ts: Timestamp)
+
+  case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
+    click_ts: Option[Timestamp])
+
   /** File-source stream of events-shaped parquet dropped into `dir` —
     * the streaming analog of `Tables.table` (new files are discovered per
     * micro-batch; at scale this is a cloud-storage landing zone).
@@ -151,6 +156,53 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** STREAMING as-of attribution — the stream form of `join_asof`
+    * (`ops/Temporal.scala`): each purchase is attributed to the same
+    * user's latest click at-or-before it, as the events arrive.
+    *
+    * Per-user state is ONE timestamp (the latest click seen), updated and
+    * read in event-time order within each micro-batch — the smallest
+    * possible state for as-of semantics, bounded by user cardinality and
+    * evictable via a state timeout if the key space is unbounded. Ties
+    * (click and purchase on the same timestamp) attribute the purchase to
+    * that click, matching the batch operator's inclusive bound.
+    *
+    * Ordering contract: within a micro-batch, arrival order is repaired by
+    * the event-time sort; ACROSS micro-batches a click that arrives after
+    * a purchase with a later event time has already been emitted cannot
+    * retro-attribute it (append-mode streaming — the batch twin is the
+    * backfill for late data beyond the watermark). The suite pins
+    * stream(corpus) == batch(corpus) by replaying the corpus through the
+    * file source.
+    */
+  def asofAttribution(spark: SparkSession, events: DataFrame): Dataset[AsofOut] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[ClickState]): Iterator[AsofOut] = {
+      var last: Option[Timestamp] = state.getOption.map(_.ts)
+      val ordered = rows.toSeq.sortBy(e =>
+        (e.ts.getTime, e.ts.getNanos, if (e.event_type == "purchase") 1 else 0))
+      val out = Seq.newBuilder[AsofOut]
+      ordered.foreach { e =>
+        e.event_type match {
+          case "click" => last = Some(e.ts)
+          case "purchase" => out += AsofOut(e.event_id, userId, e.ts, last)
+          case _ => ()
+        }
+      }
+      last.foreach(t => state.update(ClickState(t)))
+      out.result().iterator
+    }
+
+    events
+      .filter(col("event_type").isin("click", "purchase"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Batch twin of [[sessionize]]: the same session definition — maximal

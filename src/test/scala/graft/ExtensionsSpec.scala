@@ -108,6 +108,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(labels.forall(_._2 == 0L), "chain must collapse to the head label")
   }
 
+  test("dedup_incremental keeps exactly the clean incoming representatives") {
+    import spark.implicits._
+    // independent reconstruction from the suite-pinned cluster assignment:
+    // survivors == odd docs whose component has no even member, minimum
+    // odd id per component
+    val clusters = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long)].collect()
+    val byCluster = clusters.groupBy(_._2)
+    val expected = clusters.filter(_._1 % 2 == 1).filter { case (d, c) =>
+      val members = byCluster(c).map(_._1)
+      members.forall(_ % 2 == 1) && d == members.filter(_ % 2 == 1).min
+    }.map(_._1).toSet
+    val got = Dedup.dedupIncremental(spark, sf)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(got == expected)
+    // non-vacuous on this corpus: some incoming doc must actually be
+    // dropped for near-dupping the existing side (planted pairs straddle
+    // the parity split), and plenty must survive
+    val incoming = clusters.count(_._1 % 2 == 1)
+    assert(got.size < incoming, "no incoming doc was dropped — vacuous")
+    assert(got.nonEmpty)
+  }
+
   test("corpus_clean output is deduped, threshold-clean, and near-dup-free") {
     import spark.implicits._
     import graft.ops.Curation

@@ -171,6 +171,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of attribution equals the batch as-of join over the corpus") {
+    import org.apache.spark.sql.functions._
+    // stream(corpus) == batch(corpus): the one-timestamp-state streaming
+    // attribution must reproduce the batch union-tag window operator
+    // exactly when the corpus is replayed through the file source (one
+    // landing file → one micro-batch → the in-batch event-time sort
+    // repairs any arrival order)
+    val dir = Files.createTempDirectory("graft_asof_in").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val checkpoint = Files.createTempDirectory("graft_asof_ck").toString
+    val q = Streams.asofAttribution(spark, Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("asof")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT event_id, unix_micros(click_ts) FROM asof")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // batch twin surfaces µs-floored ns BIGINTs → compare in µs
+    val batch = graft.ops.Temporal.joinAsof(spark, sf)
+      .select(col("event_id"), col("click_ts_ns"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1) / 1000))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionization closes sessions when the watermark passes the gap") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 1: two events 5 min apart (one session); user 2: one event.
