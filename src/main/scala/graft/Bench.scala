@@ -9,8 +9,8 @@ import org.apache.spark.sql.SparkSession
   * tail begins mid-number, losing the metric/total header). So the final
   * line must stay comfortably under that window even after sbt appends its
   * own `[success] Total time: …` trailer (~75 chars):
-  *   - per-key seconds are rounded to 3 decimals (ms resolution — an order
-  *     of magnitude below run-to-run noise on this host),
+  *   - per-key seconds are rounded to 2 decimals (10 ms resolution — an
+  *     order of magnitude below run-to-run noise on this host),
   *   - raw first-run times (`rep1`), per-key errors, no-hint keys and the
   *     full protocol string go on a SEPARATE diagnostics line printed
   *     BEFORE the final line (earlier stdout is what the tail window drops
@@ -99,14 +99,22 @@ object Bench {
     "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
     "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
     "quantile_bins" -> 0.25, "text_redact" -> 0.39,
-    "dedup_incremental" -> 4.0)
+    "dedup_incremental" -> 4.0,
+    // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
+    "join_salted" -> 1.3, "agg_cube" -> 1.4, "agg_string_collect" -> 0.4,
+    "window_moving_avg" -> 0.9, "event_funnel" -> 0.7,
+    "tfidf_topk" -> 1.1, "ngram_lm_score" -> 2.5)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5
 
-  /** Render one per-key map entry at millisecond resolution. */
+  /** Render one per-key map entry at centisecond resolution (10 ms — an
+    * order of magnitude below run-to-run noise on this host; 3-dp rendering
+    * stopped fitting the driver's tail window once the registry crossed
+    * ~75 keys).
+    */
   private def entry3(k: String, v: Double): String =
-    "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
   /** The graded final line. Compact by contract (see the class doc): 3-dp
     * values, no per-key diagnostics. Package-private so BenchSpec can pin

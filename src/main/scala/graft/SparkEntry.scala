@@ -44,6 +44,7 @@ object SparkEntry {
     "join_left" -> (Relational.joinLeft _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
+    "join_salted" -> (Relational.joinSalted _),
     // §2c temporal joins (as-of / bounded range — event attribution)
     "join_asof" -> (Temporal.joinAsof _),
     "join_range" -> (Temporal.joinRange _),
@@ -54,12 +55,17 @@ object SparkEntry {
     "part_brand_agg" -> (Relational.partBrandAgg _),
     "pivot_wide" -> (Relational.pivotWide _),
     "agg_rollup" -> (Relational.aggRollup _),
+    "agg_cube" -> (Relational.aggCube _),
+    "agg_string_collect" -> (Relational.stringCollect _),
     "quantile_bins" -> (Relational.quantileBins _),
     // distinct-count sketching (KMV — cross-engine-exact estimator)
     "sketch_kmv" -> (Sketches.kmvDistinct _),
     // §2e windows
     "window_rank" -> (Relational.windowRank _),
     "window_top1" -> (Relational.windowTop1 _),
+    "window_moving_avg" -> (Temporal.windowMovingAvg _),
+    // ordered funnel over event time (view → click → purchase)
+    "event_funnel" -> (Temporal.eventFunnel _),
     // §2f sort / limit
     "order_limit" -> (Relational.orderLimit _),
     // §2g set ops / sampling
@@ -105,6 +111,8 @@ object SparkEntry {
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
+    "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
+    "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
     // §2j multimodal plumbing

@@ -365,6 +365,70 @@ object Relational {
         round(element_at(col("qs"), 3), 6).as("q3"))
       .orderBy(col("c_mktsegment"))
 
+  /** SKEW-PROOF shuffled equi-join: lineitem ⋈ supplier with an explicit
+    * key salt. A single hot supplier key at 100 TB lands every matching
+    * fact row in ONE shuffle partition; salting spreads it over `Salts`
+    * partitions deterministically — the probe side derives its salt from a
+    * row-local hash (any spreading function works, correctness never
+    * depends on it) and the dim side is replicated ×`Salts` by an in-row
+    * explode, so replication cost is dim-sized, never fact-sized. The
+    * shuffle_hash hint forces the shuffled-join regime the pattern targets
+    * (broadcast would hide the salt; AQE's skew-join is the runtime
+    * alternative when hot keys are unknown — this is the declarative form
+    * for when they are). The salted join is result-identical to the plain
+    * join: the oracle is the UNSALTED SQL.
+    */
+  def joinSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val salts = 8
+    val li = table(spark, sfDir, "lineitem")
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(salts)))
+    val sup = table(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+      .withColumn("salt", explode(lit((0L until salts.toLong).toArray)))
+    li.join(sup.hint("shuffle_hash"),
+        li("l_suppkey") === sup("s_suppkey") && li("salt") === sup("salt"))
+      .groupBy(col("s_name"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("s_name"))
+  }
+
+  /** CUBE over (returnflag, linestatus): every grouping set — per-pair,
+    * per-flag, per-status, grand — in ONE pass over the fact table
+    * (Expand multiplies each input row into its 4 grouping sets before the
+    * single partial aggregate; four separate GROUP BYs would rescan 4×).
+    * Null markers surfaced as 'ALL' exactly like [[aggRollup]].
+    */
+  def aggCube(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_price"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** Ordered list aggregation: per nation, its suppliers as one sorted CSV
+    * string. `collect_list` is only safe when the per-group payload is
+    * bounded by construction (here: a dim table fanned over 25 nations) —
+    * never over a fact table, where one hot group OOMs its reducer. The
+    * in-row `array_sort` makes the output independent of partition arrival
+    * order, which is what lets an order-sensitive string survive the
+    * cross-engine hash compare.
+    */
+  def stringCollect(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = table(spark, sfDir, "supplier")
+    val n = table(spark, sfDir, "nation")
+    s.join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        array_join(array_sort(collect_list(col("s_name"))), ",").as("supp_csv"))
+      .orderBy(col("n_name"))
+  }
+
   // ------------------------------------------------------------ flagship ----
 
   /** Flagship: top revenue supplier per nation — the reference's EP2
@@ -396,6 +460,27 @@ object Relational {
   // ---------------------------------------------------------------- SQL ----
 
   val oracleSql: Map[String, String] = Map(
+    // the UNSALTED join: equality proves the salt spreads without
+    // duplicating or dropping a single fact row
+    "join_salted" ->
+      """SELECT s_name,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_price,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "agg_string_collect" ->
+      """SELECT n_name, count(*) AS n_supp,
+        |       string_agg(s_name, ',' ORDER BY s_name) AS supp_csv
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "pivot_wide" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))

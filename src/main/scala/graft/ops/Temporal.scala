@@ -115,7 +115,112 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Rolling mean over the last 7 events per user (ROWS frame, ordered by
+    * event time with the unique event_id as tie-break — a frame over a
+    * non-unique ordering is nondeterministic and would never survive a
+    * cross-engine compare). One hash shuffle on user_id + in-partition
+    * sort, O(frame) state per row: the canonical bounded-memory window at
+    * any scale. The mean is derived from an exact DECIMAL window sum (a
+    * double running sum is partition-merge-order-dependent) divided by the
+    * window count, so short leading frames are averaged correctly.
+    */
+  def windowMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    eventsNs(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        sum(col("value").cast(DecimalType(18, 4))).over(w).as("win_sum"),
+        count(lit(1)).over(w).as("win_n"))
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        round(col("win_sum").cast(DoubleType) / col("win_n"), 6).as("mov_avg"),
+        col("win_n"))
+      .orderBy(col("event_id"))
+  }
+
+  /** ORDERED FUNNEL: how far each user progressed through
+    * view → click → purchase, where each stage only counts at-or-after the
+    * previous one (a click with no preceding view is not stage 2).
+    *
+    * Sequential pattern-match semantics usually tempt a per-user sort in
+    * imperative code; here it is two running-max window columns over ONE
+    * hash shuffle on user_id: `saw_view` marks rows at-or-after the first
+    * view, a click on such a row is a qualifying click, `saw_qclick` marks
+    * rows at-or-after the first of those, and a purchase there completes
+    * the funnel. Same-timestamp ties order view < click < purchase so the
+    * at-or-after bounds are inclusive, matching the oracle's `>=` joins.
+    * State per row is two bits; the final per-user reduce rides the
+    * window's existing partitioning (no second exchange).
+    */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val stageNo = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("stage"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    eventsNs(spark, sfDir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), col("ts_ns"), stageNo.as("stage"))
+      .withColumn("saw_view",
+        max(when(col("stage") === 0, 1).otherwise(0)).over(w))
+      .withColumn("qual_click",
+        when(col("stage") === 1 && col("saw_view") === 1, 1).otherwise(0))
+      .withColumn("saw_qclick", max(col("qual_click")).over(w))
+      .withColumn("qual_purchase",
+        when(col("stage") === 2 && col("saw_qclick") === 1, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(max(col("saw_view")).as("has_view"),
+        max(col("saw_qclick")).as("has_click"),
+        max(col("qual_purchase")).as("has_purchase"))
+      .select(col("user_id"), col("has_view"), col("has_click"),
+        col("has_purchase"),
+        (col("has_view") + col("has_click") + col("has_purchase"))
+          .as("funnel_stage"))
+      .orderBy(col("user_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "window_moving_avg" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+        |           FROM events)
+        |SELECT event_id, user_id, ts_ns,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+        |        / count(*) OVER w, 6) AS mov_avg,
+        |  count(*) OVER w AS win_n
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // independent formulation: three chained min-timestamp joins, each
+    // stage bounded below by the previous stage's first qualifying time —
+    // equality proves the single-pass window form implements the same
+    // ordered-funnel semantics
+    "event_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type
+        |           FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts_ns) AS tv FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_ns) AS tc
+        |      FROM e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_ns >= v.tv
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_ns) AS tp
+        |      FROM e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_ns >= c.tc
+        |      GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        |  CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END AS has_view,
+        |  CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS has_click,
+        |  CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS has_purchase,
+        |  CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |  + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |  + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS funnel_stage
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |       LEFT JOIN c ON u.user_id = c.user_id
+        |       LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin,
     // DuckDB's native ASOF JOIN is the independent formulation: equality
     // proves the union-tag window trick implements the same semantics
     "join_asof" ->

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -175,7 +176,119 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
 
+  /** Per-document top-3 TF-IDF terms — the standard distinctive-term
+    * scorer a curation pipeline uses for topic tagging and boilerplate
+    * detection.
+    *
+    * Shape at scale: tokens explode in-row and collapse immediately into
+    * the (doc, token) term-frequency aggregate (map-side partial; a doc's
+    * tokens are row-local, so the shuffle carries ~distinct terms per doc,
+    * not occurrences). Document frequency is a second map-side aggregate
+    * over the tf table, vocab-sized — joined back WITHOUT a broadcast
+    * hint: AQE broadcasts it at small corpus sizes, and at 100 TB (where
+    * long-tail vocab can outgrow a broadcast) it degrades to a sound
+    * shuffle join instead of an OOM. The per-doc rank cut orders by the
+    * ROUNDED score: ln() is correctly-rounded only to ~1 ulp per libm, so
+    * ranking on raw doubles could order two near-equal scores differently
+    * per engine; on the 6-dp grid the order (then the token tie-break) is
+    * engine-stable.
+    */
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").filter(col("text").isNotNull)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + lit(1.0)) /
+          (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
+  /** Corpus bigram language-model score per document — the perplexity-
+    * style quality filter of a training-data pipeline (gibberish and
+    * boilerplate both sit far from the corpus mean).
+    *
+    * `P(w2|w1) = C(w1,w2) / C(w1·)` over the whole corpus (no smoothing
+    * needed for scoring members of the corpus itself: every document's
+    * bigrams contributed to the counts, so C ≥ 1); the score is the mean
+    * log-probability over the document's bigrams.
+    *
+    * Shape at scale: bigram pairs are built IN-ROW from the tokens array
+    * (transform over an index sequence — no posexplode+window, the corpus
+    * text never crosses the wire to form a pair, the same fix the ngram
+    * dedup path got in round 4); both count tables aggregate map-side; the
+    * score join shuffles on (w1,w2) — the one unavoidable corpus-sized
+    * exchange, equivalent to a word-count — and the per-doc mean reduces
+    * map-side again. Per-bigram log-probs are rounded to 9 dp and summed
+    * as DECIMAL(20,9): exact, order-independent, and the 9-dp grid
+    * absorbs libm's 1-ulp ln() slack across engines.
+    */
+  def ngramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val bigrams = base.select(col("doc_id"),
+      explode(expr("transform(sequence(0, size(toks) - 2)," +
+        " i -> struct(element_at(toks, i + 1) AS w1," +
+        " element_at(toks, i + 2) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = bgCounts.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
+    val probs = bgCounts.join(ctxCounts, "w1")
+    bigrams.join(probs, Seq("w1", "w2"))
+      .withColumn("logp",
+        round(log(col("c_bg").cast(DoubleType) / col("c_ctx")), 9)
+          .cast(DecimalType(20, 9)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("logp")).cast(DoubleType) / count(lit(1)), 6)
+          .as("avg_logp"))
+      .orderBy(col("doc_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "tfidf_topk" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM d),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM t
+        |       GROUP BY doc_id, token),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6)
+        |          AS tfidf
+        |      FROM tf JOIN df USING (token) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, token) AS rnk FROM s)
+        |SELECT doc_id, token, tf, df, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    "ngram_lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents
+        |           WHERE text IS NOT NULL
+        |             AND len(string_split(text, ' ')) >= 2),
+        |g AS (SELECT doc_id, toks,
+        |        unnest(generate_series(1, len(toks) - 1)) AS i FROM d),
+        |b AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM g),
+        |bc AS (SELECT w1, w2, count(*) AS c_bg FROM b GROUP BY w1, w2),
+        |cc AS (SELECT w1, sum(c_bg) AS c_ctx FROM bc GROUP BY w1),
+        |s AS (SELECT b.doc_id,
+        |        CAST(round(ln(CAST(bc.c_bg AS DOUBLE) / cc.c_ctx), 9)
+        |             AS DECIMAL(20,9)) AS logp
+        |      FROM b JOIN bc USING (w1, w2) JOIN cc USING (w1))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(CAST(sum(logp) AS DOUBLE) / count(*), 6) AS avg_logp
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_redact" ->
       """SELECT event_id,
         |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted,

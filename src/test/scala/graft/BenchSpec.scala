@@ -11,16 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
 
   test("graded bench line fits the driver's tail window for every key") {
-    // worst case: every key at a 3-digit-seconds value (999.999 — nothing
+    // worst case: every key at a 3-digit-seconds value (999.99 — nothing
     // has ever benched above 67s), total in the tens of thousands
-    val worst = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 999.999)
+    val worst = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 999.99)
     val line = Bench.renderLine(worst.map(_._2).sum, worst, failed = 0,
       "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"graded line is ${line.length} chars; " +
       "the driver tail keeps 2000 minus sbt's ~75-char success trailer")
-    // values render at fixed 3-dp (no scientific notation, no 17-digit
+    // values render at fixed 2-dp (no scientific notation, no 17-digit
     // doubles — those are what blew the r4 line past the window)
-    assert(line.contains("\"agg_count\":999.999"))
+    assert(line.contains("\"agg_count\":999.99"))
   }
 
   test("every query key carries a cost hint (ordering + retry threshold)") {

@@ -398,6 +398,66 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("tfidf_topk equals brute-force scoring with the rounded-rank rule") {
+    import spark.implicits._
+    val texts = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val n = texts.length
+    val tf = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (tok, occ) =>
+        (id, tok, occ.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).map { case (tok, rs) => tok -> rs.length.toLong }
+    def score(tfv: Long, dfv: Long): Double =
+      BigDecimal(tfv * math.log((n + 1.0) / (dfv + 1.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = tf.groupBy(_._1).flatMap { case (id, rs) =>
+      rs.toSeq
+        .map { case (_, tok, tfv) => (tok, tfv, df(tok), score(tfv, df(tok))) }
+        .sortBy { case (tok, _, _, s) => (-s, tok) }
+        .take(3).map { case (tok, tfv, dfv, s) => (id, tok, tfv, dfv, s) }
+    }.toSet
+    val got = TextAnalysis.tfidfTopK(spark, sf)
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("ngram_lm_score equals brute-force bigram-model means") {
+    import spark.implicits._
+    val texts = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      .filter(_._2.length >= 2)
+    val bigrams = texts.flatMap { case (id, toks) =>
+      toks.sliding(2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val cBg = bigrams.groupBy(_._2).map { case (bg, rs) => bg -> rs.length }
+    val cCtx = bigrams.groupBy(_._2._1).map { case (w1, rs) => w1 -> rs.length }
+    val expected = bigrams.groupBy(_._1).map { case (id, rs) =>
+      val logps = rs.map { case (_, bg) =>
+        BigDecimal(math.log(cBg(bg).toDouble / cCtx(bg._1)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      id -> (rs.length.toLong,
+        (logps.sum.toDouble / rs.length, logps.sum))
+    }
+    val got = TextAnalysis.ngramLmScore(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, nBg, avg) =>
+      val (eN, (eAvg, _)) = expected(id)
+      assert(nBg == eN, s"doc $id bigram count")
+      assert(math.abs(avg - eAvg) < 1e-6, s"doc $id avg_logp $avg vs $eAvg")
+      // a corpus member's bigrams all exist in the corpus counts: the mean
+      // log-probability is finite and non-positive
+      assert(avg <= 0.0 && !avg.isNaN && !avg.isInfinite)
+    }
+  }
+
   test("doc_fingerprint is order-sensitive and deterministic") {
     import spark.implicits._
     val a = TextAnalysis.docFingerprint(spark, sf).as[(Long, Long)].collect()

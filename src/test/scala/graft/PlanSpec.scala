@@ -90,6 +90,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ngram_lm_score builds bigrams in-row and aggregates map-side") {
+    // the 100 TB properties: bigram pairs come from a transform over the
+    // tokens array (no posexplode + lead window — a Window node here means
+    // the corpus text shuffles before a single pair exists), and both
+    // count tables combine partially before their exchanges
+    val p = plan("ngram_lm_score")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("mm_decode_stub evaluates the slot-sum pass exactly once") {
     // the hoisted slot_sums alias is referenced by 8 element_at slots; if a
     // rewrite let CollapseProject inline it, the single-pass expression

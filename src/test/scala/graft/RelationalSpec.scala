@@ -197,6 +197,61 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("join_salted equals the plain unsalted join-aggregate") {
+    import spark.implicits._
+    val salted = Relational.joinSalted(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val li = Tables.table(spark, sf, "lineitem")
+    val sup = Tables.table(spark, sf, "supplier")
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"),
+        count(lit(1)).as("n_items"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("agg_cube covers all four grouping sets and they reconcile") {
+    import spark.implicits._
+    val rows = Relational.aggCube(spark, sf)
+      .as[(String, String, Double, Long)].collect()
+    val leaves = rows.filter(r => r._1 != "ALL" && r._2 != "ALL")
+    val byFlag = rows.filter(r => r._1 != "ALL" && r._2 == "ALL")
+    val byStatus = rows.filter(r => r._1 == "ALL" && r._2 != "ALL")
+    val grand = rows.filter(r => r._1 == "ALL" && r._2 == "ALL")
+    assert(grand.length == 1)
+    val n = Tables.table(spark, sf, "lineitem").count()
+    assert(grand(0)._4 == n)
+    assert(leaves.map(_._4).sum == n)
+    // the grouping set rollup lacks: per-status subtotals
+    assert(byStatus.nonEmpty)
+    byStatus.foreach { st =>
+      assert(st._4 == leaves.filter(_._2 == st._2).map(_._4).sum,
+        s"cube subtotal for status ${st._2}")
+    }
+    byFlag.foreach { ft =>
+      assert(ft._4 == leaves.filter(_._1 == ft._1).map(_._4).sum,
+        s"cube subtotal for flag ${ft._1}")
+    }
+  }
+
+  test("agg_string_collect lists are sorted and count-consistent") {
+    import spark.implicits._
+    val rows = Relational.stringCollect(spark, sf)
+      .as[(String, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (nation, nSupp, csv) =>
+      val names = csv.split(",").toSeq
+      assert(names.length == nSupp, s"$nation csv length vs n_supp")
+      assert(names == names.sorted, s"$nation csv not sorted")
+    }
+    val totalSupp = Tables.table(spark, sf, "supplier").count()
+    assert(rows.map(_._2).sum == totalSupp)
+  }
+
   test("text_redact leaves no digits and counts every hit") {
     import spark.implicits._
     import graft.ops.TextAnalysis

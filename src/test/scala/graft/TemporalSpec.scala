@@ -67,6 +67,78 @@ class TemporalSpec extends SparkSpec {
     assert(!range.contains("CartesianProduct"), range)
   }
 
+  test("window_moving_avg equals brute-force sliding means per user") {
+    import spark.implicits._
+    val ev = Temporal.eventsNs(spark, sf)
+      .select(col("event_id"), col("user_id"), col("ts_ns"), col("value"))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val expected = ev.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._1))
+      ordered.zipWithIndex.map { case (r, i) =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1)
+        val sum4 = frame.map(x => BigDecimal(x._4)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+        r._1 -> (sum4.toDouble / frame.length, frame.length.toLong)
+      }
+    }
+    val got = Temporal.windowMovingAvg(spark, sf)
+      .select(col("event_id"), col("mov_avg"), col("win_n"))
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, avg, n) =>
+      val (eAvg, eN) = expected(id)
+      assert(n == eN, s"event $id window count")
+      assert(math.abs(avg - eAvg) < 1e-6, s"event $id mov_avg $avg vs $eAvg")
+    }
+    // frames shorter than 7 at partition starts are averaged over their
+    // true length, not zero-padded
+    assert(got.exists(_._3 < 7L) && got.exists(_._3 == 7L))
+  }
+
+  test("event_funnel equals brute-force ordered-stage matching") {
+    import spark.implicits._
+    val ev = eventRows.filter(r =>
+      Set("view", "click", "purchase").contains(r._3))
+    val expected = ev.groupBy(_._2).map { case (u, rows) =>
+      val tv = rows.filter(_._3 == "view").map(_._4).minOption
+      val tc = tv.flatMap(t =>
+        rows.filter(r => r._3 == "click" && r._4 >= t).map(_._4).minOption)
+      val tp = tc.flatMap(t =>
+        rows.filter(r => r._3 == "purchase" && r._4 >= t).map(_._4).minOption)
+      u -> (tv.size + tc.size + tp.size)
+    }
+    val got = Temporal.eventFunnel(spark, sf)
+      .select(col("user_id"), col("funnel_stage"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == expected)
+    // stage flags are monotone by construction: a purchase can't count
+    // without a qualifying click, nor a click without a preceding view
+    val flags = Temporal.eventFunnel(spark, sf)
+      .select(col("user_id"), col("has_view"), col("has_click"),
+        col("has_purchase")).as[(Long, Int, Int, Int)].collect()
+    flags.foreach { case (u, v, c, p) =>
+      assert(v >= c && c >= p, s"non-monotone funnel flags for user $u")
+    }
+  }
+
+  test("moving-avg and funnel shuffle once; salted join stays shuffled") {
+    // both event ops: ONE hash exchange (user_id) — the final groupBy or
+    // frame rides the window's partitioning; orderBy adds only a range
+    val mov = Temporal.windowMovingAvg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(mov).length == 1, mov)
+    val fun = Temporal.eventFunnel(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(fun).length == 1, fun)
+    // the salt only does its job in a SHUFFLED join: a broadcast would
+    // collapse the salted build side back onto every probe partition
+    val salted = graft.ops.Relational.joinSalted(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!salted.contains("BroadcastHashJoin"), salted)
+    assert(salted.contains("ShuffledHashJoin") ||
+      salted.contains("SortMergeJoin"), salted)
+  }
+
   test("sketch_kmv estimates within KMV error bounds and is deterministic") {
     val row = Sketches.kmvDistinct(spark, sf).collect()(0)
     val (k, kth, est, exact) = (row.getLong(0), row.getLong(1),
