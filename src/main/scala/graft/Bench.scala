@@ -101,9 +101,9 @@ object Bench {
     "quantile_bins" -> 0.25, "text_redact" -> 0.39,
     "dedup_incremental" -> 4.0,
     // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
-    "join_salted" -> 1.3, "agg_cube" -> 1.4, "agg_string_collect" -> 0.4,
-    "window_moving_avg" -> 0.9, "event_funnel" -> 0.7,
-    "tfidf_topk" -> 1.1, "ngram_lm_score" -> 2.5)
+    "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,
+    "window_moving_avg" -> 1.46, "event_funnel" -> 1.0,
+    "tfidf_topk" -> 1.71, "ngram_lm_score" -> 1.6)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

@@ -125,7 +125,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (51 of 62 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (67 of 78 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants
