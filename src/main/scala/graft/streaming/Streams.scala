@@ -45,6 +45,12 @@ object Streams {
   case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
     click_ts: Option[Timestamp])
 
+  case class FunnelState(sawView: Boolean, sawQClick: Boolean,
+    sawPurchase: Boolean)
+
+  case class FunnelOut(user_id: Long, has_view: Int, has_click: Int,
+    has_purchase: Int, funnel_stage: Int)
+
   /** File-source stream of events-shaped parquet dropped into `dir` —
     * the streaming analog of `Tables.table` (new files are discovered per
     * micro-batch; at scale this is a cloud-storage landing zone).
@@ -199,6 +205,61 @@ object Streams {
 
     events
       .filter(col("event_type").isin("click", "purchase"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** STREAMING ordered funnel — the stream form of `event_funnel`
+    * (`ops/Temporal.scala`): per-user progression through
+    * view → click(after view) → purchase(after qualifying click), emitted
+    * incrementally as events arrive.
+    *
+    * Per-user state is three monotone bits (the funnel can only advance),
+    * so a row is emitted exactly when the batch advances a user's stage —
+    * the output is a CHANGE LOG of funnel progress, and because every
+    * column is monotone, `max` per user over the log reconstructs the
+    * current snapshot at any point (the property the suite uses to pin
+    * stream(corpus) == batch(corpus)). Within a micro-batch, arrival order
+    * is repaired by the event-time sort with the batch operator's tie rule
+    * (view < click < purchase on equal timestamps); across micro-batches
+    * the bits' monotonicity makes the result order-insensitive, so unlike
+    * [[asofAttribution]] there is no late-data caveat: any arrival
+    * interleaving converges to the batch answer. Three booleans per user,
+    * evictable via a state timeout if the key space is unbounded.
+    */
+  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] = {
+    import spark.implicits._
+
+    def stageOf(t: String): Int =
+      t match { case "view" => 0; case "click" => 1; case _ => 2 }
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      val prev = state.getOption
+      var s = prev.getOrElse(FunnelState(false, false, false))
+      rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, stageOf(e.event_type)))
+        .foreach { e =>
+          e.event_type match {
+            case "view" => s = s.copy(sawView = true)
+            case "click" if s.sawView => s = s.copy(sawQClick = true)
+            case "purchase" if s.sawQClick => s = s.copy(sawPurchase = true)
+            case _ => ()
+          }
+        }
+      if (prev.contains(s)) Iterator.empty // no progress → no emission
+      else {
+        state.update(s)
+        val (v, c, p) = (if (s.sawView) 1 else 0, if (s.sawQClick) 1 else 0,
+          if (s.sawPurchase) 1 else 0)
+        Iterator.single(FunnelOut(userId, v, c, p, v + c + p))
+      }
+    }
+
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(

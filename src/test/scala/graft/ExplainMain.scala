@@ -23,7 +23,8 @@ object ExplainMain {
         "groupby_agg", "join_inner_equi", "sim_search", "json_extract",
         "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode_stub",
         "corpus_clean", "join_asof", "join_range", "sketch_kmv",
-        "pivot_wide", "sample_stratified")
+        "pivot_wide", "sample_stratified", "join_salted", "agg_cube",
+        "window_moving_avg", "event_funnel", "tfidf_topk", "ngram_lm_score")
     keys.foreach { k =>
       println(s"\n================ $k ================")
       SparkEntry.queries(k)(spark, sf).explain("formatted")

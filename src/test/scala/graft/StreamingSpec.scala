@@ -203,6 +203,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming funnel change-log equals the batch funnel over the corpus") {
+    import org.apache.spark.sql.functions._
+    // monotone bits → max per user over the change log reconstructs the
+    // final snapshot; replaying the corpus must reproduce the batch
+    // ordered-funnel operator exactly (which is itself pinned to an
+    // independent chained-min-join SQL oracle)
+    val dir = Files.createTempDirectory("graft_funnel_in").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val checkpoint = Files.createTempDirectory("graft_funnel_ck").toString
+    val q = Streams.funnelProgress(spark, Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("funnel")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toMap
+    val streamed = keyed(spark.sql(
+      """SELECT user_id, CAST(max(has_view) AS INT), CAST(max(has_click) AS INT),
+        |  CAST(max(has_purchase) AS INT), CAST(max(funnel_stage) AS INT)
+        |FROM funnel GROUP BY user_id""".stripMargin))
+    val batch = keyed(graft.ops.Temporal.eventFunnel(spark, sf))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming funnel emits exactly one row per stage advance") {
+    val dir = Files.createTempDirectory("graft_funprog_in").toString
+    // file 1: a view for user 1 (stage 1) and a PREMATURE click for user 2
+    // (stage 0 — a click with no preceding view does not pass the gate)
+    writeBatch(dir, Seq(
+      (1L, ts(0), 1L, "view", 1.0),
+      (2L, ts(0), 2L, "click", 1.0)))
+    // file 2 (separate micro-batch via maxFilesPerTrigger=1): user 1
+    // clicks then purchases — ONE emission at stage 3, no intermediate
+    // stage-2 row; user 2 clicks again, still gated → NO new emission
+    writeBatch(dir, Seq(
+      (3L, ts(5), 1L, "click", 1.0),
+      (4L, ts(6), 1L, "purchase", 1.0),
+      (5L, ts(7), 2L, "click", 1.0)))
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = Streams.funnelProgress(spark, stream)
+      .writeStream.format("memory").queryName("funprog")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the full change log: exactly three rows — duplicate emissions for an
+    // unchanged state or a skipped-stage row would surface here
+    val log = spark.sql(
+      """SELECT user_id, has_view, has_click, has_purchase, funnel_stage
+        |FROM funprog ORDER BY user_id, funnel_stage""".stripMargin)
+      .collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(log == Seq((1L, 1, 0, 0, 1), (1L, 1, 1, 1, 3), (2L, 0, 0, 0, 0)))
+  }
+
   test("sessionization closes sessions when the watermark passes the gap") {
     val dir = Files.createTempDirectory("graft_sess_in").toString
     // user 1: two events 5 min apart (one session); user 2: one event.
