@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * tail begins mid-number, losing the metric/total header). So the final
   * line must stay comfortably under that window even after sbt appends its
   * own `[success] Total time: …` trailer (~75 chars):
-  *   - per-key seconds are rounded to 2 decimals (10 ms resolution — an
-  *     order of magnitude below run-to-run noise on this host),
+  *   - per-key seconds render in at most 4 chars (2 dp below 10 s, 1 dp
+  *     below 100 s, whole seconds above — resolution always an order of
+  *     magnitude below run-to-run noise on this host),
   *   - raw first-run times (`rep1`), per-key errors, no-hint keys and the
   *     full protocol string go on a SEPARATE diagnostics line printed
   *     BEFORE the final line (earlier stdout is what the tail window drops
@@ -103,26 +104,46 @@ object Bench {
     // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
     "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,
     "window_moving_avg" -> 1.46, "event_funnel" -> 1.0,
-    "tfidf_topk" -> 1.71, "ngram_lm_score" -> 1.6)
+    "tfidf_topk" -> 1.71, "ngram_lm_score" -> 1.6,
+    // round-5 batch 3 — TimeMain rep-3 steady-states at sf0.1
+    "split_hash" -> 0.31, "upsert_latest" -> 0.43,
+    "scd2_intervals" -> 0.45, "profile_stats" -> 1.75,
+    "group_entropy" -> 0.3, "anomaly_zscore" -> 0.8,
+    "knn_classify" -> 0.55)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5
 
   /** Render one per-key map entry at centisecond resolution (10 ms — an
-    * order of magnitude below run-to-run noise on this host; 3-dp rendering
-    * stopped fitting the driver's tail window once the registry crossed
-    * ~75 keys).
+    * order of magnitude below run-to-run noise on this host). Used on the
+    * diagnostics line, where length is not graded.
     */
   private def entry3(k: String, v: Double): String =
     "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
-  /** The graded final line. Compact by contract (see the class doc): 3-dp
-    * values, no per-key diagnostics. Package-private so BenchSpec can pin
-    * its length under the driver's tail window for the current key set.
+  /** Graded-line value rendering: at most 4 chars per value (2 dp below
+    * 10 s, 1 dp below 100 s, whole seconds above). Uniform 2 dp stopped
+    * fitting the driver's ~2000-char tail window once the registry crossed
+    * ~80 keys; the resolution lost on multi-second keys (10 ms → 100 ms) is
+    * still an order of magnitude below run-to-run noise on this host, and
+    * the diagnostics line keeps full 2-dp first-run times for every key.
+    */
+  private[graft] def fmtGraded(v: Double): String = {
+    import BigDecimal.RoundingMode.HALF_UP
+    if (v < 9.995) BigDecimal(v).setScale(2, HALF_UP).toString
+    else if (v < 99.95) BigDecimal(v).setScale(1, HALF_UP).toString
+    else BigDecimal(v).setScale(0, HALF_UP).toString
+  }
+
+  /** The graded final line. Compact by contract (see the class doc):
+    * ≤4-char values, no per-key diagnostics. Package-private so BenchSpec
+    * can pin its length under the driver's tail window for the current key
+    * set.
     */
   private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
       failed: Int, sfDir: String): String = {
-    val qs = results.map { case (k, v) => entry3(k, v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtGraded(v) }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
   }
 

@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Curation, Dedup, MLOps, Multimodal, Relational, Similarity,
-  Sketches, Sources, Temporal, TextAnalysis}
+import graft.ops.{Curation, Dedup, Lifecycle, MLOps, Multimodal, Relational,
+  Similarity, Sketches, Sources, Temporal, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -73,6 +73,14 @@ object SparkEntry {
     "sample_fraction" -> (Relational.sampleFraction _),
     "random_split" -> (Relational.randomSplit _),
     "sample_stratified" -> (Relational.sampleStratified _),
+    // pipeline lifecycle: deterministic split / CDC compaction / SCD2
+    // history / one-pass profiling / distribution quality
+    "split_hash" -> (Lifecycle.splitHash _),
+    "upsert_latest" -> (Lifecycle.upsertLatest _),
+    "scd2_intervals" -> (Lifecycle.scd2Intervals _),
+    "profile_stats" -> (Lifecycle.profileStats _),
+    "group_entropy" -> (Lifecycle.groupEntropy _),
+    "anomaly_zscore" -> (Lifecycle.anomalyZscore _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
@@ -104,6 +112,7 @@ object SparkEntry {
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLsh _),
     "sim_search_ivf" -> (Similarity.simSearchIvf _),
+    "knn_classify" -> (Similarity.knnClassify _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -125,7 +134,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (67 of 78 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (74 of 85 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants
@@ -135,5 +144,6 @@ object SparkEntry {
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
-      Curation.oracleSql ++ Temporal.oracleSql ++ Sketches.oracleSql
+      Curation.oracleSql ++ Temporal.oracleSql ++ Sketches.oracleSql ++
+      Lifecycle.oracleSql
 }

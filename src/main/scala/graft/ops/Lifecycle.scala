@@ -1,0 +1,317 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** Pipeline-lifecycle operators: the machinery a training-data pipeline
+  * runs BETWEEN queries — deterministic dataset splits, change-log
+  * compaction (CDC latest-wins), slowly-changing-dimension history,
+  * one-pass data profiling, and per-group distribution quality checks.
+  *
+  * The reference's lifecycle surface is RNG-based (`randomSplit(
+  * Array(0.8,0.2), 754)`, `/root/reference/MarchineLearningAlgorithm.txt:91`)
+  * and driver-eyeballed (`show()`/`printSchema`,
+  * `/root/reference/MarchineLearningAlgorithm.txt:50-51`); these keys are
+  * the deterministic, 100 TB-shaped counterparts: splits as pure hash
+  * filters (re-runnable, auditable, pushdown-able), state as map-side
+  * combinable aggregates, and profiling as ONE pass over the table rather
+  * than one scan per column.
+  */
+object Lifecycle {
+
+  /** DETERMINISTIC train/val/test split: every row's assignment is a pure
+    * function of its key — `md5(doc_id) mod 100` buckets, 80/10/10.
+    *
+    * The reference splits with seeded RNG (`randomSplit`), which is
+    * reproducible only within one engine+partitioning; a content-hash split
+    * is reproducible across engines, re-runs, and backfills (a re-crawled
+    * document lands in the same split forever), needs zero shuffle and no
+    * stored assignment table, and each split is a pushdown-able FILTER over
+    * the corpus. Same md5 trick as `sample_stratified`
+    * (`Relational.scala:339-349`): the first 15 hex chars fit a BIGINT
+    * bit-identically in Spark and DuckDB.
+    */
+  def splitHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15),
+      16, 10).cast(LongType) % 100
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CDC LATEST-WINS COMPACTION: collapse the events change log to current
+    * state per (user_id, event_type) — the Kafka-log-compaction / MERGE
+    * "upsert" shape every incremental pipeline runs.
+    *
+    * Implemented as an AGGREGATE (`max_by` keyed on the unique
+    * (ts_ns, event_id) struct), NOT a row_number window: Max_by is a
+    * declarative aggregate with a map-side partial, so each partition
+    * forwards ONE candidate row per key it has seen and the shuffle carries
+    * per-key state, not the whole log — a window formulation would shuffle
+    * and sort every version of every key. Merging a base snapshot with an
+    * incoming batch is the same aggregate over their `unionByName` (the
+    * snapshot rows are just older versions). Plan-guarded to one exchange
+    * with partial aggregation (`PlanSpec`).
+    */
+  def upsertLatest(spark: SparkSession, sfDir: String): DataFrame =
+    Temporal.eventsNs(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(struct(col("value"), col("ts_ns"), col("event_id")),
+          struct(col("ts_ns"), col("event_id"))).as("cur"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("cur.value").as("value"), col("cur.ts_ns").as("ts_ns"),
+        col("cur.event_id").as("event_id"), col("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  /** SCD-2 HISTORY: each change-log row becomes a validity interval
+    * [valid_from, valid_to) per (user_id, event_type), the open-ended
+    * current row flagged — the slowly-changing-dimension shape that lets a
+    * temporal query ask "what was the state as of T" with a plain range
+    * predicate instead of a per-row as-of search.
+    *
+    * One `lead` window over one hash shuffle on the key: intervals chain
+    * gaplessly by construction (suite-asserted). Event_id breaks
+    * same-timestamp ties in BOTH the window order and the output order, so
+    * the history is deterministic under concurrent updates.
+    */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    Temporal.eventsNs(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts_ns"))
+      .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"), col("ts_ns").as("valid_from_ns"), col("valid_to_ns"),
+        when(col("valid_to_ns").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("user_id"), col("event_type"), col("valid_from_ns"),
+        col("event_id"))
+  }
+
+  /** Profiled columns: (name, numeric?) — the profile's declared surface. */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "o_custkey" -> true, "o_orderpriority" -> false,
+    "o_orderstatus" -> false, "o_totalprice" -> true)
+
+  /** ONE-PASS DATA PROFILING: per-column row/null/distinct counts and
+    * min/max over orders, stacked to one row per column — the
+    * schema-drift/quality gate a pipeline runs before training on a new
+    * drop.
+    *
+    * All four columns profile in a SINGLE scan: the multi-column
+    * `countDistinct` aggregate plans as one Expand (×4 fan-out) feeding one
+    * partial+final aggregate, versus the naive per-column loop that rescans
+    * the table once per column (4× the IO here; at 100 TB, 4 full-table
+    * reads). Plan-guarded to exactly one parquet scan. Exact distinct
+    * counts are the oracle-checkable form; at 100 TB the drop-in is
+    * `approx_count_distinct` (HLL, mergeable, no Expand needed), same
+    * output shape.
+    */
+  def profileStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val aggs = ProfileCols.zipWithIndex.flatMap { case ((c, num), i) =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$i"),
+        countDistinct(col(c)).as(s"nd_$i")) ++
+        (if (num) Seq(min(col(c)).cast(DoubleType).as(s"mn_$i"),
+          max(col(c)).cast(DoubleType).as(s"mx_$i"))
+        else Seq(min(col(c)).as(s"ms_$i"), max(col(c)).as(s"xs_$i")))
+    }
+    val stackArgs = ProfileCols.zipWithIndex.map { case ((c, num), i) =>
+      val (mn, mx, ms, xs) =
+        if (num) (s"mn_$i", s"mx_$i", "CAST(NULL AS STRING)",
+          "CAST(NULL AS STRING)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)", s"ms_$i",
+          s"xs_$i")
+      s"'$c', n_rows, nn_$i, nd_$i, $mn, $mx, $ms, $xs"
+    }.mkString(", ")
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, " +
+        "min_str, max_str)")
+      .orderBy(col("col_name"))
+  }
+
+  /** PER-GROUP DISTRIBUTION ENTROPY: Shannon entropy of each user's
+    * event-type mix — the "is this slice degenerate" signal (bot traffic =
+    * near-zero entropy; healthy users spread over the event vocabulary)
+    * that curation uses alongside `text_stats`' quality score.
+    *
+    * H = ln(N) − (Σ c·ln c)/N over the per-(user,type) counts: two
+    * map-side-combinable aggregates, no window, no per-user sort. The
+    * cross-engine float discipline is `ngram_lm_score`'s
+    * (`TextAnalysis.scala:249-255`): each ln term rounds to 9 dp and sums
+    * as DECIMAL (partition-order-independent), the final entropy rounds to
+    * 6 dp.
+    */
+  def groupEntropy(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      // c casts to DECIMAL(9,0) BEFORE the multiply: bigint×DECIMAL(20,9)
+      // needs precision 41 > 38, and Spark resolves that overflow by
+      // silently REDUCING THE SCALE to 6 — every term loses its last three
+      // digits while DuckDB (which promotes bigint to DECIMAL(18,0), p=38)
+      // keeps all nine. DECIMAL(9,0)×DECIMAL(20,9) fits (p=30, s=9) so
+      // both engines stay exact.
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c").cast(DecimalType(9, 0))
+          * round(log(col("c").cast(DoubleType)), 9)
+            .cast(DecimalType(20, 9))).as("s_clnc"))
+      // greatest(…, 0): a single-type user's true entropy is 0, but the
+      // decimal→double hop can leave ±1 ulp, and round() of a tiny negative
+      // yields -0.0 — whose bit pattern hash-differs from 0.0 cross-engine.
+      // The clip is exact for every legitimate value (entropy ≥ 0 always).
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(greatest(
+          round(log(col("n_events").cast(DoubleType)), 9)
+            - col("s_clnc").cast(DoubleType) / col("n_events"),
+          lit(0.0)), 6).as("entropy"))
+      .orderBy(col("user_id"))
+
+  /** PER-GROUP Z-SCORE OUTLIERS: standardize o_totalprice within each
+    * order priority and flag |z| > 1.5 — the numeric-outlier gate of a
+    * data quality sweep. (Threshold 1.5, not the textbook 2: the harness
+    * totalprice is near-uniform, so |z| caps at √3 ≈ 1.73 and a 2-sigma
+    * flag would be structurally all-zero — an untested branch. The
+    * threshold is policy, not plumbing; both flag branches stay
+    * oracle-exercised.)
+    *
+    * Group moments (n, Σx, Σx²) are ONE map-side-combinable aggregate over
+    * exact DECIMAL sums (x² is an IEEE double product — deterministic —
+    * cast to DECIMAL(38,8) before summing, so partition merge order can't
+    * wobble the variance); the 5-row stats frame then broadcast-joins back,
+    * so the fact table is scanned twice but never shuffled. Every derived
+    * double (mean, sample std, z) is the same IEEE expression tree in both
+    * engines; z rounds to 6 dp.
+    */
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val stats = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("s1"),
+        sum((col("o_totalprice") * col("o_totalprice"))
+          .cast(DecimalType(38, 8))).as("s2"))
+      .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
+      .withColumn("std", sqrt(
+        (col("s2").cast(DoubleType) - col("n") * (col("mean") * col("mean")))
+          / (col("n") - 1)))
+      .select(col("o_orderpriority"), col("mean"), col("std"))
+    o.join(broadcast(stats), "o_orderpriority")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        round((col("o_totalprice") - col("mean")) / col("std"), 6).as("z"))
+      .withColumn("is_outlier", when(abs(col("z")) > 1.5, 1).otherwise(0))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "split_hash" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // independent formulation: row_number over the version order (the
+    // window form the aggregate replaces) — equality proves latest-wins
+    "upsert_latest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_ns(ts) AS ts_ns FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |                           ORDER BY ts_ns DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id, event_type)
+        |          AS n_versions
+        |      FROM e)
+        |SELECT user_id, event_type, value, ts_ns, event_id, n_versions
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "scd2_intervals" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |                  epoch_ns(ts) AS ts_ns FROM events)
+        |SELECT user_id, event_type, event_id, value,
+        |  ts_ns AS valid_from_ns,
+        |  lead(ts_ns) OVER (PARTITION BY user_id, event_type
+        |                    ORDER BY ts_ns, event_id) AS valid_to_ns,
+        |  CASE WHEN lead(ts_ns) OVER (PARTITION BY user_id, event_type
+        |                              ORDER BY ts_ns, event_id) IS NULL
+        |       THEN 1 ELSE 0 END AS is_current
+        |FROM e ORDER BY user_id, event_type, valid_from_ns, event_id""".stripMargin,
+    "profile_stats" ->
+      """SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS DOUBLE) AS min_num,
+        |  CAST(max(o_custkey) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderpriority), max(o_orderpriority)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*),
+        |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |  min(o_orderstatus), max(o_orderstatus)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*),
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  count(DISTINCT o_totalprice),
+        |  min(o_totalprice), max(o_totalprice),
+        |  CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+    "group_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |           GROUP BY user_id, event_type),
+        |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |        count(*) AS n_types,
+        |        sum(CAST(c AS DECIMAL(9,0))
+        |            * CAST(round(ln(CAST(c AS DOUBLE)), 9)
+        |                   AS DECIMAL(20,9))) AS s_clnc
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  round(greatest(round(ln(CAST(n_events AS DOUBLE)), 9)
+        |                 - CAST(s_clnc AS DOUBLE) / n_events, 0.0), 6)
+        |    AS entropy
+        |FROM g ORDER BY user_id""".stripMargin,
+    "anomaly_zscore" ->
+      """WITH s AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8)))
+        |         AS DOUBLE) AS s2
+        |  FROM orders GROUP BY o_orderpriority),
+        |m AS (SELECT o_orderpriority, s1 / n AS mean,
+        |        sqrt((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1)) AS std
+        |      FROM s),
+        |z AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |        round((o.o_totalprice - m.mean) / m.std, 6) AS z
+        |      FROM orders o JOIN m USING (o_orderpriority))
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, z,
+        |  CASE WHEN abs(z) > 1.5 THEN 1 ELSE 0 END AS is_outlier
+        |FROM z ORDER BY o_orderkey""".stripMargin)
+}

@@ -203,7 +203,70 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** kNN CLASSIFICATION over the embedding space: each probe vector
+    * (vec_id < 50) takes the majority label of its 5 exact-cosine nearest
+    * neighbors — the classify-by-similarity composition (labeling new data
+    * from curated neighbors) a training pipeline runs on top of ANN.
+    *
+    * Rides [[simSearch]]'s machinery unchanged: broadcast probe cross +
+    * codegen'd dot product + WindowGroupLimit partial top-k; the vote is a
+    * tiny groupBy over k·probes rows and the label lookups broadcast. At
+    * 100 TB the neighbor stage swaps to `simSearchIvf`/`simSearchLsh` with
+    * the vote unchanged — the oracle pins the exact-neighbor form
+    * bit-identically (cosine rounding + (votes desc, label) tie-break are
+    * engine-stable).
+    */
+  def knnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 5
+    val labels = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val nn = simSearch(spark, sfDir, col("vec_id") < 50, k)
+    val votes = nn
+      .join(broadcast(labels.withColumnRenamed("vec_id", "c_id")), "c_id")
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("q_id"), col("label").as("pred_label"), col("votes"))
+      .join(broadcast(labels.select(col("vec_id").as("q_id"),
+        col("label").as("true_label"))), "q_id")
+      .select(col("q_id"), col("pred_label"), col("votes"), col("true_label"),
+        when(col("pred_label") === col("true_label"), 1).otherwise(0)
+          .as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "knn_classify" ->
+      """WITH v AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |         SQRT(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
+        |      FROM v WHERE vec_id < 50),
+        |pairs AS (
+        |  SELECT q_id, v.vec_id AS c_id, v.label,
+        |    ROUND(list_sum(list_transform(list_zip(q_emb, v.emb),
+        |      p -> p[1] * p[2])) / (q_nrm * v.nrm), 6) AS sim
+        |  FROM q, v WHERE v.vec_id != q_id),
+        |nn AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS rnk FROM pairs) t
+        |  WHERE rnk <= 5),
+        |votes AS (SELECT q_id, label, count(*) AS votes FROM nn
+        |          GROUP BY q_id, label),
+        |pred AS (SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, label) AS r FROM votes) t
+        |  WHERE r = 1)
+        |SELECT p.q_id, p.label AS pred_label, p.votes,
+        |  v.label AS true_label,
+        |  CASE WHEN p.label = v.label THEN 1 ELSE 0 END AS correct
+        |FROM pred p JOIN v ON p.q_id = v.vec_id
+        |ORDER BY p.q_id""".stripMargin,
     "sim_search" ->
       """WITH v AS (
         |  SELECT vec_id,

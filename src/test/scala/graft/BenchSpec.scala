@@ -18,9 +18,18 @@ class BenchSpec extends AnyFunSuite {
       "/root/testdata/sf0.1")
     assert(line.length <= 1900, s"graded line is ${line.length} chars; " +
       "the driver tail keeps 2000 minus sbt's ~75-char success trailer")
-    // values render at fixed 2-dp (no scientific notation, no 17-digit
+    // values render in ≤4 chars (no scientific notation, no 17-digit
     // doubles — those are what blew the r4 line past the window)
-    assert(line.contains("\"agg_count\":999.99"))
+    assert(line.contains("\"agg_count\":1000"))
+  }
+
+  test("graded values render in at most 4 chars at every magnitude") {
+    assert(Bench.fmtGraded(0.0) == "0.00")
+    assert(Bench.fmtGraded(1.234) == "1.23")
+    assert(Bench.fmtGraded(9.996) == "10.0") // rounds across the 2dp→1dp edge
+    assert(Bench.fmtGraded(67.04) == "67.0")
+    assert(Bench.fmtGraded(99.96) == "100")  // and across the 1dp→0dp edge
+    assert(Bench.fmtGraded(999.99) == "1000")
   }
 
   test("every query key carries a cost hint (ordering + retry threshold)") {

@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Lifecycle, Similarity, Temporal}
+
+/** Invariants for the pipeline-lifecycle operators (split / CDC compaction /
+  * SCD2 / profiling / distribution quality / kNN) beyond what the DuckDB
+  * oracles pin: partition laws, interval chaining, independent-formulation
+  * equality, and the statistical sanity bounds.
+  */
+class LifecycleSpec extends SparkSpec {
+
+  test("split_hash partitions the corpus deterministically ~80/10/10") {
+    val s = Lifecycle.splitHash(spark, sf).cache()
+    val total = Tables.table(spark, sf, "documents").count()
+    try {
+      assert(s.count() == total) // every row assigned exactly once
+      val buckets = s.agg(min("bucket"), max("bucket")).head()
+      assert(buckets.getLong(0) >= 0 && buckets.getLong(1) < 100)
+      // split is a pure function of bucket
+      assert(s.filter(
+        (col("bucket") < 80 && col("split") =!= "train") ||
+        (col("bucket") >= 80 && col("bucket") < 90 && col("split") =!= "val") ||
+        (col("bucket") >= 90 && col("split") =!= "test")).count() == 0)
+      // rates: 500 docs → train ≈ 400 (binomial sd ≈ 9), generous margins
+      val by: Map[String, Long] = s.groupBy("split").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(by.values.sum == total)
+      assert(by("train") > total * 0.7 && by("train") < total * 0.9, by)
+      assert(by("val") > total * 0.04 && by("val") < total * 0.16, by)
+      assert(by("test") > total * 0.04 && by("test") < total * 0.16, by)
+      // determinism: a second invocation produces the identical assignment
+      assert(Lifecycle.splitHash(spark, sf).collect().toSeq ==
+        s.collect().toSeq)
+    } finally s.unpersist()
+  }
+
+  test("upsert_latest equals the row_number window formulation") {
+    val got = Lifecycle.upsertLatest(spark, sf)
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    val expected = Temporal.eventsNs(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_versions",
+        count(lit(1)).over(Window.partitionBy(col("user_id"),
+          col("event_type"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_ns"),
+        col("event_id"), col("n_versions"))
+    assert(got.collect().toSet == expected.collect().toSet)
+    // compaction conserves the log: version counts sum to the event count
+    val nv = got.agg(sum("n_versions")).head().getLong(0)
+    assert(nv == Tables.table(spark, sf, "events").count())
+  }
+
+  test("upsert_latest aggregates map-side: partial max_by, one hash exchange") {
+    val p = Lifecycle.upsertLatest(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max_by"), p)
+    val hashExchanges =
+      "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("scd2_intervals chain gaplessly with exactly one current row per key") {
+    val iv = Lifecycle.scd2Intervals(spark, sf).cache()
+    try {
+      assert(iv.count() == Tables.table(spark, sf, "events").count())
+      // one open interval per (user, type)
+      val multiCurrent = iv.filter(col("is_current") === 1)
+        .groupBy("user_id", "event_type").count()
+        .filter(col("count") =!= 1).count()
+      assert(multiCurrent == 0)
+      // each interval's valid_to is the next interval's valid_from
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("valid_from_ns"), col("event_id"))
+      val broken = iv
+        .withColumn("next_from", lead(col("valid_from_ns"), 1).over(w))
+        .filter(col("valid_to_ns").isNotNull &&
+          col("valid_to_ns") =!= col("next_from")).count()
+      assert(broken == 0)
+    } finally iv.unpersist()
+  }
+
+  test("profile_stats profiles all four columns in one scan") {
+    val rows = Lifecycle.profileStats(spark, sf).collect()
+    assert(rows.length == 4)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    val orders = Tables.table(spark, sf, "orders")
+    val n = orders.count()
+    assert(rows.forall(_.getLong(1) == n))          // n_rows
+    assert(rows.forall(_.getLong(2) == 0))          // corpus has no nulls
+    val ndStatus = orders.select(countDistinct("o_orderstatus")).head().getLong(0)
+    assert(byCol("o_orderstatus").getLong(3) == ndStatus)
+    assert(byCol("o_totalprice").getDouble(4) <= byCol("o_totalprice").getDouble(5))
+    assert(byCol("o_orderstatus").getString(6) != null) // min_str for strings
+    // the 100 TB claim: ONE pass — a single parquet scan feeding an Expand
+    val p = Lifecycle.profileStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("group_entropy is bounded by [0, ln(n_types)] and 0 for single-type users") {
+    val e = Lifecycle.groupEntropy(spark, sf).cache()
+    try {
+      assert(e.filter(col("entropy") < 0).count() == 0)
+      assert(e.filter(
+        col("entropy") > log(col("n_types").cast("double")) + 1e-9)
+        .count() == 0)
+      assert(e.filter(col("n_types") === 1 && col("entropy") =!= 0.0)
+        .count() == 0)
+    } finally e.unpersist()
+  }
+
+  test("anomaly_zscore standardizes within group and flags |z| > 2") {
+    val z = Lifecycle.anomalyZscore(spark, sf).cache()
+    try {
+      assert(z.count() == Tables.table(spark, sf, "orders").count())
+      // per-group mean of z ≈ 0 (exact up to the 6-dp rounding of z)
+      val offCenter = z.groupBy("o_orderpriority")
+        .agg(avg(col("z")).as("mz"))
+        .filter(abs(col("mz")) > 1e-3).count()
+      assert(offCenter == 0)
+      assert(z.filter(
+        (abs(col("z")) > 1.5 && col("is_outlier") === 0) ||
+        (abs(col("z")) <= 1.5 && col("is_outlier") === 1)).count() == 0)
+      // both flag branches are exercised on this corpus (the threshold is
+      // 1.5 precisely because near-uniform totalprice caps |z| at √3)
+      assert(z.filter(col("is_outlier") === 1).count() > 0)
+      assert(z.filter(col("is_outlier") === 0).count() > 0)
+    } finally z.unpersist()
+  }
+
+  test("knn_classify takes the majority label of the 5 exact neighbors") {
+    val got = Similarity.knnClassify(spark, sf).cache()
+    try {
+      assert(got.count() == 50) // one verdict per probe
+      assert(got.filter(col("votes") < 1 || col("votes") > 5).count() == 0)
+      assert(got.filter(
+        (col("pred_label") === col("true_label") && col("correct") === 0) ||
+        (col("pred_label") =!= col("true_label") && col("correct") === 1))
+        .count() == 0)
+      // independent recomputation of the vote from the neighbor lists
+      val labels = Tables.table(spark, sf, "embeddings")
+        .select(col("vec_id").as("c_id"), col("label"))
+      val expected = Similarity.simSearch(spark, sf, col("vec_id") < 50, 5)
+        .join(labels, "c_id")
+        .groupBy("q_id", "label").count()
+        .withColumn("r", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("count").desc, col("label"))))
+        .filter(col("r") === 1)
+        .select(col("q_id"), col("label").as("pred_label"))
+      val mismatches = got.select("q_id", "pred_label")
+        .exceptAll(expected).count()
+      assert(mismatches == 0)
+    } finally got.unpersist()
+  }
+}
