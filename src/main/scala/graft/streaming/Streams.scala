@@ -266,6 +266,39 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** STREAM-STREAM INTERVAL JOIN — the streaming form of `join_range`'s
+    * pair step (`ops/Temporal.scala`): each purchase joined to the same
+    * user's clicks in its trailing 24 h window, as both sides arrive.
+    *
+    * This is the one stateful-join shape Structured Streaming supports at
+    * scale, and the time-bound condition is what makes it runnable
+    * forever: with watermarks on BOTH sides and the range predicate
+    * `p_ts − 24h < c_ts ≤ p_ts`, Spark derives a state horizon per side —
+    * click state older than (purchase watermark − 24 h) and purchase state
+    * older than the click watermark are evicted, so join state is bounded
+    * by the window volume, not the stream's lifetime. Without the time
+    * bound the same join would accumulate state forever (and Spark would
+    * reject it in append mode). Inner join: emitted exactly when both
+    * sides are present; the aggregate layer of `join_range` stays batch
+    * (a second stateful op over a stream-stream join needs its own
+    * output-mode contract — the pairs ARE the streaming deliverable).
+    */
+  def rangeJoinPairs(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("user_id = c_user AND c_ts <= p_ts AND " +
+        "c_ts > p_ts - INTERVAL 24 HOURS"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"),
+        col("c_ts"))
+  }
+
   /** Batch twin of [[sessionize]]: the same session definition — maximal
     * runs of per-user events where consecutive gaps are ≤ `gapMinutes` —
     * computed with window functions over data at rest (`lag` + cumulative

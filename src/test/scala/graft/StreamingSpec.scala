@@ -285,4 +285,40 @@ class StreamingSpec extends SparkSpec {
     // still-open session must fail, not hide behind contains-checks
     assert(sessions == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
+
+  test("stream-stream interval join equals the batch range pairs over the corpus") {
+    import org.apache.spark.sql.functions._
+    // the watermarked two-sided join must reproduce the plain batch
+    // inequality join exactly when the corpus is replayed: inner join +
+    // time bound means no emission depends on watermark timing, only on
+    // both sides having arrived
+    val dir = Files.createTempDirectory("graft_ssj_in").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val checkpoint = Files.createTempDirectory("graft_ssj_ck").toString
+    val q = Streams.rangeJoinPairs(Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("ssj")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT p_id, c_id FROM ssj")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the unbinned inequality join over the same corpus
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val batch = p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("p_id"), col("c_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
