@@ -9,9 +9,9 @@ import org.apache.spark.sql.SparkSession
   * tail begins mid-number, losing the metric/total header). So the final
   * line must stay comfortably under that window even after sbt appends its
   * own `[success] Total time: …` trailer (~75 chars):
-  *   - per-key seconds render in at most 4 chars (2 dp below 10 s, 1 dp
-  *     below 100 s, whole seconds above — resolution always an order of
-  *     magnitude below run-to-run noise on this host),
+  *   - per-key seconds render in at most 3 chars (1 dp below 10 s, whole
+  *     seconds above — resolution always below run-to-run noise on this
+  *     host; the total keeps 3 dp and the diagnostics line keeps 2 dp),
   *   - raw first-run times (`rep1`), per-key errors, no-hint keys and the
   *     full protocol string go on a SEPARATE diagnostics line printed
   *     BEFORE the final line (earlier stdout is what the tail window drops
@@ -109,7 +109,8 @@ object Bench {
     "split_hash" -> 0.31, "upsert_latest" -> 0.43,
     "scd2_intervals" -> 0.45, "profile_stats" -> 1.75,
     "group_entropy" -> 0.3, "anomaly_zscore" -> 0.8,
-    "knn_classify" -> 0.55)
+    "knn_classify" -> 0.55,
+    "intersect_all" -> 0.5, "except_all" -> 0.5)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5
@@ -121,17 +122,17 @@ object Bench {
   private def entry3(k: String, v: Double): String =
     "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
-  /** Graded-line value rendering: at most 4 chars per value (2 dp below
-    * 10 s, 1 dp below 100 s, whole seconds above). Uniform 2 dp stopped
-    * fitting the driver's ~2000-char tail window once the registry crossed
-    * ~80 keys; the resolution lost on multi-second keys (10 ms → 100 ms) is
-    * still an order of magnitude below run-to-run noise on this host, and
-    * the diagnostics line keeps full 2-dp first-run times for every key.
+  /** Graded-line value rendering: at most 3 chars per sane value (1 dp
+    * below 10 s, whole seconds above — "9.9", "67", "888"). Uniform 2 dp
+    * stopped fitting the driver's ~2000-char tail window once the registry
+    * crossed ~80 keys; per-key resolution of 0.1 s/1 s is below this
+    * host's run-to-run noise at the respective magnitudes, the graded
+    * TOTAL keeps 3 dp, and the diagnostics line keeps full 2-dp first-run
+    * times for every key.
     */
   private[graft] def fmtGraded(v: Double): String = {
     import BigDecimal.RoundingMode.HALF_UP
-    if (v < 9.995) BigDecimal(v).setScale(2, HALF_UP).toString
-    else if (v < 99.95) BigDecimal(v).setScale(1, HALF_UP).toString
+    if (v < 9.95) BigDecimal(v).setScale(1, HALF_UP).toString
     else BigDecimal(v).setScale(0, HALF_UP).toString
   }
 

@@ -70,6 +70,8 @@ object SparkEntry {
     "order_limit" -> (Relational.orderLimit _),
     // §2g set ops / sampling
     "union_all" -> (Relational.unionAll _),
+    "intersect_all" -> (Relational.intersectAll _),
+    "except_all" -> (Relational.exceptAll _),
     "sample_fraction" -> (Relational.sampleFraction _),
     "random_split" -> (Relational.randomSplit _),
     "sample_stratified" -> (Relational.sampleStratified _),
@@ -134,7 +136,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (74 of 85 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (76 of 87 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -35,15 +35,25 @@ object Lifecycle {
     * (`Relational.scala:339-349`): the first 15 hex chars fit a BIGINT
     * bit-identically in Spark and DuckDB.
     */
-  def splitHash(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("doc_id").cast(StringType)), 1, 15),
-      16, 10).cast(LongType) % 100
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), bucket.as("bucket"))
-      .withColumn("split",
-        when(col("bucket") < 80, "train")
-          .when(col("bucket") < 90, "val").otherwise("test"))
+  def splitHash(spark: SparkSession, sfDir: String): DataFrame =
+    splitHash(table(spark, sfDir, "documents").select(col("doc_id")),
+      col("doc_id"), trainPct = 80, valPct = 10)
       .orderBy(col("doc_id"))
+
+  /** API form: assign every row of `df` a `bucket` (0–99, md5 of `key`)
+    * and a `split` label with `trainPct`/`valPct`/remainder rates. Pure
+    * projection — compose with a filter to materialize one split.
+    */
+  def splitHash(df: DataFrame, key: org.apache.spark.sql.Column,
+      trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split rates: $trainPct/$valPct")
+    val bucket = conv(substring(md5(key.cast(StringType)), 1, 15),
+      16, 10).cast(LongType) % 100
+    df.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val").otherwise("test"))
   }
 
   /** CDC LATEST-WINS COMPACTION: collapse the events change log to current
@@ -61,16 +71,30 @@ object Lifecycle {
     * with partial aggregation (`PlanSpec`).
     */
   def upsertLatest(spark: SparkSession, sfDir: String): DataFrame =
-    Temporal.eventsNs(spark, sfDir)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(
-        max_by(struct(col("value"), col("ts_ns"), col("event_id")),
-          struct(col("ts_ns"), col("event_id"))).as("cur"),
-        count(lit(1)).as("n_versions"))
-      .select(col("user_id"), col("event_type"),
-        col("cur.value").as("value"), col("cur.ts_ns").as("ts_ns"),
-        col("cur.event_id").as("event_id"), col("n_versions"))
+    upsertLatest(Temporal.eventsNs(spark, sfDir),
+      keys = Seq("user_id", "event_type"), versionCols = Seq("ts_ns", "event_id"),
+      payload = Seq("value"))
+      .select(col("user_id"), col("event_type"), col("value"), col("ts_ns"),
+        col("event_id"), col("n_versions"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** API form: latest-wins compaction of any change log. `versionCols`
+    * must order versions totally (include a unique id as tie-break —
+    * a non-unique version order makes "latest" nondeterministic);
+    * `payload` are the carried value columns. Output: keys, payload,
+    * versionCols, n_versions.
+    */
+  def upsertLatest(df: DataFrame, keys: Seq[String], versionCols: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    val carried = payload ++ versionCols
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        max_by(struct(carried.map(col): _*),
+          struct(versionCols.map(col): _*)).as("cur"),
+        count(lit(1)).as("n_versions"))
+      .select(keys.map(col) ++ carried.map(c => col(s"cur.$c").as(c))
+        :+ col("n_versions"): _*)
+  }
 
   /** SCD-2 HISTORY: each change-log row becomes a validity interval
     * [valid_from, valid_to) per (user_id, event_type), the open-ended
@@ -83,18 +107,29 @@ object Lifecycle {
     * same-timestamp ties in BOTH the window order and the output order, so
     * the history is deterministic under concurrent updates.
     */
-  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts_ns"), col("event_id"))
-    Temporal.eventsNs(spark, sfDir)
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame =
+    scd2Intervals(
+      Temporal.eventsNs(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col("ts_ns")),
+      keys = Seq("user_id", "event_type"), ts = "ts_ns", id = "event_id")
       .select(col("user_id"), col("event_type"), col("event_id"),
-        col("value"), col("ts_ns"))
-      .withColumn("valid_to_ns", lead(col("ts_ns"), 1).over(w))
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        col("value"), col("ts_ns").as("valid_from_ns"), col("valid_to_ns"),
-        when(col("valid_to_ns").isNull, 1).otherwise(0).as("is_current"))
+        col("value"), col("valid_from_ns"), col("valid_to_ns"),
+        col("is_current"))
       .orderBy(col("user_id"), col("event_type"), col("valid_from_ns"),
         col("event_id"))
+
+  /** API form: turn any change log into SCD-2 validity intervals per
+    * `keys`. `ts` becomes `valid_from_ns`; `id` must make (ts, id) unique
+    * per key so the history is deterministic.
+    */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], ts: String,
+      id: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(id))
+    df.withColumn("valid_to_ns", lead(col(ts), 1).over(w))
+      .withColumnRenamed(ts, "valid_from_ns")
+      .withColumn("is_current",
+        when(col("valid_to_ns").isNull, 1).otherwise(0))
   }
 
   /** Profiled columns: (name, numeric?) — the profile's declared surface. */
@@ -116,9 +151,12 @@ object Lifecycle {
     * `approx_count_distinct` (HLL, mergeable, no Expand needed), same
     * output shape.
     */
-  def profileStats(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = table(spark, sfDir, "orders")
-    val aggs = ProfileCols.zipWithIndex.flatMap { case ((c, num), i) =>
+  def profileStats(spark: SparkSession, sfDir: String): DataFrame =
+    profileStats(table(spark, sfDir, "orders"), ProfileCols)
+
+  /** API form: profile any `(column, isNumeric)` list of `df` in one scan. */
+  def profileStats(o: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case ((c, num), i) =>
       Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$i"),
         countDistinct(col(c)).as(s"nd_$i")) ++
@@ -126,7 +164,7 @@ object Lifecycle {
           max(col(c)).cast(DoubleType).as(s"mx_$i"))
         else Seq(min(col(c)).as(s"ms_$i"), max(col(c)).as(s"xs_$i")))
     }
-    val stackArgs = ProfileCols.zipWithIndex.map { case ((c, num), i) =>
+    val stackArgs = cols.zipWithIndex.map { case ((c, num), i) =>
       val (mn, mx, ms, xs) =
         if (num) (s"mn_$i", s"mx_$i", "CAST(NULL AS STRING)",
           "CAST(NULL AS STRING)")
@@ -135,7 +173,7 @@ object Lifecycle {
       s"'$c', n_rows, nn_$i, nd_$i, $mn, $mx, $ms, $xs"
     }.mkString(", ")
     o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .selectExpr(s"stack(${ProfileCols.size}, $stackArgs) AS " +
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, min_num, max_num, " +
         "min_str, max_str)")
       .orderBy(col("col_name"))
@@ -154,10 +192,16 @@ object Lifecycle {
     * 6 dp.
     */
   def groupEntropy(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .groupBy(col("user_id"), col("event_type"))
+    groupEntropy(table(spark, sfDir, "events"), "user_id", "event_type")
+      .orderBy(col("user_id"))
+
+  /** API form: Shannon entropy of `label`'s distribution within each
+    * `group` of `df`. Output: group, n_events, n_types, entropy.
+    */
+  def groupEntropy(df: DataFrame, group: String, label: String): DataFrame =
+    df.groupBy(col(group), col(label))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("user_id"))
+      .groupBy(col(group))
       // c casts to DECIMAL(9,0) BEFORE the multiply: bigint×DECIMAL(20,9)
       // needs precision 41 > 38, and Spark resolves that overflow by
       // silently REDUCING THE SCALE to 6 — every term loses its last three
@@ -172,12 +216,11 @@ object Lifecycle {
       // decimal→double hop can leave ±1 ulp, and round() of a tiny negative
       // yields -0.0 — whose bit pattern hash-differs from 0.0 cross-engine.
       // The clip is exact for every legitimate value (entropy ≥ 0 always).
-      .select(col("user_id"), col("n_events"), col("n_types"),
+      .select(col(group), col("n_events"), col("n_types"),
         round(greatest(
           round(log(col("n_events").cast(DoubleType)), 9)
             - col("s_clnc").cast(DoubleType) / col("n_events"),
           lit(0.0)), 6).as("entropy"))
-      .orderBy(col("user_id"))
 
   /** PER-GROUP Z-SCORE OUTLIERS: standardize o_totalprice within each
     * order priority and flag |z| > 1.5 — the numeric-outlier gate of a
@@ -195,24 +238,36 @@ object Lifecycle {
     * double (mean, sample std, z) is the same IEEE expression tree in both
     * engines; z rounds to 6 dp.
     */
-  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = table(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-    val stats = o.groupBy(col("o_orderpriority"))
+  def anomalyZscore(spark: SparkSession, sfDir: String): DataFrame =
+    anomalyZscore(
+      table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      group = "o_orderpriority", value = "o_totalprice", threshold = 1.5)
+      .orderBy(col("o_orderkey"))
+
+  /** API form: per-`group` z-scores of `value` over any frame, outliers
+    * flagged at |z| > `threshold`. Adds columns `z`, `is_outlier`; the
+    * group-stats side aggregates map-side and broadcasts back, so `df`
+    * itself never shuffles.
+    */
+  def anomalyZscore(o: DataFrame, group: String, value: String,
+      threshold: Double): DataFrame = {
+    val stats = o.groupBy(col(group))
       .agg(count(lit(1)).as("n"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).as("s1"),
-        sum((col("o_totalprice") * col("o_totalprice"))
+        sum(col(value).cast(DecimalType(18, 4))).as("s1"),
+        sum((col(value) * col(value))
           .cast(DecimalType(38, 8))).as("s2"))
       .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
       .withColumn("std", sqrt(
         (col("s2").cast(DoubleType) - col("n") * (col("mean") * col("mean")))
           / (col("n") - 1)))
-      .select(col("o_orderpriority"), col("mean"), col("std"))
-    o.join(broadcast(stats), "o_orderpriority")
-      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-        round((col("o_totalprice") - col("mean")) / col("std"), 6).as("z"))
-      .withColumn("is_outlier", when(abs(col("z")) > 1.5, 1).otherwise(0))
-      .orderBy(col("o_orderkey"))
+      .select(col(group), col("mean"), col("std"))
+    o.join(broadcast(stats), group)
+      .withColumn("z", round((col(value) - col("mean")) / col("std"), 6))
+      .withColumn("is_outlier",
+        when(abs(col("z")) > threshold, 1).otherwise(0))
+      .drop("mean", "std")
   }
 
   val oracleSql: Map[String, String] = Map(

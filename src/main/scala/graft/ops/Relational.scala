@@ -260,6 +260,34 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** BAG INTERSECTION (`INTERSECT ALL`): customer keys by how often they
+    * appear in BOTH open- and finished-order multisets — min(count) bag
+    * semantics, which Spark plans as one count-aggregate per side plus a
+    * join on the row value (shuffle keyed on the row, partial map-side
+    * counts — never a sort of either input). Completes the §2g set-ops
+    * family alongside `union_all`/`except_all` (the reference uses only
+    * `unionAll`, `/root/reference/A related code.txt:80`).
+    */
+  def intersectAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.Tables.table(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .intersectAll(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  /** BAG DIFFERENCE (`EXCEPT ALL`): open-order customer keys minus one
+    * occurrence per finished order — count-subtraction bag semantics,
+    * planned like [[intersectAll]] (per-side counts + value join).
+    */
+  def exceptAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = graft.Tables.table(spark, sfDir, "orders")
+    o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+      .exceptAll(
+        o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Seeded Bernoulli sample without replacement
     * (`/root/reference/A related code.txt:78`). RNG differs across engines →
     * no SQL oracle; invariants (subset, binomial-bounded size) are covered in
@@ -591,6 +619,16 @@ object Relational {
         |SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "intersect_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "except_all" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
     "part_brand_agg" ->
       """SELECT p_brand,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))

@@ -24,7 +24,9 @@ object ExplainMain {
         "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode_stub",
         "corpus_clean", "join_asof", "join_range", "sketch_kmv",
         "pivot_wide", "sample_stratified", "join_salted", "agg_cube",
-        "window_moving_avg", "event_funnel", "tfidf_topk", "ngram_lm_score")
+        "window_moving_avg", "event_funnel", "tfidf_topk", "ngram_lm_score",
+        "split_hash", "upsert_latest", "scd2_intervals", "profile_stats",
+        "group_entropy", "anomaly_zscore", "knn_classify")
     keys.foreach { k =>
       println(s"\n================ $k ================")
       SparkEntry.queries(k)(spark, sf).explain("formatted")

@@ -84,6 +84,20 @@ class LifecycleSpec extends SparkSpec {
     } finally iv.unpersist()
   }
 
+  test("scd2 current rows are exactly the CDC-compacted state") {
+    // cross-operator law: the open interval per key in the SCD2 history
+    // must carry the same (value, ts, event_id) as upsert_latest's
+    // latest-wins state — two independent formulations of "current"
+    val current = Lifecycle.scd2Intervals(spark, sf)
+      .filter(col("is_current") === 1)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from_ns").as("ts_ns"), col("event_id"))
+    val compacted = Lifecycle.upsertLatest(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("ts_ns"), col("event_id"))
+    assert(current.collect().toSet == compacted.collect().toSet)
+  }
+
   test("profile_stats profiles all four columns in one scan") {
     val rows = Lifecycle.profileStats(spark, sf).collect()
     assert(rows.length == 4)
@@ -132,6 +146,36 @@ class LifecycleSpec extends SparkSpec {
       assert(z.filter(col("is_outlier") === 1).count() > 0)
       assert(z.filter(col("is_outlier") === 0).count() > 0)
     } finally z.unpersist()
+  }
+
+  test("lifecycle API overloads: custom rates, keys and thresholds") {
+    import spark.implicits._
+    // splitHash: 50/25 rates over an arbitrary frame and key
+    val s = Lifecycle.splitHash(
+      (1L to 1000L).toDF("id"), col("id"), trainPct = 50, valPct = 25)
+    val by = s.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by.values.sum == 1000L)
+    assert(by("train") > 400 && by("train") < 600, by)
+    assert(by("val") > 150 && by("val") < 350, by)
+    // upsertLatest: generic change log, single key, version = (v, id)
+    val log = Seq((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (2L, 3L, 5L, "c")).toDF("k", "id", "v", "payload")
+    val state = Lifecycle.upsertLatest(log, keys = Seq("k"),
+      versionCols = Seq("v", "id"), payload = Seq("payload"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(state.toSet == Set((1L, "b", 2L), (2L, "c", 3L)))
+    // scd2Intervals: generic keys/ts/id naming
+    val iv = Lifecycle.scd2Intervals(log, keys = Seq("k"), ts = "v",
+      id = "id")
+    assert(iv.filter(col("is_current") === 1).count() == 2)
+    // anomalyZscore: wider threshold flags nothing on the same data
+    val z3 = Lifecycle.anomalyZscore(
+      Tables.table(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      group = "o_orderpriority", value = "o_totalprice", threshold = 3.0)
+    assert(z3.filter(col("is_outlier") === 1).count() == 0)
   }
 
   test("knn_classify takes the majority label of the 5 exact neighbors") {

@@ -252,6 +252,32 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_._2).sum == totalSupp)
   }
 
+  test("intersect_all / except_all obey bag-count laws") {
+    import graft.ops.Relational
+    val o = Tables.table(spark, sf, "orders")
+    def counts(status: String): Map[Long, Long] =
+      o.filter(col("o_orderstatus") === status)
+        .groupBy("o_custkey").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val open = counts("O")
+    val fin = counts("F")
+    val inter = Relational.intersectAll(spark, sf)
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val except = Relational.exceptAll(spark, sf)
+      .groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // INTERSECT ALL keeps min(count); EXCEPT ALL keeps count difference
+    val keys = (open.keySet ++ fin.keySet).toSeq
+    keys.foreach { k =>
+      val (co, cf) = (open.getOrElse(k, 0L), fin.getOrElse(k, 0L))
+      assert(inter.getOrElse(k, 0L) == math.min(co, cf), s"intersect $k")
+      assert(except.getOrElse(k, 0L) == math.max(co - cf, 0L), s"except $k")
+    }
+    // and together they partition the left side: |A∖B| + |A∩B| == |A|
+    assert(except.values.sum + inter.values.sum == open.values.sum)
+  }
+
   test("text_redact leaves no digits and counts every hit") {
     import spark.implicits._
     import graft.ops.TextAnalysis
