@@ -58,11 +58,13 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_string_collect" -> (Relational.stringCollect _),
     "quantile_bins" -> (Relational.quantileBins _),
+    "daily_counts" -> (Relational.dailyCounts _),
     // distinct-count sketching (KMV — cross-engine-exact estimator)
     "sketch_kmv" -> (Sketches.kmvDistinct _),
     // §2e windows
     "window_rank" -> (Relational.windowRank _),
     "window_top1" -> (Relational.windowTop1 _),
+    "window_ntile" -> (Relational.windowNtile _),
     "window_moving_avg" -> (Temporal.windowMovingAvg _),
     // ordered funnel over event time (view → click → purchase)
     "event_funnel" -> (Temporal.eventFunnel _),
@@ -83,6 +85,7 @@ object SparkEntry {
     "profile_stats" -> (Lifecycle.profileStats _),
     "group_entropy" -> (Lifecycle.groupEntropy _),
     "anomaly_zscore" -> (Lifecycle.anomalyZscore _),
+    "histogram" -> (Lifecycle.histogram _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
@@ -136,7 +139,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (76 of 87 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (79 of 90 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -114,22 +114,23 @@ object Lifecycle {
           col("value"), col("ts_ns")),
       keys = Seq("user_id", "event_type"), ts = "ts_ns", id = "event_id")
       .select(col("user_id"), col("event_type"), col("event_id"),
-        col("value"), col("valid_from_ns"), col("valid_to_ns"),
-        col("is_current"))
+        col("value"), col("valid_from").as("valid_from_ns"),
+        col("valid_to").as("valid_to_ns"), col("is_current"))
       .orderBy(col("user_id"), col("event_type"), col("valid_from_ns"),
         col("event_id"))
 
   /** API form: turn any change log into SCD-2 validity intervals per
-    * `keys`. `ts` becomes `valid_from_ns`; `id` must make (ts, id) unique
-    * per key so the history is deterministic.
+    * `keys`. `ts` becomes `valid_from` (in whatever unit/type `ts` has);
+    * `id` must make (ts, id) unique per key so the history is
+    * deterministic.
     */
   def scd2Intervals(df: DataFrame, keys: Seq[String], ts: String,
       id: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col(id))
-    df.withColumn("valid_to_ns", lead(col(ts), 1).over(w))
-      .withColumnRenamed(ts, "valid_from_ns")
+    df.withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumnRenamed(ts, "valid_from")
       .withColumn("is_current",
-        when(col("valid_to_ns").isNull, 1).otherwise(0))
+        when(col("valid_to").isNull, 1).otherwise(0))
   }
 
   /** Profiled columns: (name, numeric?) — the profile's declared surface. */
@@ -270,7 +271,33 @@ object Lifecycle {
       .drop("mean", "std")
   }
 
+  /** FIXED-WIDTH HISTOGRAM of order totals (width 50 000): per-bin count +
+    * exact bounds — the distribution profile `profile_stats`' min/max and
+    * `quantile_bins`' quartiles don't show. Fixed bins (not data-derived
+    * min/max) keep it ONE pass and make bins stable across corpus
+    * versions — the property drift dashboards need; `floor(x / width)` of
+    * an IEEE division is deterministic cross-engine, and the aggregate is
+    * map-side combinable with at most n_bins rows per partition.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    histogram(table(spark, sfDir, "orders"), "o_totalprice", width = 50000.0)
+      .orderBy(col("bin"))
+
+  /** API form: fixed-width histogram of `value` over any frame. */
+  def histogram(df: DataFrame, value: String, width: Double): DataFrame =
+    df.groupBy(floor(col(value) / width).as("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(value)).as("lo"), max(col(value)).as("hi"))
+      .withColumn("bin_start", col("bin") * width)
+
   val oracleSql: Map[String, String] = Map(
+    "histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  count(*) AS n_rows, min(o_totalprice) AS lo,
+        |  max(o_totalprice) AS hi,
+        |  CAST(floor(o_totalprice / 50000.0) AS BIGINT) * 50000.0
+        |    AS bin_start
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "split_hash" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -260,6 +260,39 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** DECILE BINNING (`ntile`): rank-normalize order totals within each
+    * priority — the feature transform that turns a skewed numeric into a
+    * uniform ordinal (a training pipeline's robust alternative to raw
+    * z-scores). One hash shuffle + in-partition sort like every window;
+    * the ordering includes the unique key (a non-unique NTILE ordering
+    * splits ties nondeterministically and would never survive a
+    * cross-engine compare).
+    */
+  def windowNtile(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    graft.Tables.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        ntile(10).over(w).as("decile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** TIME-SERIES ROLLUP: events per (day, type) with exact decimal value
+    * sums — the date-bucketed aggregation every monitoring/drift dashboard
+    * runs. `date_trunc` keeps the aggregate a pure map-side-combinable
+    * groupBy (day count × type groups); output day as DATE (engine-neutral
+    * days-since-epoch — parquet tz-adjusted TIMESTAMP vs naive was the
+    * sessionize_batch lesson, see `Streams.scala`).
+    */
+  def dailyCounts(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .groupBy(to_date(date_trunc("day", col("ts"))).as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("total_value"))
+      .orderBy(col("day"), col("event_type"))
+
   /** BAG INTERSECTION (`INTERSECT ALL`): customer keys by how often they
     * appear in BOTH open- and finished-order multisets — min(count) bag
     * semantics, which Spark plans as one count-aggregate per side plus a
@@ -619,6 +652,18 @@ object Relational {
         |SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+    "window_ntile" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CAST(NTILE(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "daily_counts" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |    AS day,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
     "intersect_all" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
         |INTERSECT ALL

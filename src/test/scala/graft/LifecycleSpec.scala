@@ -148,6 +148,25 @@ class LifecycleSpec extends SparkSpec {
     } finally z.unpersist()
   }
 
+  test("histogram bins partition the data with consistent bounds") {
+    val h = Lifecycle.histogram(spark, sf).cache()
+    try {
+      val orders = Tables.table(spark, sf, "orders")
+      assert(h.agg(sum("n_rows")).head().getLong(0) == orders.count())
+      // every bin's observed bounds sit inside [bin_start, bin_start+width)
+      val bad = h.filter(col("lo") < col("bin_start") ||
+        col("hi") >= col("bin_start") + 50000.0).count()
+      assert(bad == 0)
+      // global bounds are preserved
+      val (gLo, gHi) = orders
+        .agg(min("o_totalprice"), max("o_totalprice")).head() match {
+        case r => (r.getDouble(0), r.getDouble(1))
+      }
+      val hd = h.agg(min("lo"), max("hi")).head()
+      assert(hd.getDouble(0) == gLo && hd.getDouble(1) == gHi)
+    } finally h.unpersist()
+  }
+
   test("lifecycle API overloads: custom rates, keys and thresholds") {
     import spark.implicits._
     // splitHash: 50/25 rates over an arbitrary frame and key

@@ -252,6 +252,48 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_._2).sum == totalSupp)
   }
 
+  test("window_ntile buckets are balanced and ordered within each group") {
+    import graft.ops.Relational
+    val nt = Relational.windowNtile(spark, sf).cache()
+    try {
+      // balanced: bucket sizes within a group differ by at most 1
+      val spread = nt.groupBy("o_orderpriority", "decile").count()
+        .groupBy("o_orderpriority")
+        .agg(max("count").as("mx"), min("count").as("mn"))
+        .filter(col("mx") - col("mn") > 1).count()
+      assert(spread == 0)
+      // ordered: a higher decile never holds a smaller total than the max
+      // of the previous one (check via per-decile min/max bounds)
+      val rows = nt.groupBy("o_orderpriority", "decile")
+        .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getDouble(2), r.getDouble(3)))
+      rows.groupBy(_._1).foreach { case (_, g) =>
+        g.sortBy(_._2).toSeq.sliding(2).foreach { pair =>
+          if (pair.length == 2)
+            assert(pair(0)._4 <= pair(1)._3 + 1e-9,
+              s"${pair(0)} vs ${pair(1)}")
+        }
+      }
+      assert(nt.agg(countDistinct("decile")).head().getLong(0) == 10)
+    } finally nt.unpersist()
+  }
+
+  test("daily_counts conserves events and value totals") {
+    import graft.ops.Relational
+    val d = Relational.dailyCounts(spark, sf).cache()
+    try {
+      val ev = Tables.events(spark, sf)
+      assert(d.agg(sum("n_events")).head().getLong(0) == ev.count())
+      // per-type day totals reconcile with the ungrouped per-type counts
+      val byType = d.groupBy("event_type").agg(sum("n_events").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val direct = ev.groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType == direct)
+    } finally d.unpersist()
+  }
+
   test("intersect_all / except_all obey bag-count laws") {
     import graft.ops.Relational
     val o = Tables.table(spark, sf, "orders")
