@@ -26,7 +26,8 @@ object ExplainMain {
         "pivot_wide", "sample_stratified", "join_salted", "agg_cube",
         "window_moving_avg", "event_funnel", "tfidf_topk", "ngram_lm_score",
         "split_hash", "upsert_latest", "scd2_intervals", "profile_stats",
-        "group_entropy", "anomaly_zscore", "knn_classify")
+        "group_entropy", "anomaly_zscore", "knn_classify",
+        "intersect_all", "window_ntile", "daily_counts", "histogram")
     keys.foreach { k =>
       println(s"\n================ $k ================")
       SparkEntry.queries(k)(spark, sf).explain("formatted")
