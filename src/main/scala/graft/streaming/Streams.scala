@@ -51,6 +51,12 @@ object Streams {
   case class FunnelOut(user_id: Long, has_view: Int, has_click: Int,
     has_purchase: Int, funnel_stage: Int)
 
+  case class UpsertState(ts: Timestamp, eventId: Long, value: Double,
+    nVersions: Long)
+
+  case class UpsertOut(user_id: Long, event_type: String, value: Double,
+    ts: Timestamp, event_id: Long, n_versions: Long)
+
   /** File-source stream of events-shaped parquet dropped into `dir` —
     * the streaming analog of `Tables.table` (new files are discovered per
     * micro-batch; at scale this is a cloud-storage landing zone).
@@ -262,6 +268,56 @@ object Streams {
       .filter(col("event_type").isin("view", "click", "purchase"))
       .as[Event]
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** STREAMING LATEST-WINS UPSERT — the stream form of `upsert_latest`
+    * (`ops/Lifecycle.scala`): the change log arrives as a stream and each
+    * micro-batch emits the keys whose current state changed — a CDC
+    * change-feed over the compacted state.
+    *
+    * Per-key state is one (version, value, count) record. "Latest" is
+    * decided by the (ts, event_id) version order, NOT arrival order: a
+    * late event with an older version still counts toward `n_versions`
+    * but cannot regress the value — so like the funnel (and unlike
+    * [[asofAttribution]]'s emissions) the state converges to the batch
+    * answer under ANY arrival interleaving, and the suite pins the
+    * reconstructed snapshot (max-version emission per key) equal to the
+    * batch operator exactly. State is bounded by key cardinality,
+    * evictable via a timeout when the key space is unbounded.
+    */
+  def upsertStream(spark: SparkSession, events: DataFrame): Dataset[UpsertOut] = {
+    import spark.implicits._
+
+    def version(ts: Timestamp, id: Long): (Long, Int, Long) =
+      (ts.getTime, ts.getNanos, id)
+
+    def update(key: (Long, String), rows: Iterator[Event],
+        state: GroupState[UpsertState]): Iterator[UpsertOut] = {
+      val prev = state.getOption
+      var cur = prev
+      var n = prev.map(_.nVersions).getOrElse(0L)
+      rows.foreach { e =>
+        n += 1
+        val newer = cur.forall(s =>
+          Ordering[(Long, Int, Long)].gt(version(e.ts, e.event_id),
+            version(s.ts, s.eventId)))
+        if (newer) cur = Some(UpsertState(e.ts, e.event_id, e.value, n))
+      }
+      cur = cur.map(_.copy(nVersions = n))
+      if (cur == prev) Iterator.empty
+      else {
+        val s = cur.get
+        state.update(s)
+        Iterator.single(UpsertOut(key._1, key._2, s.value, s.ts, s.eventId,
+          s.nVersions))
+      }
+    }
+
+    events
+      .as[Event]
+      .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }

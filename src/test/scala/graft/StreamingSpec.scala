@@ -286,6 +286,60 @@ class StreamingSpec extends SparkSpec {
     assert(sessions == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("streaming upsert snapshot equals the batch compaction over the corpus") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_ups_in").toString
+    Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val checkpoint = Files.createTempDirectory("graft_ups_ck").toString
+    val q = Streams.upsertStream(spark, Streams.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("ups")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // snapshot = the max-n_versions emission per key (n_versions grows
+    // strictly per emission of a key)
+    val streamed = spark.sql(
+      """SELECT user_id, event_type, value, ts_us, event_id, n_versions
+        |FROM (
+        |  SELECT user_id, event_type, value, unix_micros(ts) AS ts_us,
+        |    event_id, n_versions,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY n_versions DESC) AS rn
+        |  FROM ups) t WHERE rn = 1""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val batch = graft.ops.Lifecycle.upsertLatest(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3) / 1000, r.getLong(4), r.getLong(5))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("streaming upsert counts but never applies a late older version") {
+    val dir = Files.createTempDirectory("graft_upslate_in").toString
+    // batch 1 delivers version 2; batch 2 delivers the OLDER version 1
+    // late — the value must not regress, but n_versions must reach 2
+    writeBatch(dir, Seq((2L, ts(10), 1L, "click", 20.0)))
+    writeBatch(dir, Seq((1L, ts(5), 1L, "click", 10.0)))
+    val stream = spark.readStream.schema(Streams.eventSchema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val checkpoint = Files.createTempDirectory("graft_upslate_ck").toString
+    val q = Streams.upsertStream(spark, stream)
+      .writeStream.format("memory").queryName("upslate")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.sql(
+      "SELECT value, event_id, n_versions FROM upslate ORDER BY n_versions")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    // two emissions: the initial state, then the count-only bump
+    assert(rows == Seq((20.0, 2L, 1L), (20.0, 2L, 2L)))
+  }
+
   test("stream-stream interval join equals the batch range pairs over the corpus") {
     import org.apache.spark.sql.functions._
     // the watermarked two-sided join must reproduce the plain batch
