@@ -111,7 +111,8 @@ object Bench {
     "group_entropy" -> 0.3, "anomaly_zscore" -> 0.8,
     "knn_classify" -> 0.55,
     "intersect_all" -> 0.6, "except_all" -> 0.38,
-    "window_ntile" -> 0.95, "daily_counts" -> 0.42, "histogram" -> 0.22)
+    "window_ntile" -> 0.95, "daily_counts" -> 0.42, "histogram" -> 0.22,
+    "corr_matrix" -> 0.5)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

@@ -86,6 +86,7 @@ object SparkEntry {
     "group_entropy" -> (Lifecycle.groupEntropy _),
     "anomaly_zscore" -> (Lifecycle.anomalyZscore _),
     "histogram" -> (Lifecycle.histogram _),
+    "corr_matrix" -> (Lifecycle.corrMatrix _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
@@ -139,7 +140,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (79 of 90 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (80 of 91 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -290,7 +290,91 @@ object Lifecycle {
         min(col(value)).as("lo"), max(col(value)).as("hi"))
       .withColumn("bin_start", col("bin") * width)
 
+  /** PAIRWISE PEARSON CORRELATIONS of lineitem's numeric columns in ONE
+    * pass — the feature-screening matrix an ML pipeline computes before
+    * training (drop one of any highly-correlated pair).
+    *
+    * All pairwise moments (Σx, Σx², Σxy for every pair) ride a single
+    * aggregate over a single scan — k columns cost k(k+1)/2 + k sums in
+    * one reduction, not one `df.stat.corr` job per pair (k²/2 scans).
+    * Moments sum as exact DECIMALs (the established partition-order
+    * discipline); the correlation formula is the same IEEE double tree in
+    * both engines, rounded to 6 dp.
+    */
+  def corrMatrix(spark: SparkSession, sfDir: String): DataFrame =
+    corrMatrix(table(spark, sfDir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .orderBy(col("col_x"), col("col_y"))
+
+  /** API form: one-pass correlation matrix over any numeric column list. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (i, j)
+    val sums = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(sum(col(c).cast(DecimalType(18, 4))).as(s"s_$i"),
+        sum((col(c) * col(c)).cast(DecimalType(38, 8))).as(s"q_$i"))
+    }
+    val crosses = pairs.map { case (i, j) =>
+      sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 8)))
+        .as(s"p_${i}_$j")
+    }
+    val agg = df.agg(count(lit(1)).as("n"), (sums ++ crosses): _*)
+    // cast every exact moment to double ONCE, then build each pair's
+    // correlation with an expression tree the oracle mirrors verbatim
+    val asDouble = col("n").as("n") +:
+      (cols.indices.flatMap(i => Seq(
+        col(s"s_$i").cast(DoubleType).as(s"sd_$i"),
+        col(s"q_$i").cast(DoubleType).as(s"qd_$i"))) ++
+        pairs.map { case (i, j) =>
+          col(s"p_${i}_$j").cast(DoubleType).as(s"pd_${i}_$j") })
+    val stackArgs = pairs.map { case (i, j) =>
+      val corr = s"round((n * pd_${i}_$j - sd_$i * sd_$j) / " +
+        s"(sqrt(n * qd_$i - sd_$i * sd_$i) * " +
+        s"sqrt(n * qd_$j - sd_$j * sd_$j)), 6)"
+      s"'${cols(i)}', '${cols(j)}', n, $corr"
+    }.mkString(", ")
+    agg.select(asDouble: _*)
+      .selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
+        "(col_x, col_y, n, corr)")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "corr_matrix" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sd_0,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+        |       AS DOUBLE) AS qd_0,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sd_1,
+        |  CAST(sum(CAST(l_extendedprice * l_extendedprice
+        |                AS DECIMAL(38,8))) AS DOUBLE) AS qd_1,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd_2,
+        |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8)))
+        |       AS DOUBLE) AS qd_2,
+        |  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+        |       AS DOUBLE) AS pd_0_1,
+        |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+        |       AS DOUBLE) AS pd_0_2,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
+        |       AS DOUBLE) AS pd_1_2
+        |  FROM lineitem)
+        |SELECT col_x, col_y, n, corr FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
+        |    round((n * pd_0_1 - sd_0 * sd_1) /
+        |      (sqrt(n * qd_0 - sd_0 * sd_0) *
+        |       sqrt(n * qd_1 - sd_1 * sd_1)), 6) AS corr FROM a
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', n,
+        |    round((n * pd_0_2 - sd_0 * sd_2) /
+        |      (sqrt(n * qd_0 - sd_0 * sd_0) *
+        |       sqrt(n * qd_2 - sd_2 * sd_2)), 6) FROM a
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', n,
+        |    round((n * pd_1_2 - sd_1 * sd_2) /
+        |      (sqrt(n * qd_1 - sd_1 * sd_1) *
+        |       sqrt(n * qd_2 - sd_2 * sd_2)), 6) FROM a) t
+        |ORDER BY col_x, col_y""".stripMargin,
     "histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,
         |  count(*) AS n_rows, min(o_totalprice) AS lo,

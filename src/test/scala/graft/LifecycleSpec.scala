@@ -167,6 +167,29 @@ class LifecycleSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("corr_matrix matches Spark's own corr in one scan") {
+    // plan check FIRST: once the result is cached below, a re-invocation
+    // plan-matches the InMemoryRelation and the scan count is meaningless
+    val p = Lifecycle.corrMatrix(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    val m = Lifecycle.corrMatrix(spark, sf).cache()
+    try {
+      assert(m.count() == 3) // 3 columns → 3 pairs
+      assert(m.filter(abs(col("corr")) > 1.0).count() == 0)
+      // against Spark's built-in Pearson (different accumulation — agree
+      // to ~1e-6, not bit-exact; bit-exactness is the oracle's job)
+      val li = Tables.table(spark, sf, "lineitem")
+      val expected = li.stat.corr("l_quantity", "l_extendedprice")
+      val got = m.filter(col("col_x") === "l_quantity" &&
+        col("col_y") === "l_extendedprice").head().getDouble(3)
+      assert(math.abs(got - expected) < 1e-5, s"$got vs $expected")
+      // (the harness generator draws the numeric columns independently —
+      // all pairwise correlations sit near 0, so only formula agreement
+      // and bounds are meaningful here)
+    } finally m.unpersist()
+  }
+
   test("lifecycle API overloads: custom rates, keys and thresholds") {
     import spark.implicits._
     // splitHash: 50/25 rates over an arbitrary frame and key
