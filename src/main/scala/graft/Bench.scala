@@ -112,7 +112,7 @@ object Bench {
     "knn_classify" -> 0.55,
     "intersect_all" -> 0.6, "except_all" -> 0.38,
     "window_ntile" -> 0.95, "daily_counts" -> 0.42, "histogram" -> 0.22,
-    "corr_matrix" -> 0.5)
+    "corr_matrix" -> 2.62)
 
   /** First-run times above `RetryFactor × hint` trigger the single retry. */
   private val RetryFactor = 1.5

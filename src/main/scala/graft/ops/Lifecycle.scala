@@ -298,8 +298,12 @@ object Lifecycle {
     * aggregate over a single scan — k columns cost k(k+1)/2 + k sums in
     * one reduction, not one `df.stat.corr` job per pair (k²/2 scans).
     * Moments sum as exact DECIMALs (the established partition-order
-    * discipline); the correlation formula is the same IEEE double tree in
-    * both engines, rounded to 6 dp.
+    * discipline — DECIMAL(38,8) accumulation is the measured ~2.5s cost
+    * at sf0.1 and is what makes the oracle bit-exact; at 100 TB swap the
+    * sums to doubles and accept last-ulp nondeterminism, or keep decimals
+    * and pay the constant factor — the plan shape is identical); the
+    * correlation formula is the same IEEE double tree in both engines,
+    * rounded to 6 dp.
     */
   def corrMatrix(spark: SparkSession, sfDir: String): DataFrame =
     corrMatrix(table(spark, sfDir, "lineitem"),
