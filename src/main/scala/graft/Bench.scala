@@ -18,6 +18,10 @@ import org.apache.spark.sql.SparkSession
   *     first, so the graded line always survives intact),
   *   - `BenchSpec` asserts the rendered line stays under budget for the
   *     CURRENT key set, so adding operators can't silently re-truncate it.
+  *     At 91 keys the worst-case line is ~1884/1900 chars — the next
+  *     slimming lever when the registry grows again is rendering `sf` as
+  *     its basename (~17 chars; the driver passes the full dir), then
+  *     dropping `failed` when zero (~11 chars).
   *
   * Measurement protocol (BASELINE.md is recorded under the SAME protocol —
   * the two sides of the comparison must move together; any edit to the
