@@ -152,4 +152,44 @@ class PropertiesSpec extends SparkSpec {
         assert(a.count() + b.count() == n)
       }
   }
+
+  test("CDC compaction laws hold for arbitrary change logs") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // random logs: few keys, colliding versions forced by a tiny ts domain
+    // (the unique id tie-break is what keeps "latest" deterministic)
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 3L),
+      Gen.choose(0.0, 9.0))
+    samples(Gen.listOfN(30, rowGen), 8).filter(_.nonEmpty).foreach { rows =>
+      val log = rows.zipWithIndex
+        .map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+        .toDF("k", "ts", "id", "v")
+      val state = Lifecycle.upsertLatest(log, keys = Seq("k"),
+        versionCols = Seq("ts", "id"), payload = Seq("v"))
+      // one row per distinct key; version counts conserve the log
+      assert(state.count() ==
+        log.select("k").distinct().count())
+      assert(state.agg(sum("n_versions")).head().getLong(0) == rows.size)
+      // the selected version is the per-key maximum of (ts, id)
+      val expected = rows.zipWithIndex
+        .map { case ((k, ts, v), i) => (k, (ts, i.toLong, v)) }
+        .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+      val got = state.collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getDouble(1)))
+        .toMap
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (k, (ts, id, v)) =>
+        val (ets, eid, ev) = expected(k)
+        assert((ts, id, v) == (ets, eid, ev), s"key $k")
+      }
+      // idempotence: compacting the compacted state is a no-op on
+      // (key, version, payload), with every n_versions collapsing to 1
+      val twice = Lifecycle.upsertLatest(
+        state.drop("n_versions"), keys = Seq("k"),
+        versionCols = Seq("ts", "id"), payload = Seq("v"))
+      assert(twice.filter(col("n_versions") =!= 1).count() == 0)
+      assert(twice.drop("n_versions").collect().toSet ==
+        state.drop("n_versions").collect().toSet)
+    }
+  }
 }
