@@ -120,4 +120,22 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"expected 2 UDF invocations, got $n in:\n$p")
   }
 
+  test("daily_counts aggregates map-side with one hash exchange") {
+    val p = plan("daily_counts")
+    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("set ops never sort their inputs or go nested-loop") {
+    Seq("intersect_all", "except_all").foreach { k =>
+      val p = plan(k)
+      // Spark plans bag set-ops as union → count-aggregate → Generate
+      // replicate: aggregates with map-side partials, one hash exchange,
+      // never a SortMergeJoin of the raw inputs or a nested loop
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$k:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$k:\n$p")
+    }
+  }
+
 }
