@@ -129,7 +129,7 @@ class LifecycleSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
-  test("anomaly_zscore standardizes within group and flags |z| > 2") {
+  test("anomaly_zscore standardizes within group and flags |z| > 1.5") {
     val z = Lifecycle.anomalyZscore(spark, sf).cache()
     try {
       assert(z.count() == Tables.table(spark, sf, "orders").count())
