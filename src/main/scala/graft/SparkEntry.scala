@@ -87,6 +87,7 @@ object SparkEntry {
     "anomaly_zscore" -> (Lifecycle.anomalyZscore _),
     "histogram" -> (Lifecycle.histogram _),
     "corr_matrix" -> (Lifecycle.corrMatrix _),
+    "minmax_scale" -> (Lifecycle.minmaxScale _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),
@@ -140,7 +141,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (80 of 91 keys). Omitted keys — Spark-RNG
+    * the same parquet tables (81 of 92 keys). Omitted keys — Spark-RNG
     * sampling, spark.ml model internals, and genuinely approximate LSH
     * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
     * rows-only check; their semantics are covered by scalatest invariants

@@ -290,6 +290,39 @@ object Lifecycle {
         min(col(value)).as("lo"), max(col(value)).as("hi"))
       .withColumn("bin_start", col("bin") * width)
 
+  /** PER-GROUP MIN-MAX FEATURE SCALING: map o_totalprice to [0,1] within
+    * each order priority — the canonical preprocessing transform before
+    * distance-based models (the spark.ml `MinMaxScaler` shape, expressed
+    * relationally so it is oracle-checkable and composes with the rest of
+    * the engine).
+    *
+    * Same two-scan/zero-fact-shuffle layout as [[anomalyZscore]]: group
+    * extremes are one map-side-combinable aggregate, the tiny stats frame
+    * broadcast-joins back. min/max of doubles involve no arithmetic, so
+    * the only rounding site is the final scaled division (6 dp) — the
+    * same IEEE tree in both engines. A constant group (max == min) scales
+    * to 0.5 by convention rather than dividing by zero.
+    */
+  def minmaxScale(spark: SparkSession, sfDir: String): DataFrame =
+    minmaxScale(
+      table(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+      group = "o_orderpriority", value = "o_totalprice")
+      .orderBy(col("o_orderkey"))
+
+  /** API form: min-max scale `value` within each `group`; adds `scaled`. */
+  def minmaxScale(o: DataFrame, group: String, value: String): DataFrame = {
+    val stats = o.groupBy(col(group))
+      .agg(min(col(value)).as("v_min"), max(col(value)).as("v_max"))
+    o.join(broadcast(stats), group)
+      .withColumn("scaled",
+        when(col("v_max") === col("v_min"), 0.5)
+          .otherwise(round((col(value) - col("v_min"))
+            / (col("v_max") - col("v_min")), 6)))
+      .drop("v_min", "v_max")
+  }
+
   /** PAIRWISE PEARSON CORRELATIONS of lineitem's numeric columns in ONE
     * pass — the feature-screening matrix an ML pipeline computes before
     * training (drop one of any highly-correlated pair).
@@ -344,6 +377,16 @@ object Lifecycle {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "minmax_scale" ->
+      """WITH s AS (SELECT o_orderpriority, min(o_totalprice) AS v_min,
+        |                  max(o_totalprice) AS v_max
+        |           FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |  CASE WHEN s.v_max = s.v_min THEN 0.5
+        |       ELSE round((o.o_totalprice - s.v_min)
+        |                  / (s.v_max - s.v_min), 6) END AS scaled
+        |FROM orders o JOIN s USING (o_orderpriority)
+        |ORDER BY o.o_orderkey""".stripMargin,
     "corr_matrix" ->
       """WITH a AS (SELECT count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sd_0,

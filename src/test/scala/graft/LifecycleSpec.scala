@@ -167,6 +167,27 @@ class LifecycleSpec extends SparkSpec {
     } finally h.unpersist()
   }
 
+  test("minmax_scale maps each group onto [0,1] hitting both ends") {
+    val m = Lifecycle.minmaxScale(spark, sf).cache()
+    try {
+      assert(m.count() == Tables.table(spark, sf, "orders").count())
+      assert(m.filter(col("scaled") < 0 || col("scaled") > 1).count() == 0)
+      // each group's extremes land exactly on 0 and 1
+      val ends = m.groupBy("o_orderpriority")
+        .agg(min("scaled").as("lo"), max("scaled").as("hi"))
+        .filter(col("lo") =!= 0.0 || col("hi") =!= 1.0).count()
+      assert(ends == 0)
+      // order-preserving within a group
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val inversions = m
+        .withColumn("prev", lag(col("scaled"), 1).over(w))
+        .filter(col("prev").isNotNull && col("scaled") < col("prev"))
+        .count()
+      assert(inversions == 0)
+    } finally m.unpersist()
+  }
+
   test("corr_matrix matches Spark's own corr in one scan") {
     // plan check FIRST: once the result is cached below, a re-invocation
     // plan-matches the InMemoryRelation and the scan count is meaningless
