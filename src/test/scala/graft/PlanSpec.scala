@@ -126,6 +126,20 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("broadcast-stats transforms never shuffle the fact table") {
+    // anomaly_zscore / minmax_scale: the group-stats side aggregates
+    // map-side and broadcasts back; a regression to a shuffled join would
+    // repartition the whole fact table by the group key
+    Seq("anomaly_zscore", "minmax_scale").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$k:\n$p")
+      // the only hash exchange feeds the tiny stats aggregate
+      assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+        s"$k:\n$p")
+    }
+  }
+
   test("set ops never sort their inputs or go nested-loop") {
     Seq("intersect_all", "except_all").foreach { k =>
       val p = plan(k)
