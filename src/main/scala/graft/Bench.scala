@@ -137,7 +137,15 @@ object Bench {
     */
   private[graft] def fmtGraded(v: Double): String = {
     import BigDecimal.RoundingMode.HALF_UP
-    if (v < 9.95) BigDecimal(v).setScale(1, HALF_UP).toString
+    // hard cap at 3 chars BY CONSTRUCTION: anything that would round to
+    // ≥ 1000 renders as "999" (saturated, not truncated) so even a
+    // catastrophic run — every key at 4-digit seconds — cannot push the
+    // graded line past the driver's ~2000-char tail window. A saturated
+    // value is already >11× the slowest steady-state key; its exact
+    // magnitude carries no grading information the diagnostics line's
+    // full-precision rep1 doesn't.
+    if (v >= 999.5) "999"
+    else if (v < 9.95) BigDecimal(v).setScale(1, HALF_UP).toString
     else BigDecimal(v).setScale(0, HALF_UP).toString
   }
 

@@ -203,14 +203,17 @@ object Lifecycle {
     df.groupBy(col(group), col(label))
       .agg(count(lit(1)).as("c"))
       .groupBy(col(group))
-      // c casts to DECIMAL(9,0) BEFORE the multiply: bigint×DECIMAL(20,9)
+      // c casts to DECIMAL(12,0) BEFORE the multiply: bigint×DECIMAL(20,9)
       // needs precision 41 > 38, and Spark resolves that overflow by
       // silently REDUCING THE SCALE to 6 — every term loses its last three
       // digits while DuckDB (which promotes bigint to DECIMAL(18,0), p=38)
-      // keeps all nine. DECIMAL(9,0)×DECIMAL(20,9) fits (p=30, s=9) so
-      // both engines stay exact.
+      // keeps all nine. DECIMAL(12,0)×DECIMAL(20,9) fits (p=33, s=9) so
+      // both engines stay exact, and the per-(group,label) count headroom
+      // is 1e12 − 1 — beyond any plausible single key even at 100 TB (a
+      // narrower DECIMAL(9,0) would silently NULL a ≥1e9 count with ANSI
+      // off and sum() would drop the term, corrupting entropy undetected).
       .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
-        sum(col("c").cast(DecimalType(9, 0))
+        sum(col("c").cast(DecimalType(12, 0))
           * round(log(col("c").cast(DoubleType)), 9)
             .cast(DecimalType(20, 9))).as("s_clnc"))
       // greatest(…, 0): a single-type user's true entropy is 0, but the
@@ -250,7 +253,8 @@ object Lifecycle {
   /** API form: per-`group` z-scores of `value` over any frame, outliers
     * flagged at |z| > `threshold`. Adds columns `z`, `is_outlier`; the
     * group-stats side aggregates map-side and broadcasts back, so `df`
-    * itself never shuffles.
+    * itself never shuffles. Degenerate groups (single row or constant
+    * value) emit z = null, is_outlier = 0 — see the convention note below.
     */
   def anomalyZscore(o: DataFrame, group: String, value: String,
       threshold: Double): DataFrame = {
@@ -260,15 +264,30 @@ object Lifecycle {
         sum((col(value) * col(value))
           .cast(DecimalType(38, 8))).as("s2"))
       .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
-      .withColumn("std", sqrt(
+      // greatest(…, 0): a constant group's exact variance is 0, but the
+      // decimal→double hop can cancel to a tiny negative; clipping keeps
+      // sqrt's argument legal in BOTH engines (identical IEEE tree) and
+      // routes the degenerate case through the std = 0 guard below.
+      .withColumn("std", sqrt(greatest(
         (col("s2").cast(DoubleType) - col("n") * (col("mean") * col("mean")))
-          / (col("n") - 1)))
-      .select(col(group), col("mean"), col("std"))
+          / (col("n") - 1), lit(0.0))))
+      .select(col(group), col("n"), col("mean"), col("std"))
+    // DEGENERATE-GROUP CONVENTION (mirrors minmaxScale's explicit 0.5): a
+    // single-row group (n−1 = 0) or a constant group (std 0 — including a
+    // NaN std when the exact-decimal moment difference cancels to a tiny
+    // negative under the double hop) has NO defined z — emit z = null
+    // rather than a NaN/±Inf that would silently pass |z| > threshold as
+    // is_outlier = 0 while looking like a real score. is_outlier stays 0
+    // for null z (no evidence of anomaly), which the oracle mirrors.
+    val zRaw = round((col(value) - col("mean")) / col("std"), 6)
     o.join(broadcast(stats), group)
-      .withColumn("z", round((col(value) - col("mean")) / col("std"), 6))
+      .withColumn("z",
+        when(col("n") < 2 || col("std").isNull || isnan(col("std"))
+          || col("std") === 0.0, lit(null).cast(DoubleType))
+          .otherwise(zRaw))
       .withColumn("is_outlier",
         when(abs(col("z")) > threshold, 1).otherwise(0))
-      .drop("mean", "std")
+      .drop("n", "mean", "std")
   }
 
   /** FIXED-WIDTH HISTOGRAM of order totals (width 50 000): per-bin count +
@@ -502,7 +521,7 @@ object Lifecycle {
         |           GROUP BY user_id, event_type),
         |g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
         |        count(*) AS n_types,
-        |        sum(CAST(c AS DECIMAL(9,0))
+        |        sum(CAST(c AS DECIMAL(12,0))
         |            * CAST(round(ln(CAST(c AS DOUBLE)), 9)
         |                   AS DECIMAL(20,9))) AS s_clnc
         |      FROM c GROUP BY user_id)
@@ -518,11 +537,15 @@ object Lifecycle {
         |    CAST(sum(CAST(o_totalprice * o_totalprice AS DECIMAL(38,8)))
         |         AS DOUBLE) AS s2
         |  FROM orders GROUP BY o_orderpriority),
-        |m AS (SELECT o_orderpriority, s1 / n AS mean,
-        |        sqrt((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1)) AS std
+        |m AS (SELECT o_orderpriority, n, s1 / n AS mean,
+        |        sqrt(greatest((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1),
+        |                      0.0)) AS std
         |      FROM s),
         |z AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
-        |        round((o.o_totalprice - m.mean) / m.std, 6) AS z
+        |        CASE WHEN m.n < 2 OR m.std IS NULL OR isnan(m.std)
+        |               OR m.std = 0 THEN NULL
+        |             ELSE round((o.o_totalprice - m.mean) / m.std, 6)
+        |        END AS z
         |      FROM orders o JOIN m USING (o_orderpriority))
         |SELECT o_orderkey, o_orderpriority, o_totalprice, z,
         |  CASE WHEN abs(z) > 1.5 THEN 1 ELSE 0 END AS is_outlier

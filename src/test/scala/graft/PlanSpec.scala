@@ -122,7 +122,7 @@ class PlanSpec extends SparkSpec {
 
   test("daily_counts aggregates map-side with one hash exchange") {
     val p = plan("daily_counts")
-    assert(p.contains("partial_count") || p.contains("partial"), p)
+    assert(p.contains("partial_count"), p)
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
