@@ -19,8 +19,11 @@ import org.apache.spark.sql.SparkSession
   *   - `BenchSpec` asserts the rendered line stays under budget for the
   *     CURRENT key set, so adding operators can't silently re-truncate it.
   *     `sf` renders as its basename (the full dir rides the diagnostics
-  *     line). The remaining slimming lever when the registry grows
-  *     again: drop `failed` when zero (~11 chars).
+  *     line) and `failed` appears only when nonzero (~11 chars reclaimed
+  *     on every healthy run — applied when the registry crossed 92 keys).
+  *     The remaining slimming lever for future growth: shorten
+  *     `"metric":"total","value"` boilerplate or drop the per-key map's
+  *     quotes (driver-coordinated, not unilateral).
   *
   * Measurement protocol (BASELINE.md is recorded under the SAME protocol —
   * the two sides of the comparison must move together; any edit to the
@@ -103,6 +106,8 @@ object Bench {
     "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
     "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
     "quantile_bins" -> 0.25, "text_redact" -> 0.39,
+    // round-6 additions — TimeMain rep-3 steady-states at sf0.1
+    "quantile_approx" -> 0.65,
     "dedup_incremental" -> 4.0,
     // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
     "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,
@@ -161,7 +166,11 @@ object Bench {
     // sf renders as its basename ("sf0.1") — the full dir is on the
     // diagnostics line; the graded line spends its chars on per-key values
     val sf = new java.io.File(sfDir).getName
-    s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sf"}"""
+    // "failed" appears only when nonzero (the planned slimming lever for
+    // registry growth past 92 keys): an absent field reads as 0 failures,
+    // and a FAILING run — where the field matters — spends the chars
+    val failedField = if (failed == 0) "" else s""","failed":$failed"""
+    s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qs$failedField,"sf":"$sf"}"""
   }
 
   def main(args: Array[String]): Unit = {

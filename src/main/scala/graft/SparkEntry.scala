@@ -58,6 +58,7 @@ object SparkEntry {
     "agg_cube" -> (Relational.aggCube _),
     "agg_string_collect" -> (Relational.stringCollect _),
     "quantile_bins" -> (Relational.quantileBins _),
+    "quantile_approx" -> (Relational.quantileBinsApprox _),
     "daily_counts" -> (Relational.dailyCounts _),
     // distinct-count sketching (KMV — cross-engine-exact estimator)
     "sketch_kmv" -> (Sketches.kmvDistinct _),

@@ -412,9 +412,10 @@ object Relational {
   /** Per-segment exact quartiles of account balance (linear interpolation
     * at rank p·(n−1) — the same formula as DuckDB's `quantile_cont`).
     * Exact percentile holds a per-group sorted buffer, fine for bounded
-    * group cardinality; at 100 TB with huge groups the drop-in scale path
-    * is `approx_percentile` (t-digest, mergeable, bounded memory) at the
-    * cost of engine-specific values — the oracle pins the exact form.
+    * group cardinality; at 100 TB with huge groups the scale path is
+    * [[quantileBinsApprox]] (mergeable sketch, bounded memory), checked as
+    * its own key — this exact form stays as the small-group API and the
+    * bit-exact oracle anchor.
     */
   def quantileBins(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "customer")
@@ -425,6 +426,78 @@ object Relational {
         round(element_at(col("qs"), 2), 6).as("q2"),
         round(element_at(col("qs"), 3), 6).as("q3"))
       .orderBy(col("c_mktsegment"))
+
+  /** APPROXIMATE per-group quantiles — the 100 TB form of [[quantileBins]].
+    * `approx_percentile` keeps a bounded mergeable summary (Greenwald-
+    * Khanna, rank error ≤ n/accuracy) per group instead of the exact
+    * aggregate's full sorted buffer, so a billion-row group costs O(accuracy
+    * · log n) memory on its reducer, not O(n) — the difference between a
+    * dashboard query and an OOM at scale.
+    *
+    * API form: group → (n, q1..qK) with the sketch's values. The returned
+    * values are actual data elements near the target rank, but WHICH
+    * element can differ by engine, accuracy, and partition-merge order —
+    * so they are not hash-comparable; [[quantileBinsApprox]] wraps this in
+    * a rank CERTIFICATE for the driver's oracle instead.
+    */
+  def approxQuantiles(df: DataFrame, group: String, value: String,
+      probs: Seq[Double], accuracy: Int): DataFrame = {
+    val arr = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.groupBy(col(group))
+      .agg(expr(s"approx_percentile($value, $arr, $accuracy)").as("qs"),
+        count(lit(1)).as("n"))
+      .select(col(group) +: col("n") +:
+        probs.indices.map(i =>
+          element_at(col("qs"), i + 1).as(s"q${i + 1}")): _*)
+  }
+
+  /** `quantile_bins_approx` checked key: per-segment approx quartiles with
+    * a DRIVER-CHECKABLE rank certificate. The sketch's raw values are
+    * engine-specific (any element within the rank guarantee is a legal
+    * answer), so the key emits what IS cross-engine exact: the group, its
+    * row count, and one boolean per quartile asserting the returned value's
+    * rank interval [count(x < q) + 1, count(x ≤ q)] lies within
+    * n/accuracy + 1 of the target rank p·n — the published
+    * `approx_percentile` guarantee. The oracle recomputes the groups and
+    * counts exactly and pins every certificate TRUE, turning the
+    * approximation bound itself into the hash-checked contract.
+    *
+    * Scale shape: pass 1 is the bounded-memory sketch aggregate; pass 2
+    * broadcast-joins the 5-row quartile frame back and counts rank
+    * positions map-side — two scans, no fact shuffle, no sorted buffer
+    * anywhere (plan-guarded: no exact `percentile` aggregate). The
+    * certificate stays meaningful at any n: at 100 TB it verifies the
+    * sketch's rank error on real data, per group, in the same two passes.
+    */
+  def quantileBinsApprox(spark: SparkSession, sfDir: String): DataFrame = {
+    val accuracy = 1000
+    val probs = Seq(0.25, 0.5, 0.75)
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"))
+    val aq = approxQuantiles(cust, "c_mktsegment", "c_acctbal", probs,
+      accuracy)
+    val rankAggs = count(lit(1)).as("n") +:
+      probs.indices.flatMap(i => Seq(
+        sum(when(col("c_acctbal") < col(s"q${i + 1}"), 1).otherwise(0))
+          .as(s"lt${i + 1}"),
+        sum(when(col("c_acctbal") <= col(s"q${i + 1}"), 1).otherwise(0))
+          .as(s"le${i + 1}")))
+    val checks = cust.join(broadcast(aq), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    // rank certificate: the target rank p·n must fall inside the value's
+    // occupied rank interval widened by the sketch's tolerance n/accuracy
+    // (+1 absorbs the integer target-rank rounding convention)
+    def ok(i: Int, p: Double) = {
+      val tol = col("n").cast(DoubleType) / accuracy + 1.0
+      val target = col("n").cast(DoubleType) * p
+      (target >= col(s"lt${i + 1}") - tol) &&
+        (target <= col(s"le${i + 1}") + tol)
+    }
+    checks.select(col("c_mktsegment") +: col("n") +:
+      probs.zipWithIndex.map { case (p, i) => ok(i, p).as(s"q${i + 1}_ok") }: _*)
+      .orderBy(col("c_mktsegment"))
+  }
 
   /** SKEW-PROOF shuffled equi-join: lineitem ⋈ supplier with an explicit
     * key salt. A single hot supplier key at 100 TB lands every matching
@@ -569,6 +642,14 @@ object Relational {
         |  round(quantile_cont(c_acctbal, 0.25), 6) AS q1,
         |  round(quantile_cont(c_acctbal, 0.5), 6) AS q2,
         |  round(quantile_cont(c_acctbal, 0.75), 6) AS q3
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // the sketch's raw values are engine-specific; what IS exact cross-
+    // engine is the group set, its counts, and the rank certificate the
+    // Spark side computes against its own data — pinned all-TRUE here
+    // (see quantileBinsApprox's scaladoc)
+    "quantile_approx" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  true AS q1_ok, true AS q2_ok, true AS q3_ok
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "select_cols" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -23,6 +23,16 @@ class BenchSpec extends AnyFunSuite {
     // values render in ≤3 chars (no scientific notation, no 17-digit
     // doubles — those are what blew the r4 line past the window)
     assert(line.contains("\"agg_count\":999"))
+    // the failed field appears only when nonzero (slimming lever): absent
+    // on a healthy line, present — and within budget — on a failing one
+    assert(!line.contains("\"failed\""))
+    // a catastrophic AND failing run re-spends the failed field's chars;
+    // the bound is the true window: 2000 − ~77 (sbt's worst-case
+    // "[success] Total time: NNNN s (MM:SS), completed <date>" trailer)
+    val failing = Bench.renderLine(worst.map(_._2).sum, worst, failed = 3,
+      "/root/testdata/sf0.1")
+    assert(failing.contains("\"failed\":3"))
+    assert(failing.length <= 1920, s"failing line is ${failing.length} chars")
   }
 
   test("graded values render in at most 3 chars at EVERY magnitude") {

@@ -120,6 +120,19 @@ class PlanSpec extends SparkSpec {
     assert(n == 2, s"expected 2 UDF invocations, got $n in:\n$p")
   }
 
+  test("quantile_bins_approx holds no exact per-group percentile buffer") {
+    // the operator's whole point vs quantile_bins: the sketch aggregate is
+    // bounded-memory (no per-group sorted buffer), the certificate pass
+    // counts map-side, and the 5-row quartile frame broadcasts back — the
+    // fact table never shuffles
+    val p = plan("quantile_approx")
+    assert(p.contains("approx_percentile"), p)
+    assert(!"(?<![a-z_])percentile\\(".r.findAllIn(p).hasNext,
+      s"exact percentile (sorted per-group buffer) found in:\n$p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("daily_counts aggregates map-side with one hash exchange") {
     val p = plan("daily_counts")
     assert(p.contains("partial_count"), p)

@@ -197,6 +197,41 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("quantile_bins_approx certifies every quartile and tracks the exact form") {
+    import spark.implicits._
+    // the checked key: every rank certificate must hold on real data
+    val cert = Relational.quantileBinsApprox(spark, sf)
+      .as[(String, Long, Boolean, Boolean, Boolean)].collect()
+    assert(cert.nonEmpty)
+    cert.foreach { case (seg, n, ok1, ok2, ok3) =>
+      assert(n > 0, s"empty segment $seg")
+      assert(ok1 && ok2 && ok3, s"rank certificate failed for $seg")
+    }
+    // the API form's values: each approx quartile must land within the
+    // rank guarantee of the EXACT quartiles — check against exact
+    // percentile at the widened probability bounds (±1/accuracy plus one
+    // rank of slack at this corpus size)
+    val cust = Tables.table(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_acctbal"))
+    val aq = Relational.approxQuantiles(cust, "c_mktsegment", "c_acctbal",
+      Seq(0.25, 0.5, 0.75), accuracy = 1000)
+      .as[(String, Long, Double, Double, Double)].collect()
+    aq.foreach { case (seg, n, q1, q2, q3) =>
+      assert(q1 <= q2 && q2 <= q3, s"approx quartiles out of order for $seg")
+      val slack = 1.0 / 1000 + 2.0 / n
+      Seq(0.25 -> q1, 0.5 -> q2, 0.75 -> q3).foreach { case (p, q) =>
+        val lo = cust.filter(col("c_mktsegment") === seg)
+          .agg(expr(s"percentile(c_acctbal, ${math.max(0.0, p - slack)})"))
+          .as[Double].head()
+        val hi = cust.filter(col("c_mktsegment") === seg)
+          .agg(expr(s"percentile(c_acctbal, ${math.min(1.0, p + slack)})"))
+          .as[Double].head()
+        assert(q >= lo && q <= hi,
+          s"approx p=$p of $seg ($q) outside exact neighbors [$lo, $hi]")
+      }
+    }
+  }
+
   test("join_salted equals the plain unsalted join-aggregate") {
     import spark.implicits._
     val salted = Relational.joinSalted(spark, sf)
