@@ -89,11 +89,11 @@ object Bench {
     "doc_fingerprint" -> 0.7, "json_extract" -> 0.72, "join_left" -> 0.73,
     "ml_string_indexer_multi" -> 0.74, "text_stats" -> 0.76,
     "window_rank" -> 0.78, "scan_csv_typed" -> 0.81,
-    "sessionize_batch" -> 0.9, "dedup_embed" -> 1.01,
+    "sessionize_batch" -> 0.9,
     "sink_parquet_partitioned" -> 1.06,
     "flagship_nation_top_supplier" -> 1.12, "part_brand_agg" -> 1.15,
-    "sim_search_lsh" -> 1.17, "groupby_agg" -> 1.21, "dedup_ngram" -> 1.3,
-    "sim_search_ivf" -> 1.36, "bucketed_join" -> 1.43,
+    "groupby_agg" -> 1.21, "dedup_ngram" -> 1.3,
+    "bucketed_join" -> 1.43,
     "mm_resize_stub" -> 0.7, "dedup_simhash" -> 0.7,
     "select_cast" -> 1.72, "ml_assembler" -> 1.84,
     "dedup_simhash_pairs" -> 0.9, "dedup_near" -> 2.52,
@@ -106,8 +106,11 @@ object Bench {
     "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
     "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
     "quantile_bins" -> 0.25, "text_redact" -> 0.39,
-    // round-6 additions — TimeMain rep-3 steady-states at sf0.1
-    "quantile_approx" -> 0.65,
+    // round-6 additions/re-measures — TimeMain rep-3 steady-states at
+    // sf0.1 (the ANN trio re-measured: their checked keys now run the
+    // exact path alongside the approx path for the recall certificate)
+    "quantile_approx" -> 0.65, "sim_search_lsh" -> 1.9,
+    "sim_search_ivf" -> 1.1, "dedup_embed" -> 1.4,
     "dedup_incremental" -> 4.0,
     // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
     "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,

@@ -113,13 +113,13 @@ object SparkEntry {
     "dedup_ngram" -> (Dedup.dedupNgram _),
     "dedup_cluster" -> (Dedup.dedupClusters _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
-    "dedup_embed" -> (Dedup.dedupEmbed _),
+    "dedup_embed" -> (Dedup.dedupEmbedChecked _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
-    "sim_search_lsh" -> (Similarity.simSearchLsh _),
-    "sim_search_ivf" -> (Similarity.simSearchIvf _),
+    "sim_search_lsh" -> (Similarity.simSearchLshChecked _),
+    "sim_search_ivf" -> (Similarity.simSearchIvfChecked _),
     "knn_classify" -> (Similarity.knnClassify _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -142,11 +142,14 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (81 of 92 keys). Omitted keys — Spark-RNG
-    * sampling, spark.ml model internals, and genuinely approximate LSH
-    * outputs (sim_search_lsh/ivf, dedup_embed) — get the driver's weaker
-    * rows-only check; their semantics are covered by scalatest invariants
-    * instead (SURVEY §5, COVERAGE.md).
+    * the same parquet tables (85 of 93 keys). The approximate ANN keys
+    * (sim_search_lsh/ivf, dedup_embed) are checked via pooled-recall
+    * certificates (Similarity.recallCertificate). Omitted keys —
+    * Spark-RNG sampling (sample_fraction, random_split) and spark.ml
+    * model internals (ml_rf_classifier, ml_pipeline, ml_evaluator,
+    * ml_cross_validator, ml_fit_predict_eval, ml_rebalance_fit) — get the
+    * driver's weaker rows-only check; their semantics are covered by
+    * scalatest invariants instead (SURVEY §5, COVERAGE.md).
     */
   def oracleSql: Map[String, String] =
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++

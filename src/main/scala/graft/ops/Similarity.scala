@@ -203,6 +203,51 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** POOLED-RECALL CERTIFICATE: one row summarizing an approximate result
+    * against the exact path — (n_probes, k, floor, recall_ok) with
+    * recall_ok ⟺ |approx ∩ exact| ≥ floor · |exact| pooled over all
+    * probes. Everything in the row except the Spark-verified boolean is
+    * recomputable by the oracle (probe count from the probe predicate,
+    * k and floor are the operator's contract), which turns the recall
+    * bound itself into a hash-checked driver entry — the same move as
+    * `quantile_approx`'s rank certificate. One pass: the exact result
+    * left-joins the approx (q_id, c_id) pairs and aggregates hit counts.
+    *
+    * Pooled, not per-probe: LSH/IVF recall is probe-dependent (a probe in
+    * a sparse bucket can legitimately recall 1 of 10), so per-probe
+    * booleans would pin corpus-specific noise; the pooled floor is the
+    * operator's actual documented guarantee.
+    */
+  private[ops] def recallCertificate(exact: DataFrame, approx: DataFrame,
+      k: Int, floor: Double): DataFrame =
+    exact.select(col("q_id"), col("c_id"))
+      .join(approx.select(col("q_id"), col("c_id"))
+        .withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+      .agg(countDistinct(col("q_id")).as("n_probes"),
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_probes"), lit(k).as("k"), lit(floor).as("min_recall"),
+        (col("n_hit") >= col("n_exact") * floor).as("recall_ok"))
+
+  /** `sim_search_lsh` checked key: the LSH path's pooled recall vs the
+    * exact path, certified for the driver (the raw approximate neighbor
+    * lists are seed/engine-specific — [[simSearchLsh]] stays the API).
+    * The certificate runs BOTH paths; that is the cost of verification,
+    * not of serving — at 100 TB the production query is the approx path
+    * alone, and this key is the recurring quality audit a pipeline runs
+    * on a sampled probe set.
+    */
+  def simSearchLshChecked(spark: SparkSession, sfDir: String): DataFrame =
+    recallCertificate(simSearch(spark, sfDir),
+      simSearchLsh(spark, sfDir), K, floor = 0.2)
+
+  /** `sim_search_ivf` checked key: IVF pooled recall vs exact, certified
+    * (same contract as [[simSearchLshChecked]]).
+    */
+  def simSearchIvfChecked(spark: SparkSession, sfDir: String): DataFrame =
+    recallCertificate(simSearch(spark, sfDir),
+      simSearchIvf(spark, sfDir), K, floor = 0.2)
+
   /** kNN CLASSIFICATION over the embedding space: each probe vector
     * (vec_id < 50) takes the majority label of its 5 exact-cosine nearest
     * neighbors — the classify-by-similarity composition (labeling new data
@@ -238,6 +283,18 @@ object Similarity {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // recall certificates: every column except the Spark-verified pooled
+    // recall boolean is exact cross-engine (probe count from the probe
+    // predicate; k and the floor are the operator's published contract) —
+    // see recallCertificate's scaladoc
+    "sim_search_lsh" ->
+      """SELECT count(*) AS n_probes, 10 AS k,
+        |  CAST(0.2 AS DOUBLE) AS min_recall, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+    "sim_search_ivf" ->
+      """SELECT count(*) AS n_probes, 10 AS k,
+        |  CAST(0.2 AS DOUBLE) AS min_recall, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
     "knn_classify" ->
       """WITH v AS (
         |  SELECT vec_id, label,

@@ -293,6 +293,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.2, s"lsh recall too low: $recall")
   }
 
+  test("recall certificates (driver keys) certify pooled floors with exact probe counts") {
+    import spark.implicits._
+    // the checked-key forms of the three approximate ANN paths: every
+    // column but recall_ok is oracle-recomputable, and recall_ok must
+    // hold on the suite corpus just as the driver pins it at sf0.01
+    assert(Similarity.simSearchLshChecked(spark, sf)
+      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.2, true)))
+    assert(Similarity.simSearchIvfChecked(spark, sf)
+      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.2, true)))
+    assert(Dedup.dedupEmbedChecked(spark, sf)
+      .as[(Long, Int, Double, Boolean)].head() == ((100L, 1, 0.5, true)))
+  }
+
   test("probe predicate overloads select the query side of every ANN path") {
     import spark.implicits._
     // the ANN surface is an API, not a fixed demo: any predicate over the
