@@ -110,7 +110,7 @@ object Bench {
     // sf0.1 (the ANN trio re-measured: their checked keys now run the
     // exact path alongside the approx path for the recall certificate)
     "quantile_approx" -> 0.65, "sim_search_lsh" -> 1.9,
-    "sim_search_ivf" -> 1.1, "dedup_embed" -> 1.4,
+    "sim_search_ivf" -> 1.1, "dedup_embed" -> 1.4, "cdc_snapshot" -> 2.0,
     "dedup_incremental" -> 4.0,
     // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
     "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,
@@ -162,6 +162,11 @@ object Bench {
     * can pin its length under the driver's tail window for the current key
     * set.
     */
+  /** Hard ceiling for the graded line: the driver's 2000-char stdout tail
+    * minus sbt's `[success] Total time: …` trailer (~75 chars, padded).
+    */
+  private[graft] val MaxGradedLen = 1920
+
   private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
       failed: Int, sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtGraded(v) }
@@ -169,11 +174,31 @@ object Bench {
     // sf renders as its basename ("sf0.1") — the full dir is on the
     // diagnostics line; the graded line spends its chars on per-key values
     val sf = new java.io.File(sfDir).getName
-    // "failed" appears only when nonzero (the planned slimming lever for
-    // registry growth past 92 keys): an absent field reads as 0 failures,
+    // "failed" appears only when nonzero (the slimming lever applied when
+    // the registry crossed 92 keys): an absent field reads as 0 failures,
     // and a FAILING run — where the field matters — spends the chars
     val failedField = if (failed == 0) "" else s""","failed":$failed"""
-    s"""{"metric":"total","value":${BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qs$failedField,"sf":"$sf"}"""
+    def render(withSf: Boolean, totalDp: Int) = {
+      val t = BigDecimal(total).setScale(totalDp, BigDecimal.RoundingMode.HALF_UP)
+      val sfField = if (withSf) s""","sf":"$sf"""" else ""
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$qs$failedField$sfField}"""
+    }
+    // SELF-BUDGETING degradation ladder: the line measures itself against
+    // the window and sheds redundancy before precision — first the sf
+    // field (the driver records sf in its own artifact AND the
+    // diagnostics line carries the full dir), then total precision
+    // (3 dp → 1 dp matters only in catastrophic-magnitude totals). With
+    // per-key values capped at 3 chars, step 2 is unreachable for any
+    // possible run at the current registry size (BenchSpec pins it), but
+    // the ladder means future key growth degrades gracefully instead of
+    // truncating the artifact.
+    val full = render(withSf = true, totalDp = 3)
+    if (full.length <= MaxGradedLen) full
+    else {
+      val noSf = render(withSf = false, totalDp = 3)
+      if (noSf.length <= MaxGradedLen) noSf
+      else render(withSf = false, totalDp = 1)
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -132,6 +132,9 @@ object SparkEntry {
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
+    // streaming CDC upsert replayed to completion, snapshot pinned to the
+    // batch compaction's oracle
+    "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
     // §2j multimodal plumbing
     "mm_decode_stub" -> (Multimodal.decodeStub _),
     "mm_frame_sample" -> (Multimodal.frameSample _),

@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+  OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the events table shape.
@@ -322,6 +322,75 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Monotonic per-invocation sequence for [[cdcSnapshotQuery]]'s work
+    * dirs: a bench retry re-executes the key within one session, and each
+    * replay must start from an EMPTY feed + checkpoint.
+    */
+  private val cdcRunSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `cdc_snapshot` checked key: the STREAMING latest-wins upsert
+    * ([[upsertStream]]) replayed over the harness change log to
+    * completion, its append-mode change feed landed as parquet, and the
+    * final compacted snapshot reconstructed from the feed — the streaming
+    * surface's first driver-checked entry.
+    *
+    * Why this is oracle-safe: upsertStream's "latest" is decided by the
+    * data-derived (ts, event_id) version order, never arrival order, so
+    * the reconstructed snapshot (max-`n_versions` emission per key —
+    * n_versions grows strictly per emission of a key) converges to the
+    * batch compaction under ANY micro-batch interleaving. The key is
+    * therefore pinned to the SAME DuckDB oracle as the batch
+    * `upsert_latest` (`ops/Lifecycle.scala`), by reference.
+    *
+    * Scale shape: the landing dir is the cloud-storage landing zone a file
+    * stream tails (written once per corpus, content-fingerprinted +
+    * atomically published, because the raw harness file stores
+    * TIMESTAMP(NANOS) which the stream source can't consume directly);
+    * emissions are a parquet change feed (a table format or message bus at
+    * 100 TB); per-key state is one (version, value, count) record bounded
+    * by key cardinality, evictable by timeout when keys are unbounded.
+    * The reconstruction is the same max_by aggregate as the batch
+    * compaction, over the feed (≈ key cardinality), never the raw log.
+    */
+  def cdcSnapshotQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath("graft_cdc_landing_v1", sfDir,
+      new File(s"$sfDir/events.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(tmp)
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    val parent = new File(sys.props("java.io.tmpdir"))
+    val work = new File(parent,
+      s"graft_cdc_${spark.sparkContext.applicationId}_" +
+        cdcRunSeq.incrementAndGet())
+    // crashed-session leftovers swept like the Sources sinks (1 h TTL)
+    graft.LocalFs.sweepAged(parent, "graft_cdc_", keep = work,
+      ttlMs = 60L * 60 * 1000)
+    graft.LocalFs.deleteOnExit(work)
+    val feedDir = new File(work, "feed").getPath
+    val q = upsertStream(spark, readEvents(spark, landing))
+      .writeStream.format("parquet").option("path", feedDir)
+      .option("checkpointLocation", new File(work, "ck").getPath)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(feedDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(
+        struct(col("value"), col("ts"), col("event_id"), col("n_versions")),
+        col("n_versions")).as("cur"))
+      .select(col("user_id"), col("event_type"),
+        col("cur.value").as("value"),
+        (unix_micros(col("cur.ts")) * 1000L).as("ts_ns"),
+        col("cur.event_id").as("event_id"),
+        col("cur.n_versions").as("n_versions"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   /** STREAM-STREAM INTERVAL JOIN — the streaming form of `join_range`'s
     * pair step (`ops/Temporal.scala`): each purchase joined to the same
     * user's clicks in its trailing 24 h window, as both sides arrive.
@@ -387,6 +456,9 @@ object Streams {
       .orderBy(col("user_id"), col("start_ms"))
 
   val oracleSql: Map[String, String] = Map(
+    // pinned BY REFERENCE to the batch compaction's oracle: the streaming
+    // replay must land on exactly the state the batch operator computes
+    "cdc_snapshot" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),
     // lag + cumulative session counter, the same independent formulation
     // the suite pins the streaming interval-merge against; epoch_ms over
     // the µs-floored timestamp exactly mirrors unix_millis on the Spark

@@ -14,25 +14,33 @@ class BenchSpec extends AnyFunSuite {
     // TRUE worst case: fmtGraded saturates at "999", so the widest a
     // per-key value can EVER render is 3 chars — even a catastrophic run
     // with every key at 4-digit seconds produces an artifact that survives
-    // the tail window to show it
+    // the tail window to show it. renderLine self-budgets against
+    // MaxGradedLen (2000-char driver tail minus sbt's padded ~80-char
+    // trailer), shedding the redundant sf field before anything else.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 8888.0)
     val line = Bench.renderLine(worst.map(_._2).sum, worst, failed = 0,
       "/root/testdata/sf0.1")
-    assert(line.length <= 1900, s"graded line is ${line.length} chars; " +
-      "the driver tail keeps 2000 minus sbt's ~75-char success trailer")
+    assert(line.length <= Bench.MaxGradedLen,
+      s"graded line is ${line.length} chars")
     // values render in ≤3 chars (no scientific notation, no 17-digit
     // doubles — those are what blew the r4 line past the window)
     assert(line.contains("\"agg_count\":999"))
     // the failed field appears only when nonzero (slimming lever): absent
     // on a healthy line, present — and within budget — on a failing one
     assert(!line.contains("\"failed\""))
-    // a catastrophic AND failing run re-spends the failed field's chars;
-    // the bound is the true window: 2000 − ~77 (sbt's worst-case
-    // "[success] Total time: NNNN s (MM:SS), completed <date>" trailer)
     val failing = Bench.renderLine(worst.map(_._2).sum, worst, failed = 3,
       "/root/testdata/sf0.1")
     assert(failing.contains("\"failed\":3"))
-    assert(failing.length <= 1920, s"failing line is ${failing.length} chars")
+    assert(failing.length <= Bench.MaxGradedLen,
+      s"failing line is ${failing.length} chars")
+    // a realistic healthy run (every key at its steady-state hint) keeps
+    // the sf field — the ladder's first step must not fire in practice
+    val real = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => k -> Bench.costHint.getOrElse(k, 1.0))
+    val healthy = Bench.renderLine(real.map(_._2).sum, real, failed = 0,
+      "/root/testdata/sf0.1")
+    assert(healthy.contains("\"sf\":\"sf0.1\""), healthy)
+    assert(healthy.length <= Bench.MaxGradedLen)
   }
 
   test("graded values render in at most 3 chars at EVERY magnitude") {

@@ -319,6 +319,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("cdc_snapshot key equals the batch compaction and is rerun-safe") {
+    // the driver-checked key: streaming replay + feed reconstruction must
+    // land on exactly upsert_latest's rows, and a SECOND invocation in the
+    // same session (a bench retry) must replay from a fresh feed +
+    // checkpoint instead of appending to the first run's
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val batch = rows(graft.ops.Lifecycle.upsertLatest(spark, sf))
+    val first = rows(Streams.cdcSnapshotQuery(spark, sf))
+    assert(first.nonEmpty)
+    assert(first == batch)
+    assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
+  }
+
   test("streaming upsert counts but never applies a late older version") {
     val dir = Files.createTempDirectory("graft_upslate_in").toString
     // batch 1 delivers version 2; batch 2 delivers the OLDER version 1
