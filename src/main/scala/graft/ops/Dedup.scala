@@ -304,18 +304,34 @@ object Dedup {
     * plan-tree stringification alone (AQE emits a plan description per
     * query) dominates runtime. `localCheckpoint(eager)` materializes each
     * round's labels as a flat `LogicalRDD`, keeping every iteration's plan
-    * constant-size. (On a real cluster prefer reliable `checkpoint` to a
-    * fault-tolerant dir for lineage this iterative; localCheckpoint trades
-    * executor-loss recovery for zero-HDFS round-trips — the right trade in
-    * a single-JVM harness, same plan-flattening either way.)
+    * constant-size.
+    *
+    * CLUSTER DEPLOYMENT: localCheckpoint stores blocks on executors — an
+    * executor loss mid-loop kills the lineage it truncated. Set
+    * `graft.cluster.checkpoint=reliable` (plus
+    * `sparkContext.setCheckpointDir` to a fault-tolerant path) and every
+    * loop round checkpoints RELIABLY instead: same plan-flattening, state
+    * survives executor loss, at the cost of one distributed-FS round-trip
+    * per iteration — the right default on a 1000-executor run where a
+    * 10-round loop WILL see preemption. Reliable checkpoint files clean up
+    * via Spark's ContextCleaner
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints=true`) or with the
+    * checkpoint dir itself; the suite exercises the loop under both modes.
     */
   private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
+    val session = pairs.sparkSession
+    val reliable = session.conf.getOption("graft.cluster.checkpoint")
+      .contains("reliable")
+    if (reliable) require(session.sparkContext.getCheckpointDir.isDefined,
+      "graft.cluster.checkpoint=reliable needs sparkContext.setCheckpointDir")
     val edges = pairs.select(col("doc_a").as("s"), col("doc_b").as("t"))
       .union(pairs.select(col("doc_b").as("s"), col("doc_a").as("t")))
       .persist()
     // every localCheckpoint of the loop, released before return: checkpoint
     // blocks are NOT catalog-managed, so leaving them would silently break
-    // the engine's clearCache cache-lifetime contract (suite-locked)
+    // the engine's clearCache cache-lifetime contract (suite-locked).
+    // (Reliable-mode files are not storage blocks; ContextCleaner or the
+    // checkpoint dir's owner reclaims them — see the scaladoc.)
     val loopChk = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     // LAZY checkpoints: the plan is truncated immediately (a flat
@@ -323,11 +339,15 @@ object Dedup {
     // `moved`-count job — eager would add a separate blocking job per
     // checkpoint per iteration (measured +0.7s steady on the corpus).
     def chk(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(eager = false)
-      out.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => loopChk += lr.rdd
+      if (reliable) df.checkpoint(eager = false)
+      else {
+        val out = df.localCheckpoint(eager = false)
+        out.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            loopChk += lr.rdd
+        }
+        out
       }
-      out
     }
     var labels = chk(edges.select(col("s").as("id")).distinct()
       .withColumn("lbl", col("id")))

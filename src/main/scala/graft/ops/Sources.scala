@@ -31,10 +31,16 @@ object Sources {
     * siblings swept on allocation — repeated sessions leave at most the
     * live session's directory behind.
     */
-  private def sessionSinkPath(spark: SparkSession, prefix: String): String = {
+  private def sessionSinkPath(spark: SparkSession, prefix: String): String =
+    sessionSinkPath(spark.sparkContext.applicationId, prefix)
+
+  /** AppId-keyed core of the per-session sink allocation (split out so the
+    * sweep/touch race discipline is testable without a SparkSession —
+    * LocalFsSpec covers the stale-mtime-but-live-session case).
+    */
+  private[graft] def sessionSinkPath(appId: String, prefix: String): String = {
     val parent = new java.io.File(sys.props("java.io.tmpdir"))
-    val self = new java.io.File(parent,
-      s"$prefix${spark.sparkContext.applicationId}")
+    val self = new java.io.File(parent, s"$prefix$appId")
     graft.LocalFs.sweepAged(parent, prefix, keep = self, ttlMs = SinkTtlMs)
     // Defuse the sweep's mtime race for LONG-lived sessions: a directory's
     // mtime tracks only direct-child churn, so a session older than the TTL

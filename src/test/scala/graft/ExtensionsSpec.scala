@@ -96,6 +96,34 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels run identically under reliable checkpointing") {
+    import spark.implicits._
+    // the cluster-deployment escape hatch: same loop, reliable checkpoint
+    // per round instead of executor-local blocks — must produce identical
+    // labels (here on a shape that exercises plain rounds AND the jump)
+    val pairs = ((0L until 20L).map(i => (i, i + 1)) :+ (40L, 41L))
+      .toDF("doc_a", "doc_b")
+    val baseline = Dedup.clusterLabels(pairs).as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_ck")
+    spark.conf.set("graft.cluster.checkpoint", "reliable")
+    try {
+      // misconfiguration fails loudly BEFORE any work, never a silent
+      // fallback to executor-local blocks (checked while no checkpoint
+      // dir is set on the shared context)
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        intercept[IllegalArgumentException] { Dedup.clusterLabels(pairs) }
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      val reliable = Dedup.clusterLabels(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == baseline)
+      // the loop really checkpointed reliably: rdd files landed in the dir
+      assert(ckDir.toFile.listFiles != null && ckDir.toFile.listFiles.nonEmpty)
+    } finally {
+      spark.conf.unset("graft.cluster.checkpoint")
+      graft.LocalFs.deleteRecursively(ckDir.toFile)
+    }
+  }
+
   test("cluster labels converge on a long chain (path doubling)") {
     import spark.implicits._
     // a 120-hop path: plain min-propagation moves the minimum one hop per

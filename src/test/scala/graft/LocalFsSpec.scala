@@ -118,4 +118,36 @@ class LocalFsSpec extends AnyFunSuite {
       destValid = () => new File(dest, "_SUCCESS").exists()))
     assert(Files.readString(new File(dest, "data").toPath) == "winner")
   }
+
+  test("sink allocation touches its own dir so a concurrent sweep spares a live session") {
+    // the sink-GC race: a session OLDER than the sweep TTL whose sink key
+    // re-executes late has a stale-looking dir mtime exactly when a
+    // concurrent session allocates (and sweeps). sessionSinkPath defuses
+    // it by touching the dir at every allocation/reuse — age is measured
+    // from last USE, not first creation.
+    val prefix = s"graft_fs_sink_${System.nanoTime()}_"
+    val parent = new File(sys.props("java.io.tmpdir"))
+    try {
+      val mine = new File(ops.Sources.sessionSinkPath("app-live", prefix))
+      assert(mine.exists())
+      // an hour of session idling: the dir's mtime goes stale
+      mine.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+      // late re-execution of the sink key in the SAME session refreshes it
+      assert(ops.Sources.sessionSinkPath("app-live", prefix) == mine.getPath)
+      assert(mine.lastModified() > System.currentTimeMillis() - 60 * 1000)
+      // so a concurrent session's allocation sweep must spare it...
+      ops.Sources.sessionSinkPath("app-other", prefix)
+      assert(mine.exists(), "live session's sink dir was swept")
+      // ...while a genuinely dead sibling (stale mtime, never re-touched)
+      // is collected by the same sweep
+      val dead = new File(parent, prefix + "app-dead")
+      dead.mkdirs()
+      dead.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+      ops.Sources.sessionSinkPath("app-other2", prefix)
+      assert(!dead.exists(), "dead session's sink dir survived the sweep")
+    } finally {
+      parent.listFiles().filter(_.getName.startsWith(prefix))
+        .foreach(LocalFs.deleteRecursively)
+    }
+  }
 }
