@@ -10,24 +10,21 @@ import org.apache.spark.sql.SparkSession
   * line must stay comfortably under that window even after sbt appends its
   * own `[success] Total time: …` trailer (~75 chars):
   *   - per-key seconds render in at most 3 chars (1 dp below 10 s, whole
-  *     seconds above — resolution always below run-to-run noise on this
-  *     host; the total keeps 3 dp and the diagnostics line keeps 2 dp),
-  *   - raw first-run times (`rep1`), per-key errors, no-hint keys and the
-  *     full protocol string go on a SEPARATE diagnostics line printed
-  *     BEFORE the final line (earlier stdout is what the tail window drops
-  *     first, so the graded line always survives intact),
-  *   - `BenchSpec` asserts the rendered line stays under budget for the
-  *     CURRENT key set, so adding operators can't silently re-truncate it.
-  *     `sf` renders as its basename (the full dir rides the diagnostics
-  *     line) and `failed` appears only when nonzero (~11 chars reclaimed
-  *     on every healthy run — applied when the registry crossed 92 keys).
-  *     The remaining slimming lever for future growth: shorten
-  *     `"metric":"total","value"` boilerplate or drop the per-key map's
-  *     quotes (driver-coordinated, not unilateral).
+  *     seconds above, saturated at "999" — resolution always below
+  *     run-to-run noise on this host; the total keeps 3 dp),
+  *   - per-rep raw times, per-key errors, un-hinted keys and the protocol
+  *     string go on SEPARATE diagnostics lines printed BEFORE the final
+  *     line (earlier stdout is what the tail window drops first, so the
+  *     graded line always survives intact; `default_hint_keys` sits LAST
+  *     on its line so it stays visible in the tail remnant),
+  *   - `renderLine` SELF-BUDGETS against `MaxGradedLen`, shedding the
+  *     redundant sf field and then total precision before it could ever
+  *     truncate; `BenchSpec` pins the ladder's behavior for the current
+  *     key set.
   *
   * Measurement protocol (BASELINE.md is recorded under the SAME protocol —
   * the two sides of the comparison must move together; any edit to the
-  * hint table, retry rule, or rest discipline REQUIRES re-recording
+  * rep count, pass structure, or rest discipline REQUIRES re-recording
   * BASELINE.md before the next graded run):
   *
   *  1. STARTUP REST (`SPARK_GRAFT_REST_SEC`, default 60s, 0 disables): the
@@ -37,136 +34,112 @@ import org.apache.spark.sql.SparkSession
   *     was 2.3× its own steady-state purely from this. An idle minute
   *     before the timed loop lets the host's budget refill. Wall-clock
   *     only; reported times never include rests.
-  *  2. CHEAPEST-FIRST ORDER from the recorded steady-state cost table:
-  *     cold-JIT warmup lands on the ~40 sub-second keys (scans, joins,
-  *     aggs, windows warm the common machinery for pennies) instead of
-  *     inflating a 5s ML fit to 30s.
-  *  3. ANOMALY RETRY: a key whose first run exceeds 1.5× its recorded
-  *     steady-state hint (cold JIT on op-specific code, a throttle spike,
-  *     a first-ever write-once layout build) is run ONCE more after a
-  *     `clearCache()`, and the smaller time is reported. A key already at
-  *     steady state costs zero extra work, so total work stays bounded.
-  *     This is deliberately asymmetric (min-of-reruns, only for slow first
-  *     runs) and therefore biased low relative to any single-run
-  *     measurement — which is fine ONLY because the baseline is recorded
-  *     under the identical rule, and visible because raw first-run times
-  *     are always emitted on the diagnostics line. A retry that ERRORS
-  *     after a successful first run is discarded entirely (sample and
-  *     error): the first run already proved the query works, and a
-  *     fail-fast retry elapsed would otherwise masquerade as a fast
-  *     legitimate time while spuriously counting the key as failed.
-  *  4. REST BEFORE RETRY, bounded by a global budget: an immediate retry
-  *     lands in the same clamped regime that produced the anomaly (a
-  *     mid-run clamp once recorded 50s twice in a row for a key that
-  *     steady-states at 2.3s). Retries are preceded by a short idle
-  *     (≤10s; ≤30s more before a second, last-resort retry when the first
-  *     retry still reads > 5× hint), all drawn from a 120s total rest
-  *     budget so pathological weather cannot stretch the run unboundedly.
-  *     Rests are wall-clock only, never part of any reported time.
+  *  2. SYMMETRIC MEDIAN-OF-N (`SPARK_GRAFT_REPS`, default 3): every key
+  *     runs N times and reports its per-key MEDIAN. This replaced round
+  *     5's asymmetric best-of-up-to-3 anomaly retry, which was biased low
+  *     relative to any single-run measurement (min-of-reruns, applied only
+  *     to slow first runs); the median is order-statistics-symmetric, so
+  *     the graded numbers carry no selection bias in either direction.
+  *     Every rep's raw time is published on a per-rep diagnostics line.
+  *  3. PASS STRUCTURE: reps run as N FULL PASSES over the key set (all
+  *     keys once, then again), not N back-to-back runs per key. A host
+  *     throttle clamp lasts minutes; back-to-back reps would land all N
+  *     samples of a few keys inside it (corrupting their medians), while
+  *     a pass structure spreads the clamp across ONE rep of many keys —
+  *     each key's other reps stay clean and the median rejects the spike.
+  *     Pass 1 doubles as the JIT warm-up; it is a full voting rep (its
+  *     cold-code inflation affects a handful of op-specific keys, and for
+  *     those the median of {cold, steady, steady} is steady).
+  *  4. CHEAPEST-FIRST ORDER within each pass, from the recorded
+  *     steady-state cost table: cold-JIT warm-up lands on the ~45
+  *     sub-second keys (scans, joins, aggs, windows warm the common
+  *     machinery for pennies) instead of inflating a 5s ML fit to 30s.
+  *
+  * COST HINTS come from the RECORDED BASELINE ARTIFACT `bench_hints.json`
+  * (per-key medians of the baseline pair, re-recorded whenever BASELINE.md
+  * is), not an in-source literal: the ordering data and the baseline move
+  * together by construction, and a key missing from the artifact — a
+  * rename, or a new operator benched before re-recording — is visible
+  * three ways: it runs mid-pack on the default hint, it is listed under
+  * `default_hint_keys` at the TAIL END of the diagnostics line, and
+  * `BenchSpec` fails if the artifact doesn't cover the registry. Hints
+  * order the passes; they are never reported.
   */
 object Bench {
 
-  /** Recorded steady-state seconds per key at sf0.1, local[32] — per-key
-    * min of the two round-4 protocol runs (BASELINE.md), with this round's
-    * TimeMain steady-states for keys added in round 5. Drives ordering and
-    * the anomaly-retry threshold only; NEVER reported. Unknown keys default
-    * to 1.0 (run mid-pack) and are listed on the diagnostics line so a
-    * renamed or newly added key can't silently run un-hinted forever.
+  /** Recorded steady-state seconds per key at sf0.1, local[32], loaded
+    * from the baseline artifact (see class doc). Empty map if the
+    * artifact is missing — every key then runs on the default hint and is
+    * reported in `default_hint_keys`.
     */
-  private[graft] val costHint: Map[String, Double] = Map(
-    "order_limit" -> 0.22, "agg_count" -> 0.26, "scan_parquet" -> 0.28,
-    "ml_param_grid" -> 0.29, "na_drop" -> 0.29, "sample_fraction" -> 0.3,
-    "groupby_ratio" -> 0.32, "filter_compound" -> 0.34,
-    "select_cols" -> 0.34, "mm_frame_layout" -> 0.35,
-    "random_split" -> 0.35, "join_anti" -> 0.39, "union_all" -> 0.39,
-    "mm_frame_sample" -> 0.41, "str_normalize" -> 0.41,
-    "join_inner_equi" -> 0.42, "select_alias" -> 0.43, "filter_eq" -> 0.44,
-    "sim_search" -> 0.47, "token_count" -> 0.49, "vocab_topk" -> 0.45,
-    "vec_norm" -> 0.52,
-    "join_semi" -> 0.54, "ml_string_indexer" -> 0.56, "dedup_exact" -> 0.6,
-    "mm_decode_stub" -> 0.6, "drop_col" -> 0.65, "sink_csv" -> 0.65,
-    "ml_onehot" -> 0.66, "window_top1" -> 0.68, "lang_id" -> 0.69,
-    "doc_fingerprint" -> 0.7, "json_extract" -> 0.72, "join_left" -> 0.73,
-    "ml_string_indexer_multi" -> 0.74, "text_stats" -> 0.76,
-    "window_rank" -> 0.78, "scan_csv_typed" -> 0.81,
-    "sessionize_batch" -> 0.9,
-    "sink_parquet_partitioned" -> 1.06,
-    "flagship_nation_top_supplier" -> 1.12, "part_brand_agg" -> 1.15,
-    "groupby_agg" -> 1.21, "dedup_ngram" -> 1.3,
-    "bucketed_join" -> 1.43,
-    "mm_resize_stub" -> 0.7, "dedup_simhash" -> 0.7,
-    "select_cast" -> 1.72, "ml_assembler" -> 1.84,
-    "dedup_simhash_pairs" -> 0.9, "dedup_near" -> 2.52,
-    "dedup_cluster" -> 3.7,
-    "ml_fit_predict_eval" -> 3.3, "ml_evaluator" -> 3.6,
-    "ml_pipeline" -> 3.61, "ml_rebalance_fit" -> 4.07,
-    "ml_rf_classifier" -> 4.36, "ml_cross_validator" -> 4.55,
-    "corpus_clean" -> 4.0,
-    // round-5 additions — TimeMain rep-3 steady-states at sf0.1
-    "join_asof" -> 0.61, "join_range" -> 0.74, "sketch_kmv" -> 0.78,
-    "pivot_wide" -> 0.56, "agg_rollup" -> 1.35, "sample_stratified" -> 0.55,
-    "quantile_bins" -> 0.25, "text_redact" -> 0.39,
-    // round-6 additions/re-measures — TimeMain rep-3 steady-states at
-    // sf0.1 (the ANN trio re-measured: their checked keys now run the
-    // exact path alongside the approx path for the recall certificate)
-    "quantile_approx" -> 0.65, "sim_search_lsh" -> 1.9,
-    "sim_search_ivf" -> 1.1, "dedup_embed" -> 1.4, "cdc_snapshot" -> 2.0,
-    "dedup_incremental" -> 4.0,
-    // round-5 batch 2 — TimeMain rep-3 steady-states at sf0.1
-    "join_salted" -> 1.62, "agg_cube" -> 2.48, "agg_string_collect" -> 0.77,
-    "window_moving_avg" -> 1.46, "event_funnel" -> 1.0,
-    "tfidf_topk" -> 1.71, "ngram_lm_score" -> 1.6,
-    // round-5 batch 3 — TimeMain rep-3 steady-states at sf0.1
-    "split_hash" -> 0.31, "upsert_latest" -> 0.43,
-    "scd2_intervals" -> 0.45, "profile_stats" -> 1.75,
-    "group_entropy" -> 0.3, "anomaly_zscore" -> 0.8,
-    "knn_classify" -> 0.55,
-    "intersect_all" -> 0.6, "except_all" -> 0.38,
-    "window_ntile" -> 0.95, "daily_counts" -> 0.42, "histogram" -> 0.22,
-    "corr_matrix" -> 2.62, "minmax_scale" -> 0.97)
+  private[graft] lazy val costHint: Map[String, Double] = loadHints()
 
-  /** First-run times above `RetryFactor × hint` trigger the single retry. */
-  private val RetryFactor = 1.5
+  /** Artifact path: repo-root relative (the driver and dev flows both run
+    * sbt from the repo), overridable for tests via SPARK_GRAFT_HINTS.
+    */
+  private[graft] def hintsPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_HINTS", "bench_hints.json")
+
+  /** Parse the flat `{"key": seconds, …}` artifact. No JSON library on
+    * the classpath — a two-token regex over `"name": number` pairs is
+    * exact for this grammar (keys are `[a-z0-9_]+`, values plain
+    * decimals; BenchSpec round-trips it).
+    */
+  private[graft] def loadHints(path: String = hintsPath): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val entry = """"([a-z0-9_]+)"\s*:\s*([0-9]+(?:\.[0-9]+)?)""".r
+      entry.findAllMatchIn(text)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** Per-key median over the successful reps (all reps when none
+    * succeeded — a failed key's real elapsed cost must stay visible in
+    * the total, not vanish into a fast-fail zero).
+    */
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
 
   /** Render one per-key map entry at centisecond resolution (10 ms — an
     * order of magnitude below run-to-run noise on this host). Used on the
-    * diagnostics line, where length is not graded.
+    * diagnostics lines, where length is not graded.
     */
-  private def entry3(k: String, v: Double): String =
+  private def entry2(k: String, v: Double): String =
     "\"" + k + "\":" + BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
 
-  /** Graded-line value rendering: at most 3 chars per sane value (1 dp
-    * below 10 s, whole seconds above — "9.9", "67", "888"). Uniform 2 dp
-    * stopped fitting the driver's ~2000-char tail window once the registry
-    * crossed ~80 keys; per-key resolution of 0.1 s/1 s is below this
-    * host's run-to-run noise at the respective magnitudes, the graded
-    * TOTAL keeps 3 dp, and the diagnostics line keeps full 2-dp first-run
-    * times for every key.
+  /** Graded-line value rendering: at most 3 chars per value BY
+    * CONSTRUCTION (1 dp below 10 s, whole seconds above — "9.9", "67",
+    * "888"; anything that would round to ≥ 1000 saturates to "999", and a
+    * saturated value is already >11× the slowest steady-state key, so its
+    * exact magnitude carries no grading information the diagnostics
+    * lines' full-precision times don't). Per-key resolution of 0.1 s/1 s
+    * is below this host's run-to-run noise at the respective magnitudes;
+    * the graded TOTAL keeps 3 dp.
     */
   private[graft] def fmtGraded(v: Double): String = {
     import BigDecimal.RoundingMode.HALF_UP
-    // hard cap at 3 chars BY CONSTRUCTION: anything that would round to
-    // ≥ 1000 renders as "999" (saturated, not truncated) so even a
-    // catastrophic run — every key at 4-digit seconds — cannot push the
-    // graded line past the driver's ~2000-char tail window. A saturated
-    // value is already >11× the slowest steady-state key; its exact
-    // magnitude carries no grading information the diagnostics line's
-    // full-precision rep1 doesn't.
     if (v >= 999.5) "999"
     else if (v < 9.95) BigDecimal(v).setScale(1, HALF_UP).toString
     else BigDecimal(v).setScale(0, HALF_UP).toString
   }
 
-  /** The graded final line. Compact by contract (see the class doc):
-    * ≤4-char values, no per-key diagnostics. Package-private so BenchSpec
-    * can pin its length under the driver's tail window for the current key
-    * set.
-    */
   /** Hard ceiling for the graded line: the driver's 2000-char stdout tail
     * minus sbt's `[success] Total time: …` trailer (~75 chars, padded).
     */
   private[graft] val MaxGradedLen = 1920
 
+  /** The graded final line. Compact by contract (see the class doc):
+    * ≤3-char values, no per-key diagnostics. Package-private so BenchSpec
+    * can pin its length under the driver's tail window for the current key
+    * set.
+    */
   private[graft] def renderLine(total: Double, results: Seq[(String, Double)],
       failed: Int, sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmtGraded(v) }
@@ -205,6 +178,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val restSec = sys.env.getOrElse("SPARK_GRAFT_REST_SEC", "60").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -242,46 +217,36 @@ object Bench {
     }
     val ordered = SparkEntry.queries.keys.toSeq
       .sortBy(k => (costHint.getOrElse(k, 1.0), k))
-    val noHint = ordered.filterNot(costHint.contains)
-    var restBudgetMs = 120000L
-    def restUpTo(maxMs: Long): Unit = {
-      val ms = math.min(maxMs, restBudgetMs)
-      if (ms > 0) { Thread.sleep(ms); restBudgetMs -= ms }
-    }
+    val defaultHintKeys = ordered.filterNot(costHint.contains)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val rep1 = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = ordered.map { name =>
-      val hint = costHint.getOrElse(name, 1.0)
-      val (first, firstErr) = timeOnce(name)
-      rep1(name) = first
-      firstErr.foreach(errors(name) = _)
-      // A retry sample is used only if it SUCCEEDED: once the first run has
-      // proven the query, an errored retry (e.g. a transient tmp-dir race)
-      // is noise — keeping its fail-fast elapsed would report a fast
-      // failure as the key's time while contradicting failed-counts-total.
-      def retried(sofar: Double): Double = timeOnce(name) match {
-        case (t, None) => math.min(sofar, t)
-        case (_, Some(_)) => sofar
-      }
-      val reported =
-        if (firstErr.isEmpty && first > RetryFactor * hint) {
-          restUpTo(10000)
-          var best = retried(first)
-          if (best > 5 * hint) { restUpTo(30000); best = retried(best) }
-          best
-        } else first
-      name -> reported
+    // N full cheapest-first passes (see class doc №3); every sample kept
+    val samples = Seq.fill(reps) {
+      ordered.map { name =>
+        val (t, err) = timeOnce(name)
+        err.foreach(e => errors(name) = e)
+        name -> (t, err.isEmpty)
+      }.toMap
     }
+    // one diagnostics line per pass: full-precision raw times, dropped
+    // from the tail window first (oldest first)
+    samples.zipWithIndex.foreach { case (pass, i) =>
+      val m = ordered.map(k => entry2(k, pass(k)._1)).mkString("{", ",", "}")
+      println(s"""{"diag":"bench_rep","rep":${i + 1},"times":$m}""")
+    }
+    val results = ordered.map { name =>
+      val ok = samples.map(_(name)).filter(_._2).map(_._1)
+      val all = samples.map(_(name)._1)
+      name -> median(if (ok.nonEmpty) ok else all)
+    }
+    val failedKeys = ordered.filter(k => samples.forall(!_(k)._2))
     val total = results.map(_._2).sum
-    // Diagnostics FIRST (raw first-run times, errors, protocol, un-hinted
-    // keys): everything a human or the advisor wants but the graded tail
-    // window can't afford. The driver's window drops this line first.
-    val r1s = rep1.map { case (k, v) => entry3(k, v) }.mkString("{", ",", "}")
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
-    val nh = noHint.map(q).mkString("[", ",", "]")
-    println(s"""{"diag":"bench","rep1":$r1s,"errors":$errs,"nohint":$nh,"protocol":"rest${restSec}s,cheapest-first,retry>${RetryFactor}x-hint","sf":"$sfDir"}""")
-    println(renderLine(total, results, errors.size, sfDir))
+    val dh = defaultHintKeys.map(q).mkString("[", ",", "]")
+    // default_hint_keys LAST: the tail window truncates this line from the
+    // LEFT, so the staleness signal is what survives next to the graded line
+    println(s"""{"diag":"bench","errors":$errs,"protocol":"rest${restSec}s,${reps}-pass-median,cheapest-first","sf":"$sfDir","default_hint_keys":$dh}""")
+    println(renderLine(total, results, failedKeys.size, sfDir))
     spark.stop()
   }
 }

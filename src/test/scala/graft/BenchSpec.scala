@@ -58,9 +58,37 @@ class BenchSpec extends AnyFunSuite {
     assert(sweep.forall(v => Bench.fmtGraded(v).length <= 3))
   }
 
-  test("every query key carries a cost hint (ordering + retry threshold)") {
+  test("the recorded hint artifact covers every query key (staleness gate)") {
+    // hints load from bench_hints.json (the recorded baseline artifact) —
+    // a renamed or newly added key that nobody re-recorded fails HERE, at
+    // suite time, in addition to being listed under default_hint_keys on
+    // the bench diagnostics line
+    assert(Bench.costHint.nonEmpty, s"hint artifact missing or empty " +
+      s"at ${Bench.hintsPath} (cwd ${sys.props("user.dir")})")
     val missing = SparkEntry.queries.keys.toSet -- Bench.costHint.keySet
     assert(missing.isEmpty,
-      s"keys running with the default hint forever: $missing")
+      s"keys absent from bench_hints.json (re-record the baseline): $missing")
+    // and the artifact names only real keys — a rename can't leave a
+    // zombie hint steering the pass order
+    val zombie = Bench.costHint.keySet -- SparkEntry.queries.keys.toSet
+    assert(zombie.isEmpty, s"hints for nonexistent keys: $zombie")
+  }
+
+  test("hint-artifact parser round-trips the flat JSON grammar") {
+    val f = java.nio.file.Files.createTempFile("graft_hints", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"a_key": 0.25,"b2": 12,"c_c": 3.5}""")
+    try {
+      assert(Bench.loadHints(f.toString) ==
+        Map("a_key" -> 0.25, "b2" -> 12.0, "c_c" -> 3.5))
+      assert(Bench.loadHints("/nonexistent/graft_hints.json") == Map.empty)
+    } finally java.nio.file.Files.delete(f)
+  }
+
+  test("median is the order-statistics middle, not a biased best-of") {
+    assert(Bench.median(Seq(5.0)) == 5.0)
+    assert(Bench.median(Seq(9.0, 1.0, 2.0)) == 2.0) // spike rejected
+    assert(Bench.median(Seq(4.0, 2.0)) == 3.0)
+    assert(Bench.median(Seq(0.3, 0.3, 50.0)) == 0.3) // clamp-rep rejected
   }
 }
