@@ -132,9 +132,10 @@ object SparkEntry {
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
-    // streaming CDC upsert replayed to completion, snapshot pinned to the
-    // batch compaction's oracle
+    // streaming replays to completion, pinned to their batch twins'
+    // oracles: CDC upsert snapshot + as-of attribution
     "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
+    "asof_stream" -> (Streams.asofStreamQuery _),
     // §2j multimodal plumbing
     "mm_decode_stub" -> (Multimodal.decodeStub _),
     "mm_frame_sample" -> (Multimodal.frameSample _),

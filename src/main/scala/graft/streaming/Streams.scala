@@ -322,11 +322,53 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
-  /** Monotonic per-invocation sequence for [[cdcSnapshotQuery]]'s work
-    * dirs: a bench retry re-executes the key within one session, and each
-    * replay must start from an EMPTY feed + checkpoint.
+  /** Monotonic per-invocation sequence for the replay keys' work dirs: a
+    * bench retry re-executes a key within one session, and each replay
+    * must start from an EMPTY feed + checkpoint.
     */
-  private val cdcRunSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** The harness change log landed ONCE per corpus as µs-timestamp parquet
+    * (the raw file stores TIMESTAMP(NANOS), which the stream source can't
+    * consume directly) — content-fingerprinted + atomically published like
+    * `Sources.scanCsvTyped`; shared by every replay key.
+    */
+  private def landedEvents(spark: SparkSession, sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath("graft_cdc_landing_v1", sfDir,
+      new File(s"$sfDir/events.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(tmp)
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    landing
+  }
+
+  /** Run a streaming Dataset to completion (AvailableNow) into a fresh
+    * per-invocation parquet feed dir; returns the feed read back as a
+    * batch frame. Crashed-session leftovers swept like the Sources sinks.
+    */
+  private def replayToFeed(spark: SparkSession,
+      out: Dataset[_]): DataFrame = {
+    import java.io.File
+    val parent = new File(sys.props("java.io.tmpdir"))
+    val work = new File(parent,
+      s"graft_cdc_${spark.sparkContext.applicationId}_" +
+        replaySeq.incrementAndGet())
+    graft.LocalFs.sweepAged(parent, "graft_cdc_", keep = work,
+      ttlMs = 60L * 60 * 1000)
+    graft.LocalFs.deleteOnExit(work)
+    val feedDir = new File(work, "feed").getPath
+    val q = out.writeStream.format("parquet").option("path", feedDir)
+      .option("checkpointLocation", new File(work, "ck").getPath)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(feedDir)
+  }
 
   /** `cdc_snapshot` checked key: the STREAMING latest-wins upsert
     * ([[upsertStream]]) replayed over the harness change log to
@@ -352,33 +394,9 @@ object Streams {
     * The reconstruction is the same max_by aggregate as the batch
     * compaction, over the feed (≈ key cardinality), never the raw log.
     */
-  def cdcSnapshotQuery(spark: SparkSession, sfDir: String): DataFrame = {
-    import java.io.File
-    val landing = graft.LocalFs.cachePath("graft_cdc_landing_v1", sfDir,
-      new File(s"$sfDir/events.parquet"))
-    if (!new File(s"$landing/_SUCCESS").exists()) {
-      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
-      graft.Tables.events(spark, sfDir)
-        .select("event_id", "ts", "user_id", "event_type", "value", "props")
-        .write.mode("overwrite").parquet(tmp)
-      graft.LocalFs.publishDir(new File(tmp), new File(landing),
-        destValid = () => new File(s"$landing/_SUCCESS").exists())
-    }
-    val parent = new File(sys.props("java.io.tmpdir"))
-    val work = new File(parent,
-      s"graft_cdc_${spark.sparkContext.applicationId}_" +
-        cdcRunSeq.incrementAndGet())
-    // crashed-session leftovers swept like the Sources sinks (1 h TTL)
-    graft.LocalFs.sweepAged(parent, "graft_cdc_", keep = work,
-      ttlMs = 60L * 60 * 1000)
-    graft.LocalFs.deleteOnExit(work)
-    val feedDir = new File(work, "feed").getPath
-    val q = upsertStream(spark, readEvents(spark, landing))
-      .writeStream.format("parquet").option("path", feedDir)
-      .option("checkpointLocation", new File(work, "ck").getPath)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    spark.read.parquet(feedDir)
+  def cdcSnapshotQuery(spark: SparkSession, sfDir: String): DataFrame =
+    replayToFeed(spark,
+      upsertStream(spark, readEvents(spark, landedEvents(spark, sfDir))))
       .groupBy(col("user_id"), col("event_type"))
       .agg(max_by(
         struct(col("value"), col("ts"), col("event_id"), col("n_versions")),
@@ -389,7 +407,25 @@ object Streams {
         col("cur.event_id").as("event_id"),
         col("cur.n_versions").as("n_versions"))
       .orderBy(col("user_id"), col("event_type"))
-  }
+
+  /** `asof_stream` checked key: the streaming as-of attribution
+    * ([[asofAttribution]]) replayed over the harness corpus to completion
+    * and surfaced in `join_asof`'s exact output shape — pinned BY
+    * REFERENCE to the batch operator's DuckDB oracle. A single-landing
+    * replay is one micro-batch, whose in-batch event-time sort repairs
+    * arrival order, so the emission set equals the batch as-of join
+    * exactly (suite-pinned since round 5; this key makes that equality
+    * driver-checked). Late data beyond a batch boundary is the batch
+    * twin's backfill job — the documented streaming contract, not a gap.
+    */
+  def asofStreamQuery(spark: SparkSession, sfDir: String): DataFrame =
+    replayToFeed(spark,
+      asofAttribution(spark, readEvents(spark, landedEvents(spark, sfDir))))
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"),
+        (unix_micros(col("click_ts")) * 1000L).as("click_ts_ns"))
+      .withColumn("gap_ns", col("ts_ns") - col("click_ts_ns"))
+      .orderBy(col("event_id"))
 
   /** STREAM-STREAM INTERVAL JOIN — the streaming form of `join_range`'s
     * pair step (`ops/Temporal.scala`): each purchase joined to the same
@@ -456,9 +492,10 @@ object Streams {
       .orderBy(col("user_id"), col("start_ms"))
 
   val oracleSql: Map[String, String] = Map(
-    // pinned BY REFERENCE to the batch compaction's oracle: the streaming
-    // replay must land on exactly the state the batch operator computes
+    // pinned BY REFERENCE to the batch twins' oracles: each streaming
+    // replay must land on exactly the rows its batch operator computes
     "cdc_snapshot" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),
+    "asof_stream" -> graft.ops.Temporal.oracleSql("join_asof"),
     // lag + cumulative session counter, the same independent formulation
     // the suite pins the streaming interval-merge against; epoch_ms over
     // the µs-floored timestamp exactly mirrors unix_millis on the Spark

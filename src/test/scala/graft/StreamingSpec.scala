@@ -334,6 +334,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
   }
 
+  test("asof_stream key equals the batch as-of join") {
+    // the driver-checked replay key must surface exactly join_asof's rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    val streamed = rows(Streams.asofStreamQuery(spark, sf)
+      .select("event_id", "user_id", "ts_ns", "click_ts_ns"))
+    val batch = rows(graft.ops.Temporal.joinAsof(spark, sf)
+      .select("event_id", "user_id", "ts_ns", "click_ts_ns"))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming upsert counts but never applies a late older version") {
     val dir = Files.createTempDirectory("graft_upslate_in").toString
     // batch 1 delivers version 2; batch 2 delivers the OLDER version 1
