@@ -108,13 +108,37 @@ class LifecycleSpec extends SparkSpec {
     assert(rows.forall(_.getLong(2) == 0))          // corpus has no nulls
     val ndStatus = orders.select(countDistinct("o_orderstatus")).head().getLong(0)
     assert(byCol("o_orderstatus").getLong(3) == ndStatus)
-    assert(byCol("o_totalprice").getDouble(4) <= byCol("o_totalprice").getDouble(5))
-    assert(byCol("o_orderstatus").getString(6) != null) // min_str for strings
+    assert(rows.forall(_.getBoolean(4)))            // HLL certificates hold
+    assert(byCol("o_totalprice").getDouble(5) <= byCol("o_totalprice").getDouble(6))
+    assert(byCol("o_orderstatus").getString(7) != null) // min_str for strings
     // the 100 TB claim: ONE pass — a single parquet scan feeding an Expand
     val p = Lifecycle.profileStats(spark, sf)
       .queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
     assert(p.contains("Expand"), p)
+  }
+
+  test("profileApprox (sketch serving form) certifies every column in one scan") {
+    val orders = Tables.table(spark, sf, "orders")
+    val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus",
+      "o_totalprice")
+    val rows = Lifecycle.profileApprox(orders, cols).collect()
+    assert(rows.length == 4)
+    val n = orders.count()
+    assert(rows.forall(_.getLong(1) == n))          // n_rows exact
+    assert(rows.forall(_.getLong(2) == 0))          // corpus has no nulls
+    assert(rows.forall(_.getBoolean(3)), rows.mkString(";")) // certificates
+    // the estimate is genuinely tight, not just inside the loose bound:
+    // spot-check the real relative error on the highest-cardinality column
+    import spark.implicits._
+    val exact = orders.select(countDistinct("o_custkey")).as[Long].head()
+    val approx = orders.select(approx_count_distinct("o_custkey", 0.05))
+      .as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact <= 0.15)
+    // still ONE pass: a single parquet scan feeds the combined aggregate
+    val p = Lifecycle.profileApprox(orders, cols)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
   test("group_entropy is bounded by [0, ln(n_types)] and 0 for single-type users") {
