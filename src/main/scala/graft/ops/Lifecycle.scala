@@ -422,11 +422,18 @@ object Lifecycle {
     } yield (i, j)
     val sums = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(sum(col(c).cast(DecimalType(18, 4))).as(s"s_$i"),
-        sum((col(c) * col(c)).cast(DecimalType(38, 8))).as(s"q_$i"))
+        sum((col(c) * col(c)).cast(DecimalType(38, 8))).as(s"q_$i"),
+        // the 100 TB swap-in's moments, in the SAME aggregate: plain
+        // double sums (codegen'd, no DECIMAL carry) whose value is
+        // partition-order-dependent in the low bits — certified below
+        // instead of hash-compared
+        sum(col(c)).as(s"fs_$i"),
+        sum(col(c) * col(c)).as(s"fq_$i"))
     }
-    val crosses = pairs.map { case (i, j) =>
-      sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 8)))
-        .as(s"p_${i}_$j")
+    val crosses = pairs.flatMap { case (i, j) =>
+      Seq(sum((col(cols(i)) * col(cols(j))).cast(DecimalType(38, 8)))
+        .as(s"p_${i}_$j"),
+        sum(col(cols(i)) * col(cols(j))).as(s"fp_${i}_$j"))
     }
     val agg = df.agg(count(lit(1)).as("n"), (sums ++ crosses): _*)
     // cast every exact moment to double ONCE, then build each pair's
@@ -434,18 +441,28 @@ object Lifecycle {
     val asDouble = col("n").as("n") +:
       (cols.indices.flatMap(i => Seq(
         col(s"s_$i").cast(DoubleType).as(s"sd_$i"),
-        col(s"q_$i").cast(DoubleType).as(s"qd_$i"))) ++
-        pairs.map { case (i, j) =>
-          col(s"p_${i}_$j").cast(DoubleType).as(s"pd_${i}_$j") })
+        col(s"q_$i").cast(DoubleType).as(s"qd_$i"),
+        col(s"fs_$i"), col(s"fq_$i"))) ++
+        pairs.flatMap { case (i, j) => Seq(
+          col(s"p_${i}_$j").cast(DoubleType).as(s"pd_${i}_$j"),
+          col(s"fp_${i}_$j")) })
     val stackArgs = pairs.map { case (i, j) =>
       val corr = s"round((n * pd_${i}_$j - sd_$i * sd_$j) / " +
         s"(sqrt(n * qd_$i - sd_$i * sd_$i) * " +
         s"sqrt(n * qd_$j - sd_$j * sd_$j)), 6)"
-      s"'${cols(i)}', '${cols(j)}', n, $corr"
+      // fast_ok CERTIFIES the double-moment swap-in (the scale form that
+      // drops the exact-DECIMAL carrying cost): its correlation must land
+      // within 1e-5 of the exact value at reported precision — true on
+      // any sane accumulation order, hash-checkable because the BOOLEAN
+      // is deterministic even though the fast value's low bits are not
+      val fast = s"(n * fp_${i}_$j - fs_$i * fs_$j) / " +
+        s"(sqrt(n * fq_$i - fs_$i * fs_$i) * " +
+        s"sqrt(n * fq_$j - fs_$j * fs_$j))"
+      s"'${cols(i)}', '${cols(j)}', n, $corr, abs($fast - $corr) <= 1e-5"
     }.mkString(", ")
     agg.select(asDouble: _*)
       .selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
-        "(col_x, col_y, n, corr)")
+        "(col_x, col_y, n, corr, fast_ok)")
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -478,7 +495,7 @@ object Lifecycle {
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
         |       AS DOUBLE) AS pd_1_2
         |  FROM lineitem)
-        |SELECT col_x, col_y, n, corr FROM (
+        |SELECT col_x, col_y, n, corr, true AS fast_ok FROM (
         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
         |    round((n * pd_0_1 - sd_0 * sd_1) /
         |      (sqrt(n * qd_0 - sd_0 * sd_0) *
