@@ -146,7 +146,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (85 of 93 keys). The approximate ANN keys
+    * the same parquet tables (87 of 95 keys). The approximate ANN keys
     * (sim_search_lsh/ivf, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml
