@@ -147,12 +147,13 @@ object Lifecycle {
     * `countDistinct` aggregate plans as one Expand (×4 fan-out) feeding one
     * partial+final aggregate, versus the naive per-column loop that rescans
     * the table once per column (4× the IO here; at 100 TB, 4 full-table
-    * reads). Plan-guarded to exactly one parquet scan. Exact distinct
-    * counts are the oracle-checkable form; the same scan also runs the
-    * 100 TB drop-in — `approx_count_distinct` (HLL++, mergeable, fixed
-    * few-KB state) — and emits an `approx_ok` certificate the oracle pins
-    * TRUE, so the swap-in's accuracy contract is driver-checked on every
-    * run. [[profileApprox]] is the sketch-only production form.
+    * reads). Plan-guarded: one scan for the exact profile, plus exactly
+    * one more for the certificate pass (below). Exact distinct counts are
+    * the oracle-checkable form; the query also runs the 100 TB drop-in —
+    * `approx_count_distinct` (HLL++, mergeable, fixed few-KB state) — and
+    * emits an `approx_ok` certificate the oracle pins TRUE, so the
+    * swap-in's accuracy contract is driver-checked on every run.
+    * [[profileApprox]] is the sketch-only production form.
     */
   def profileStats(spark: SparkSession, sfDir: String): DataFrame =
     profileStats(table(spark, sfDir, "orders"), ProfileCols)
@@ -174,12 +175,24 @@ object Lifecycle {
     val aggs = cols.zipWithIndex.flatMap { case ((c, num), i) =>
       Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$i"),
-        countDistinct(col(c)).as(s"nd_$i"),
-        approx_count_distinct(col(c), 0.05).as(s"ad_$i")) ++
+        countDistinct(col(c)).as(s"nd_$i")) ++
         (if (num) Seq(min(col(c)).cast(DoubleType).as(s"mn_$i"),
           max(col(c)).cast(DoubleType).as(s"mx_$i"))
         else Seq(min(col(c)).as(s"ms_$i"), max(col(c)).as(s"xs_$i")))
     }
+    // The HLL certificate runs as its OWN pass, joined back as a 1-row
+    // broadcast: the exact profile's string min/max force SORT-based
+    // aggregation (no mutable fixed-width buffer for strings), and folding
+    // the sketches into that aggregate drags 52 HLL buffer slots per
+    // column through two sort stages over the Expand's ×4 rows (measured
+    // ≈ +2s at sf0.1 — the sketch pass alone is sub-second hash
+    // aggregation). Two columnar scans, each aggregate in its best
+    // regime, beats one scan in the worst one; the scan itself is the
+    // cheap part, and the serving form (profileApprox) stays one pass.
+    val hllAggs = cols.zipWithIndex.map { case ((c, _), i) =>
+      approx_count_distinct(col(c), 0.05).as(s"ad_$i")
+    }
+    val hll = broadcast(o.agg(hllAggs.head, hllAggs.tail: _*))
     val stackArgs = cols.zipWithIndex.map { case ((c, num), i) =>
       val (mn, mx, ms, xs) =
         if (num) (s"mn_$i", s"mx_$i", "CAST(NULL AS STRING)",
@@ -189,6 +202,7 @@ object Lifecycle {
       s"'$c', n_rows, nn_$i, nd_$i, ad_$i, $mn, $mx, $ms, $xs"
     }.mkString(", ")
     o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .crossJoin(hll)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, ad, min_num, max_num, " +
         "min_str, max_str)")
