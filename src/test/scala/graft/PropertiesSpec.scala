@@ -192,4 +192,38 @@ class PropertiesSpec extends SparkSpec {
         state.drop("n_versions").collect().toSet)
     }
   }
+
+  test("approx-quantile rank certificate holds for arbitrary groups and values") {
+    // the quantile_approx contract on ANY data, not just the corpus: each
+    // sketch value's occupied rank interval [count(<q)+1, count(<=q)],
+    // widened by n/accuracy + 1, must contain the target rank p·n —
+    // including adversarial shapes (heavy ties, singleton groups, skew)
+    import spark.implicits._
+    val gen = Gen.listOfN(60, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+      Gen.oneOf(Gen.choose(-50, 50), Gen.const(7)))) // tie-heavy mix
+    val probs = Seq(0.25, 0.5, 0.75)
+    val acc = 1000
+    samples(gen, 8).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.map { case (g, v) => (g, v.toDouble) }.toDF("g", "v")
+      val aq = graft.ops.Relational
+        .approxQuantiles(df, "g", "v", probs, acc)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), probs.indices.map(i => r.getDouble(i + 2))))
+        .toMap
+      val data = rows.groupBy(_._1).view
+        .mapValues(_.map(_._2.toDouble).sorted).toMap
+      aq.foreach { case (g, (n, qs)) =>
+        val vs = data(g)
+        assert(n == vs.size)
+        probs.zip(qs).foreach { case (p, q) =>
+          val lt = vs.count(_ < q)
+          val le = vs.count(_ <= q)
+          val tol = n.toDouble / acc + 1.0
+          val target = n * p
+          assert(target >= lt - tol && target <= le + tol,
+            s"group $g p=$p q=$q rank interval [$lt+1,$le] target $target")
+        }
+      }
+    }
+  }
 }
