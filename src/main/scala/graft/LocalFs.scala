@@ -13,6 +13,64 @@ import java.io.File
   */
 object LocalFs {
 
+  /** REGISTRY of every tmpdir name family this tree creates, and every
+    * prefix any sweeper deletes by. Centralized because round 6 shipped a
+    * prefix collision: the replay GC swept `graft_cdc_` with a 1h TTL,
+    * which also matched the persistent `graft_cdc_landing_v1…` cache — the
+    * landing was deleted between its `_SUCCESS` check and the stream read.
+    * Call sites MUST take names from here; [[sweepAged]] refuses any
+    * prefix that could reach a published cache, and LocalFsSpec pins the
+    * registry's pairwise disjointness.
+    *
+    * | family            | kind            | prefix                   | TTL  | created at                |
+    * |-------------------|-----------------|--------------------------|------|---------------------------|
+    * | CSV landing       | published cache | graft_scan_csv_v1        | none | Sources.scanCsvTyped      |
+    * | bucketed layout   | published cache | graft_bucketed_v2        | none | Sources.bucketedJoin      |
+    * | IVF quantizer     | published cache | graft_ivf_quantizer_v1   | none | Similarity (ivfModel)     |
+    * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
+    * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
+    * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
+    * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
+    *
+    * Published caches (`<prefix><sfTag>_<fp>`, `_SUCCESS`-guarded) have no
+    * TTL: they are deleted only by [[cachePath]]'s superseded-fingerprint
+    * sweep (same prefix+sfTag, different fp) and their `.tmp.` orphans by
+    * [[publishDir]] (the `.tmp.` infix can never appear in a published
+    * name, so that sweep is structurally cache-safe). Session dirs are
+    * swept by prefix+TTL at allocation; their prefixes must stay disjoint
+    * from every published cache name — enforced below.
+    */
+  object Names {
+    val ScanCsvCache = "graft_scan_csv_v1"
+    val BucketedCache = "graft_bucketed_v2"
+    val IvfQuantizerCache = "graft_ivf_quantizer_v1"
+    val CdcLandingCache = "graft_cdc_landing_v1"
+
+    /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
+    val publishedCaches: Seq[String] =
+      Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache)
+
+    val SinkCsv = "graft_sink_csv_"
+    val SinkParquet = "graft_sink_parquet_"
+    val CdcReplay = "graft_cdcrun_"
+
+    /** Prefixes handed to [[sweepAged]] for session-scoped work dirs. */
+    val sweptPrefixes: Seq[String] = Seq(SinkCsv, SinkParquet, CdcReplay)
+
+    /** True iff sweeping `sweepPrefix` could delete a directory published
+      * under `cachePrefix`. A published name is `<cachePrefix><sfTag>_<fp>`
+      * with sfTag/fp drawn from [A-Za-z0-9_], so a sweep reaches it iff
+      * the cache prefix extends the sweep prefix, or the sweep prefix
+      * extends the cache prefix using only name-legal characters (which is
+      * how `.tmp.` orphan prefixes stay safe: the dot can't occur in a
+      * published name).
+      */
+    def hazardous(sweepPrefix: String, cachePrefix: String): Boolean =
+      cachePrefix.startsWith(sweepPrefix) ||
+        (sweepPrefix.startsWith(cachePrefix) &&
+          sweepPrefix.drop(cachePrefix.length).matches("[A-Za-z0-9_]*"))
+  }
+
   def deleteRecursively(f: File): Unit = {
     if (f.isDirectory)
       Option(f.listFiles).getOrElse(Array.empty[File]).foreach(deleteRecursively)
@@ -102,9 +160,15 @@ object LocalFs {
     * garbage collector shared by the publish tmp dirs and the per-session
     * sink dirs. The age guard is what makes the sweep safe against a LIVE
     * concurrent session's directory (a crashed one stops touching its
-    * files; a live one is younger than any sane TTL).
+    * files; a live one is younger than any sane TTL). The prefix guard
+    * makes it safe against the PUBLISHED caches: a prefix that could reach
+    * a [[Names.publishedCaches]] name is refused loudly (the round-6
+    * landing-deletion bug, made structurally unrepresentable).
     */
   def sweepAged(parent: File, prefix: String, keep: File, ttlMs: Long): Unit = {
+    Names.publishedCaches.foreach(c =>
+      require(!Names.hazardous(prefix, c),
+        s"sweepAged prefix '$prefix' could delete published cache '$c*'"))
     val now = System.currentTimeMillis()
     Option(parent).flatMap(p => Option(p.listFiles))
       .getOrElse(Array.empty[File])

@@ -126,7 +126,8 @@ object Similarity {
     // the cache tag fingerprints the corpus content (LocalFs.cachePath):
     // regenerating the embeddings table in place changes the tag → the
     // quantizer refits instead of silently serving stale centroids
-    val modelPath = graft.LocalFs.cachePath("graft_ivf_quantizer_v1", sfDir,
+    val modelPath = graft.LocalFs.cachePath(
+      graft.LocalFs.Names.IvfQuantizerCache, sfDir,
       new java.io.File(s"$sfDir/embeddings.parquet"))
     // saved to a session-private path, then atomically renamed into place:
     // the stable path only ever holds a COMPLETE model (ML writers land

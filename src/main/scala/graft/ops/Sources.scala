@@ -72,7 +72,7 @@ object Sources {
   def sinkCsvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
     // per-session path: two concurrent runs (e.g. a Bench overlapping a
     // Verify) must not overwrite each other's sink mid-read
-    val out = sessionSinkPath(spark, "graft_sink_csv_")
+    val out = sessionSinkPath(spark, graft.LocalFs.Names.SinkCsv)
     Tables.table(spark, sfDir, "nation")
       .write.mode("overwrite").format("csv").option("header", "true").options(Tables.csvOptions).save(out)
     Tables.csv(spark, out)
@@ -98,7 +98,7 @@ object Sources {
     // source-content fingerprint (LocalFs.cachePath): regenerating the
     // corpus at the same path changes the tag, so a stale CSV can never be
     // served.
-    val out = graft.LocalFs.cachePath("graft_scan_csv_v1", sfDir,
+    val out = graft.LocalFs.cachePath(graft.LocalFs.Names.ScanCsvCache, sfDir,
       new java.io.File(s"$sfDir/customer.parquet"))
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       // write session-private, publish by atomic rename (no two sessions
@@ -128,7 +128,7 @@ object Sources {
     * a full scan into a directory listing.
     */
   def sinkParquetPartitioned(spark: SparkSession, sfDir: String): DataFrame = {
-    val out = sessionSinkPath(spark, "graft_sink_parquet_")
+    val out = sessionSinkPath(spark, graft.LocalFs.Names.SinkParquet)
     Tables.table(spark, sfDir, "documents")
       .write.mode("overwrite").partitionBy("lang").parquet(out)
     spark.read.parquet(out)
@@ -154,7 +154,7 @@ object Sources {
     // bucketed files with a metadata-only CREATE TABLE ... CLUSTERED BY and
     // skips the rewrite; a regenerated corpus changes the fingerprint and
     // provably rebuilds.
-    val base = graft.LocalFs.cachePath("graft_bucketed_v2", sfDir,
+    val base = graft.LocalFs.cachePath(graft.LocalFs.Names.BucketedCache, sfDir,
       new java.io.File(s"$sfDir/lineitem.parquet"),
       new java.io.File(s"$sfDir/orders.parquet"))
     def bucketize(name: String, key: String): Unit = {

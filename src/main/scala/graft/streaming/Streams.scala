@@ -335,8 +335,8 @@ object Streams {
     */
   private def landedEvents(spark: SparkSession, sfDir: String): String = {
     import java.io.File
-    val landing = graft.LocalFs.cachePath("graft_cdc_landing_v1", sfDir,
-      new File(s"$sfDir/events.parquet"))
+    val landing = graft.LocalFs.cachePath(graft.LocalFs.Names.CdcLandingCache,
+      sfDir, new File(s"$sfDir/events.parquet"))
     if (!new File(s"$landing/_SUCCESS").exists()) {
       val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
       graft.Tables.events(spark, sfDir)
@@ -345,22 +345,34 @@ object Streams {
       graft.LocalFs.publishDir(new File(tmp), new File(landing),
         destValid = () => new File(s"$landing/_SUCCESS").exists())
     }
+    // Touch on every reuse (the Sources.sessionSinkPath discipline): the
+    // landing's age is then measured from last USE, so even a hypothetical
+    // future sweeper with an overlapping prefix sees a young directory.
+    // Defense in depth only — the replay GC's prefix is disjoint by
+    // construction (LocalFs.Names) and sweepAged refuses cache-reaching
+    // prefixes outright.
+    new File(landing).setLastModified(System.currentTimeMillis())
     landing
   }
 
   /** Run a streaming Dataset to completion (AvailableNow) into a fresh
     * per-invocation parquet feed dir; returns the feed read back as a
     * batch frame. Crashed-session leftovers swept like the Sources sinks.
+    * The work-dir prefix (`LocalFs.Names.CdcReplay`) is DISJOINT from the
+    * landing cache's (`Names.CdcLandingCache`): round 6 shipped them
+    * sharing `graft_cdc_`, so a replay ≥1h after the landing was published
+    * swept the landing itself out from under the stream (StreamingSpec
+    * pins the regression by backdating the landing past the TTL).
     */
   private def replayToFeed(spark: SparkSession,
       out: Dataset[_]): DataFrame = {
     import java.io.File
     val parent = new File(sys.props("java.io.tmpdir"))
     val work = new File(parent,
-      s"graft_cdc_${spark.sparkContext.applicationId}_" +
+      s"${graft.LocalFs.Names.CdcReplay}${spark.sparkContext.applicationId}_" +
         replaySeq.incrementAndGet())
-    graft.LocalFs.sweepAged(parent, "graft_cdc_", keep = work,
-      ttlMs = 60L * 60 * 1000)
+    graft.LocalFs.sweepAged(parent, graft.LocalFs.Names.CdcReplay,
+      keep = work, ttlMs = 60L * 60 * 1000)
     graft.LocalFs.deleteOnExit(work)
     val feedDir = new File(work, "feed").getPath
     val q = out.writeStream.format("parquet").option("path", feedDir)

@@ -101,6 +101,36 @@ class LocalFsSpec extends AnyFunSuite {
     assert(foreign.exists(), "foreign prefix must survive")
   }
 
+  test("name registry: no sweeper prefix can reach any published cache") {
+    // the round-6 bug class, pinned structurally: every prefix any TTL
+    // sweeper deletes by must be unable to match a published cache name.
+    for (s <- LocalFs.Names.sweptPrefixes; c <- LocalFs.Names.publishedCaches)
+      assert(!LocalFs.Names.hazardous(s, c),
+        s"sweeper prefix '$s' can delete published cache '$c*'")
+    // the checker itself has teeth: the r6 pairing IS flagged...
+    assert(LocalFs.Names.hazardous("graft_cdc_", LocalFs.Names.CdcLandingCache))
+    // ...an extension of a cache name in name-legal chars is flagged...
+    assert(LocalFs.Names.hazardous(
+      LocalFs.Names.CdcLandingCache + "_x", LocalFs.Names.CdcLandingCache))
+    // ...but publishDir's `.tmp.` orphan prefixes are structurally safe
+    // (the dot can never occur in a published cache name)
+    assert(!LocalFs.Names.hazardous(
+      LocalFs.Names.CdcLandingCache + "_sf_ab12cd34.tmp.",
+      LocalFs.Names.CdcLandingCache))
+  }
+
+  test("sweepAged refuses a prefix that could delete a published cache") {
+    val parent = mkTmp()
+    // the exact r6 call shape: sweeping graft_cdc_ would reach the landing
+    intercept[IllegalArgumentException] {
+      LocalFs.sweepAged(parent, "graft_cdc_", keep = new File(parent, "w"),
+        ttlMs = 3600 * 1000L)
+    }
+    // a registered disjoint prefix is accepted
+    LocalFs.sweepAged(parent, LocalFs.Names.CdcReplay,
+      keep = new File(parent, "w"), ttlMs = 3600 * 1000L)
+  }
+
   test("publishDir re-evaluates validity at delete time (stale verdict is safe)") {
     // session B computed destValid=false earlier, but session A has since
     // published a complete artifact; B's publish must NOT tear it down

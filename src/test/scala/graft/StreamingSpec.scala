@@ -334,6 +334,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
   }
 
+  test("cdc replay survives an aged landing cache (r6 sweep-prefix regression)") {
+    // Round 6 shipped replay work dirs sharing the landing cache's
+    // `graft_cdc_` prefix, so any replay ≥1h after the landing was
+    // published swept the landing between its `_SUCCESS` check and the
+    // stream read → "Unable to infer schema for Parquet". Reproduce the
+    // aged state by backdating the landing past the 1h replay TTL, then
+    // invoke the key: the landing must survive and the rows still match.
+    import java.io.File
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val batch = rows(graft.ops.Lifecycle.upsertLatest(spark, sf))
+    rows(Streams.cdcSnapshotQuery(spark, sf)) // ensure the landing exists
+    val landing = new File(LocalFs.cachePath(LocalFs.Names.CdcLandingCache,
+      sf, new File(s"$sf/events.parquet")))
+    assert(new File(landing, "_SUCCESS").exists())
+    landing.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000)
+    assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
+    assert(new File(landing, "_SUCCESS").exists(),
+      "aged landing cache was swept by the replay GC")
+  }
+
   test("asof_stream key equals the batch as-of join") {
     // the driver-checked replay key must surface exactly join_asof's rows
     def rows(df: org.apache.spark.sql.DataFrame) =
