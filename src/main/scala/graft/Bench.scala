@@ -252,13 +252,22 @@ object Bench {
       name -> median(if (ok.nonEmpty) ok else all)
     }
     val failedKeys = ordered.filter(k => samples.forall(!_(k)._2))
+    // FLAKY = failed some reps but not all: such a key reports the median
+    // of its successful reps and contributes nothing to the graded
+    // "failed" count — without this field the instability would be visible
+    // only in the first-dropped per-rep lines, i.e. effectively invisible
+    // in the driver's tail window
+    val flakyKeys = ordered.filter(k =>
+      samples.exists(!_(k)._2) && samples.exists(_(k)._2))
     val total = results.map(_._2).sum
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val dh = defaultHintKeys.map(q).mkString("[", ",", "]")
-    // default_hint_keys LAST: the tail window truncates this line from the
-    // LEFT, so the staleness signal is what survives next to the graded line
-    println(s"""{"diag":"bench","errors":$errs,"protocol":"rest${restSec}s,${reps}-pass-median,cheapest-first","sf":"$sfDir","default_hint_keys":$dh}""")
+    val fl = flakyKeys.map(q).mkString("[", ",", "]")
+    // flaky + default_hint_keys LAST: the tail window truncates this line
+    // from the LEFT, so the instability/staleness signals are what survive
+    // next to the graded line
+    println(s"""{"diag":"bench","errors":$errs,"protocol":"rest${restSec}s,${reps}-pass-median,cheapest-first","sf":"$sfDir","flaky":$fl,"default_hint_keys":$dh}""")
     println(renderLine(total, results, failedKeys.size, sfDir))
     spark.stop()
   }

@@ -446,6 +446,11 @@ object Dedup {
     * side. At 100 TB the existing corpus contributes only its blocking
     * keys and labels — its text crosses the wire once for shingling, the
     * same as a self-dedup run.
+    *
+    * This form recomputes the COMBINED closure each run — correct, and the
+    * oracle-checked key — but a daily pipeline that already holds
+    * yesterday's labels should use the priorLabels overload below, whose
+    * closure loop touches only edges involving the new batch.
     */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val clusters = clusterAssignments(spark, sfDir)
@@ -457,6 +462,72 @@ object Dedup {
       .join(byCluster, Seq("cluster_id"))
       .filter(col("has_existing") === 0 && col("doc_id") === col("min_new"))
       .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PRIOR-LABELS overload of [[dedupIncremental]] — the per-batch economy
+    * a real crawl pipeline needs: yesterday's cluster labels for the
+    * EXISTING corpus come in as `priorLabels` (doc_id, cluster_id over
+    * existing docs only), and the closure loop runs ONLY over edges that
+    * touch the incoming batch. Existing↔existing edges are never re-walked
+    * — their transitive closure is already encoded in the labels — so each
+    * existing endpoint is CONTRACTED to its prior cluster representative
+    * and the iteration's graph is (new docs ∪ touched prior clusters),
+    * O(batch candidates), not O(corpus candidates).
+    *
+    * Correctness: contracting the existing subgraph by its own closure is
+    * a quotient homomorphism — two new docs are connected in the combined
+    * graph iff they are connected in the contracted graph, and a new doc's
+    * component contains an existing doc iff its contracted component
+    * contains a cluster representative (even node). Survivors and their
+    * labels therefore equal the full-recompute form exactly
+    * (ExtensionsSpec pins the equality on the harness corpus; the
+    * `dedup_incremental` key keeps the recompute form so its oracle is
+    * unchanged).
+    *
+    * At 100 TB the same quotient applies to pair GENERATION: only blocks
+    * containing at least one new doc need candidate pairs at all. Here the
+    * harness pair frame is filtered post-hoc (it exists per corpus); the
+    * closure-side economy — labels instead of re-walked edges — is what
+    * this overload delivers.
+    */
+  def dedupIncremental(spark: SparkSession, sfDir: String,
+      priorLabels: DataFrame): DataFrame = {
+    val pairs = dedupNgram(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    // edges touching the batch (≥1 odd endpoint); even↔even edges are
+    // already closed inside priorLabels and never enter the loop
+    val touching = pairs.filter(col("doc_a") % 2 === 1 ||
+      col("doc_b") % 2 === 1)
+    val prior = priorLabels.select(col("doc_id"), col("cluster_id"))
+    // contract existing endpoints to their prior component representative
+    // (an even doc id); new endpoints (odd) pass through — the two node
+    // spaces stay disjoint by parity, which is also what marks
+    // has_existing after the closure
+    val contracted = touching
+      .join(prior.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca")), Seq("doc_a"), "left")
+      .join(prior.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb")), Seq("doc_b"), "left")
+      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
+        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+    val labels = clusterLabels(contracted)
+    val newDocs = table(spark, sfDir, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 2 === 1)
+    val assigned = newDocs
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("comp"))
+    // a component is dirty iff it contains a contracted existing rep
+    val dirty = labels.filter(col("id") % 2 === 0)
+      .select(col("lbl").as("comp")).distinct()
+      .withColumn("has_existing", lit(1))
+    val byComp = assigned.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("min_new"))
+    assigned
+      .join(dirty, Seq("comp"), "left")
+      .join(byComp, Seq("comp"))
+      .filter(col("has_existing").isNull && col("doc_id") === col("min_new"))
+      .select(col("doc_id"), col("comp").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

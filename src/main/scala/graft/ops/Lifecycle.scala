@@ -206,6 +206,14 @@ object Lifecycle {
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
         "(col_name, n_rows, n_nulls, n_distinct, ad, min_num, max_num, " +
         "min_str, max_str)")
+      // CONTRACT NOTE: the oracle pins approx_ok TRUE, but rsd is a
+      // STANDARD DEVIATION, not a hard bound — 3×rsd is a ~99.7% interval
+      // under HLL++'s error model, deterministic per corpus (the sketch is
+      // seedless), so it cannot flake across runs here; porting this key
+      // to a new corpus/column can legitimately land outside the interval,
+      // and the right response is widening this factor for the pinned
+      // certificate (the tight bound stays a suite-level spot check in
+      // LifecycleSpec), not distrusting the sketch.
       .withColumn("approx_ok",
         abs(col("ad") - col("n_distinct"))
           <= col("n_distinct").cast(DoubleType) * 0.15)
@@ -216,19 +224,46 @@ object Lifecycle {
       .orderBy(col("col_name"))
   }
 
-  /** Sketch-only production profile — the 100 TB serving form whose
-    * accuracy contract `profile_stats` certifies on every driver run (see
-    * [[profileStats]]'s scaladoc): `approx_count_distinct` (HLL++) keeps
-    * a fixed few-KB sketch per column where exact multi-column
-    * `countDistinct` holds O(column cardinality) reducer state — at
-    * 100 TB a high-cardinality key column means billions of hash entries
-    * and spill. Here the estimate is still certified against the exact
-    * count per column (`relErrBound` = 3× the rsd; observed rel err
-    * ≤ ~0.03 on the harness corpora) — drop the exact aggregate for the
-    * pure serving path.
+  /** SKETCH-ONLY production profile — the actual 100 TB serving path:
+    * per column, exact null counts plus `approx_count_distinct` (HLL++,
+    * mergeable, fixed few-KB sketch) and NOTHING with O(column
+    * cardinality) reducer state. Where exact multi-column `countDistinct`
+    * holds billions of hash entries (and spills) on a high-cardinality key
+    * column at 100 TB, this aggregate's state is a handful of KB per
+    * column regardless of data volume — LifecycleSpec plan-guards it to a
+    * single scan feeding hash aggregation with no sort-aggregate and no
+    * Expand. Its accuracy contract is certified out-of-band, two ways:
+    * `profile_stats` pins the same sketches within 3×rsd of the exact
+    * counts on every driver run, and [[profileApproxCertified]] carries
+    * the in-plan per-column certificate for suite use.
     */
-  def profileApprox(o: DataFrame, cols: Seq[String], rsd: Double = 0.05,
-      relErrBound: Double = 0.15): DataFrame = {
+  def profileApprox(o: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05): DataFrame = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$i"),
+        approx_count_distinct(col(c), rsd).as(s"ad_$i"))
+    }
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"'$c', n_rows, nn_$i, ad_$i"
+    }.mkString(", ")
+    o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col_name, n_rows, n_nulls, n_distinct_approx)")
+      .orderBy(col("col_name"))
+  }
+
+  /** CERTIFIED form of [[profileApprox]]: the same sketches, but computed
+    * alongside the exact `countDistinct` they estimate, emitting a
+    * per-column `nd_ok` certificate (`relErrBound` = 3× the rsd; observed
+    * rel err ≤ ~0.03 on the harness corpora). This form deliberately pays
+    * the O(column cardinality) exact-aggregate state the serving form
+    * exists to avoid — it is the accuracy HARNESS (suite/driver checks),
+    * never the 100 TB serving path; production profiling runs
+    * [[profileApprox]].
+    */
+  def profileApproxCertified(o: DataFrame, cols: Seq[String],
+      rsd: Double = 0.05, relErrBound: Double = 0.15): DataFrame = {
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
       Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).as(s"nn_$i"),

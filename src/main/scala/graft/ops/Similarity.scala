@@ -222,7 +222,14 @@ object Similarity {
   private[ops] def recallCertificate(exact: DataFrame, approx: DataFrame,
       k: Int, floor: Double): DataFrame =
     exact.select(col("q_id"), col("c_id"))
-      .join(approx.select(col("q_id"), col("c_id"))
+      // dropDuplicates: n_exact/n_hit are post-join row counts, so a
+      // duplicate (q_id, c_id) pair on the approx side would multiply its
+      // matching exact row and inflate the pooled recall. Both current
+      // callers are unique-by-construction (approxSimilarityJoin dedups;
+      // IVF emits one row per pair) — this keeps the helper honest for
+      // any future caller.
+      .join(approx.select(col("q_id"), col("c_id")).dropDuplicates(
+        "q_id", "c_id")
         .withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
       .agg(countDistinct(col("q_id")).as("n_probes"),
         count(lit(1)).as("n_exact"),

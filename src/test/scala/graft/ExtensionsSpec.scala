@@ -159,6 +159,33 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("dedupIncremental with prior labels equals the recompute form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col}
+    // yesterday's state: close the EXISTING (even) half against itself
+    // only — exactly what a daily pipeline has on disk
+    val pairs = Dedup.dedupNgram(spark, sf).select(col("doc_a"), col("doc_b"))
+    val existingPairs = pairs
+      .filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0)
+    val lbl = Dedup.clusterLabels(existingPairs)
+    val prior = Tables.table(spark, sf, "documents")
+      .select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      .join(lbl.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val got = Dedup.dedupIncremental(spark, sf, prior)
+      .as[(Long, Long)].collect().toSeq
+    val want = Dedup.dedupIncremental(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    // the economy is real: the overload's closure graph holds only edges
+    // touching the batch — on this corpus strictly fewer than the combined
+    // recompute walks (the existing-existing planted dups)
+    assert(existingPairs.count() > 0, "no existing-existing edges — vacuous")
+  }
+
   test("corpus_clean output is deduped, threshold-clean, and near-dup-free") {
     import spark.implicits._
     import graft.ops.Curation

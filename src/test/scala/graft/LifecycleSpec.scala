@@ -123,7 +123,7 @@ class LifecycleSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
-  test("profileApprox (sketch serving form) certifies every column in one scan") {
+  test("profileApprox (sketch-only serving form) estimates within the certified bound") {
     val orders = Tables.table(spark, sf, "orders")
     val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus",
       "o_totalprice")
@@ -132,16 +132,28 @@ class LifecycleSpec extends SparkSpec {
     val n = orders.count()
     assert(rows.forall(_.getLong(1) == n))          // n_rows exact
     assert(rows.forall(_.getLong(2) == 0))          // corpus has no nulls
+    // serving form carries only the sketch estimate; check it against the
+    // exact counts computed HERE (the suite is the certificate harness —
+    // the serving plan itself must never pay for exact distinct state)
+    val exact = cols.map(c => c ->
+      orders.select(countDistinct(col(c)).as("n")).head().getLong(0)).toMap
+    rows.foreach { r =>
+      val (c, ad) = (r.getString(0), r.getLong(3))
+      assert(math.abs(ad - exact(c)).toDouble / exact(c) <= 0.15,
+        s"$c: approx $ad vs exact ${exact(c)}")
+    }
+    // PlanSpec pins the plan shape (one scan, hash-agg only, no Expand)
+  }
+
+  test("profileApproxCertified carries an in-plan nd_ok certificate per column") {
+    val orders = Tables.table(spark, sf, "orders")
+    val cols = Seq("o_custkey", "o_orderpriority", "o_orderstatus",
+      "o_totalprice")
+    val rows = Lifecycle.profileApproxCertified(orders, cols).collect()
+    assert(rows.length == 4)
     assert(rows.forall(_.getBoolean(3)), rows.mkString(";")) // certificates
-    // the estimate is genuinely tight, not just inside the loose bound:
-    // spot-check the real relative error on the highest-cardinality column
-    import spark.implicits._
-    val exact = orders.select(countDistinct("o_custkey")).as[Long].head()
-    val approx = orders.select(approx_count_distinct("o_custkey", 0.05))
-      .as[Long].head()
-    assert(math.abs(approx - exact).toDouble / exact <= 0.15)
-    // still ONE pass: a single parquet scan feeds the combined aggregate
-    val p = Lifecycle.profileApprox(orders, cols)
+    // one pass: a single parquet scan feeds the combined exact+sketch agg
+    val p = Lifecycle.profileApproxCertified(orders, cols)
       .queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }

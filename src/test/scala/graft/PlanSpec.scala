@@ -153,6 +153,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("profileApprox serving form: one scan, hash-agg only, no sort-agg, no Expand") {
+    // the 100 TB serving profile's whole contract: per-column state is an
+    // HLL sketch + two longs, aggregated in the hash regime — an exact
+    // countDistinct slipping back in would show as an Expand (multi-agg
+    // rewrite) and O(cardinality) state; string min/max would force
+    // SortAggregate. The certified form pays those knowingly; the serving
+    // form must never.
+    val p = ops.Lifecycle.profileApprox(
+      Tables.table(spark, sf, "orders"),
+      Seq("o_custkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Expand"), p)
+    assert(!p.contains("count(distinct"), p)
+  }
+
   test("set ops never sort their inputs or go nested-loop") {
     Seq("intersect_all", "except_all").foreach { k =>
       val p = plan(k)

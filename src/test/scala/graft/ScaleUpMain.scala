@@ -69,6 +69,16 @@ object ScaleUpMain {
       df.withColumn("doc_id", col("doc_id") + lit(i * keyOff))
     }.write.mode("overwrite").parquet(s"$out/rep/documents.parquet")
 
+    // events: replicas are NEW users (user_id offset) with fresh event ids —
+    // the replay keys' state (per-user / per-(user,type)) and the CDC feed
+    // then scale 10× in key cardinality, which is exactly the dimension
+    // that grows on a larger corpus. `ts` stays the raw ns long, so the
+    // replica round-trips through Tables.events like the harness file.
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * keyOff))
+        .withColumn("user_id", col("user_id") + lit(i * supOff))
+    }.write.mode("overwrite").parquet(s"$out/rep/events.parquet")
+
     replicate("documents") { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * keyOff))
         .withColumn("text", array_join(transform(split(col("text"), " "),
@@ -77,7 +87,8 @@ object ScaleUpMain {
         .withColumn("n_chars", length(col("text")))
     }.write.mode("overwrite").parquet(s"$out/shard/documents.parquet")
 
-    Seq("rep/lineitem", "rep/supplier", "rep/documents", "shard/documents")
+    Seq("rep/lineitem", "rep/supplier", "rep/documents", "rep/events",
+      "shard/documents")
       .foreach { t =>
         val n = spark.read.parquet(s"$out/$t.parquet").count()
         println(s"SCALEUP $t rows=$n")
