@@ -492,33 +492,60 @@ object Dedup {
     * this overload delivers.
     */
   def dedupIncremental(spark: SparkSession, sfDir: String,
+      priorLabels: DataFrame): DataFrame =
+    dedupIncremental(
+      table(spark, sfDir, "documents")
+        .select(col("doc_id")).filter(col("doc_id") % 2 === 1),
+      dedupNgram(spark, sfDir).select(col("doc_a"), col("doc_b")),
+      priorLabels)
+      .orderBy(col("doc_id"))
+
+  /** GENERIC core of the prior-labels incremental dedup — the production
+    * API shape (real doc ids are not parity-split): `newDocs` is the
+    * incoming batch (`doc_id`), `pairs` any candidate pair frame covering
+    * at least every edge that touches a new doc (extra existing↔existing
+    * edges are allowed and ignored — they are already closed inside the
+    * labels), and `priorLabels` is (doc_id, cluster_id) over the existing
+    * corpus with cluster ids drawn from existing doc ids (min-id labeling
+    * guarantees this; it is what keeps the contracted node space disjoint
+    * from the batch). Returns the surviving (doc_id, cluster_id) rows,
+    * unordered. PropertiesSpec pins this against a union-find oracle on
+    * arbitrary random graphs and splits.
+    */
+  def dedupIncremental(newDocs: DataFrame, pairs: DataFrame,
       priorLabels: DataFrame): DataFrame = {
-    val pairs = dedupNgram(spark, sfDir).select(col("doc_a"), col("doc_b"))
-    // edges touching the batch (≥1 odd endpoint); even↔even edges are
-    // already closed inside priorLabels and never enter the loop
-    val touching = pairs.filter(col("doc_a") % 2 === 1 ||
-      col("doc_b") % 2 === 1)
+    val nd = newDocs.select(col("doc_id")).distinct()
+    // edges touching the batch; membership flags via left joins (the
+    // batch frame is label-frame-sized, broadcastable at any corpus scale)
+    val flagged = pairs
+      .join(nd.select(col("doc_id").as("doc_a"))
+        .withColumn("a_new", lit(true)), Seq("doc_a"), "left")
+      .join(nd.select(col("doc_id").as("doc_b"))
+        .withColumn("b_new", lit(true)), Seq("doc_b"), "left")
+      .filter(col("a_new").isNotNull || col("b_new").isNotNull)
     val prior = priorLabels.select(col("doc_id"), col("cluster_id"))
-    // contract existing endpoints to their prior component representative
-    // (an even doc id); new endpoints (odd) pass through — the two node
-    // spaces stay disjoint by parity, which is also what marks
-    // has_existing after the closure
-    val contracted = touching
+    // contract existing endpoints to their prior component representative;
+    // an existing doc absent from priorLabels contracts to itself (its
+    // prior component is the singleton). New endpoints pass through.
+    val contracted = flagged
       .join(prior.select(col("doc_id").as("doc_a"),
         col("cluster_id").as("ca")), Seq("doc_a"), "left")
       .join(prior.select(col("doc_id").as("doc_b"),
         col("cluster_id").as("cb")), Seq("doc_b"), "left")
-      .select(coalesce(col("ca"), col("doc_a")).as("doc_a"),
-        coalesce(col("cb"), col("doc_b")).as("doc_b"))
+      .select(
+        when(col("a_new").isNotNull, col("doc_a"))
+          .otherwise(coalesce(col("ca"), col("doc_a"))).as("doc_a"),
+        when(col("b_new").isNotNull, col("doc_b"))
+          .otherwise(coalesce(col("cb"), col("doc_b"))).as("doc_b"))
     val labels = clusterLabels(contracted)
-    val newDocs = table(spark, sfDir, "documents")
-      .select(col("doc_id")).filter(col("doc_id") % 2 === 1)
-    val assigned = newDocs
+    val assigned = nd
       .join(labels.select(col("id").as("doc_id"), col("lbl")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("comp"))
-    // a component is dirty iff it contains a contracted existing rep
-    val dirty = labels.filter(col("id") % 2 === 0)
+    // a component is dirty iff it contains a node that is NOT a new doc —
+    // i.e. a contracted existing representative
+    val dirty = labels
+      .join(nd.select(col("doc_id").as("id")), Seq("id"), "left_anti")
       .select(col("lbl").as("comp")).distinct()
       .withColumn("has_existing", lit(1))
     val byComp = assigned.groupBy(col("comp"))
@@ -528,7 +555,6 @@ object Dedup {
       .join(byComp, Seq("comp"))
       .filter(col("has_existing").isNull && col("doc_id") === col("min_new"))
       .select(col("doc_id"), col("comp").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
 
   /** Embedding-cosine near-dup report: for each probe vector (vec_id < 100),

@@ -193,6 +193,53 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("prior-labels incremental dedup equals a union-find oracle on arbitrary graphs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // the quotient-homomorphism claim on ANY graph and ANY new/existing
+    // split, checked against an INDEPENDENT plain-Scala union-find (not a
+    // second Spark path): survivors are exactly the min new id of each
+    // all-new component of the full pair graph, where the overload only
+    // ever sees prior labels for the existing side plus batch-touching
+    // edges — contracted existing subgraph, random singletons, isolated
+    // new docs, and existing-existing edges it must ignore all arise
+    val n = 14
+    val edgeGen = Gen.listOfN(18,
+      Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      .map(_.filter(p => p._1 != p._2))
+    val splitGen = Gen.listOfN(n, Gen.oneOf(true, false))
+    samples(Gen.zip(edgeGen, splitGen), 6).foreach { case (edges, flags) =>
+      val isNew = flags.zipWithIndex.collect { case (true, i) => i.toLong }.toSet
+      def unionFind(use: ((Long, Long)) => Boolean): Int => Int = {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x
+          else { parent(x) = find(parent(x)); parent(x) }
+        edges.filter(use).foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        find
+      }
+      // oracle: closure over the FULL graph; survivors = all-new components
+      val full = unionFind(_ => true)
+      val expected = (0 until n).groupBy(full).values.collect {
+        case members if members.forall(m => isNew(m.toLong)) =>
+          val m = members.map(_.toLong).min; (m, m)
+      }.toSet
+      // the overload's inputs: labels closed over existing-only edges
+      val prior = unionFind { case (a, b) => !isNew(a) && !isNew(b) }
+      val priorDf = (0 until n).filterNot(i => isNew(i.toLong))
+        .map(i => (i.toLong, prior(i).toLong)).toDF("doc_id", "cluster_id")
+      val got = Dedup.dedupIncremental(
+        isNew.toSeq.toDF("doc_id"),
+        edges.toDF("doc_a", "doc_b"),
+        priorDf).as[(Long, Long)].collect().toSet
+      assert(got == expected,
+        s"edges=$edges new=$isNew got=$got expected=$expected")
+    }
+  }
+
   test("approx-quantile rank certificate holds for arbitrary groups and values") {
     // the quantile_approx contract on ANY data, not just the corpus: each
     // sketch value's occupied rank interval [count(<q)+1, count(<=q)],
