@@ -193,6 +193,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels equal union-find components on arbitrary graphs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // min-label propagation + pointer jumping vs an independent union-find:
+    // every node must land on the minimum id of its connected component,
+    // for random multigraphs (duplicate edges, both orientations, chains
+    // long enough to engage the jumping rounds)
+    val n = 16
+    val edgeGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+      .map(_.filter(p => p._1 != p._2))
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = touched.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Dedup.clusterLabels(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"edges=$edges")
+    }
+  }
+
   test("prior-labels incremental dedup equals a union-find oracle on arbitrary graphs") {
     import spark.implicits._
     import graft.ops.Dedup
