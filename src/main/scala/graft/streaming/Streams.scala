@@ -189,32 +189,70 @@ object Streams {
     * stream(corpus) == batch(corpus) by replaying the corpus through the
     * file source.
     */
-  def asofAttribution(spark: SparkSession, events: DataFrame): Dataset[AsofOut] = {
+  def asofAttribution(spark: SparkSession, events: DataFrame): Dataset[AsofOut] =
+    asofAttribution(spark, events, stateTtlMinutes = None)
+
+  /** TTL overload of [[asofAttribution]] — the bounded-state form for an
+    * UNBOUNDED key space (the eviction the base form's scaladoc promises):
+    * with `stateTtlMinutes = Some(m)`, a user silent for `m` minutes past
+    * the event-time watermark has their click state evicted
+    * (EventTimeTimeout), so state is bounded by the ACTIVE-user
+    * cardinality inside the TTL horizon, not the all-time user count — the
+    * property that keeps a years-long stream at 100 TB/day from
+    * accumulating state forever. The semantic trade is explicit: a
+    * purchase arriving after its user's eviction attributes to no click
+    * (NULL), exactly as if the click were beyond a batch twin's lookback
+    * window; a TTL comfortably above the business attribution window loses
+    * nothing. `None` = the exact-forever form (NoTimeout, no watermark
+    * required). StreamingSpec drives a real multi-batch eviction and pins
+    * the trade.
+    */
+  def asofAttribution(spark: SparkSession, events: DataFrame,
+      stateTtlMinutes: Option[Int]): Dataset[AsofOut] = {
     import spark.implicits._
+    val ttlMs = stateTtlMinutes.map(_ * 60L * 1000L)
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[ClickState]): Iterator[AsofOut] = {
-      var last: Option[Timestamp] = state.getOption.map(_.ts)
-      val ordered = rows.toSeq.sortBy(e =>
-        (e.ts.getTime, e.ts.getNanos, if (e.event_type == "purchase") 1 else 0))
-      val out = Seq.newBuilder[AsofOut]
-      ordered.foreach { e =>
-        e.event_type match {
-          case "click" => last = Some(e.ts)
-          case "purchase" => out += AsofOut(e.event_id, userId, e.ts, last)
-          case _ => ()
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var last: Option[Timestamp] = state.getOption.map(_.ts)
+        val ordered = rows.toSeq.sortBy(e =>
+          (e.ts.getTime, e.ts.getNanos, if (e.event_type == "purchase") 1 else 0))
+        val out = Seq.newBuilder[AsofOut]
+        ordered.foreach { e =>
+          e.event_type match {
+            case "click" => last = Some(e.ts)
+            case "purchase" => out += AsofOut(e.event_id, userId, e.ts, last)
+            case _ => ()
+          }
         }
+        last.foreach { t =>
+          state.update(ClickState(t))
+          // arm eviction at last-activity + TTL; clamped above the current
+          // watermark (a late event's ts + TTL may already be behind it,
+          // and an EventTimeTimeout must be set strictly later)
+          ttlMs.foreach(ttl => state.setTimeoutTimestamp(
+            math.max(t.getTime + ttl, state.getCurrentWatermarkMs() + 1)))
+        }
+        out.result().iterator
       }
-      last.foreach(t => state.update(ClickState(t)))
-      out.result().iterator
     }
 
-    events
+    // EventTimeTimeout requires an event-time watermark on the input; the
+    // exact-forever form stays watermark-free (append passthrough)
+    val src = if (ttlMs.isDefined)
+      events.withWatermark("ts", "10 minutes") else events
+    src
       .filter(col("event_type").isin("click", "purchase"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append,
+        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** STREAMING ordered funnel — the stream form of `event_funnel`
@@ -235,41 +273,68 @@ object Streams {
     * interleaving converges to the batch answer. Three booleans per user,
     * evictable via a state timeout if the key space is unbounded.
     */
-  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] = {
+  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] =
+    funnelProgress(spark, events, stateTtlMinutes = None)
+
+  /** TTL overload of [[funnelProgress]] — bounded state for an UNBOUNDED
+    * key space (same discipline as [[asofAttribution]]/[[upsertStream]]'s
+    * TTL forms): a user silent for the TTL past the watermark is evicted
+    * and, on returning, restarts the funnel from stage 0. The emitted
+    * change log stays monotone PER EPISODE; a TTL above the engagement
+    * horizon being modeled loses nothing. `None` = exact-forever.
+    */
+  def funnelProgress(spark: SparkSession, events: DataFrame,
+      stateTtlMinutes: Option[Int]): Dataset[FunnelOut] = {
     import spark.implicits._
+    val ttlMs = stateTtlMinutes.map(_ * 60L * 1000L)
 
     def stageOf(t: String): Int =
       t match { case "view" => 0; case "click" => 1; case _ => 2 }
 
     def update(userId: Long, rows: Iterator[Event],
         state: GroupState[FunnelState]): Iterator[FunnelOut] = {
-      val prev = state.getOption
-      var s = prev.getOrElse(FunnelState(false, false, false))
-      rows.toSeq
-        .sortBy(e => (e.ts.getTime, e.ts.getNanos, stageOf(e.event_type)))
-        .foreach { e =>
-          e.event_type match {
-            case "view" => s = s.copy(sawView = true)
-            case "click" if s.sawView => s = s.copy(sawQClick = true)
-            case "purchase" if s.sawQClick => s = s.copy(sawPurchase = true)
-            case _ => ()
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val prev = state.getOption
+        var s = prev.getOrElse(FunnelState(false, false, false))
+        var maxTs = Long.MinValue
+        rows.toSeq
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, stageOf(e.event_type)))
+          .foreach { e =>
+            maxTs = math.max(maxTs, e.ts.getTime)
+            e.event_type match {
+              case "view" => s = s.copy(sawView = true)
+              case "click" if s.sawView => s = s.copy(sawQClick = true)
+              case "purchase" if s.sawQClick => s = s.copy(sawPurchase = true)
+              case _ => ()
+            }
           }
+        val out = if (prev.contains(s)) Iterator.empty // no progress
+        else {
+          state.update(s)
+          val (v, c, p) = (if (s.sawView) 1 else 0, if (s.sawQClick) 1 else 0,
+            if (s.sawPurchase) 1 else 0)
+          Iterator.single(FunnelOut(userId, v, c, p, v + c + p))
         }
-      if (prev.contains(s)) Iterator.empty // no progress → no emission
-      else {
-        state.update(s)
-        val (v, c, p) = (if (s.sawView) 1 else 0, if (s.sawQClick) 1 else 0,
-          if (s.sawPurchase) 1 else 0)
-        Iterator.single(FunnelOut(userId, v, c, p, v + c + p))
+        if (state.exists && maxTs != Long.MinValue)
+          ttlMs.foreach(ttl => state.setTimeoutTimestamp(
+            math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1)))
+        out
       }
     }
 
-    events
+    val src = if (ttlMs.isDefined)
+      events.withWatermark("ts", "10 minutes") else events
+    src
       .filter(col("event_type").isin("view", "click", "purchase"))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append,
+        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** STREAMING LATEST-WINS UPSERT — the stream form of `upsert_latest`
@@ -287,39 +352,74 @@ object Streams {
     * batch operator exactly. State is bounded by key cardinality,
     * evictable via a timeout when the key space is unbounded.
     */
-  def upsertStream(spark: SparkSession, events: DataFrame): Dataset[UpsertOut] = {
+  def upsertStream(spark: SparkSession, events: DataFrame): Dataset[UpsertOut] =
+    upsertStream(spark, events, stateTtlMinutes = None)
+
+  /** TTL overload of [[upsertStream]] — bounded state for an UNBOUNDED key
+    * space (the eviction the base form's scaladoc promises): a key silent
+    * for `stateTtlMinutes` past the event-time watermark is evicted. The
+    * downstream snapshot keeps that key's last emitted compaction (the
+    * change feed is append-only; eviction emits nothing), and a LATER
+    * version of an evicted key restarts its state fresh — `n_versions`
+    * counts from 1 again and an out-of-order older version arriving after
+    * the eviction can no longer be rejected by the dropped state. Both are
+    * the explicit bounded-state trade: a TTL above the source's
+    * out-of-orderness horizon loses nothing (the same contract
+    * `dropDuplicatesWithinWatermark` has). `None` = exact-forever.
+    * StreamingSpec drives a real eviction and pins the restart semantics.
+    */
+  def upsertStream(spark: SparkSession, events: DataFrame,
+      stateTtlMinutes: Option[Int]): Dataset[UpsertOut] = {
     import spark.implicits._
+    val ttlMs = stateTtlMinutes.map(_ * 60L * 1000L)
 
     def version(ts: Timestamp, id: Long): (Long, Int, Long) =
       (ts.getTime, ts.getNanos, id)
 
     def update(key: (Long, String), rows: Iterator[Event],
         state: GroupState[UpsertState]): Iterator[UpsertOut] = {
-      val prev = state.getOption
-      var cur = prev
-      var n = prev.map(_.nVersions).getOrElse(0L)
-      rows.foreach { e =>
-        n += 1
-        val newer = cur.forall(s =>
-          Ordering[(Long, Int, Long)].gt(version(e.ts, e.event_id),
-            version(s.ts, s.eventId)))
-        if (newer) cur = Some(UpsertState(e.ts, e.event_id, e.value, n))
-      }
-      cur = cur.map(_.copy(nVersions = n))
-      if (cur == prev) Iterator.empty
-      else {
-        val s = cur.get
-        state.update(s)
-        Iterator.single(UpsertOut(key._1, key._2, s.value, s.ts, s.eventId,
-          s.nVersions))
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val prev = state.getOption
+        var cur = prev
+        var n = prev.map(_.nVersions).getOrElse(0L)
+        var maxTs = prev.map(_.ts.getTime).getOrElse(Long.MinValue)
+        rows.foreach { e =>
+          n += 1
+          maxTs = math.max(maxTs, e.ts.getTime)
+          val newer = cur.forall(s =>
+            Ordering[(Long, Int, Long)].gt(version(e.ts, e.event_id),
+              version(s.ts, s.eventId)))
+          if (newer) cur = Some(UpsertState(e.ts, e.event_id, e.value, n))
+        }
+        cur = cur.map(_.copy(nVersions = n))
+        val out = if (cur == prev) Iterator.empty else {
+          val s = cur.get
+          state.update(s)
+          Iterator.single(UpsertOut(key._1, key._2, s.value, s.ts, s.eventId,
+            s.nVersions))
+        }
+        // re-arm from last ACTIVITY (any version seen, even non-winning —
+        // a key still receiving traffic is live), clamped past the
+        // watermark like asofAttribution's
+        if (state.exists)
+          ttlMs.foreach(ttl => state.setTimeoutTimestamp(
+            math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1)))
+        out
       }
     }
 
-    events
+    val src = if (ttlMs.isDefined)
+      events.withWatermark("ts", "10 minutes") else events
+    src
       .as[Event]
       .groupByKey(e => (e.user_id, e.event_type))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+        OutputMode.Append,
+        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
   }
 
   /** Monotonic per-invocation sequence for the replay keys' work dirs: a
