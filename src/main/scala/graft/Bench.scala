@@ -100,6 +100,20 @@ object Bench {
     }
   }
 
+  /** Keys that failed in EVERY rep — the graded line's `failed` count. */
+  private[graft] def failedKeys(ordered: Seq[String],
+      okByRep: Seq[Map[String, Boolean]]): Seq[String] =
+    ordered.filter(k => okByRep.forall(!_(k)))
+
+  /** Keys that failed in SOME but not all reps: they report the median of
+    * their successful reps and contribute nothing to `failed`, so without
+    * this field instability would be visible only on the first-dropped
+    * per-rep lines — effectively invisible in the driver's tail window.
+    */
+  private[graft] def flakyKeys(ordered: Seq[String],
+      okByRep: Seq[Map[String, Boolean]]): Seq[String] =
+    ordered.filter(k => okByRep.exists(!_(k)) && okByRep.exists(_(k)))
+
   /** Per-key median over the successful reps (all reps when none
     * succeeded — a failed key's real elapsed cost must stay visible in
     * the total, not vanish into a fast-fail zero).
@@ -251,24 +265,19 @@ object Bench {
       val all = samples.map(_(name)._1)
       name -> median(if (ok.nonEmpty) ok else all)
     }
-    val failedKeys = ordered.filter(k => samples.forall(!_(k)._2))
-    // FLAKY = failed some reps but not all: such a key reports the median
-    // of its successful reps and contributes nothing to the graded
-    // "failed" count — without this field the instability would be visible
-    // only in the first-dropped per-rep lines, i.e. effectively invisible
-    // in the driver's tail window
-    val flakyKeys = ordered.filter(k =>
-      samples.exists(!_(k)._2) && samples.exists(_(k)._2))
+    val okByRep = samples.map(_.view.mapValues(_._2).toMap)
+    val failed = failedKeys(ordered, okByRep)
+    val flaky = flakyKeys(ordered, okByRep)
     val total = results.map(_._2).sum
     val errs = errors.map { case (k, v) => q(k) + ":" + q(v) }
       .mkString("{", ",", "}")
     val dh = defaultHintKeys.map(q).mkString("[", ",", "]")
-    val fl = flakyKeys.map(q).mkString("[", ",", "]")
+    val fl = flaky.map(q).mkString("[", ",", "]")
     // flaky + default_hint_keys LAST: the tail window truncates this line
     // from the LEFT, so the instability/staleness signals are what survive
     // next to the graded line
     println(s"""{"diag":"bench","errors":$errs,"protocol":"rest${restSec}s,${reps}-pass-median,cheapest-first","sf":"$sfDir","flaky":$fl,"default_hint_keys":$dh}""")
-    println(renderLine(total, results, failedKeys.size, sfDir))
+    println(renderLine(total, results, failed.size, sfDir))
     spark.stop()
   }
 }

@@ -218,6 +218,12 @@ object Similarity {
     * a sparse bucket can legitimately recall 1 of 10), so per-probe
     * booleans would pin corpus-specific noise; the pooled floor is the
     * operator's actual documented guarantee.
+    *
+    * Floor sizing (RecallProbeMain, sf0.01): measured pooled recall is
+    * ≈0.56 (LSH), ≈0.48 (IVF), ≈0.93 (embed top-1) against floors of
+    * 0.2/0.2/0.5 — the ≥2× headroom is deliberate, because the harness
+    * corpus is regenerated per round and the floor must hold on any
+    * regeneration, not just the measured one.
     */
   private[ops] def recallCertificate(exact: DataFrame, approx: DataFrame,
       k: Int, floor: Double): DataFrame =

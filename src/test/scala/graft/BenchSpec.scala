@@ -100,4 +100,18 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.median(Seq(4.0, 2.0)) == 3.0)
     assert(Bench.median(Seq(0.3, 0.3, 50.0)) == 0.3) // clamp-rep rejected
   }
+
+  test("failed counts all-rep failures; flaky surfaces mixed-rep instability") {
+    // stable, mixed (fails rep2), dead (fails all), mixed (only rep3 ok)
+    val ordered = Seq("stable", "mixed_a", "dead", "mixed_b")
+    val okByRep = Seq(
+      Map("stable" -> true, "mixed_a" -> true, "dead" -> false, "mixed_b" -> false),
+      Map("stable" -> true, "mixed_a" -> false, "dead" -> false, "mixed_b" -> false),
+      Map("stable" -> true, "mixed_a" -> true, "dead" -> false, "mixed_b" -> true))
+    assert(Bench.failedKeys(ordered, okByRep) == Seq("dead"))
+    assert(Bench.flakyKeys(ordered, okByRep) == Seq("mixed_a", "mixed_b"))
+    // disjoint by construction: a key is failed XOR flaky XOR stable
+    assert(Bench.failedKeys(ordered, okByRep)
+      .intersect(Bench.flakyKeys(ordered, okByRep)).isEmpty)
+  }
 }
