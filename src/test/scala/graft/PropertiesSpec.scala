@@ -193,6 +193,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("batch sessionization equals a brute-force interval fold on arbitrary events") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    // the gap-session definition on ANY event set — tie-heavy minute grid
+    // so equal timestamps, boundary-exact gaps (== gap stays one session),
+    // and single-event sessions all occur; value=1.0 keeps the double sum
+    // order-free so the comparison is exact
+    val gapMin = 5
+    val gapMs = gapMin * 60000L
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0, 120))
+    samples(Gen.listOfN(40, rowGen), 8).filter(_.nonEmpty).foreach { rows =>
+      val events = rows.zipWithIndex.map { case ((u, m), i) =>
+        (i.toLong, new Timestamp(base + m * 60000L), u, "click", 1.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = graft.streaming.Streams
+        .sessionizeBatch(events, gapMinutes = gapMin)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime,
+          r.getDouble(4))).toSet
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(e => base + e._2 * 60000L).sorted
+        val sessions = ts.foldLeft(List.empty[List[Long]]) { (acc, t) =>
+          acc match {
+            case h :: rest if t - h.head <= gapMs => (t :: h) :: rest
+            case _ => List(t) :: acc
+          }
+        }
+        sessions.map(s => (u, s.size.toLong, s.min, s.max, s.size.toDouble))
+      }.toSet
+      assert(got == expected, s"rows=$rows")
+    }
+  }
+
   test("cluster labels equal union-find components on arbitrary graphs") {
     import spark.implicits._
     import graft.ops.Dedup
