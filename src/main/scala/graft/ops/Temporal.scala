@@ -57,22 +57,34 @@ object Temporal {
     * purchase at the same nanosecond) order the click first — matching the
     * oracle's `p.ts_ns >= c.ts_ns` inclusive bound.
     */
-  def joinAsof(spark: SparkSession, sfDir: String): DataFrame = {
-    val tagged = eventsNs(spark, sfDir)
-      .filter(col("event_type").isin("click", "purchase"))
+  def joinAsof(spark: SparkSession, sfDir: String): DataFrame =
+    joinAsof(eventsNs(spark, sfDir), probeType = "purchase",
+      refType = "click")
+      .withColumnRenamed("ref_ts_ns", "click_ts_ns")
+      .orderBy(col("event_id"))
+
+  /** API form: as-of attribution of each `probeType` event to the same
+    * user's latest `refType` event at-or-before it, over any events-shaped
+    * frame (`event_id, user_id, ts_ns, event_type`). Output:
+    * event_id, user_id, ts_ns, ref_ts_ns, gap_ns — unordered (the sfDir
+    * wrapper adds the presentation sort and the demo column name).
+    */
+  def joinAsof(events: DataFrame, probeType: String,
+      refType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(refType, probeType))
       .select(col("event_id"), col("user_id"), col("ts_ns"),
-        when(col("event_type") === "purchase", 1).otherwise(0).as("side"))
+        when(col("event_type") === probeType, 1).otherwise(0).as("side"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
-      .withColumn("click_ts_ns",
+      .withColumn("ref_ts_ns",
         last(when(col("side") === 0, col("ts_ns")), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("ts_ns"),
-        col("click_ts_ns"),
-        (col("ts_ns") - col("click_ts_ns")).as("gap_ns"))
-      .orderBy(col("event_id"))
+        col("ref_ts_ns"),
+        (col("ts_ns") - col("ref_ts_ns")).as("gap_ns"))
   }
 
   /** RANGE JOIN: for each purchase, the count and summed value of the same
@@ -90,29 +102,45 @@ object Temporal {
     * DECIMAL(18,4) pre-aggregation (partition-order-independent), surfaced
     * as DOUBLE.
     */
-  def joinRange(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = eventsNs(spark, sfDir)
-    val purchases = e.filter(col("event_type") === "purchase")
+  def joinRange(spark: SparkSession, sfDir: String): DataFrame =
+    joinRange(eventsNs(spark, sfDir), probeType = "purchase",
+      refType = "click", windowNs = DayNs)
+      .withColumnRenamed("n_ref", "n_clicks")
+      .withColumnRenamed("ref_value", "click_value")
+      .orderBy(col("event_id"))
+
+  /** API form: for each `probeType` event, the count and summed value of
+    * the same user's `refType` events in its trailing `windowNs` window
+    * `(ts−window, ts]`, over any events-shaped frame. Same binned
+    * decomposition as the demo key (bin width = the window, probe checks
+    * its own and the previous bucket), so the candidate set per probe is
+    * two buckets at ANY window size and table size. Output: event_id,
+    * user_id, ts_ns, n_ref, ref_value — unordered.
+    */
+  def joinRange(events: DataFrame, probeType: String, refType: String,
+      windowNs: Long): DataFrame = {
+    require(windowNs > 0, s"windowNs must be positive, got $windowNs")
+    val probes = events.filter(col("event_type") === probeType)
       .select(col("event_id"), col("user_id"), col("ts_ns"))
-    val clicks = e.filter(col("event_type") === "click")
+    val refs = events.filter(col("event_type") === refType)
       .select(col("user_id"), col("ts_ns").as("c_ts"), col("value"))
     // integer `div`, not `/`: ns epochs (~1.7e18) are beyond double's 53-bit
     // mantissa — a float bin boundary would misplace rows near bucket edges
-    val pb = purchases.withColumn("bin",
-      explode(array(expr(s"ts_ns div ${DayNs}L"),
-        expr(s"ts_ns div ${DayNs}L - 1"))))
-    val cb = clicks.withColumn("bin", expr(s"c_ts div ${DayNs}L"))
-    val perPurchase = pb.join(cb, Seq("user_id", "bin"))
-      .filter(col("c_ts") > col("ts_ns") - DayNs && col("c_ts") <= col("ts_ns"))
+    val pb = probes.withColumn("bin",
+      explode(array(expr(s"ts_ns div ${windowNs}L"),
+        expr(s"ts_ns div ${windowNs}L - 1"))))
+    val cb = refs.withColumn("bin", expr(s"c_ts div ${windowNs}L"))
+    val perProbe = pb.join(cb, Seq("user_id", "bin"))
+      .filter(col("c_ts") > col("ts_ns") - windowNs &&
+        col("c_ts") <= col("ts_ns"))
       .groupBy(col("event_id"))
-      .agg(count(lit(1)).as("n_clicks"),
+      .agg(count(lit(1)).as("n_ref"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
-          .as("click_value"))
-    purchases.join(perPurchase, Seq("event_id"), "left")
+          .as("ref_value"))
+    probes.join(perProbe, Seq("event_id"), "left")
       .select(col("event_id"), col("user_id"), col("ts_ns"),
-        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
-        coalesce(col("click_value"), lit(0.0)).as("click_value"))
-      .orderBy(col("event_id"))
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("ref_value"), lit(0.0)).as("ref_value"))
   }
 
   /** Rolling mean over the last 7 events per user (ROWS frame, ordered by
@@ -124,18 +152,25 @@ object Temporal {
     * double running sum is partition-merge-order-dependent) divided by the
     * window count, so short leading frames are averaged correctly.
     */
-  def windowMovingAvg(spark: SparkSession, sfDir: String): DataFrame = {
+  def windowMovingAvg(spark: SparkSession, sfDir: String): DataFrame =
+    windowMovingAvg(eventsNs(spark, sfDir), frameRows = 7)
+      .orderBy(col("event_id"))
+
+  /** API form: rolling mean of `value` over each user's last `frameRows`
+    * events (self included), over any events-shaped frame — unordered.
+    */
+  def windowMovingAvg(events: DataFrame, frameRows: Int): DataFrame = {
+    require(frameRows >= 1, s"frameRows must be >= 1, got $frameRows")
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("event_id"))
-      .rowsBetween(-6, Window.currentRow)
-    eventsNs(spark, sfDir)
+      .rowsBetween(-(frameRows - 1L), Window.currentRow)
+    events
       .select(col("event_id"), col("user_id"), col("ts_ns"),
         sum(col("value").cast(DecimalType(18, 4))).over(w).as("win_sum"),
         count(lit(1)).over(w).as("win_n"))
       .select(col("event_id"), col("user_id"), col("ts_ns"),
         round(col("win_sum").cast(DoubleType) / col("win_n"), 6).as("mov_avg"),
         col("win_n"))
-      .orderBy(col("event_id"))
   }
 
   /** ORDERED FUNNEL: how far each user progressed through
@@ -152,31 +187,49 @@ object Temporal {
     * State per row is two bits; the final per-user reduce rides the
     * window's existing partitioning (no second exchange).
     */
-  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val stageNo = when(col("event_type") === "view", 0)
-      .when(col("event_type") === "click", 1).otherwise(2)
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    eventFunnel(eventsNs(spark, sfDir), Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  /** API form: ordered N-STAGE funnel over any events-shaped frame —
+    * `stages` is the ordered event-type vocabulary, and stage i only
+    * counts at-or-after a qualifying stage i−1 event (a click with no
+    * preceding view is not stage 2). The same two-running-max-per-stage
+    * construction as the 3-stage demo, folded over the stage list: one
+    * `qual_i` projection + one running-`max` window column per stage, ALL
+    * over the same user_id window — N stages still cost ONE hash shuffle
+    * and N bits of per-row state. Same-timestamp ties order earlier
+    * stages first (inclusive at-or-after bounds). Output: user_id,
+    * has_<stage> per stage, funnel_stage — unordered.
+    */
+  def eventFunnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be distinct and nonempty, got $stages")
+    val stageNo = stages.zipWithIndex.tail.foldLeft(
+      when(col("event_type") === stages.head, 0)) {
+      case (acc, (s, i)) => acc.when(col("event_type") === s, i)
+    }
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ns"), col("stage"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    eventsNs(spark, sfDir)
-      .filter(col("event_type").isin("view", "click", "purchase"))
+    val base = events
+      .filter(col("event_type").isin(stages.map(s => s: Any): _*))
       .select(col("user_id"), col("ts_ns"), stageNo.as("stage"))
-      .withColumn("saw_view",
-        max(when(col("stage") === 0, 1).otherwise(0)).over(w))
-      .withColumn("qual_click",
-        when(col("stage") === 1 && col("saw_view") === 1, 1).otherwise(0))
-      .withColumn("saw_qclick", max(col("qual_click")).over(w))
-      .withColumn("qual_purchase",
-        when(col("stage") === 2 && col("saw_qclick") === 1, 1).otherwise(0))
+    val staged = stages.indices.foldLeft(base) { (df, i) =>
+      val qual =
+        if (i == 0) when(col("stage") === 0, 1).otherwise(0)
+        else when(col("stage") === i && col(s"saw_${i - 1}") === 1, 1)
+          .otherwise(0)
+      df.withColumn(s"qual_$i", qual)
+        .withColumn(s"saw_$i", max(col(s"qual_$i")).over(w))
+    }
+    val hasCols = stages.indices.map(i =>
+      max(col(s"saw_$i")).as(s"has_${stages(i)}"))
+    staged
       .groupBy(col("user_id"))
-      .agg(max(col("saw_view")).as("has_view"),
-        max(col("saw_qclick")).as("has_click"),
-        max(col("qual_purchase")).as("has_purchase"))
-      .select(col("user_id"), col("has_view"), col("has_click"),
-        col("has_purchase"),
-        (col("has_view") + col("has_click") + col("has_purchase"))
-          .as("funnel_stage"))
-      .orderBy(col("user_id"))
+      .agg(hasCols.head, hasCols.tail: _*)
+      .withColumn("funnel_stage",
+        stages.map(s => col(s"has_$s")).reduce(_ + _))
   }
 
   val oracleSql: Map[String, String] = Map(

@@ -139,6 +139,59 @@ class TemporalSpec extends SparkSpec {
       salted.contains("SortMergeJoin"), salted)
   }
 
+  test("temporal API overloads: custom types, window sizes, and N-stage funnels") {
+    import spark.implicits._
+    val h = 3600000000000L // 1h in ns
+    // hand-built log, one user: signup → view → click → purchase plus a
+    // reversed-order distractor user who clicks before ever viewing
+    val ev = Seq(
+      (1L, 1L, "signup", 0L, 1.0),
+      (2L, 1L, "view", 1 * h, 1.0),
+      (3L, 1L, "click", 2 * h, 2.0),
+      (4L, 1L, "purchase", 3 * h, 10.0),
+      (5L, 2L, "click", 1 * h, 5.0),
+      (6L, 2L, "view", 2 * h, 1.0),
+      (7L, 2L, "purchase", 3 * h, 20.0)
+    ).toDF("event_id", "user_id", "event_type", "ts_ns", "value")
+    // as-of with swapped roles: each click ← latest preceding purchase
+    val asof = Temporal.joinAsof(ev, probeType = "click", refType = "purchase")
+      .select(col("event_id"), col("ref_ts_ns")).as[(Long, Option[Long])]
+      .collect().toMap
+    assert(asof == Map(3L -> None, 5L -> None))
+    // range join, 2h window on view←click: u2's click (1h before its
+    // view) is inside the window — NOT at the exclusive lower bound —
+    // while u1's click is AFTER its view (excluded)
+    val rng = Temporal.joinRange(ev, probeType = "view", refType = "click",
+      windowNs = 2 * h)
+      .select(col("event_id"), col("n_ref"), col("ref_value"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(rng == Map(2L -> ((0L, 0.0)), 6L -> ((1L, 5.0))))
+    // moving average with a 2-row frame
+    val ma = Temporal.windowMovingAvg(ev.filter(col("user_id") === 1),
+      frameRows = 2)
+      .select(col("event_id"), col("mov_avg")).as[(Long, Double)]
+      .collect().toMap
+    assert(ma == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.5, 4L -> 6.0))
+    // 4-stage funnel: u1 completes all four; u2's click precedes its view
+    // so it stalls at stage 1 (signup missing → view doesn't qualify…
+    // actually u2 has no signup: stage 0 missing ⇒ nothing qualifies)
+    val f4 = Temporal.eventFunnel(ev,
+      Seq("signup", "view", "click", "purchase"))
+      .orderBy(col("user_id"))
+      .select(col("user_id"), col("has_signup"), col("has_view"),
+        col("has_click"), col("has_purchase"), col("funnel_stage"))
+      .as[(Long, Int, Int, Int, Int, Int)].collect().toSeq
+    assert(f4 == Seq((1L, 1, 1, 1, 1, 4), (2L, 0, 0, 0, 0, 0)))
+    // the 3-stage default vocabulary on the same frame: u2 now has a view
+    // but its click came first, so it stalls at stage 1
+    val f3 = Temporal.eventFunnel(ev, Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+      .select(col("user_id"), col("funnel_stage"))
+      .as[(Long, Int)].collect().toSeq
+    assert(f3 == Seq((1L, 3), (2L, 1)))
+  }
+
   test("sketch_kmv estimates within KMV error bounds and is deterministic") {
     val row = Sketches.kmvDistinct(spark, sf).collect()(0)
     val (k, kth, est, exact) = (row.getLong(0), row.getLong(1),
