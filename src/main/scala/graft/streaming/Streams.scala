@@ -51,6 +51,8 @@ object Streams {
   case class FunnelOut(user_id: Long, has_view: Int, has_click: Int,
     has_purchase: Int, funnel_stage: Int)
 
+  case class FunnelStageOut(user_id: Long, funnel_stage: Int)
+
   case class UpsertState(ts: Timestamp, eventId: Long, value: Double,
     nVersions: Long)
 
@@ -268,10 +270,14 @@ object Streams {
     * stream(corpus) == batch(corpus)). Within a micro-batch, arrival order
     * is repaired by the event-time sort with the batch operator's tie rule
     * (view < click < purchase on equal timestamps); across micro-batches
-    * the bits' monotonicity makes the result order-insensitive, so unlike
-    * [[asofAttribution]] there is no late-data caveat: any arrival
-    * interleaving converges to the batch answer. Three booleans per user,
-    * evictable via a state timeout if the key space is unbounded.
+    * the bits' monotonicity guarantees the log never REGRESSES, but a
+    * stage event that was rejected before its qualifying predecessor
+    * arrived (click in batch N, its view late in batch N+1) is not
+    * retro-qualified — the same append-mode late-data contract as
+    * [[asofAttribution]], with the batch operator as the backfill; a
+    * LATER event of the rejected stage does qualify against the updated
+    * state. Three booleans per user, evicted via the TTL overload when
+    * the key space is unbounded.
     */
   def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelOut] =
     funnelProgress(spark, events, stateTtlMinutes = None)
@@ -329,6 +335,70 @@ object Streams {
       events.withWatermark("ts", "10 minutes") else events
     src
       .filter(col("event_type").isin("view", "click", "purchase"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append,
+        if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout
+        else GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** N-STAGE generic form of [[funnelProgress]] — the streaming twin of
+    * `ops.Temporal.eventFunnel`'s ordered-vocabulary API: `stages` is the
+    * ordered event-type list, and a user's state is the COUNT of
+    * contiguously completed stages (the funnel can only advance stage i
+    * from count == i, so the N monotone bits always form a prefix — one
+    * Int of state per user at any N). Emits a change-log row whenever a
+    * user's stage count advances; `max` per user over the log
+    * reconstructs the snapshot and the count never regresses. Within a
+    * batch, the event-time sort applies the batch tie rule (earlier
+    * stages first); across micro-batches the same late-data contract as
+    * the 3-stage form applies — a stage event rejected before its
+    * predecessor arrived is not retro-qualified; the batch operator is
+    * the backfill. Optional TTL as in the other stateful ops: a silent
+    * user is evicted and restarts at stage 0. The suite pins stream ==
+    * batch `eventFunnel` on a 4-stage vocabulary.
+    */
+  def funnelProgressStages(spark: SparkSession, events: DataFrame,
+      stages: Seq[String],
+      stateTtlMinutes: Option[Int] = None): Dataset[FunnelStageOut] = {
+    import spark.implicits._
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"stages must be distinct and nonempty, got $stages")
+    val idx = stages.zipWithIndex.toMap
+    val ttlMs = stateTtlMinutes.map(_ * 60L * 1000L)
+
+    def update(userId: Long, rows: Iterator[Event],
+        state: GroupState[Int]): Iterator[FunnelStageOut] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val prev = state.getOption.getOrElse(0)
+        var c = prev
+        var maxTs = Long.MinValue
+        rows.toSeq
+          .sortBy(e => (e.ts.getTime, e.ts.getNanos, idx(e.event_type)))
+          .foreach { e =>
+            maxTs = math.max(maxTs, e.ts.getTime)
+            if (idx(e.event_type) == c) c += 1
+          }
+        val out = if (c == prev) Iterator.empty
+        else {
+          state.update(c)
+          Iterator.single(FunnelStageOut(userId, c))
+        }
+        if (state.exists && maxTs != Long.MinValue)
+          ttlMs.foreach(ttl => state.setTimeoutTimestamp(
+            math.max(maxTs + ttl, state.getCurrentWatermarkMs() + 1)))
+        out
+      }
+    }
+
+    val src = if (ttlMs.isDefined)
+      events.withWatermark("ts", "10 minutes") else events
+    src
+      .filter(col("event_type").isin(stages.map(s => s: Any): _*))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(

@@ -395,6 +395,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Seq((20.0, 2L, 1L), (20.0, 2L, 2L)))
   }
 
+  test("N-stage streaming funnel equals the batch N-stage funnel") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4-stage vocabulary over the harness corpus (signup never occurs, so
+    // the chain is exercised from a missing stage 0 too) and a synthetic
+    // log where every stage appears; both replayed and max-reconstructed
+    val stages = Seq("view", "click", "purchase", "refund")
+    val dir = Files.createTempDirectory("graft_funn_in").toString
+    writeBatch(dir, Seq(
+      (1L, ts(0), 1L, "view", 0.0), (2L, ts(1), 1L, "click", 0.0),
+      (3L, ts(2), 1L, "purchase", 0.0), (4L, ts(3), 1L, "refund", 0.0),
+      (5L, ts(0), 2L, "click", 0.0), (6L, ts(1), 2L, "view", 0.0),
+      (7L, ts(2), 2L, "purchase", 0.0),
+      (8L, ts(5), 3L, "view", 0.0), (9L, ts(5), 3L, "click", 0.0)))
+    val checkpoint = Files.createTempDirectory("graft_funn_ck").toString
+    val q = Streams.funnelProgressStages(spark,
+      Streams.readEvents(spark, dir), stages)
+      .writeStream.format("memory").queryName("funn")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.sql(
+      "SELECT user_id, max(funnel_stage) FROM funn GROUP BY user_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val batch = graft.ops.Temporal.eventFunnel(
+      spark.read.parquet(dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).*(1000L).as("ts_ns")),
+      stages)
+      .select(col("user_id"), col("funnel_stage"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // u1 completes all 4; u2's click precedes its view (stalls at 1 with
+    // the purchase unqualified); u3's same-ts tie orders view before click
+    assert(streamed == Map(1L -> 4, 2L -> 1, 3L -> 2))
+    assert(streamed == batch)
+  }
+
   test("upsert TTL evicts a silent key and restarts its state fresh") {
     // the bounded-state contract for unbounded key spaces: u1's state
     // (armed at t+30min by ttl=30) is evicted once the watermark passes it
