@@ -193,6 +193,50 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("SCD2 interval laws hold for arbitrary change logs") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // same adversarial log shape as the CDC test: few keys, tiny ts domain
+    // so same-timestamp ties are common and the (ts, id) tie-break is load-
+    // bearing. Laws: one interval per log row; per key the intervals chain
+    // gaplessly in (valid_from, id) order; exactly one open (is_current)
+    // interval per key and it is the (ts, id)-maximal row; valid_from is
+    // the log's ts multiset unchanged.
+    val rowGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 3L),
+      Gen.choose(0.0, 9.0))
+    samples(Gen.listOfN(30, rowGen), 8).filter(_.nonEmpty).foreach { rows =>
+      val log = rows.zipWithIndex
+        .map { case ((k, ts, v), i) => (k, ts, i.toLong, v) }
+        .toDF("k", "ts", "id", "v")
+      val hist = Lifecycle.scd2Intervals(log, keys = Seq("k"),
+        ts = "ts", id = "id")
+      val got = hist.collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)),
+          r.getInt(5)))) // (k, (valid_from, id, v, valid_to, is_current))
+      assert(got.length == rows.size) // row conservation
+      got.groupBy(_._1).foreach { case (k, g) =>
+        val chain = g.map(_._2).sortBy(c => (c._1, c._2))
+        // gapless: each valid_to is the NEXT row's valid_from; the single
+        // open interval is last and carries the is_current flag
+        chain.zip(chain.tail).foreach { case (cur, next) =>
+          assert(cur._4.contains(next._1), s"key $k gap at $cur -> $next")
+          assert(cur._5 == 0)
+        }
+        assert(chain.last._4.isEmpty && chain.last._5 == 1, s"key $k")
+        // current row is the version-maximal log row for the key
+        val expMax = rows.zipWithIndex
+          .filter { case ((rk, _, _), _) => rk == k }
+          .map { case ((_, ts, v), i) => (ts, i.toLong, v) }.max
+        assert((chain.last._1, chain.last._2, chain.last._3) == expMax)
+        // valid_from preserves the log's ts multiset per key
+        assert(chain.map(_._1).sorted.toSeq == rows.collect {
+          case (rk, ts, _) if rk == k => ts
+        }.sorted)
+      }
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
