@@ -237,6 +237,66 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("histogram laws hold for arbitrary values incl. negatives and constants") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    val width = 50.0
+    // quarter-grid values force duplicates, bin-boundary hits (x/width
+    // integral), negative bins, and — via the constant generator — the
+    // all-equal corner a corpus never shows
+    val valuesGen = Gen.oneOf(
+      Gen.listOfN(30, Gen.choose(-80, 80).map(_ * 12.5)),
+      Gen.choose(-80, 80).map(q => List.fill(12)(q * 12.5)))
+    samples(valuesGen, 10).filter(_.nonEmpty).foreach { vs =>
+      val got = Lifecycle.histogram(vs.toDF("v"), "v", width)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4))).toSet
+      // brute force with the operator's own IEEE bin function
+      val expected = vs.groupBy(v => math.floor(v / width).toLong)
+        .map { case (b, g) =>
+          (b, g.size.toLong, g.min, g.max, b * width)
+        }.toSet
+      assert(got == expected, s"vs=$vs")
+      // laws the shape must satisfy regardless of binning arithmetic:
+      // counts conserve, and each bin's observed range sits inside its
+      // half-open interval [bin*width, (bin+1)*width)
+      assert(got.toSeq.map(_._2).sum == vs.size)
+      got.foreach { case (b, _, lo, hi, start) =>
+        assert(start == b * width && start <= lo && lo <= hi &&
+          hi < (b + 1) * width, s"bin $b [$lo,$hi]")
+      }
+    }
+  }
+
+  test("group entropy matches a brute-force Shannon fold on arbitrary mixes") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // few groups × tiny label vocabulary: single-type groups (entropy 0),
+    // uniform mixes (entropy ln k), and skewed mixes all occur
+    val rowGen = Gen.zip(Gen.choose(0L, 3L), Gen.oneOf("a", "b", "c", "d"))
+    samples(Gen.listOfN(40, rowGen), 10).filter(_.nonEmpty).foreach { rows =>
+      val got = Lifecycle.groupEntropy(rows.toDF("g", "l"), "g", "l")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val expected = rows.groupBy(_._1).map { case (g, es) =>
+        val counts = es.groupBy(_._2).map(_._2.size.toLong)
+        val n = counts.sum
+        val h = math.log(n.toDouble) -
+          counts.map(c => c * math.log(c.toDouble)).sum / n
+        g -> (n, counts.size.toLong, math.max(h, 0.0))
+      }
+      assert(got.keySet == expected.keySet)
+      got.foreach { case (g, (n, k, h)) =>
+        val (en, ek, eh) = expected(g)
+        assert(n == en && k == ek, s"group $g counts")
+        // the operator rounds ln terms to 9 dp and the result to 6 dp;
+        // 2e-6 absorbs the rounding boundary without hiding a real error
+        assert(math.abs(h - eh) <= 2e-6, s"group $g: $h vs $eh")
+        assert(h >= 0.0 && h <= math.log(ek.toDouble) + 2e-6, s"group $g range")
+      }
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
