@@ -676,7 +676,9 @@ object Dedup {
     "dedup_embed" ->
       """SELECT count(*) AS n_probes, 1 AS k,
         |  CAST(0.5 AS DOUBLE) AS min_recall, true AS recall_ok
-        |FROM embeddings WHERE vec_id < 100""".stripMargin,
+        |FROM embeddings WHERE vec_id < 100
+        |  AND list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h
         |FROM documents

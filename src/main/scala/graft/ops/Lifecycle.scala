@@ -370,9 +370,15 @@ object Lifecycle {
       // decimal→double hop can cancel to a tiny negative; clipping keeps
       // sqrt's argument legal in BOTH engines (identical IEEE tree) and
       // routes the degenerate case through the std = 0 guard below.
-      .withColumn("std", sqrt(greatest(
+      // The n > 1 gate is load-bearing, not cosmetic: Spark's Divide
+      // under ANSI (default-on in Spark 4) THROWS on a zero divisor, so a
+      // single-row group's n−1 = 0 would abort the job before the z guard
+      // below ever saw it — emit std null instead and let that guard
+      // classify the group as degenerate.
+      .withColumn("std", when(col("n") > 1, sqrt(greatest(
         (col("s2").cast(DoubleType) - col("n") * (col("mean") * col("mean")))
           / (col("n") - 1), lit(0.0))))
+        .otherwise(lit(null).cast(DoubleType)))
       .select(col(group), col("n"), col("mean"), col("std"))
     // DEGENERATE-GROUP CONVENTION (mirrors minmaxScale's explicit 0.5): a
     // single-row group (n−1 = 0) or a constant group (std 0 — including a
@@ -657,8 +663,10 @@ object Lifecycle {
         |         AS DOUBLE) AS s2
         |  FROM orders GROUP BY o_orderpriority),
         |m AS (SELECT o_orderpriority, n, s1 / n AS mean,
-        |        sqrt(greatest((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1),
-        |                      0.0)) AS std
+        |        CASE WHEN n > 1 THEN
+        |          sqrt(greatest((s2 - n * ((s1 / n) * (s1 / n))) / (n - 1),
+        |                        0.0))
+        |        END AS std
         |      FROM s),
         |z AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
         |        CASE WHEN m.n < 2 OR m.std IS NULL OR isnan(m.std)

@@ -46,11 +46,21 @@ object Similarity {
   /** embeddings with double-cast vector and precomputed L2 norm (computed
     * once per row, not once per pair). Norm via the codegen'd native
     * `dot_product` (same sequential fold as the HOF form → bit-identical).
+    *
+    * Zero-norm vectors are EXCLUDED here, at the single prep chokepoint:
+    * cosine is undefined for them, and downstream they would zero a
+    * divisor (an ANSI-mode job abort, not just a bad score) in both the
+    * exact cosine and the unit normalization every LSH/IVF path shares.
+    * At 100 TB an all-zeros embedding (a failed encoder call) is a
+    * certainty, so the exclusion is the serving contract, not a test
+    * nicety; the harness corpus contains none, so checked results are
+    * unchanged. The oracle twins carry the same `WHERE nrm > 0`.
     */
   private def prepped(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "embeddings")
       .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
       .withColumn("nrm", sqrt(VectorMath.dot(col("demb"), col("demb"))))
+      .filter(col("nrm") > 0.0)
 
   /** embeddings as L2-normalized unit vectors (array + ml Vector forms) —
     * the shared prep for every LSH/ANN path (also used by
@@ -304,18 +314,23 @@ object Similarity {
     "sim_search_lsh" ->
       """SELECT count(*) AS n_probes, 10 AS k,
         |  CAST(0.2 AS DOUBLE) AS min_recall, true AS recall_ok
-        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+        |FROM embeddings WHERE vec_id < 5
+        |  AND list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,
     "sim_search_ivf" ->
       """SELECT count(*) AS n_probes, 10 AS k,
         |  CAST(0.2 AS DOUBLE) AS min_recall, true AS recall_ok
-        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+        |FROM embeddings WHERE vec_id < 5
+        |  AND list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,
     "knn_classify" ->
       """WITH v AS (
-        |  SELECT vec_id, label,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-        |         SQRT(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id, label,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |           SQRT(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
         |      FROM v WHERE vec_id < 50),
         |pairs AS (
@@ -340,11 +355,12 @@ object Similarity {
         |ORDER BY p.q_id""".stripMargin,
     "sim_search" ->
       """WITH v AS (
-        |  SELECT vec_id,
-        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-        |         SQRT(list_sum(list_transform(embedding,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-        |  FROM embeddings),
+        |  SELECT * FROM (
+        |    SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |           SQRT(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
         |q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm
         |      FROM v WHERE vec_id < 5),
         |pairs AS (

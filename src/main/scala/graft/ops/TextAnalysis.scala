@@ -42,8 +42,13 @@ object TextAnalysis {
         round(col("alpha_chars").cast(DoubleType) / col("n_tokens"), 6))
       .withColumn("punct_chars",
         length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", "")))
+      // n_chars = 0 (empty doc) leaves the ratio undefined — emit null
+      // rather than divide by zero, which under ANSI (Spark 4 default)
+      // aborts the job. n_tokens needs no such gate: split('', ' ') is
+      // [''] in both engines, so it is always ≥ 1.
       .withColumn("punct_ratio",
-        round(col("punct_chars").cast(DoubleType) / col("n_chars"), 6))
+        when(col("n_chars") > 0,
+          round(col("punct_chars").cast(DoubleType) / col("n_chars"), 6)))
       .withColumn("stop_tokens", hits(col("tokens"), Stopwords))
       .withColumn("stop_ratio",
         round(col("stop_tokens").cast(DoubleType) / col("n_tokens"), 6))
@@ -302,8 +307,10 @@ object TextAnalysis {
         |        / len(string_split(text, ' ')), 6) AS avg_token_len,
         |  CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
         |    AS INTEGER) AS punct_chars,
-        |  ROUND(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
-        |    AS DOUBLE) / length(text), 6) AS punct_ratio,
+        |  CASE WHEN length(text) > 0 THEN
+        |    ROUND(CAST(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
+        |      AS DOUBLE) / length(text), 6)
+        |  END AS punct_ratio,
         |  CAST(len(list_filter(string_split(text, ' '),
         |    t -> t IN ('the','a','of','and','to','in','is'))) AS INTEGER)
         |    AS stop_tokens,

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, TextAnalysis}
+
+/** Degenerate-CORPUS robustness: inputs the harness tables never contain
+  * but a 100 TB crawl certainly will — empty documents and zero-norm
+  * (failed-encoder) embeddings. Under ANSI mode (the Spark 4 default) an
+  * unguarded division by zero is a JOB ABORT, not a wrong number, so each
+  * case here pins both "the job survives" and the documented convention
+  * for the undefined value. The degenerate-GROUP twin (single-row /
+  * constant z-score and min-max groups) lives in PropertiesSpec.
+  */
+class DegenerateCorpusSpec extends SparkSpec {
+
+  /** Writes a micro-corpus (documents + embeddings, harness schemas) with
+    * one empty document and one all-zeros embedding into a temp sf dir.
+    */
+  private def degenerateSf(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_degen_sf").toString
+    val docs = Seq(
+      (0L, "the quick brown fox, jumps!", "en", "web", 27L),
+      (1L, "", "en", "web", 0L), // empty text: ratios over 0 chars
+      (2L, "a of and to in is the", "en", "synth", 21L),
+      (3L, "punctuation... only?!", "en", "web", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val embs = Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (1L, v(0, 0, 0, 0), 0), // zero norm, in the default probe range
+      (2L, v(0.9, 0.1, 0, 0), 1),
+      (3L, v(0, 1, 0, 0), 1),
+      (4L, v(0.1, 0.9, 0, 0), 0),
+      (5L, v(0.5, 0.5, 0, 0), 1),
+      (6L, v(-1, 0, 0, 0), 0),
+      (7L, v(0, -1, 0, 0), 1))
+      .toDF("vec_id", "embedding", "label")
+    embs.coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("text_stats survives an empty document; its ratios follow the convention") {
+    val dir = degenerateSf()
+    val rows = TextAnalysis.textStats(spark, dir).collect()
+    assert(rows.length == 4) // the empty doc is still a row, not dropped
+    val empty = rows.find(_.getLong(0) == 1L).get
+    assert(empty.getInt(empty.fieldIndex("n_chars")) == 0)
+    // split('', ' ') is [''] — one (empty) token, so token ratios stay
+    // defined; only the per-char ratio is undefined and goes null
+    assert(empty.getInt(empty.fieldIndex("n_tokens")) == 1)
+    assert(empty.isNullAt(empty.fieldIndex("punct_ratio")))
+    assert(empty.getDouble(empty.fieldIndex("stop_ratio")) == 0.0)
+    rows.filter(_.getLong(0) != 1L).foreach { r =>
+      val pr = r.getDouble(r.fieldIndex("punct_ratio"))
+      assert(pr >= 0.0 && pr <= 1.0, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("sim_search excludes zero-norm vectors from probes and candidates") {
+    val dir = degenerateSf()
+    val got = Similarity.simSearch(spark, dir).collect()
+    assert(got.nonEmpty)
+    // vec_id 1 is inside the default probe range but has no direction:
+    // it must appear on NEITHER side rather than abort the job (ANSI
+    // divide-by-zero) or rank with an undefined score
+    assert(!got.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+    got.foreach { r =>
+      val sim = r.getDouble(r.fieldIndex("sim"))
+      assert(!sim.isNaN && !sim.isInfinite && math.abs(sim) <= 1.0 + 1e-9)
+    }
+    // the surviving probes still each rank a full neighbor list
+    val perProbe = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(perProbe.keySet == Set(0L, 2L, 3L, 4L))
+    assert(perProbe.values.forall(_ == 6)) // 7 non-zero others minus self
+  }
+
+  test("LSH path unit-normalizes safely with a zero-norm vector present") {
+    val dir = degenerateSf()
+    val got = Similarity.simSearchLsh(spark, dir).collect()
+    // candidate generation is probabilistic; the pin is survival plus the
+    // exclusion and score contracts on whatever pairs it emits
+    assert(!got.exists(r => r.getLong(0) == 1L || r.getLong(1) == 1L))
+    got.foreach { r =>
+      val sim = r.getDouble(r.fieldIndex("sim"))
+      assert(!sim.isNaN && !sim.isInfinite && math.abs(sim) <= 1.0 + 1e-9)
+    }
+  }
+}

@@ -297,6 +297,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("degenerate groups: minmax scales to 0.5, z-score emits null, never NaN/Inf") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // random groups where constant groups and single-row groups are
+    // COMMON (tiny value domain): the documented conventions — constant
+    // group scales to 0.5, single-row/constant group has null z and
+    // is_outlier 0 — are branches the corpus never reaches
+    val rowGen = Gen.zip(Gen.choose(0L, 5L), Gen.choose(0, 3).map(_ * 10.0))
+    samples(Gen.listOfN(25, rowGen), 10).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("g", "v")
+      val byG = rows.groupBy(_._1).map { case (g, es) => g -> es.map(_._2) }
+
+      val m = Lifecycle.minmaxScale(df, "g", "v")
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      assert(m.length == rows.size)
+      m.foreach { case (g, v, s) =>
+        val vs = byG(g)
+        if (vs.max == vs.min) assert(s == 0.5, s"constant group $g")
+        else {
+          assert(s >= 0.0 && s <= 1.0)
+          if (v == vs.min) assert(s == 0.0)
+          if (v == vs.max) assert(s == 1.0)
+        }
+      }
+
+      val z = Lifecycle.anomalyZscore(df, "g", "v", threshold = 1.5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3)))
+      assert(z.length == rows.size)
+      z.foreach { case (g, _, zv, flag) =>
+        val vs = byG(g)
+        if (vs.size < 2 || vs.max == vs.min) {
+          assert(zv.isEmpty, s"degenerate group $g must have null z")
+          assert(flag == 0)
+        } else {
+          assert(zv.exists(d => !d.isNaN && !d.isInfinite), s"group $g")
+          assert(flag == (if (zv.exists(d => math.abs(d) > 1.5)) 1 else 0))
+        }
+      }
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
