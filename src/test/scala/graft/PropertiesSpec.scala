@@ -339,6 +339,92 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("as-of join equals brute-force latest-ref-at-or-before on arbitrary logs") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // tiny ts domain forces exact probe/ref TIES (the inclusive at-or-
+    // before bound) and negative epochs (pre-1970 data) — neither occurs
+    // in the harness corpus
+    val evGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(-5L, 5L),
+      Gen.oneOf("click", "purchase", "view"))
+    samples(Gen.listOfN(30, evGen), 10).filter(_.nonEmpty).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, t), i) =>
+        (i.toLong, u, ts, t, 1.0) }
+      val df = rows.toDF("event_id", "user_id", "ts_ns", "event_type",
+        "value")
+      val got = Temporal.joinAsof(df, "purchase", "click").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4)))))
+        .toMap
+      val clicks = rows.filter(_._4 == "click")
+      val purchases = rows.filter(_._4 == "purchase")
+      assert(got.keySet == purchases.map(_._1).toSet) // probes conserved
+      purchases.foreach { case (id, u, ts, _, _) =>
+        val expect = clicks.filter(c => c._2 == u && c._3 <= ts)
+          .map(_._3).reduceOption(_ max _)
+        assert(got(id) == expect.map(r => (r, ts - r)), s"purchase $id")
+      }
+    }
+  }
+
+  test("range join equals brute-force trailing-window aggregates on arbitrary logs") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // ts spans negatives and the window (7) never divides the domain:
+    // exercises the integer-`div` binning at bucket edges on both sides
+    // of zero, where truncating and flooring division disagree
+    val win = 7L
+    val evGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(-30L, 30L),
+      Gen.oneOf("click", "purchase"), Gen.choose(0, 10).map(_ * 0.5))
+    samples(Gen.listOfN(40, evGen), 10).filter(_.nonEmpty).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, t, v), i) =>
+        (i.toLong, u, ts, t, v) }
+      val df = rows.toDF("event_id", "user_id", "ts_ns", "event_type",
+        "value")
+      val got = Temporal.joinRange(df, "purchase", "click", win).collect()
+        .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+      val clicks = rows.filter(_._4 == "click")
+      val purchases = rows.filter(_._4 == "purchase")
+      assert(got.keySet == purchases.map(_._1).toSet) // zero-ref probes kept
+      purchases.foreach { case (id, u, ts, _, _) =>
+        val inWin = clicks.filter(c =>
+          c._2 == u && c._3 > ts - win && c._3 <= ts)
+        assert(got(id) == ((inWin.size.toLong, inWin.map(_._5).sum)),
+          s"purchase $id at ts $ts")
+      }
+    }
+  }
+
+  test("N-stage funnel equals brute-force contiguous matching on arbitrary logs") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    val stages = Seq("a", "b", "c", "d")
+    // same-ts chains (a,b,c at one instant must all qualify — earlier
+    // stages order first), out-of-order stages, and noise types
+    val evGen = Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 6L),
+      Gen.oneOf("a", "b", "c", "d", "x"))
+    samples(Gen.listOfN(35, evGen), 10).filter(_.nonEmpty).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, t), i) =>
+        (i.toLong, u, ts, t, 1.0) }
+      val df = rows.toDF("event_id", "user_id", "ts_ns", "event_type",
+        "value")
+      val got = Temporal.eventFunnel(df, stages).collect()
+        .map(r => r.getLong(0) ->
+          (stages.indices.map(i => r.getInt(1 + i)), r.getInt(5))).toMap
+      val byUser = rows.filter(r => stages.contains(r._4)).groupBy(_._2)
+      assert(got.keySet == byUser.keySet) // only noise-free users dropped
+      byUser.foreach { case (u, es) =>
+        // brute force: t_i = earliest stage-i event at-or-after t_{i-1}
+        val ts = stages.scanLeft(Option(Long.MinValue)) { (prev, s) =>
+          prev.flatMap(p => es.filter(e => e._4 == s && e._3 >= p)
+            .map(_._3).reduceOption(_ min _))
+        }.tail
+        val has = ts.map(t => if (t.isDefined) 1 else 0)
+        assert(got(u) == ((has, has.sum)), s"user $u")
+      }
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
