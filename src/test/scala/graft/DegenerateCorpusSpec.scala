@@ -79,6 +79,34 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(perProbe.values.forall(_ == 6)) // 7 non-zero others minus self
   }
 
+  test("corpus_clean composes over a degenerate corpus, keeping the near-dup representative") {
+    import spark.implicits._
+    // composition is where degenerate rows resurface: the empty and
+    // too-short docs must fall out at the ≥3-token gate (before any
+    // ratio math), the two planted 40-token near-dups (trigram Jaccard
+    // ≈ 0.95) must collapse to the min-id representative, and the
+    // cluster closure must tolerate however few pairs survive
+    val dir = Files.createTempDirectory("graft_degen_clean").toString
+    val filler = (0 until 38).map(i => s"w$i")
+    val good = (filler ++ Seq("the", "and")).mkString(" ")
+    val nearDup = (filler.updated(5, "changed") ++ Seq("the", "and"))
+      .mkString(" ")
+    val docs = Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, "tiny doc", "en", "web", 8L),
+      (2L, "punctuation... only?! ...", "en", "web", 25L),
+      (10L, good, "en", "web", good.length.toLong),
+      (11L, nearDup, "en", "web", nearDup.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
+    try {
+      val out = graft.ops.Curation.corpusClean(spark, dir).collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+      assert(out.head.getString(1) == "en")
+      assert(out.head.getDouble(2) >= 0.3)
+    } finally spark.catalog.clearCache() // the engine's cache contract
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()
