@@ -425,6 +425,63 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("moving average equals a brute-force sliding fold on arbitrary logs") {
+    import spark.implicits._
+    import graft.ops.Temporal
+    // tied timestamps make the ROWS frame order on (ts, event_id) the
+    // only deterministic rule — brute force applies the same total order;
+    // multiples of 3 keep every frame mean (n ∈ 1..3) exactly binary-
+    // representable, so the 6-dp round is an identity on both sides and
+    // equality is bit-for-bit with no rounding-mode coupling
+    val evGen = Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 5L),
+      Gen.choose(0, 20).map(_ * 3.0))
+    samples(Gen.listOfN(30, evGen), 10).filter(_.nonEmpty).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, ts, v), i) =>
+        (i.toLong, u, ts, "e", v) }
+      val df = rows.toDF("event_id", "user_id", "ts_ns", "event_type",
+        "value")
+      val frame = 3
+      val got = Temporal.windowMovingAvg(df, frame).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getLong(4))).toMap
+      rows.groupBy(_._2).values.foreach { es =>
+        val ordered = es.sortBy(e => (e._3, e._1))
+        ordered.zipWithIndex.foreach { case ((id, _, _, _, _), i) =>
+          val win = ordered.slice(math.max(0, i - frame + 1), i + 1)
+          val mean = win.map(_._5).sum / win.size
+          assert(got(id) == ((mean, win.size.toLong)), s"event $id")
+        }
+      }
+    }
+  }
+
+  test("rolling fingerprint equals an independent hash fold for arbitrary token lists") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val Mod = 144115188075855881L
+    def md5term(t: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(5), 16)
+    }
+    // small vocabulary forces repeated tokens (where an order-insensitive
+    // hash would collide); the empty-text row pins the [''] token fold
+    val docGen = Gen.listOfN(8, Gen.oneOf("ab", "cd", "ef", "gh"))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(12, docGen), 10).foreach { texts =>
+      val all = texts :+ ""
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+        TextAnalysis.rollingFp(col("text")).as("fp")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      all.zipWithIndex.foreach { case (t, i) =>
+        val expect = t.split(" ", -1).foldLeft(0L)(
+          (acc, tok) => (acc * 31 + md5term(tok)) % Mod)
+        assert(got(i.toLong) == expect, s"doc $i text '$t'")
+      }
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
