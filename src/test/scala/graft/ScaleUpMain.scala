@@ -87,8 +87,25 @@ object ScaleUpMain {
         .withColumn("n_chars", length(col("text")))
     }.write.mode("overwrite").parquet(s"$out/shard/documents.parquet")
 
+    // embeddings: replicas are NEW vectors — vec_id offset, array
+    // circularly rotated by a replica-specific stride (7i mod 64, all
+    // distinct and nonzero for i = 1..9). Rotation is norm-preserving, so
+    // the corpus stays one comparable point cloud, but replicas are NOT
+    // clones of the base: exact top-k keeps a real neighbor structure
+    // (verbatim copies would hand every probe ten sim-1.0 twins and turn
+    // the recall question vacuous). Probes stay `vec_id < k` — replica 0
+    // only — so the probe count is FIXED while the searched corpus grows
+    // 10×: exactly the ANN scaling axis.
+    replicate("embeddings") { (df, i) =>
+      val rot = (i * 7) % 64
+      df.withColumn("vec_id", col("vec_id") + lit(i * keyOff))
+        .withColumn("embedding",
+          concat(slice(col("embedding"), rot + 1, 64 - rot),
+            slice(col("embedding"), 1, rot)))
+    }.write.mode("overwrite").parquet(s"$out/rep/embeddings.parquet")
+
     Seq("rep/lineitem", "rep/supplier", "rep/documents", "rep/events",
-      "shard/documents")
+      "rep/embeddings", "shard/documents")
       .foreach { t =>
         val n = spark.read.parquet(s"$out/$t.parquet").count()
         println(s"SCALEUP $t rows=$n")
