@@ -319,6 +319,57 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming upsert under the RocksDB state store equals the batch compaction") {
+    // the 100 TB state story says "state is bounded per key and the
+    // backend is pluggable" — this pins the half the other tests don't
+    // run: the SAME stateful operator over the SAME corpus on the
+    // disk-backed RocksDB provider (what a real large-state deployment
+    // uses instead of the default in-memory HDFS-backed store), with the
+    // provider's engagement proven from the query's own state metrics,
+    // not assumed from the conf
+    import org.apache.spark.sql.functions._
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = Files.createTempDirectory("graft_rocks_in").toString
+      Tables.events(spark, sf)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val checkpoint = Files.createTempDirectory("graft_rocks_ck").toString
+      val q = Streams.upsertStream(spark, Streams.readEvents(spark, dir))
+        .writeStream.format("memory").queryName("ups_rocks")
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val rocksMetrics = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet.toArray(Array.empty[String]))
+        .filter(_.startsWith("rocksdb"))
+      assert(rocksMetrics.nonEmpty, "RocksDB provider did not engage")
+      val streamed = spark.sql(
+        """SELECT user_id, event_type, value, unix_micros(ts) AS ts_us,
+          |  event_id, n_versions
+          |FROM (
+          |  SELECT user_id, event_type, value, ts, event_id, n_versions,
+          |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+          |      ORDER BY n_versions DESC) AS rn
+          |  FROM ups_rocks) t WHERE rn = 1""".stripMargin)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.ops.Lifecycle.upsertLatest(spark, sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3) / 1000, r.getLong(4), r.getLong(5))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("cdc_snapshot key equals the batch compaction and is rerun-safe") {
     // the driver-checked key: streaming replay + feed reconstruction must
     // land on exactly upsert_latest's rows, and a SECOND invocation in the
