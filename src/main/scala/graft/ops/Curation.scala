@@ -32,14 +32,25 @@ object Curation {
   private val MinQuality = 0.3
   private val KeepLang = "en"
 
-  def corpusClean(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
+  def corpusClean(spark: SparkSession, sfDir: String): DataFrame =
+    corpusClean(table(spark, sfDir, "documents"), MinQuality, KeepLang)
+      .orderBy(col("doc_id"))
+
+  /** API form: the full curation pipeline over any `(doc_id, text)` frame
+    * with caller-chosen quality floor and language — unordered (the sfDir
+    * wrapper pins the demo thresholds and the presentation sort). Caller
+    * releases the internal persists via `spark.catalog.clearCache()` per
+    * the engine's cache contract.
+    */
+  def corpusClean(docsIn: DataFrame, minQuality: Double,
+      keepLang: String): DataFrame = {
+    val docs = docsIn
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
       .withColumn("quality_score", TextAnalysis.qualityScore(col("tokens")))
       .withColumn("pred_lang", TextAnalysis.predLang(col("tokens")))
-      .filter(col("quality_score") >= MinQuality &&
-        col("pred_lang") === KeepLang)
+      .filter(col("quality_score") >= minQuality &&
+        col("pred_lang") === keepLang)
     // persisted: the survivor set feeds the shingle pipeline (whose
     // clustering runs one action per propagation round) AND the final
     // representative join — released by the caller-clearCache contract.
@@ -57,7 +68,6 @@ object Curation {
       // keep the component representative (min doc_id) and all singletons
       .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
-      .orderBy(col("doc_id"))
   }
 
   val oracleSql: Map[String, String] = Map(

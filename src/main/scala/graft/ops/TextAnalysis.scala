@@ -33,7 +33,15 @@ object TextAnalysis {
     * quality score (longer docs with organic stopword share score higher).
     */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
+    textStats(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: the same per-document statistics over any `(doc_id, text)`
+    * frame — unordered (the sfDir wrapper adds the presentation sort).
+    * Like every form in this family, the whole computation is scan-stage
+    * scalar/HOF expressions: zero shuffle regardless of the input frame.
+    */
+  def textStats(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(col("tokens")))
@@ -56,16 +64,20 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("avg_token_len"), col("punct_chars"), col("punct_ratio"),
         col("stop_tokens"), col("stop_ratio"), col("quality_score"))
-      .orderBy(col("doc_id"))
 
   /** n-gram-heuristic language ID: count stopword-lexicon hits per language,
     * argmax with alphabetical tie-break (so a doc with zero hits everywhere
     * deterministically maps to 'de'). Mechanical but scale-shaped: one pass,
     * no shuffle.
     */
-  def langId(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = table(spark, sfDir, "documents")
-      .withColumn("tokens", split(col("text"), " "))
+  def langId(spark: SparkSession, sfDir: String): DataFrame =
+    langId(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: lexicon-hit language ID over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val base = docs.withColumn("tokens", split(col("text"), " "))
     val withHits = Lexicons.foldLeft(base) { case (df, (lang, lex)) =>
       df.withColumn(s"${lang}_hits", hits(col("tokens"), lex))
     }
@@ -75,7 +87,6 @@ object TextAnalysis {
       .withColumn("pred_lang", pred)
       .select(col("doc_id"), col("de_hits"), col("en_hits"), col("es_hits"),
         col("fr_hits"), col("pred_lang"))
-      .orderBy(col("doc_id"))
   }
 
   /** Token counting: whitespace tokens vs a BPE-ish regex segmentation
@@ -83,12 +94,16 @@ object TextAnalysis {
     * standard pre-tokenizer shape.
     */
   def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .select(
-        col("doc_id"),
-        size(split(col("text"), " ")).as("n_ws_tokens"),
-        bpeTokenCount(col("text")).as("n_bpe_tokens"))
-      .orderBy(col("doc_id"))
+    tokenCount(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: both token counts over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      bpeTokenCount(col("text")).as("n_bpe_tokens"))
 
   /** Corpus vocabulary top-k: the canonical distributed word count. The
     * aggregation combines map-side (shuffle carries one row per distinct
@@ -98,11 +113,20 @@ object TextAnalysis {
     * token for a deterministic, oracle-stable cut.
     */
   def vocabTopK(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
+    vocabTopK(table(spark, sfDir, "documents"), 50)
+
+  /** API form: global token top-`k` over any `(doc_id, text)` frame. The
+    * order-by-limit IS the semantics here (TakeOrdered top-k, constant
+    * driver memory), so this form keeps its ordering.
+    */
+  def vocabTopK(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
-      .limit(50)
+      .limit(k)
+  }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over the
     * token-hash sequence, mod a ~2^57 prime (keeps acc·31 + token term well
@@ -115,9 +139,13 @@ object TextAnalysis {
     * order-sensitivity are additionally asserted in-suite.
     */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), rollingFp(col("text")).as("rolling_fp"))
-      .orderBy(col("doc_id"))
+    docFingerprint(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: rolling fingerprint over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def docFingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), rollingFp(col("text")).as("rolling_fp"))
 
   /** Pattern redaction over the events `props` payload: digit runs are
     * replaced by a `<NUM>` placeholder and the hit count is surfaced per
@@ -129,12 +157,22 @@ object TextAnalysis {
     * stand-in — every row carries at least one hit to redact.)
     */
   def textRedact(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.table(spark, sfDir, "events")
-      .select(col("event_id"),
-        regexp_replace(col("props"), "[0-9]+", "<NUM>").as("redacted"),
-        size(regexp_extract_all(col("props"), lit("[0-9]+"), lit(0)))
-          .as("n_hits"))
+    textRedact(graft.Tables.table(spark, sfDir, "events"),
+      idCol = "event_id", payloadCol = "props")
       .orderBy(col("event_id"))
+
+  /** API form: redact every `pattern` match in `payloadCol` with
+    * `placeholder` and surface the hit count, over any frame — the regex
+    * is the policy (swap in email/phone/SSN patterns), the plan is always
+    * a scan-stage projection. Output: (idCol, redacted, n_hits),
+    * unordered.
+    */
+  def textRedact(df: DataFrame, idCol: String, payloadCol: String,
+      pattern: String = "[0-9]+", placeholder: String = "<NUM>"): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(col(payloadCol), pattern, placeholder).as("redacted"),
+      size(regexp_extract_all(col(payloadCol), lit(pattern), lit(0)))
+        .as("n_hits"))
 
   /** The [0,1] quality score from a tokens column — the single source
     * `textStats` and the composed `corpus_clean` pipeline share: longer
@@ -198,8 +236,17 @@ object TextAnalysis {
     * per engine; on the 6-dp grid the order (then the token tie-break) is
     * engine-stable.
     */
-  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = table(spark, sfDir, "documents").filter(col("text").isNotNull)
+  def tfidfTopK(spark: SparkSession, sfDir: String): DataFrame =
+    tfidfTopK(table(spark, sfDir, "documents"), 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+
+  /** API form: per-document top-`k` TF-IDF terms over any
+    * `(doc_id, text)` frame — unordered (the sfDir wrapper adds the
+    * presentation sort).
+    */
+  def tfidfTopK(docsIn: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docs = docsIn.filter(col("text").isNotNull)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val tf = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
@@ -212,9 +259,8 @@ object TextAnalysis {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
-      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
   /** Corpus bigram language-model score per document — the perplexity-
@@ -236,8 +282,15 @@ object TextAnalysis {
     * as DECIMAL(20,9): exact, order-independent, and the 9-dp grid
     * absorbs libm's 1-ulp ln() slack across engines.
     */
-  def ngramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = table(spark, sfDir, "documents")
+  def ngramLmScore(spark: SparkSession, sfDir: String): DataFrame =
+    ngramLmScore(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: corpus-bigram mean log-probability per document over any
+    * `(doc_id, text)` frame (the LM is fit on the same frame it scores) —
+    * unordered.
+    */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val base = docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -258,7 +311,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         round(sum(col("logp")).cast(DoubleType) / count(lit(1)), 6)
           .as("avg_logp"))
-      .orderBy(col("doc_id"))
   }
 
   val oracleSql: Map[String, String] = Map(

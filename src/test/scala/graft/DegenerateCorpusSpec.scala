@@ -107,6 +107,44 @@ class DegenerateCorpusSpec extends SparkSpec {
     } finally spark.catalog.clearCache() // the engine's cache contract
   }
 
+  test("text-family API forms run over arbitrary frames with caller parameters") {
+    import spark.implicits._
+    import graft.ops.{Curation, TextAnalysis}
+    val docs = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta delta epsilon zeta"),
+      (3L, "alpha delta delta"))
+      .toDF("doc_id", "text")
+
+    // vocab top-k at a caller-chosen k: true global counts, count-then-
+    // token ordering
+    val vocab = TextAnalysis.vocabTopK(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(vocab == Seq(("alpha", 3L), ("beta", 3L)))
+
+    // per-doc top-1 tf-idf: exactly one row per doc, each doc's max score
+    val tf1 = TextAnalysis.tfidfTopK(docs, 1).collect()
+    assert(tf1.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // redaction with a caller-supplied pattern over a non-harness schema
+    val logs = Seq((1L, "user alice@example.com wrote"),
+      (2L, "no addresses here")).toDF("id", "line")
+    val red = TextAnalysis.textRedact(logs, "id", "line",
+      pattern = "[a-z.]+@[a-z.]+", placeholder = "<EMAIL>").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(red(1L) == (("user <EMAIL> wrote", 1)))
+    assert(red(2L) == (("no addresses here", 0)))
+
+    // curation thresholds are caller policy: loosening the quality floor
+    // can only grow the survivor set
+    val corpus = graft.Tables.table(spark, sf, "documents")
+    try {
+      val strict = Curation.corpusClean(corpus, 0.3, "en").count()
+      val loose = Curation.corpusClean(corpus, 0.0, "en").count()
+      assert(strict > 0 && loose >= strict)
+    } finally spark.catalog.clearCache()
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()
