@@ -32,7 +32,11 @@ object Multimodal {
     * Surfaced as per-slot doubles: the driver comparator can't hash array
     * cells, and float JSON formatting differs between engines.
     */
-  def decodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+  def decodeStub(spark: SparkSession, sfDir: String): DataFrame =
+    decodeStub(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: asset rows over any `(doc_id, text)` frame — unordered. */
+  def decodeStub(docs: DataFrame): DataFrame = {
     // slot i samples 32 strided positions from segment i of the doc:
     // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1).
     // All 8 slot sums come from ONE native single-pass expression
@@ -46,7 +50,7 @@ object Multimodal {
     def slot(i: Int) =
       (pmod(element_at(col("slot_sums"), i + 1), lit(1000L))
         .cast(DoubleType) / 1000.0).as(s"f$i")
-    table(spark, sfDir, "documents")
+    docs
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("meta", struct(
         length(col("payload")).as("n_bytes"),
@@ -58,7 +62,6 @@ object Multimodal {
         col("meta.n_bytes").as("n_bytes"),
         col("meta.mime").as("mime"),
         col("meta.checksum").as("checksum")) ++ (0 until 8).map(slot): _*)
-      .orderBy(col("doc_id"))
   }
 
   /** Frame-sampling shape: explode each payload into fixed-size "frames"
@@ -67,12 +70,23 @@ object Multimodal {
     * typed `mapPartitions` to exercise the real executor-side batch loop a
     * native decoder needs (iterator in, iterator out, nothing driver-side).
     */
-  def frameSample(spark: SparkSession, sfDir: String): DataFrame = {
-    val spark2 = spark
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    frameSample(table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      frameBytes = 256)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** API form: frame-explode any `(doc_id, payload binary)` frame at a
+    * caller-chosen frame size — unordered.
+    */
+  def frameSample(assets: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    val spark2 = assets.sparkSession
     import spark2.implicits._
-    val frameBytes = 256
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    assets
+      // tuple encoders bind by position: pin the two columns explicitly so
+      // any extra caller columns don't shift the payload
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (docId, payload) =>
@@ -90,7 +104,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_digest")
-      .orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Resize shape: downsample each payload to a fixed-length thumbnail by
@@ -99,9 +112,16 @@ object Multimodal {
     * byte-faithful). Fixed output size regardless of input size is the
     * contract a downstream feature extractor needs.
     */
-  def resizeStub(spark: SparkSession, sfDir: String): DataFrame = {
-    val thumbLen = 64
-    table(spark, sfDir, "documents")
+  def resizeStub(spark: SparkSession, sfDir: String): DataFrame =
+    resizeStub(table(spark, sfDir, "documents"), thumbLen = 64)
+      .orderBy(col("doc_id"))
+
+  /** API form: fixed-length strided thumbnail at a caller-chosen length
+    * over any `(doc_id, text)` frame — unordered.
+    */
+  def resizeStub(docs: DataFrame, thumbLen: Int): DataFrame = {
+    require(thumbLen >= 1, s"thumbLen must be >= 1, got $thumbLen")
+    docs
       .withColumn("n_chars", length(col("text")))
       // the strided downsample is StridedAsciiSums degenerated to one term
       // per slot: element i = codepoint at position ⌊i·n/64⌋+1 — the same
@@ -116,7 +136,6 @@ object Multimodal {
         // oracle-checked
         array_join(transform(col("thumb"), _.cast(StringType)), ",")
           .as("thumb_csv"))
-      .orderBy(col("doc_id"))
   }
 
   /** SQL-checkable slice of the multimodal plumbing: payload sizing layout
@@ -125,14 +144,22 @@ object Multimodal {
     * content is not.
     */
   def frameLayout(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .select(
-        col("doc_id"),
-        length(col("payload")).as("n_bytes"),
-        ceil(length(col("payload")).cast(DoubleType) / 256.0)
-          .cast(IntegerType).as("n_frames"))
+    frameLayout(table(spark, sfDir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      frameBytes = 256)
       .orderBy(col("doc_id"))
+
+  /** API form: frame-count layout for any `(doc_id, payload binary)` frame
+    * at a caller-chosen frame size — unordered.
+    */
+  def frameLayout(assets: DataFrame, frameBytes: Int): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes must be >= 1, got $frameBytes")
+    assets.select(
+      col("doc_id"),
+      length(col("payload")).as("n_bytes"),
+      ceil(length(col("payload")).cast(DoubleType) / frameBytes.toDouble)
+        .cast(IntegerType).as("n_frames"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     // stub decode is engine-neutral arithmetic over the ASCII corpus: byte

@@ -42,19 +42,27 @@ object Sketches {
     * distinct count (cheap at any scale — it is itself a partial-agg
     * count-distinct) so the estimate's error is visible in the output.
     */
-  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.table(spark, sfDir, "lineitem")
-    val h = conv(substring(md5(col("l_partkey").cast(StringType)), 1, 15),
+  def kmvDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    kmvDistinct(Tables.table(spark, sfDir, "lineitem"), col("l_partkey"), K)
+
+  /** API form: the KMV sketch + exact twin over any key expression of any
+    * frame, at a caller-chosen sketch size (error ~1/√(k−2)).
+    */
+  def kmvDistinct(df: DataFrame, key: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 3, s"sketch size k must be >= 3, got $k")
+    val h = conv(substring(md5(key.cast(StringType)), 1, 15),
       16, 10).cast(LongType)
-    val mins = li.select(h.as("h")).distinct().orderBy(col("h")).limit(K)
+    val mins = df.select(h.as("h")).distinct().orderBy(col("h")).limit(k)
     val sketch = mins.agg(count(lit(1)).as("k"), max(col("h")).as("kth_hash"))
-    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
-    // (K−1)·2^60 is exactly representable in double (63 × a power of two),
-    // so the division is one IEEE op with identical operands in both
-    // engines; ROUND(6) guards nothing but makes the printed form stable
+    val exact = df.agg(countDistinct(key).as("exact_distinct"))
+    // (k−1)·2^60 is exactly representable in double (small-int × a power
+    // of two), so the division is one IEEE op with identical operands in
+    // both engines; ROUND(6) guards nothing but makes the printed form
+    // stable
     sketch.crossJoin(exact)
       .select(col("k"), col("kth_hash"),
-        round(lit((K - 1).toDouble * M60.toDouble) /
+        round(lit((k - 1).toDouble * M60.toDouble) /
           col("kth_hash").cast(DoubleType), 6).as("est_distinct"),
         col("exact_distinct"))
   }

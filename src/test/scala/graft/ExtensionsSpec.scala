@@ -547,6 +547,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 5) // ab, 1, cd, ",", x
   }
 
+  test("multimodal and sketch API forms honor caller parameters") {
+    import spark.implicits._
+    // frame size is caller policy: a 20-byte payload at frameBytes = 8
+    // explodes to 8+8+4, and the layout op predicts the same count
+    val assets = Seq((1L, "abcdefghijklmnopqrst".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(assets, frameBytes = 8)
+      .orderBy(col("frame_idx")).collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(frames.toSeq == Seq((0, 8), (1, 8), (2, 4)))
+    val layout = Multimodal.frameLayout(assets, frameBytes = 8).head()
+    assert(layout.getInt(2) == 3 && layout.getInt(1) == 20)
+
+    val docs = Seq((1L, "some document text here")).toDF("doc_id", "text")
+    val thumb = Multimodal.resizeStub(docs, thumbLen = 16).head()
+    assert(thumb.getInt(thumb.fieldIndex("thumb_len")) == 16)
+
+    // KMV at a caller-chosen sketch size over an arbitrary key expression
+    val ids = (1 to 100).map(i => Tuple1(i * 7L)).toDF("id")
+    val kmv = graft.ops.Sketches.kmvDistinct(ids, col("id"), k = 8).head()
+    assert(kmv.getLong(0) == 8L) // sketch filled
+    assert(kmv.getLong(3) == 100L) // exact twin
+    assert(kmv.getDouble(2) > 0.0)
+  }
+
   test("multimodal frame explode covers every payload byte exactly once") {
     val frames = Multimodal.frameSample(spark, sf)
     val bytesPerDoc = frames.groupBy("doc_id")
