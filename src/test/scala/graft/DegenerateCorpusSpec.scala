@@ -26,7 +26,8 @@ class DegenerateCorpusSpec extends SparkSpec {
       (0L, "the quick brown fox, jumps!", "en", "web", 27L),
       (1L, "", "en", "web", 0L), // empty text: ratios over 0 chars
       (2L, "a of and to in is the", "en", "synth", 21L),
-      (3L, "punctuation... only?!", "en", "web", 21L))
+      (3L, "punctuation... only?!", "en", "web", 21L),
+      (4L, null, "en", "web", 0L)) // NULL text: stats propagate null
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.coalesce(1).write.parquet(s"$dir/documents.parquet")
     def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
@@ -47,7 +48,12 @@ class DegenerateCorpusSpec extends SparkSpec {
   test("text_stats survives an empty document; its ratios follow the convention") {
     val dir = degenerateSf()
     val rows = TextAnalysis.textStats(spark, dir).collect()
-    assert(rows.length == 4) // the empty doc is still a row, not dropped
+    assert(rows.length == 5) // empty + null docs are rows, not drops
+    // the null-text doc survives with null stats (no abort, no fake 0s)
+    val nul = rows.find(_.getLong(0) == 4L).get
+    Seq("n_chars", "n_tokens", "punct_ratio", "stop_ratio",
+      "quality_score").foreach(c =>
+      assert(nul.isNullAt(nul.fieldIndex(c)), s"null-text doc: $c"))
     val empty = rows.find(_.getLong(0) == 1L).get
     assert(empty.getInt(empty.fieldIndex("n_chars")) == 0)
     // split('', ' ') is [''] — one (empty) token, so token ratios stay
@@ -55,7 +61,7 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(empty.getInt(empty.fieldIndex("n_tokens")) == 1)
     assert(empty.isNullAt(empty.fieldIndex("punct_ratio")))
     assert(empty.getDouble(empty.fieldIndex("stop_ratio")) == 0.0)
-    rows.filter(_.getLong(0) != 1L).foreach { r =>
+    rows.filter(r => r.getLong(0) != 1L && r.getLong(0) != 4L).foreach { r =>
       val pr = r.getDouble(r.fieldIndex("punct_ratio"))
       assert(pr >= 0.0 && pr <= 1.0, s"doc ${r.getLong(0)}")
     }

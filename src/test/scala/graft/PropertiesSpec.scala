@@ -482,6 +482,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("column profile matches a brute-force profile on null-heavy frames") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // ~40% nulls and a tiny value domain: all-null columns and columns
+    // with a single distinct value — the classic profiler corner cases —
+    // occur regularly. Exact fields only; the HLL certificate column is
+    // a corpus-level contract checked elsewhere.
+    val rowGen = Gen.zip(
+      Gen.option(Gen.oneOf("a", "b", "c")).map(_.orNull),
+      Gen.option(Gen.choose(0, 3).map(_ * 1.5)))
+    samples(Gen.listOfN(20, rowGen), 10).foreach { rows =>
+      val df = rows.map { case (s, v) =>
+        (s, v.map(java.lang.Double.valueOf).orNull) }.toDF("s", "v")
+      val got = Lifecycle.profileStats(df,
+        Seq("s" -> false, "v" -> true)).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == Set("s", "v"))
+      val ss = rows.flatMap(r => Option(r._1))
+      val vs = rows.flatMap(_._2)
+      val s = got("s")
+      assert(s.getLong(1) == rows.size && s.getLong(2) == rows.size - ss.size)
+      assert(s.getLong(3) == ss.distinct.size)
+      if (ss.isEmpty) assert(s.isNullAt(7) && s.isNullAt(8))
+      else assert(s.getString(7) == ss.min && s.getString(8) == ss.max)
+      val v = got("v")
+      assert(v.getLong(1) == rows.size && v.getLong(2) == rows.size - vs.size)
+      assert(v.getLong(3) == vs.distinct.size)
+      if (vs.isEmpty) assert(v.isNullAt(5) && v.isNullAt(6))
+      else assert(v.getDouble(5) == vs.min && v.getDouble(6) == vs.max)
+    }
+  }
+
   test("batch sessionization equals a brute-force interval fold on arbitrary events") {
     import java.sql.Timestamp
     import spark.implicits._
