@@ -11,6 +11,27 @@ class PlanSpec extends SparkSpec {
   private def plan(key: String): String =
     SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
 
+  test("per-document text ops are scan-stage projections: zero Exchange") {
+    // the family scaladoc's claim — all per-doc text work (stats, lang
+    // ID, token counts, fingerprints, redaction) runs inside the scan's
+    // codegen pipeline with NO shuffle — as a plan pin on the unordered
+    // API forms (the key forms add only the presentation sort's range
+    // exchange)
+    import graft.ops.TextAnalysis
+    val docs = graft.Tables.table(spark, sf, "documents")
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "textStats" -> TextAnalysis.textStats(docs),
+      "langId" -> TextAnalysis.langId(docs),
+      "tokenCount" -> TextAnalysis.tokenCount(docs),
+      "docFingerprint" -> TextAnalysis.docFingerprint(docs),
+      "textRedact" -> TextAnalysis.textRedact(
+        graft.Tables.table(spark, sf, "events"), "event_id", "props"))
+      .foreach { case (name, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+      }
+  }
+
   test("filter_eq pushes its predicate into the parquet scan") {
     val p = plan("filter_eq")
     assert(p.contains("PushedFilters: ["), p)
