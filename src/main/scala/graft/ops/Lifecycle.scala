@@ -502,18 +502,35 @@ object Lifecycle {
           col(s"p_${i}_$j").cast(DoubleType).as(s"pd_${i}_$j"),
           col(s"fp_${i}_$j")) })
     val stackArgs = pairs.map { case (i, j) =>
-      val corr = s"round((n * pd_${i}_$j - sd_$i * sd_$j) / " +
-        s"(sqrt(n * qd_$i - sd_$i * sd_$i) * " +
-        s"sqrt(n * qd_$j - sd_$j * sd_$j)), 6)"
+      // DEGENERATE-PAIR CONVENTION (the family's standard move, cf.
+      // anomalyZscore/minmaxScale): a zero-variance column — constant, or
+      // a single-row/empty frame — leaves Pearson r undefined, and its
+      // sqrt(0) divisor would ABORT the job under ANSI (Spark 4 default).
+      // Gate BOTH divisions and emit corr = null, fast_ok = null for such
+      // a pair; the lazily-evaluated CASE keeps the divisions unreached.
+      // The fast certificate keeps its own float-variance gate: exact
+      // variance can be positive while the float moments cancel to ≤ 0,
+      // and that near-cancellation IS a failed swap-in (FALSE, not an
+      // abort and not a silent NaN).
+      val vI = s"(n * qd_$i - sd_$i * sd_$i)"
+      val vJ = s"(n * qd_$j - sd_$j * sd_$j)"
+      val defined = s"($vI > 0 AND $vJ > 0)"
+      val corrVal = s"round((n * pd_${i}_$j - sd_$i * sd_$j) / " +
+        s"(sqrt($vI) * sqrt($vJ)), 6)"
+      val corr = s"CASE WHEN $defined THEN $corrVal END"
       // fast_ok CERTIFIES the double-moment swap-in (the scale form that
       // drops the exact-DECIMAL carrying cost): its correlation must land
       // within 1e-5 of the exact value at reported precision — true on
       // any sane accumulation order, hash-checkable because the BOOLEAN
       // is deterministic even though the fast value's low bits are not
+      val fvI = s"(n * fq_$i - fs_$i * fs_$i)"
+      val fvJ = s"(n * fq_$j - fs_$j * fs_$j)"
       val fast = s"(n * fp_${i}_$j - fs_$i * fs_$j) / " +
-        s"(sqrt(n * fq_$i - fs_$i * fs_$i) * " +
-        s"sqrt(n * fq_$j - fs_$j * fs_$j))"
-      s"'${cols(i)}', '${cols(j)}', n, $corr, abs($fast - $corr) <= 1e-5"
+        s"(sqrt($fvI) * sqrt($fvJ))"
+      val fastOk = s"CASE WHEN NOT $defined THEN CAST(NULL AS BOOLEAN) " +
+        s"WHEN $fvI > 0 AND $fvJ > 0 THEN abs($fast - $corrVal) <= 1e-5 " +
+        s"ELSE FALSE END"
+      s"'${cols(i)}', '${cols(j)}', n, $corr, $fastOk"
     }.mkString(", ")
     agg.select(asDouble: _*)
       .selectExpr(s"stack(${pairs.size}, $stackArgs) AS " +
@@ -550,21 +567,25 @@ object Lifecycle {
         |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
         |       AS DOUBLE) AS pd_1_2
         |  FROM lineitem)
-        |SELECT col_x, col_y, n, corr, true AS fast_ok FROM (
+        |SELECT col_x, col_y, n,
+        |  CASE WHEN vx > 0 AND vy > 0
+        |       THEN round(cov / (sqrt(vx) * sqrt(vy)), 6) END AS corr,
+        |  CASE WHEN vx > 0 AND vy > 0 THEN true END AS fast_ok
+        |FROM (
         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y, n,
-        |    round((n * pd_0_1 - sd_0 * sd_1) /
-        |      (sqrt(n * qd_0 - sd_0 * sd_0) *
-        |       sqrt(n * qd_1 - sd_1 * sd_1)), 6) AS corr FROM a
+        |    n * pd_0_1 - sd_0 * sd_1 AS cov,
+        |    n * qd_0 - sd_0 * sd_0 AS vx,
+        |    n * qd_1 - sd_1 * sd_1 AS vy FROM a
         |  UNION ALL
         |  SELECT 'l_quantity', 'l_discount', n,
-        |    round((n * pd_0_2 - sd_0 * sd_2) /
-        |      (sqrt(n * qd_0 - sd_0 * sd_0) *
-        |       sqrt(n * qd_2 - sd_2 * sd_2)), 6) FROM a
+        |    n * pd_0_2 - sd_0 * sd_2,
+        |    n * qd_0 - sd_0 * sd_0,
+        |    n * qd_2 - sd_2 * sd_2 FROM a
         |  UNION ALL
         |  SELECT 'l_extendedprice', 'l_discount', n,
-        |    round((n * pd_1_2 - sd_1 * sd_2) /
-        |      (sqrt(n * qd_1 - sd_1 * sd_1) *
-        |       sqrt(n * qd_2 - sd_2 * sd_2)), 6) FROM a) t
+        |    n * pd_1_2 - sd_1 * sd_2,
+        |    n * qd_1 - sd_1 * sd_1,
+        |    n * qd_2 - sd_2 * sd_2 FROM a) t
         |ORDER BY col_x, col_y""".stripMargin,
     "histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bin,

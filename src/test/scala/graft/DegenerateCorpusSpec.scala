@@ -151,6 +151,28 @@ class DegenerateCorpusSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("corr_matrix emits null for zero-variance pairs instead of aborting") {
+    import spark.implicits._
+    import graft.ops.Lifecycle
+    // a constant column makes Pearson r undefined — its pairs must go
+    // null (not ANSI-abort on the sqrt(0) divisor, not NaN), while the
+    // non-degenerate pair still computes; x,y are exactly linear so the
+    // exact moments give r = 1.0 and the float certificate holds
+    val df = Seq((1.0, 5.0, 2.0), (2.0, 5.0, 4.0), (3.0, 5.0, 6.0))
+      .toDF("x", "c", "y")
+    val got = Lifecycle.corrMatrix(df, Seq("x", "c", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+    assert(got(("x", "c")) == ((None, None)))
+    assert(got(("c", "y")) == ((None, None)))
+    assert(got(("x", "y")) == ((Some(1.0), Some(true))))
+    // single-row frame: every pair degenerate, still no abort
+    val one = Lifecycle.corrMatrix(
+      Seq((1.0, 2.0)).toDF("a", "b"), Seq("a", "b")).collect()
+    assert(one.length == 1 && one.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()
