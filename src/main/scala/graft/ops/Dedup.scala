@@ -64,7 +64,13 @@ object Dedup {
 
   /** Documents with word tokens; drops docs too short to shingle. */
   private def tokenized(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
+    tokenizedDocs(table(spark, sfDir, "documents"))
+
+  /** Same, over any `(doc_id, text)` frame — the entry the API forms of
+    * the shingle-based dedup family share.
+    */
+  private def tokenizedDocs(docs: DataFrame): DataFrame =
+    docs
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
 
@@ -74,10 +80,17 @@ object Dedup {
     * pairs at Jaccard ≈ 0.99 with nothing else above 0.1, so the threshold
     * is robust across scale factors.
     */
-  def dedupNear(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupNear(spark: SparkSession, sfDir: String): DataFrame =
+    dedupNear(table(spark, sfDir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** API form: MinHash+LSH near-dup pairs over any `(doc_id, text)` frame
+    * — unordered.
+    */
+  def dedupNear(docs: DataFrame): DataFrame = {
     val shingled = new NGram().setN(3)
       .setInputCol("tokens").setOutputCol("shingles")
-      .transform(tokenized(spark, sfDir))
+      .transform(tokenizedDocs(docs))
     // prune to the two columns the join needs; the expensive shingle→TF
     // lineage is materialized exactly once, via the persisted `hashed`
     // frame below (MinHashLSH.fit only reads one row for the dimension)
@@ -99,7 +112,6 @@ object Dedup {
         col("datasetB.doc_id").as("doc_b"),
         round(col("jaccard_dist"), 6).as("jaccard_dist"))
       .filter(col("doc_a") < col("doc_b"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash fingerprint per document, plus 4×15-bit bands
@@ -112,7 +124,12 @@ object Dedup {
     * by pigeonhole over 4 bands).
     */
   def dedupSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    simhashFingerprints(spark, sfDir).orderBy(col("doc_id"))
+    dedupSimhash(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: fingerprint + bands over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def dedupSimhash(docs: DataFrame): DataFrame = simhashFingerprints(docs)
 
   /** Unordered fingerprint+bands relation — the shared core of the
     * fingerprint key and the banded pair join (which must not pay the
@@ -137,8 +154,8 @@ object Dedup {
     * Pigeonhole is preserved: a pair at hamming ≤ 3 differs in ≤ 3 of the
     * 60 real bits, leaving at least one of the 4 bands intact.
     */
-  private def simhashFingerprints(spark: SparkSession, sfDir: String): DataFrame =
-    tokenized(spark, sfDir)
+  private def simhashFingerprints(docs: DataFrame): DataFrame =
+    tokenizedDocs(docs)
       .select(col("doc_id"),
         graft.functions.StringMath.simhashFingerprint(col("tokens"))
           .as("simhash"))
@@ -158,8 +175,15 @@ object Dedup {
     * filters to ≤ 3. Pairs colliding in several bands are deduped with a
     * groupBy on the pair key, not `distinct` over the whole row.
     */
-  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = simhashFingerprints(spark, sfDir).persist()
+  def dedupSimhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSimhashPairs(table(spark, sfDir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** API form: banded hamming ≤ 3 pairs over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def dedupSimhashPairs(docs: DataFrame): DataFrame = {
+    val fp = simhashFingerprints(docs).persist()
     val banded = fp.select(col("doc_id"), col("simhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),
           col("band3"))).as(Seq("band_idx", "band_val")))
@@ -173,7 +197,6 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("hamming")).as("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Number of independent conjunctive blocking bands for `dedupNgram`. */
@@ -285,7 +308,14 @@ object Dedup {
     * (the documented cache-lifetime contract).
     */
   def dedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    ngramPairs(shingleSets(tokenized(spark, sfDir)).persist())
+    dedupNgram(table(spark, sfDir, "documents"))
+
+  /** API form: exact two-minima-blocked n-gram Jaccard pairs over any
+    * `(doc_id, text)` frame (ordered by pair — the blocking join's output
+    * order is not meaningful to preserve).
+    */
+  def dedupNgram(docs: DataFrame): DataFrame =
+    ngramPairs(shingleSets(tokenizedDocs(docs)).persist())
 
   /** Min-label propagation over an undirected pair graph: returns one row
     * per distinct endpoint with the component's minimum doc_id as its

@@ -482,6 +482,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("simhash banded pairs equal brute-force hamming<=3 on arbitrary near-dup corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // random corpora BUILT to cluster: each doc is a base token list with
+    // 0-3 positions perturbed, so fingerprints land at assorted small
+    // hamming distances — the regime where the pigeonhole claim (any
+    // pair ≤ 3 shares an intact band) either holds or visibly loses pairs
+    val base = (0 until 30).map(i => s"tok$i").toVector
+    val docGen = Gen.zip(Gen.choose(0, 3), Gen.listOfN(3,
+      Gen.zip(Gen.choose(0, 29), Gen.oneOf("alt1", "alt2", "alt3"))))
+      .map { case (k, edits) =>
+        edits.take(k).foldLeft(base) { case (t, (pos, w)) =>
+          t.updated(pos, w) }.mkString(" ")
+      }
+    samples(Gen.listOfN(10, docGen), 8).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val banded = Dedup.dedupSimhashPairs(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      val fp = Dedup.dedupSimhash(df).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (a, fa) <- fp; (b, fb) <- fp if a < b
+        h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      assert(banded == brute)
+      spark.catalog.clearCache() // dedupSimhashPairs persists fingerprints
+    }
+  }
+
   test("column profile matches a brute-force profile on null-heavy frames") {
     import spark.implicits._
     import graft.ops.Lifecycle
