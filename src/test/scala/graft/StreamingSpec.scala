@@ -645,4 +645,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("streaming as-of and N-stage funnel equal batch twins on random tie-heavy logs") {
+    import org.apache.spark.sql.functions._
+    // Property pin (the PropertiesSpec discipline, run here for the
+    // streaming machinery): under single-batch replay of ANY log —
+    // arbitrary arrival order, exact timestamp ties, premature stage
+    // events, attribution-less probes — the in-batch event-time sort must
+    // reproduce the batch operators exactly. The corpus pins above prove
+    // one (benign) log; these five seeded tie-heavy logs (4 users × 6
+    // distinct timestamps × 40 events force same-instant collisions the
+    // corpus never produces) adversarially exercise both tie rules: the
+    // as-of's click-before-purchase and the funnel's earlier-stage-first.
+    // A user absent from the funnel change log never advanced — the
+    // documented reconstruction is stage 0.
+    val stages = Seq("view", "click", "purchase")
+    (0 until 5).foreach { trial =>
+      val rnd = new scala.util.Random(4242L + trial)
+      val rows = (0 until 40).map { j =>
+        (trial * 1000L + j, ts(rnd.nextInt(6)), 1L + rnd.nextInt(4),
+          stages(rnd.nextInt(3)), rnd.nextDouble())
+      }
+      val dir = Files.createTempDirectory(s"graft_propstr_in$trial").toString
+      writeBatch(dir, rows)
+      val batchEvents = spark.read.parquet(dir).select(
+        col("event_id"), col("user_id"), col("event_type"),
+        (unix_micros(col("ts")) * 1000L).as("ts_ns"))
+
+      val qa = Streams.asofAttribution(spark, Streams.readEvents(spark, dir))
+        .writeStream.format("memory").queryName(s"pasof$trial")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qa.awaitTermination()
+      val sAsof = spark.sql(
+        s"SELECT event_id, unix_micros(click_ts) FROM pasof$trial")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val bAsof = graft.ops.Temporal
+        .joinAsof(batchEvents, probeType = "purchase", refType = "click")
+        .select(col("event_id"), col("ref_ts_ns"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1) / 1000))).toMap
+      assert(sAsof == bAsof, s"as-of mismatch on trial $trial")
+
+      val qf = Streams.funnelProgressStages(spark,
+        Streams.readEvents(spark, dir), stages)
+        .writeStream.format("memory").queryName(s"pfunn$trial")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qf.awaitTermination()
+      val sFunn = spark.sql(
+        s"SELECT user_id, max(funnel_stage) FROM pfunn$trial GROUP BY user_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val bFunn = graft.ops.Temporal.eventFunnel(batchEvents, stages)
+        .select(col("user_id"), col("funnel_stage"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      bFunn.foreach { case (u, st) =>
+        assert(sFunn.getOrElse(u, 0) == st,
+          s"funnel mismatch for user $u on trial $trial") }
+      assert(sFunn.keySet.subsetOf(bFunn.keySet),
+        s"stream emitted a user the batch never saw on trial $trial")
+    }
+  }
 }
