@@ -705,4 +705,71 @@ class StreamingSpec extends SparkSpec {
         s"stream emitted a user the batch never saw on trial $trial")
     }
   }
+
+  test("streaming upsert and sessionization equal batch twins on random tie-heavy logs") {
+    import org.apache.spark.sql.functions._
+    // Same discipline as the as-of/funnel pin above, for the other two
+    // tie rules: the upsert's total version order (ts, event_id) under
+    // heavy same-instant key collisions (3 users × 2 types × 4 distinct
+    // timestamps × 40 events), and the sessionization's INCLUSIVE gap
+    // boundary (minute-resolution events with gap = 2 min make
+    // exactly-gap-apart neighbors common — the classic off-by-one).
+    // Integral values keep every double sum exact, so full rows compare,
+    // not just keys.
+    (0 until 5).foreach { trial =>
+      val rnd = new scala.util.Random(9090L + trial)
+      val types = Seq("x", "y")
+      val upsRows = (0 until 40).map { j =>
+        (trial * 1000L + j, ts(rnd.nextInt(4)), 1L + rnd.nextInt(3),
+          types(rnd.nextInt(2)), rnd.nextInt(10).toDouble)
+      }
+      val udir = Files.createTempDirectory(s"graft_propups_in$trial").toString
+      writeBatch(udir, upsRows)
+      val qu = Streams.upsertStream(spark, Streams.readEvents(spark, udir))
+        .writeStream.format("memory").queryName(s"pups$trial")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qu.awaitTermination()
+      // single-batch replay → exactly one emission per key = the snapshot
+      val sUps = spark.sql(
+        s"""SELECT user_id, event_type, value, unix_micros(ts) AS ts_us,
+           |  event_id, n_versions FROM pups$trial""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      val bUps = graft.ops.Lifecycle.upsertLatest(
+        spark.read.parquet(udir).select(col("event_id"), col("user_id"),
+          col("event_type"), col("value"),
+          (unix_micros(col("ts")) * 1000L).as("ts_ns")),
+        keys = Seq("user_id", "event_type"),
+        versionCols = Seq("ts_ns", "event_id"), payload = Seq("value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getLong(3) / 1000, r.getLong(4), r.getLong(5))).toSet
+      assert(sUps == bUps, s"upsert mismatch on trial $trial")
+
+      val sessRows = (0 until 25).map { j =>
+        (trial * 1000L + 500 + j, ts(rnd.nextInt(11)), 1L + rnd.nextInt(4),
+          "view", rnd.nextInt(10).toDouble)
+      }
+      val sdir = Files.createTempDirectory(s"graft_propsess_in$trial").toString
+      writeBatch(sdir, sessRows)
+      // sentinel far past every event: advances the watermark beyond
+      // last + gap for all real users, closing every session
+      writeBatch(sdir, Seq((-1L,
+        new Timestamp(ts(0).getTime + 365L * 24 * 3600 * 1000), -1L,
+        "sentinel", 0.0)))
+      val qs = Streams.sessionize(spark, Streams.readEvents(spark, sdir),
+        gapMinutes = 2)
+        .writeStream.format("memory").queryName(s"psess$trial")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qs.awaitTermination()
+      def keyed(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getTimestamp(2)) ->
+          (r.getLong(1), r.getTimestamp(3), r.getDouble(4))).toMap
+      val sSess = keyed(spark.sql(
+        s"""SELECT user_id, n_events, start, end, total_value
+           |FROM psess$trial WHERE user_id >= 0""".stripMargin))
+      val bSess = keyed(Streams.sessionizeBatch(
+        spark.read.parquet(sdir).filter(col("user_id") >= 0), gapMinutes = 2))
+      assert(sSess == bSess, s"sessionization mismatch on trial $trial")
+    }
+  }
 }
