@@ -45,6 +45,12 @@ object Streams {
   case class AsofOut(event_id: Long, user_id: Long, ts: Timestamp,
     click_ts: Option[Timestamp])
 
+  /** Generic-role twin of [[AsofOut]]: `ref_ts` instead of the demo's
+    * `click_ts` — the output row of the probe/ref API form below.
+    */
+  case class AsofRefOut(event_id: Long, user_id: Long, ts: Timestamp,
+    ref_ts: Option[Timestamp])
+
   case class FunnelState(sawView: Boolean, sawQClick: Boolean,
     sawPurchase: Boolean)
 
@@ -212,22 +218,46 @@ object Streams {
   def asofAttribution(spark: SparkSession, events: DataFrame,
       stateTtlMinutes: Option[Int]): Dataset[AsofOut] = {
     import spark.implicits._
+    asofAttribution(spark, events, probeType = "purchase",
+      refType = "click", stateTtlMinutes)
+      .withColumnRenamed("ref_ts", "click_ts")
+      .as[AsofOut]
+  }
+
+  /** API form of [[asofAttribution]] — the streaming twin of the batch
+    * `Temporal.joinAsof(events, probeType, refType)` generic: each
+    * `probeType` event is attributed to the same user's latest `refType`
+    * event at-or-before it (ties order the ref first, matching the batch
+    * inclusive bound), over any events-shaped stream. Same one-timestamp
+    * state, same optional TTL eviction, same append-mode late-data
+    * contract as the demo form — which is this with probe = purchase,
+    * ref = click and the column renamed to its historical `click_ts`.
+    * StreamingSpec pins the generic roles against the batch generic on
+    * random logs.
+    */
+  def asofAttribution(spark: SparkSession, events: DataFrame,
+      probeType: String, refType: String,
+      stateTtlMinutes: Option[Int] = None): Dataset[AsofRefOut] = {
+    import spark.implicits._
+    require(probeType != refType,
+      s"probe and ref event types must differ, got '$probeType' for both")
     val ttlMs = stateTtlMinutes.map(_ * 60L * 1000L)
 
     def update(userId: Long, rows: Iterator[Event],
-        state: GroupState[ClickState]): Iterator[AsofOut] = {
+        state: GroupState[ClickState]): Iterator[AsofRefOut] = {
       if (state.hasTimedOut) {
         state.remove()
         Iterator.empty
       } else {
         var last: Option[Timestamp] = state.getOption.map(_.ts)
         val ordered = rows.toSeq.sortBy(e =>
-          (e.ts.getTime, e.ts.getNanos, if (e.event_type == "purchase") 1 else 0))
-        val out = Seq.newBuilder[AsofOut]
+          (e.ts.getTime, e.ts.getNanos, if (e.event_type == probeType) 1 else 0))
+        val out = Seq.newBuilder[AsofRefOut]
         ordered.foreach { e =>
           e.event_type match {
-            case "click" => last = Some(e.ts)
-            case "purchase" => out += AsofOut(e.event_id, userId, e.ts, last)
+            case t if t == refType => last = Some(e.ts)
+            case t if t == probeType =>
+              out += AsofRefOut(e.event_id, userId, e.ts, last)
             case _ => ()
           }
         }
@@ -248,7 +278,7 @@ object Streams {
     val src = if (ttlMs.isDefined)
       events.withWatermark("ts", "10 minutes") else events
     src
-      .filter(col("event_type").isin("click", "purchase"))
+      .filter(col("event_type").isin(refType, probeType))
       .as[Event]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(

@@ -687,6 +687,24 @@ class StreamingSpec extends SparkSpec {
           (if (r.isNullAt(1)) None else Some(r.getLong(1) / 1000))).toMap
       assert(sAsof == bAsof, s"as-of mismatch on trial $trial")
 
+      // generic probe/ref roles (click attributed to latest view) against
+      // the batch generic — same log, different tie pairing
+      val qg = Streams.asofAttribution(spark, Streams.readEvents(spark, dir),
+        probeType = "click", refType = "view")
+        .writeStream.format("memory").queryName(s"pasofg$trial")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      qg.awaitTermination()
+      val sGen = spark.sql(
+        s"SELECT event_id, unix_micros(ref_ts) FROM pasofg$trial")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      val bGen = graft.ops.Temporal
+        .joinAsof(batchEvents, probeType = "click", refType = "view")
+        .select(col("event_id"), col("ref_ts_ns"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1) / 1000))).toMap
+      assert(sGen == bGen, s"generic as-of mismatch on trial $trial")
+
       val qf = Streams.funnelProgressStages(spark,
         Streams.readEvents(spark, dir), stages)
         .writeStream.format("memory").queryName(s"pfunn$trial")
