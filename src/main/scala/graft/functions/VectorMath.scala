@@ -95,6 +95,76 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Native int8 dot product for the QUANTIZED ANN path
+  * ([[graft.ops.Similarity.simSearchQuantized]]): both inputs are
+  * array<tinyint> (symmetric int8-quantized embeddings), the accumulator
+  * is a long (no overflow: 2^31 elements × 127² fits), and the caller
+  * rescales by the two per-vector scales. Same null/length contract as
+  * [[DotProduct]]; same tight codegen'd primitive loop — the point of
+  * quantization is that this loop reads 1 byte per element instead of 8,
+  * so at 100 TB the candidate scan is 8× less memory traffic.
+  */
+case class DotProductInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isByteArray(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }
+    if (isByteArray(left.dataType) && isByteArray(right.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product_int8 requires two array<tinyint> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getByte(i).toLong * y.getByte(i).toLong
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = $a.numElements();
+         |long $s = 0L;
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductInt8 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product_int8"
+}
+
 /** Session extensions registering the engine's native functions — install
   * with `SparkSession.builder().withExtensions(new GraftExtensions)` or
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
@@ -109,6 +179,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           s"dot_product requires exactly 2 arguments, got ${exprs.length}")
       }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product_int8"),
+      new ExpressionInfo(classOf[DotProductInt8].getName, "dot_product_int8"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(a, b) => DotProductInt8(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"dot_product_int8 requires exactly 2 arguments, got ${exprs.length}")
+      }))
   }
 }
 
@@ -122,6 +200,12 @@ object VectorMath {
     */
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Int8 dot product of two array<tinyint> columns (long result) via the
+    * codegen'd native expression — the quantized ANN scoring kernel.
+    */
+  def dotInt8(a: Column, b: Column): Column =
+    Bridge.column(DotProductInt8(Bridge.expression(a), Bridge.expression(b)))
 
   /** Same function resolved by name — requires `GraftExtensions` on the
     * session; useful from the SQL surface (`SELECT dot_product(a, b)`).

@@ -214,6 +214,85 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** INT8 QUANTIZATION of an embedding frame: symmetric per-vector scale
+    * (`maxabs/127`), vector stored as array<tinyint>. At 100 TB the
+    * quantized corpus is 4× smaller than float32 (8× smaller than the
+    * double-cast scoring form) — the difference between an in-memory
+    * candidate scan and a spilling one. Exact per-vector `q_scale` and the
+    * float norm ride along so scores rescale and the rerank stage can
+    * recover exactness. Requires positive-norm input (callers come through
+    * [[prepped]], which excludes zero vectors — there `maxabs > 0`, so the
+    * scale never zeroes and round(x/scale) ∈ [−127, 127] exactly).
+    */
+  private[ops] def quantize(v: DataFrame, vecCol: String): DataFrame =
+    v.withColumn("q_scale",
+        aggregate(col(vecCol), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+          / 127.0)
+      .withColumn("q_vec",
+        transform(col(vecCol), x => round(x / col("q_scale"), 0)
+          .cast(ByteType)))
+
+  /** QUANTIZED-SCAN + EXACT-RERANK top-k: the two-stage serving layout
+    * every production vector store uses. Stage 1 scores ALL candidates
+    * with the int8 kernel ([[graft.functions.VectorMath.dotInt8]] — 1 byte
+    * per element of memory traffic instead of 8) and keeps the top
+    * `k·rerank` per probe via the same WindowGroupLimit partial top-k as
+    * [[simSearch]]; stage 2 re-scores ONLY those survivors (k·rerank·
+    * probes rows — a broadcastable sliver) with the exact double kernel
+    * and cuts to k. Output schema/rounding/tie-breaks match [[simSearch]]
+    * exactly, so when the rerank pool covers the true top-k the result is
+    * IDENTICAL to the exact path — the suite pins pooled recall and the
+    * int8 pre-score's error envelope.
+    *
+    * Unlike LSH/IVF this path still reads every candidate once — it cuts
+    * constant-factor memory bandwidth, not asymptotics — so at 100 TB it
+    * serves as the rerank tier UNDER an IVF/LSH candidate stage, or alone
+    * on the largest corpus that fits a quantized in-memory scan.
+    */
+  def simSearchQuantized(spark: SparkSession, sfDir: String,
+      probe: Column = defaultProbe, k: Int = K,
+      rerank: Int = 3): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val v = quantize(prepped(spark, sfDir), "demb")
+    // the probe predicate binds over embeddings-table columns, so filter
+    // BEFORE the q_-renames (same convention as simSearch)
+    val probesF = v.filter(probe)
+      .select(col("vec_id").as("q_id"), col("q_vec").as("pq_vec"),
+        col("q_scale").as("pq_scale"), col("nrm").as("q_nrm"),
+        col("demb").as("q_emb"))
+    val cands = v.select(col("vec_id").as("c_id"), col("q_vec").as("cq_vec"),
+      col("q_scale").as("cq_scale"), col("nrm").as("c_nrm"))
+    val wPre = Window.partitionBy(col("q_id"))
+      .orderBy(col("pre_sim").desc, col("c_id"))
+    // stage 1: int8 scan — no float arrays cross this stage's shuffle,
+    // only (q_id, c_id, pre-rank) survive
+    val pool = cands.crossJoin(broadcast(probesF.drop("q_emb")))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("pre_sim",
+        col("pq_scale") * col("cq_scale")
+          * VectorMath.dotInt8(col("pq_vec"), col("cq_vec"))
+          / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pre_rnk", row_number().over(wPre))
+      .filter(col("pre_rnk") <= k * rerank)
+      .select(col("q_id"), col("c_id"))
+    // stage 2: exact rerank on the sliver only (same kernel, rounding and
+    // tie-break as simSearch → identical output when recall is total)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    pool
+      .join(v.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+        col("nrm").as("c_nrm")), "c_id")
+      .join(broadcast(probesF.select(col("q_id"), col("q_emb"),
+        col("q_nrm"))), "q_id")
+      .withColumn("sim", round(
+        VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** POOLED-RECALL CERTIFICATE: one row summarizing an approximate result
     * against the exact path — (n_probes, k, floor, recall_ok) with
     * recall_ok ⟺ |approx ∩ exact| ≥ floor · |exact| pooled over all

@@ -317,6 +317,53 @@ class ExtensionsSpec extends SparkSpec {
     assert(both.filter(col("native").isNull).count() == 0)
   }
 
+  test("native dot_product_int8 is bit-identical to the HOF integer fold") {
+    import org.apache.spark.sql.types.{ByteType, LongType}
+    import graft.functions.VectorMath
+    // synthetic int8 vectors covering the full [-127, 127] range
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(63)),
+        i => ((i * 37 + col("id")) % 255 - 127).cast(ByteType)).as("a"),
+      transform(sequence(lit(0), lit(63)),
+        i => ((i * 53 + col("id") * 7) % 255 - 127).cast(ByteType)).as("b"))
+    val both = df.select(
+      VectorMath.dotInt8(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast(LongType) * y.cast(LongType)),
+        lit(0L), (acc, x) => acc + x).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    assert(both.filter(col("native").isNull).count() == 0)
+    // null-element and length-mismatch poisoning, as in dot_product
+    val edge = df.limit(1).select(
+      VectorMath.dotInt8(col("a"), slice(col("b"), 1, 10)).as("short"),
+      VectorMath.dotInt8(col("a"),
+        concat(slice(col("b"), 1, 63), array(lit(null).cast(ByteType))))
+        .as("poisoned"))
+    assert(edge.filter(col("short").isNull && col("poisoned").isNull)
+      .count() == 1)
+  }
+
+  test("quantized scan + exact rerank matches the exact path's sims") {
+    import spark.implicits._
+    val exact = Similarity.simSearch(spark, sf)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+    val quant = Similarity.simSearchQuantized(spark, sf)
+      .select("q_id", "c_id", "sim").as[(Long, Long, Double)].collect()
+    assert(quant.length == exact.length)
+    // stage 2 re-scores with the exact kernel, so every pair the pool
+    // recalled must carry the IDENTICAL rounded similarity
+    val exactSims = exact.map(r => (r._1, r._2) -> r._3).toMap
+    quant.foreach { case (q, c, s) =>
+      exactSims.get((q, c)).foreach(es => assert(es == s)) }
+    // int8 pre-score error is a fraction of the top-k spread, so the
+    // 3×k rerank pool recalls ~all of the true top-10; floor at 0.9
+    // (not equality) for corpus-regeneration headroom
+    val recall = exact.map(r => (r._1, r._2)).toSet
+      .intersect(quant.map(r => (r._1, r._2)).toSet).size.toDouble /
+      exact.length
+    assert(recall >= 0.9, s"quantized recall too low: $recall")
+  }
+
   test("IVF sim_search: bounded by exact results, sane recall") {
     import spark.implicits._
     val exact = Similarity.simSearch(spark, sf)
