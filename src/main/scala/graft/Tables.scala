@@ -37,22 +37,45 @@ object Tables {
     spark.read.format("csv").option("header", "true")
       .options(csvOptions).load(path)
 
-  /** `events` with its timestamp normalized to Spark's native µs precision.
-    *
-    * The harness file stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp; with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of
-    * nanoseconds. `timestamp_micros(ts div 1000)` floors ns→µs exactly like
-    * DuckDB's `CAST(ts AS TIMESTAMP)` does for positive epochs, so oracle
-    * comparisons stay exact.
+  /** `events` with its timestamp normalized to a plain µs-precision
+    * `TimestampType` `ts`, whatever physical shape the harness parquet
+    * carries this round. One chokepoint for every consumer — the harness
+    * has already shipped three representations across rounds, and each
+    * drift that escaped this function broke seven query keys at once.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = table(spark, sfDir, "events")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-          "timestamp_micros(ts div 1000)"))
-      case _ => raw // already a timestamp (session without the legacy flag)
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    normalizeTs(table(spark, sfDir, "events"))
+
+  /** Normalizes column `ts` to `TimestampType` (µs precision, UTC instant).
+    * Handled representations, in the order the harness has shipped them:
+    *
+    *  - `LongType` — parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` as raw int64 ns;
+    *    `timestamp_micros(ts div 1000)` floors ns→µs exactly like DuckDB's
+    *    `CAST(ts AS TIMESTAMP)` does for positive epochs.
+    *  - `TimestampNTZType` — parquet `timestamp[us]` without timezone
+    *    (the current corpus, round 7+). The session timezone is pinned UTC
+    *    everywhere (Bench/Verify/specs), so casting NTZ→TIMESTAMP relabels
+    *    the same wall-clock instant without shifting it — bit-identical to
+    *    DuckDB, whose TIMESTAMP is timezone-naive µs.
+    *  - `TimestampType` — already normalized; pass through.
+    *
+    * Anything else fails loud HERE with the observed type, not at seven
+    * query sites with an analysis-time `DATATYPE_MISMATCH`.
+    */
+  def normalizeTs(raw: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    raw.schema(colName).dataType match {
+      case LongType =>
+        raw.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"unsupported events.$colName representation $other — " +
+          "extend Tables.normalizeTs (int64-ns / TIMESTAMP_NTZ / TIMESTAMP " +
+          "are the known harness shapes)")
     }
   }
 }

@@ -15,8 +15,9 @@ object Verify {
       // production config: the engine's native SQL functions (dot_product)
       // are registered in the graded sessions, not just the dev probe
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // events.parquet stores TIMESTAMP(NANOS) which Spark 4 rejects by
-      // default; read it as a long (ns) and let Tables.events normalize.
+      // if the harness ever ships events.ts as TIMESTAMP(NANOS) again
+      // (it did before round 7), read it as int64 ns instead of erroring;
+      // Tables.normalizeTs handles that shape alongside NTZ/TIMESTAMP.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -16,33 +16,27 @@ import graft.Tables
   * these extend the engine the way a training-data/event pipeline needs —
   * attribution (purchase ← preceding click) is the canonical as-of use.
   *
-  * Timestamps ride as RAW NANOSECOND BIGINTs end-to-end (the harness file
-  * stores TIMESTAMP(NANOS); with `nanosAsLong` Spark reads the int64
-  * directly, DuckDB's `epoch_ns` produces the identical integer) — pure
-  * integer compares, no precision loss, no timezone semantics anywhere.
+  * Timestamps ride as NANOSECOND BIGINTs end-to-end (derived µs-exact from
+  * whatever physical shape the harness parquet carries, via
+  * `Tables.normalizeTs`) — pure integer compares, no precision loss, no
+  * timezone semantics anywhere past the one normalization chokepoint.
   */
 object Temporal {
 
   /** 24h in nanoseconds — the range-join window and its bin width. */
   private[graft] val DayNs = 86400000000000L
 
-  /** events with `ts` surfaced as nanosecond-epoch BIGINT `ts_ns`,
-    * µs-FLOORED (`div 1000 * 1000`): DuckDB reads parquet TIMESTAMP(NANOS)
-    * at µs precision (sub-µs digits truncated on load), so raw-ns values
-    * would differ from every oracle row in the last three digits. Flooring
-    * both engines to the µs grid keeps the integers bit-identical — the
-    * same normalization discipline as `Tables.events`. Event spacing in
-    * the corpus is seconds, so the floor can never reorder two events.
+  /** events with `ts` surfaced as nanosecond-epoch BIGINT `ts_ns` on the
+    * µs grid: `Tables.events` already normalized every physical shape the
+    * harness has shipped (int64-ns, TIMESTAMP_NTZ, TIMESTAMP) to a µs
+    * `TimestampType`, so `unix_micros * 1000` is exact and matches DuckDB's
+    * µs-precision TIMESTAMP integer for integer. Event spacing in the
+    * corpus is seconds, so the µs floor can never reorder two events.
     */
-  private[graft] def eventsNs(spark: SparkSession, sfDir: String): DataFrame = {
-    val raw = Tables.table(spark, sfDir, "events")
-    val tsNs: Column = raw.schema("ts").dataType match {
-      case LongType => expr("ts div 1000 * 1000") // nanosAsLong: int64 ns
-      case _ => unix_micros(col("ts")) * 1000L // µs-precision fallback
-    }
-    raw.select(col("event_id"), col("user_id"), col("event_type"),
-      col("value"), tsNs.as("ts_ns"))
-  }
+  private[graft] def eventsNs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), (unix_micros(col("ts")) * 1000L).as("ts_ns"))
 
   /** AS-OF JOIN: each purchase event paired with the same user's most
     * recent click at-or-before it (click-through attribution).
