@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Curation, Dedup, Lifecycle, MLOps, Multimodal, Relational,
-  Similarity, Sketches, Sources, Temporal, TextAnalysis}
+import graft.ops.{Curation, Dedup, Lifecycle, MLOps, Multimodal, Packing,
+  Relational, Similarity, Sketches, Sources, Temporal, TextAnalysis}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -130,6 +130,8 @@ object SparkEntry {
     "text_redact" -> (TextAnalysis.textRedact _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
+    // training-sequence packing (token_count → packed span table)
+    "pack_sequences" -> (Packing.packSequencesQuery _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
     // streaming replays to completion, pinned to their batch twins'
@@ -160,5 +162,5 @@ object SparkEntry {
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
       Curation.oracleSql ++ Temporal.oracleSql ++ Sketches.oracleSql ++
-      Lifecycle.oracleSql
+      Lifecycle.oracleSql ++ Packing.oracleSql
 }

@@ -13,8 +13,9 @@ import graft.Tables.table
   * waste). The reference pipeline stops at per-document token counts
   * (`MarchineLearningAlgorithm.txt` ends at feature assembly); packing is
   * the step a 100 TB training-data pipeline needs between token counting
-  * and the trainer's data loader, so it rides `token_count`'s suite rather
-  * than a new graded key (registry is at its cap).
+  * and the trainer's data loader. Graded as `pack_sequences`: the whole
+  * span derivation is running-sum + integer-division arithmetic, so a
+  * DuckDB window twin checks it hash-exactly.
   *
   * Layout produced: every document is hash-assigned to one of `nShards`
   * independent token streams; within a shard, documents concatenate in
@@ -55,18 +56,22 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
     docs
       .filter(col("n_tokens") > 0)
-      // crc32-of-decimal-string: deterministic, engine-portable shard
-      // assignment (same convention as sample_stratified's md5 buckets).
+      // md5-derived 60-bit hash of the decimal doc_id, mod nShards: the
+      // repo's engine-portable bucket convention (splitHash,
+      // sample_stratified) — DuckDB computes the identical shard, so the
+      // oracle twin reproduces the full layout, not just per-shard laws.
       .withColumn("shard",
-        pmod(crc32(col("doc_id").cast(StringType)), lit(nShards))
-          .cast(IntegerType))
+        (conv(substring(md5(col("doc_id").cast(StringType)), 1, 15),
+          16, 10).cast(LongType) % nShards).cast(IntegerType))
       .withColumn("tok_end", sum(col("n_tokens").cast(LongType)).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       // the doc covers token interval [tok_start, tok_end) of its shard's
       // stream → it overlaps sequences floor(start/B) .. floor((end-1)/B).
+      // Integer `div`, not floor(x / B): double division loses exactness
+      // past 2^53 and a 100 TB shard stream can hold >10^16 tokens.
       .withColumn("seq_id", explode(sequence(
-        floor(col("tok_start") / budget),
-        floor((col("tok_end") - 1) / budget))))
+        expr(s"tok_start div $budget"),
+        expr(s"(tok_end - 1) div $budget"))))
       .withColumn("span_start",
         greatest(col("tok_start"), col("seq_id") * budget))
       .withColumn("span_end",
@@ -93,4 +98,52 @@ object Packing {
       TextAnalysis.tokenCount(table(spark, sfDir, "documents"))
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
       budget, nShards)
+
+  /** Graded budget/shard count: 1024-token sequences over 8 streams gives
+    * every shard multiple full sequences plus a ragged tail at sf0.01 —
+    * both laws (fixed budget, token conservation) are exercised.
+    */
+  private[graft] val GradedBudget = 1024
+  private[graft] val GradedShards = 8
+
+  /** `pack_sequences` query key: the corpus packed at the graded budget,
+    * presentation-ordered by position (shard, seq_id, seq_offset).
+    */
+  def packSequencesQuery(spark: SparkSession, sfDir: String): DataFrame =
+    packDocuments(spark, sfDir, GradedBudget, GradedShards)
+      .orderBy(col("shard"), col("seq_id"), col("seq_offset"))
+
+  /** DuckDB twin of `packSequencesQuery`: same BPE-ish token count, same
+    * md5 shard hash, running sum + integer floor-division span derivation.
+    */
+  val oracleSql: Map[String, String] = Map(
+    "pack_sequences" ->
+      s"""WITH tc AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % $GradedShards AS INTEGER) AS shard
+        |  FROM tc WHERE n_tokens > 0),
+        |cum AS (
+        |  SELECT shard, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+        |      AS BIGINT) AS tok_end
+        |  FROM sh),
+        |spans AS (
+        |  SELECT shard, doc_id, tok_end, tok_end - n_tokens AS tok_start,
+        |    unnest(range((tok_end - n_tokens) // $GradedBudget,
+        |                 (tok_end - 1) // $GradedBudget + 1)) AS seq_id
+        |  FROM cum)
+        |SELECT shard, seq_id, doc_id,
+        |  CAST(greatest(tok_start, seq_id * $GradedBudget)
+        |    - seq_id * $GradedBudget AS INTEGER) AS seq_offset,
+        |  greatest(tok_start, seq_id * $GradedBudget) - tok_start AS doc_offset,
+        |  CAST(least(tok_end, (seq_id + 1) * $GradedBudget)
+        |    - greatest(tok_start, seq_id * $GradedBudget) AS INTEGER) AS span_len
+        |FROM spans ORDER BY shard, seq_id, seq_offset""".stripMargin
+  )
 }
