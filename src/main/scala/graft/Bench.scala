@@ -18,12 +18,14 @@ import org.apache.spark.sql.SparkSession
   *     graded line always survives intact; `default_hint_keys` sits LAST
   *     on its line so it stays visible in the tail remnant),
   *   - `renderLine` SELF-BUDGETS against `MaxGradedLen`, shedding the
-  *     redundant sf field, then total precision, then (disaster-only)
-  *     tightening per-key saturation to "99" before it could ever
-  *     truncate; `BenchSpec` pins the ladder's behavior for the current
-  *     key set. At ≥95 keys a HEALTHY line already sheds sf — fine: the
-  *     driver records sf in its own artifact AND the diagnostics line
-  *     carries the full dir, so the graded chars go to per-key values.
+  *     redundant sf field, then total precision, then — the guaranteed
+  *     floor — the CHEAPEST per-key entries (`"omitted":N`), so the line
+  *     fits at ANY registry size; `BenchSpec` pins the ladder's behavior
+  *     for the current key set. At ≥95 keys a HEALTHY line already sheds
+  *     sf (and past ~97 keys a few sub-second entries — their full times
+  *     stay on the diagnostics lines); the driver records sf in its own
+  *     artifact AND the diagnostics line carries the full dir, so the
+  *     graded chars go to the per-key values that carry information.
   *
   * Measurement protocol (BASELINE.md is recorded under the SAME protocol —
   * the two sides of the comparison must move together; any edit to the
@@ -148,9 +150,14 @@ object Bench {
   }
 
   /** Hard ceiling for the graded line: the driver's 2000-char stdout tail
-    * minus sbt's `[success] Total time: …` trailer (~75 chars, padded).
+    * minus sbt's `[success] Total time: …` trailer plus margin. The r8
+    * artifact calibrated this the hard way: a 1939-char line lost its
+    * first 13 chars to a 73-char trailer, so the true budget is
+    * 2000 − trailer − newlines, and the trailer itself varies (4-digit
+    * second counts, month-name width) up to ~80 chars — 1880 leaves a
+    * ~40-char cushion for any sbt trailer this host can print.
     */
-  private[graft] val MaxGradedLen = 1920
+  private[graft] val MaxGradedLen = 1880
 
   /** The graded final line. Compact by contract (see the class doc):
     * ≤3-char values, no per-key diagnostics. Package-private so BenchSpec
@@ -174,15 +181,20 @@ object Bench {
       s"""{"metric":"total","value":$t,"unit":"sec","queries":$perKey$failedField$sfField}"""
     }
     // SELF-BUDGETING degradation ladder: the line measures itself against
-    // the window and sheds redundancy before precision — (1) the sf field
-    // (the driver records sf in its own artifact AND the diagnostics line
-    // carries the full dir), (2) total precision (3 dp → 1 dp matters
-    // only at catastrophic magnitudes), (3) per-key saturation tightens
-    // "999" → "99" (only reachable when MANY keys sit at 3-digit seconds
-    // — a disaster artifact whose full-precision times ride the per-rep
-    // diagnostics lines anyway; sub-99s values are untouched). Step 3
-    // fits BY ARITHMETIC at any registry size the window itself can
-    // hold, so the graded line can never truncate mid-number again.
+    // the window and sheds redundancy before precision before coverage —
+    // (1) the sf field (the driver records sf in its own artifact AND the
+    // diagnostics line carries the full dir), (2) total precision (3 dp →
+    // 1 dp matters only at catastrophic magnitudes), (3) drop the
+    // CHEAPEST keys from the per-key map, declaring the count as
+    // "omitted":N. Step 3 is the GUARANTEED floor the pre-r9 ladder
+    // lacked: its old last step only tightened already-saturated values,
+    // so a HEALTHY 96-key line (nothing to saturate) shipped at 1939
+    // chars and truncated in the r8 artifact (`"parsed": null`). Dropping
+    // keys always converges (the empty map fits any window the header
+    // fits), sheds the lowest-information entries first (a 0.2s scan's
+    // graded value carries nothing BASELINE.md's hints don't), keeps the
+    // TOTAL over every key, and every dropped key's full-precision time
+    // still rides the per-rep diagnostics lines.
     val full = render(withSf = true, totalDp = 3)
     if (full.length <= MaxGradedLen) full
     else {
@@ -192,10 +204,21 @@ object Bench {
         val tight = render(withSf = false, totalDp = 1)
         if (tight.length <= MaxGradedLen) tight
         else {
-          val qs99 = results.map { case (k, v) =>
-            "\"" + k + "\":" + (if (v >= 99.5) "99" else fmtGraded(v))
-          }.mkString("{", ",", "}")
-          render(withSf = false, totalDp = 1, perKey = qs99)
+          // drop cheapest-first (ties by name for determinism); linear
+          // walk is fine at registry scale and runs once per bench
+          val byCost = results.sortBy { case (k, v) => (v, k) }
+          Iterator.range(1, results.size + 1).map { nDrop =>
+            val dropped = byCost.take(nDrop).map(_._1).toSet
+            val kept = results.filterNot { case (k, _) => dropped(k) }
+            val qsKept = kept.map { case (k, v) =>
+              "\"" + k + "\":" + fmtGraded(v)
+            }.mkString("{", ",", "}")
+            val t = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
+            s"""{"metric":"total","value":$t,"unit":"sec","queries":$qsKept,"omitted":$nDrop$failedField}"""
+          }.find(_.length <= MaxGradedLen)
+            // unreachable while the header alone fits the window; the
+            // last candidate (every key dropped) is the degenerate floor
+            .getOrElse(render(withSf = false, totalDp = 1, perKey = "{}"))
         }
       }
     }
@@ -210,6 +233,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // UTC is load-bearing, not cosmetic: Tables.normalizeTs's
+      // NTZ→TIMESTAMP cast is instant-preserving only under a UTC session
+      // zone, so a non-UTC host would bench temporal keys over shifted
+      // instants — different rows than the Verify-graded plan (ADVICE r8)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // production config: native SQL functions registered here too

@@ -11,22 +11,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchSpec extends AnyFunSuite {
 
   test("graded bench line fits the driver's tail window for every key") {
-    // TRUE worst case: fmtGraded saturates at "999", so the widest a
-    // per-key value can EVER render is 3 chars — even a catastrophic run
-    // with every key at 4-digit seconds produces an artifact that survives
-    // the tail window to show it. renderLine self-budgets against
-    // MaxGradedLen (2000-char driver tail minus sbt's padded ~80-char
-    // trailer), shedding the redundant sf field before anything else.
+    // TRUE worst case: every key at 4-digit seconds. The ladder's
+    // guaranteed floor (drop cheapest keys, "omitted":N) means even a
+    // catastrophic run produces an artifact that survives the tail window
+    // — the r8 lesson: the PRE-r9 ladder's last step only tightened
+    // saturated values, so a healthy 96-key line (nothing to saturate)
+    // shipped at 1939 chars and the driver recorded `"parsed": null`.
     val worst = SparkEntry.queries.keys.toSeq.sorted.map(k => k -> 8888.0)
     val line = Bench.renderLine(worst.map(_._2).sum, worst, failed = 0,
       "/root/testdata/sf0.1")
     assert(line.length <= Bench.MaxGradedLen,
       s"graded line is ${line.length} chars")
     // values render bounded (no scientific notation, no 17-digit doubles —
-    // those are what blew the r4 line past the window); at 95 keys the
-    // catastrophic line reaches the ladder's saturation step ("99")
-    assert(line.contains("\"agg_count\":999") ||
-      line.contains("\"agg_count\":99"))
+    // those are what blew the r4 line past the window)
+    assert(line.contains("\":999"), line.take(200))
     // the failed field appears only when nonzero (slimming lever): absent
     // on a healthy line, present — and within budget — on a failing one
     assert(!line.contains("\"failed\""))
@@ -35,11 +33,10 @@ class BenchSpec extends AnyFunSuite {
     assert(failing.contains("\"failed\":3"))
     assert(failing.length <= Bench.MaxGradedLen,
       s"failing line is ${failing.length} chars")
-    // a realistic healthy run (every key at its steady-state hint): at 95
-    // keys the full format overflows by a hair, so the ladder sheds the
-    // sf field (redundant: the driver records sf in its own artifact and
-    // the diagnostics line carries the full dir) — the line must fit and
-    // keep every graded field
+    // a realistic healthy run (every key at its steady-state hint): the
+    // line must fit; past ~97 keys the ladder may shed sf and the
+    // cheapest few entries ("omitted":N) but every graded header field
+    // and the full-registry TOTAL survive
     val real = SparkEntry.queries.keys.toSeq.sorted
       .map(k => k -> Bench.costHint.getOrElse(k, 1.0))
     val healthy = Bench.renderLine(real.map(_._2).sum, real, failed = 0,
@@ -48,8 +45,28 @@ class BenchSpec extends AnyFunSuite {
     assert(healthy.contains("\"metric\":\"total\"") &&
       healthy.contains("\"unit\":\"sec\"") &&
       healthy.contains("\"queries\":{"), healthy)
-    // per-key precision intact on the healthy line (saturation step idle)
-    assert(healthy.contains("\"agg_count\":0."))
+    // the expensive keys — the ones perf grading reads — are never the
+    // ones dropped
+    val costly = real.sortBy { case (k, v) => (-v, k) }.take(10).map(_._1)
+    costly.foreach(k => assert(healthy.contains("\"" + k + "\":"),
+      s"expensive key $k missing from healthy graded line"))
+  }
+
+  test("drop-keys floor: line always fits and declares what it dropped") {
+    // synthetic 200-key registry — far past anything the window can hold
+    // in full — must still render a parseable, within-budget line that
+    // keeps the most expensive keys and declares the omission count
+    val many = (1 to 200).map(i => f"synthetic_key_$i%03d" -> i / 10.0)
+    val line = Bench.renderLine(many.map(_._2).sum, many, failed = 0, "sfX")
+    assert(line.length <= Bench.MaxGradedLen, s"${line.length} chars")
+    assert(line.contains("\"omitted\":"), line.take(120))
+    // most expensive key survives; cheapest is dropped
+    assert(line.contains("\"synthetic_key_200\":"))
+    assert(!line.contains("\"synthetic_key_001\":"))
+    // the total still covers EVERY key, dropped ones included
+    val t = BigDecimal(many.map(_._2).sum)
+      .setScale(1, BigDecimal.RoundingMode.HALF_UP)
+    assert(line.contains(s""""value":$t"""))
   }
 
   test("graded values render in at most 3 chars at EVERY magnitude") {
