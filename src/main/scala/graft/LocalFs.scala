@@ -28,6 +28,7 @@ object LocalFs {
     * | bucketed layout   | published cache | graft_bucketed_v2        | none | Sources.bucketedJoin      |
     * | IVF quantizer     | published cache | graft_ivf_quantizer_v1   | none | Similarity (ivfModel)     |
     * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
+    * | CDC sorted landing| published cache | graft_cdc_sorted_v1      | none | Streams.landedEventsSorted|
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -45,10 +46,12 @@ object LocalFs {
     val BucketedCache = "graft_bucketed_v2"
     val IvfQuantizerCache = "graft_ivf_quantizer_v1"
     val CdcLandingCache = "graft_cdc_landing_v1"
+    val CdcSortedCache = "graft_cdc_sorted_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
-      Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache)
+      Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
+        CdcSortedCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

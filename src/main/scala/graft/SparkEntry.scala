@@ -84,6 +84,7 @@ object SparkEntry {
     "upsert_latest" -> (Lifecycle.upsertLatest _),
     "scd2_intervals" -> (Lifecycle.scd2Intervals _),
     "profile_stats" -> (Lifecycle.profileStats _),
+    "profile_approx" -> (Lifecycle.profileApproxQuery _),
     "group_entropy" -> (Lifecycle.groupEntropy _),
     "anomaly_zscore" -> (Lifecycle.anomalyZscore _),
     "histogram" -> (Lifecycle.histogram _),
@@ -120,6 +121,7 @@ object SparkEntry {
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLshChecked _),
     "sim_search_ivf" -> (Similarity.simSearchIvfChecked _),
+    "sim_search_quant" -> (Similarity.simSearchQuantChecked _),
     "knn_classify" -> (Similarity.knnClassify _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
@@ -137,6 +139,7 @@ object SparkEntry {
     // streaming replays to completion, pinned to their batch twins'
     // oracles: CDC upsert snapshot + as-of attribution
     "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
+    "cdc_snapshot_ttl" -> (Streams.cdcSnapshotTtlQuery _),
     "asof_stream" -> (Streams.asofStreamQuery _),
     // §2j multimodal plumbing
     "mm_decode_stub" -> (Multimodal.decodeStub _),
@@ -148,8 +151,8 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (87 of 95 keys). The approximate ANN keys
-    * (sim_search_lsh/ivf, dedup_embed) are checked via pooled-recall
+    * the same parquet tables (91 of 99 keys). The approximate ANN keys
+    * (sim_search_lsh/ivf/quant, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml
     * model internals (ml_rf_classifier, ml_pipeline, ml_evaluator,

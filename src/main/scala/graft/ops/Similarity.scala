@@ -351,6 +351,19 @@ object Similarity {
     recallCertificate(simSearch(spark, sfDir),
       simSearchIvf(spark, sfDir), K, floor = 0.2)
 
+  /** `sim_search_quant` checked key: the quantized-scan + exact-rerank
+    * tier's pooled recall vs the exact path, certified (same contract as
+    * [[simSearchLshChecked]]). The floor is 0.5 against a measured pooled
+    * recall of ≈1.0 (the int8 pre-score reads every candidate, so only a
+    * quantization-error rank inversion past the k·rerank pool boundary can
+    * lose a true neighbor — ExtensionsSpec pins ≥0.9 as the spot check);
+    * the ≥2× headroom is the family's regeneration-proof discipline, not
+    * doubt about the kernel.
+    */
+  def simSearchQuantChecked(spark: SparkSession, sfDir: String): DataFrame =
+    recallCertificate(simSearch(spark, sfDir),
+      simSearchQuantized(spark, sfDir), K, floor = 0.5)
+
   /** kNN CLASSIFICATION over the embedding space: each probe vector
     * (vec_id < 50) takes the majority label of its 5 exact-cosine nearest
     * neighbors — the classify-by-similarity composition (labeling new data
@@ -399,6 +412,12 @@ object Similarity {
     "sim_search_ivf" ->
       """SELECT count(*) AS n_probes, 10 AS k,
         |  CAST(0.2 AS DOUBLE) AS min_recall, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5
+        |  AND list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,
+    "sim_search_quant" ->
+      """SELECT count(*) AS n_probes, 10 AS k,
+        |  CAST(0.5 AS DOUBLE) AS min_recall, true AS recall_ok
         |FROM embeddings WHERE vec_id < 5
         |  AND list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,

@@ -364,6 +364,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall too low: $recall")
   }
 
+  test("sim_search_quant certificate: pooled recall clears its floor") {
+    // the graded key's row: the certificate the driver hash-checks must
+    // hold on this corpus with room to spare (spot check; the 0.9 floor
+    // above is the tight one)
+    val row = Similarity.simSearchQuantChecked(spark, sf).collect().head
+    assert(row.getAs[Boolean]("recall_ok"),
+      s"quantized pooled recall under its certified floor: $row")
+    assert(row.getAs[Double]("min_recall") == 0.5)
+  }
+
   test("IVF sim_search: bounded by exact results, sane recall") {
     import spark.implicits._
     val exact = Similarity.simSearch(spark, sf)

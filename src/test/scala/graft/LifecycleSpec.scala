@@ -158,6 +158,21 @@ class LifecycleSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1, p)
   }
 
+  test("profile_approx graded key agrees with the exact profile's counts") {
+    // the key profiles the same columns as profile_stats; its exact
+    // fields (n_rows, n_nulls) must agree row-for-row and every nd_ok
+    // certificate must hold
+    val approx = Lifecycle.profileApproxQuery(spark, sf).collect()
+    val exact = Lifecycle.profileStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.length == 4)
+    approx.foreach { r =>
+      val (nRows, nNulls) = exact(r.getString(0))
+      assert(r.getLong(1) == nRows && r.getLong(2) == nNulls, r.toString)
+      assert(r.getBoolean(3), s"nd_ok failed: $r")
+    }
+  }
+
   test("group_entropy is bounded by [0, ln(n_types)] and 0 for single-type users") {
     val e = Lifecycle.groupEntropy(spark, sf).cache()
     try {

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Packing
+
+/** Pins the packing laws `Packing.packSequences`' scaladoc promises: fixed
+  * budget per non-tail sequence, per-document token conservation, and full
+  * layout equality against a sequential per-shard fold (the obviously-
+  * correct formulation the distributed running-sum + integer-div span
+  * table must reproduce exactly).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("corpus packing conserves tokens and cuts full-budget sequences") {
+    val budget = 512
+    val packed = Packing.packDocuments(spark, sf, budget, nShards = 4).cache()
+    try {
+      val tc = graft.ops.TextAnalysis
+        .tokenCount(Tables.table(spark, sf, "documents"))
+        .select(col("doc_id"), col("n_bpe_tokens").cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      // conservation: each document's spans sum to its token count, and
+      // every positive-token document appears
+      val perDoc = packed.groupBy("doc_id").agg(sum("span_len").as("s"))
+        .join(tc, Seq("doc_id"), "full")
+      assert(perDoc.filter(col("s").isNull || col("n_tokens").isNull ||
+        col("s") =!= col("n_tokens")).count() == 0)
+      // every sequence except each shard's last is exactly `budget` tokens
+      // and none exceeds it; in-sequence spans tile contiguously from 0
+      val seqLen = packed.groupBy("shard", "seq_id")
+        .agg(sum("span_len").as("len"), min("seq_offset").as("first"),
+          max(col("seq_offset") + col("span_len")).as("hi"),
+          count(lit(1)).as("n_spans"))
+      val lastSeq = seqLen.groupBy("shard").agg(max("seq_id").as("last"))
+      assert(seqLen.join(lastSeq, "shard")
+        .filter(col("seq_id") =!= col("last") && col("len") =!= budget)
+        .count() == 0, "non-tail sequence not at full budget")
+      assert(seqLen.filter(col("len") > budget).count() == 0)
+      // contiguous tiling: offsets start at 0 and the spans of a sequence
+      // cover [0, len) with no gaps (sum == hi − first)
+      assert(seqLen.filter(col("first") =!= 0 ||
+        col("hi") =!= col("len")).count() == 0, "sequence not tiled")
+      // sanity: multiple full sequences exist (the laws above aren't
+      // vacuous on this corpus)
+      assert(seqLen.filter(col("len") === budget).count() > 0)
+    } finally { packed.unpersist(); () }
+  }
+
+  test("packing equals the sequential per-shard fold on a random corpus") {
+    val rnd = new scala.util.Random(9L)
+    // includes zero-token documents (must be dropped) and budget-straddling
+    // sizes (must split across sequences)
+    val docs = (1L to 300L).map(i => (i, rnd.nextInt(40)))
+    val budget = 17
+    val shards = 3
+    val got = Packing.packSequences(docs.toDF("doc_id", "n_tokens"),
+        budget, shards)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getInt(5))).toSet
+    // the fold: same md5 shard hash, then a plain running cursor per shard
+    def shardOf(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.take(15), 16) % shards).toInt
+    }
+    val expected = scala.collection.mutable.Set
+      .empty[(Int, Long, Long, Int, Long, Int)]
+    docs.filter(_._2 > 0).groupBy(d => shardOf(d._1)).foreach {
+      case (sh, ds) =>
+        var pos = 0L
+        ds.sortBy(_._1).foreach { case (id, n) =>
+          val start = pos
+          val end = pos + n
+          var s = start / budget
+          while (s <= (end - 1) / budget) {
+            val spanStart = math.max(start, s * budget)
+            val spanEnd = math.min(end, (s + 1) * budget)
+            expected += ((sh, s, id, (spanStart - s * budget).toInt,
+              spanStart - start, (spanEnd - spanStart).toInt))
+            s += 1
+          }
+          pos = end
+        }
+    }
+    assert(got == expected)
+  }
+
+  test("packer rejects invalid budgets and drops empty documents") {
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(Seq((1L, 5)).toDF("doc_id", "n_tokens"), 0)
+    }
+    val out = Packing.packSequences(
+      Seq((1L, 0), (2L, -3)).toDF("doc_id", "n_tokens"), 16)
+    assert(out.count() == 0)
+  }
+}

@@ -385,6 +385,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
   }
 
+  test("cdc_snapshot_ttl key: evicting paced replay still lands the batch rows") {
+    // the TTL-evicting replay over the SORTED multi-file landing: the
+    // version-order snapshot (no n_versions — restart-dependent by
+    // contract) must equal the batch compaction's, and the emission
+    // counts must show the replay really ran as multiple watermark-
+    // advancing micro-batches (a single-batch collapse would emit
+    // exactly once per key)
+    val got = Streams.cdcSnapshotTtlQuery(spark, sf).collect()
+    val batch = graft.ops.Lifecycle.upsertLatest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+      r.getLong(3), r.getLong(4))).toSeq == batch)
+    val emissions = got.map(_.getLong(5))
+    assert(emissions.max > 1,
+      "no key emitted more than once — paced multi-batch replay collapsed")
+    assert(emissions.forall(e => e >= 1 && e <= 4))
+  }
+
   test("cdc replay survives an aged landing cache (r6 sweep-prefix regression)") {
     // Round 6 shipped replay work dirs sharing the landing cache's
     // `graft_cdc_` prefix, so any replay ≥1h after the landing was
