@@ -60,6 +60,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("quantized sim-search pre-scores with partial top-k, never cartesian") {
+    // stage 1's int8 scan must cut to the rerank pool BEFORE its window
+    // exchange (same WindowGroupLimit contract as simSearch), and the
+    // probe side must ride broadcasts — a shuffled or nested-loop probe
+    // join would defeat the whole bandwidth story
+    val p = graft.ops.Similarity.simSearchQuantized(SparkSpec.spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the broadcast cross
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("order_limit runs as TakeOrderedAndProject, not global sort") {
     val p = plan("order_limit")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -1,0 +1,44 @@
+#!/usr/bin/env python3
+"""Extract bench_hints.json from a recorded baseline pair.
+
+Usage: record_hints.py <run1.log> <run2.log> [out.json]
+
+Reads the full-precision per-rep diagnostics lines (`"diag":"bench_rep"`)
+from each run's sbt log, takes the per-key MEDIAN within each run (the
+protocol's own statistic), then the mean of the two run medians — the
+"per-key medians of the operative pair" BASELINE.md records. Writes the
+flat `{"key": seconds}` artifact Bench.loadHints parses.
+"""
+import json
+import re
+import statistics
+import sys
+
+
+def run_medians(path):
+    reps = []
+    with open(path) as f:
+        for line in f:
+            m = re.search(r'\{"diag":"bench_rep".*\}', line)
+            if m:
+                reps.append(json.loads(m.group(0))["times"])
+    if not reps:
+        raise SystemExit(f"no bench_rep diagnostics lines in {path}")
+    keys = reps[0].keys()
+    return {k: statistics.median(r[k] for r in reps) for k in keys}
+
+
+def main():
+    r1, r2 = run_medians(sys.argv[1]), run_medians(sys.argv[2])
+    assert r1.keys() == r2.keys(), "runs cover different key sets"
+    out = sys.argv[3] if len(sys.argv) > 3 else "bench_hints.json"
+    hints = {k: round((r1[k] + r2[k]) / 2, 2) for k in sorted(r1)}
+    with open(out, "w") as f:
+        f.write("{\n")
+        f.write(",\n".join(f'"{k}": {v}' for k, v in hints.items()))
+        f.write("\n}\n")
+    print(f"wrote {out}: {len(hints)} keys, total {sum(hints.values()):.1f}s")
+
+
+if __name__ == "__main__":
+    main()
