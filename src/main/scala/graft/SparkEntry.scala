@@ -130,6 +130,7 @@ object SparkEntry {
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
+    "repetition_stats" -> (TextAnalysis.repetitionStats _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)
@@ -151,7 +152,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (91 of 99 keys). The approximate ANN keys
+    * the same parquet tables (92 of 100 keys). The approximate ANN keys
     * (sim_search_lsh/ivf/quant, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml

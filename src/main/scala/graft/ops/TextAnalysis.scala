@@ -174,6 +174,67 @@ object TextAnalysis {
       size(regexp_extract_all(col(payloadCol), lit(pattern), lit(0)))
         .as("n_hits"))
 
+  /** WITHIN-DOCUMENT REPETITION STATS — the Gopher-family quality filters
+    * (Rae et al. 2021, "Scaling Language Models", table A1's repetition
+    * signals) expressed over this corpus's word-sequence documents:
+    * boilerplate and degenerate generations repeat words and n-grams far
+    * above organic text, and curation drops documents whose repetition
+    * fractions exceed policy thresholds. Emitted per doc:
+    *
+    *  - `dup_word_frac`      — (n_words − n_distinct_words) / n_words
+    *  - `top_bigram_frac`    — occurrences of the most frequent bigram /
+    *                           total bigrams
+    *  - `dup_trigram_frac`   — excess occurrences of repeated trigrams /
+    *                           total trigrams
+    *
+    * The metrics are raw signals; thresholds are policy and belong to the
+    * composing pipeline (cf. `corpusClean`'s quality floor). Like the rest
+    * of this family the whole computation is in-row scan-stage expressions
+    * — zero shuffle at any corpus size. The n-gram counting HOF lambdas
+    * evaluate interpreted (not codegen), an accepted trade here: the
+    * in-row cost is O(distinct-grams × grams) with grams bounded by
+    * document word count, and rows are embarrassingly parallel — there is
+    * no plan in which this becomes a shuffle or a skew problem.
+    */
+  def repetitionStats(spark: SparkSession, sfDir: String): DataFrame =
+    repetitionStats(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: repetition stats over any `(doc_id, text)` frame,
+    * unordered. Documents too short for an n-gram level (< 2 words for
+    * bigrams, < 3 for trigrams) emit null for that fraction — undefined,
+    * not zero, mirroring `textStats`' empty-doc ratio convention (and
+    * ANSI-safe: the divisions are gated, never 0/0).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("bi", expr(
+        """CASE WHEN size(w) >= 2 THEN
+          |  transform(sequence(0, size(w) - 2),
+          |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .withColumn("tri", expr(
+        """CASE WHEN size(w) >= 3 THEN
+          |  transform(sequence(0, size(w) - 3),
+          |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2),
+          |                ' ', element_at(w, i + 3)))
+          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        round((col("n_words") - size(array_distinct(col("w"))))
+          .cast(DoubleType) / col("n_words"), 6).as("dup_word_frac"),
+        when(size(col("bi")) > 0, round(
+          expr("""array_max(transform(array_distinct(bi),
+                 |  g -> size(filter(bi, x -> x = g))))""".stripMargin)
+            .cast(DoubleType) / size(col("bi")), 6))
+          .as("top_bigram_frac"),
+        when(size(col("tri")) > 0, round(
+          (size(col("tri")) - size(array_distinct(col("tri"))))
+            .cast(DoubleType) / size(col("tri")), 6))
+          .as("dup_trigram_frac"))
+
   /** The [0,1] quality score from a tokens column — the single source
     * `textStats` and the composed `corpus_clean` pipeline share: longer
     * docs with organic stopword share score higher;
@@ -314,6 +375,33 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // identical in-row n-gram construction and counting (DuckDB lists are
+    // 1-based; range(1, n) is exclusive-stop, so bigram i pairs w[i] with
+    // w[i+1] exactly like the Spark side's sequence over 0-based offsets)
+    "repetition_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w, len(w) AS n_words,
+        |    CASE WHEN len(w) >= 2 THEN
+        |      list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bi,
+        |    CASE WHEN len(w) >= 3 THEN
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE CAST([] AS VARCHAR[]) END AS tri
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  round(CAST(n_words - len(list_distinct(w)) AS DOUBLE)
+        |        / n_words, 6) AS dup_word_frac,
+        |  CASE WHEN len(bi) > 0 THEN
+        |    round(CAST(list_max(list_transform(list_distinct(bi),
+        |        g2 -> len(list_filter(bi, x -> x = g2)))) AS DOUBLE)
+        |      / len(bi), 6) END AS top_bigram_frac,
+        |  CASE WHEN len(tri) > 0 THEN
+        |    round(CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+        |      / len(tri), 6) END AS dup_trigram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
     "tfidf_topk" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
         |n AS (SELECT count(*) AS n_docs FROM d),

@@ -483,6 +483,31 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("stop_tokens") > col("n_tokens")).count() == 0)
   }
 
+  test("repetition_stats matches hand-computed fixtures incl. short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a"),       // all-dup words; bigram "a a" ×2 of 2; 1 trigram
+      (2L, "x y"),         // no trigram level → null
+      (3L, "x"),           // no bigram or trigram level → null, null
+      (4L, "p q p q p")    // bi: {p q}×2 {q p}×2 of 4; tri: 3 with 1 dup
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == ((3L, 0.666667, Some(1.0), Some(0.0))))
+    assert(got(2L) == ((2L, 0.0, Some(1.0), None)))
+    assert(got(3L) == ((1L, 0.0, None, None)))
+    assert(got(4L) == ((5L, 0.6, Some(0.5), Some(0.333333))))
+    // corpus-level sanity: fractions live in [0,1], every doc emits a row
+    val corpus = TextAnalysis.repetitionStats(spark, sf)
+    assert(corpus.count() == Tables.table(spark, sf, "documents").count())
+    assert(corpus.filter(col("dup_word_frac") < 0 ||
+      col("dup_word_frac") > 1 || col("top_bigram_frac") > 1 ||
+      col("dup_trigram_frac") > 1).count() == 0)
+  }
+
   test("lang_id lexicon scoring on hand-built sentences") {
     import spark.implicits._
     // run the same column logic via a temp view shape: reuse op on corpus,
