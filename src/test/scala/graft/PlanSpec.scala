@@ -24,6 +24,7 @@ class PlanSpec extends SparkSpec {
       "langId" -> TextAnalysis.langId(docs),
       "tokenCount" -> TextAnalysis.tokenCount(docs),
       "docFingerprint" -> TextAnalysis.docFingerprint(docs),
+      "repetitionStats" -> TextAnalysis.repetitionStats(docs),
       "textRedact" -> TextAnalysis.textRedact(
         graft.Tables.table(spark, sf, "events"), "event_id", "props"))
       .foreach { case (name, df) =>
