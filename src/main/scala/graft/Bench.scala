@@ -175,10 +175,12 @@ object Bench {
     // the registry crossed 92 keys): an absent field reads as 0 failures,
     // and a FAILING run — where the field matters — spends the chars
     val failedField = if (failed == 0) "" else s""","failed":$failed"""
-    def render(withSf: Boolean, totalDp: Int, perKey: String = qs) = {
+    def render(withSf: Boolean, totalDp: Int, perKey: String = qs,
+        omitted: Int = 0) = {
       val t = BigDecimal(total).setScale(totalDp, BigDecimal.RoundingMode.HALF_UP)
       val sfField = if (withSf) s""","sf":"$sf"""" else ""
-      s"""{"metric":"total","value":$t,"unit":"sec","queries":$perKey$failedField$sfField}"""
+      val omittedField = if (omitted == 0) "" else s""","omitted":$omitted"""
+      s"""{"metric":"total","value":$t,"unit":"sec","queries":$perKey$omittedField$failedField$sfField}"""
     }
     // SELF-BUDGETING degradation ladder: the line measures itself against
     // the window and sheds redundancy before precision before coverage —
@@ -213,12 +215,14 @@ object Bench {
             val qsKept = kept.map { case (k, v) =>
               "\"" + k + "\":" + fmtGraded(v)
             }.mkString("{", ",", "}")
-            val t = BigDecimal(total).setScale(1, BigDecimal.RoundingMode.HALF_UP)
-            s"""{"metric":"total","value":$t,"unit":"sec","queries":$qsKept,"omitted":$nDrop$failedField}"""
+            render(withSf = false, totalDp = 1, perKey = qsKept,
+              omitted = nDrop)
           }.find(_.length <= MaxGradedLen)
             // unreachable while the header alone fits the window; the
             // last candidate (every key dropped) is the degenerate floor
-            .getOrElse(render(withSf = false, totalDp = 1, perKey = "{}"))
+            // and still declares what it dropped
+            .getOrElse(render(withSf = false, totalDp = 1, perKey = "{}",
+              omitted = results.size))
         }
       }
     }

@@ -663,8 +663,11 @@ object Streams {
     if (!new File(s"$landing/_SUCCESS").exists()) {
       val tmp = new File(s"$landing.tmp.${spark.sparkContext.applicationId}")
       tmp.mkdirs()
+      // persisted for the build: the bounds pass + one filtered write per
+      // slice would otherwise re-scan the raw table 1 + TtlSlices times
       val e = graft.Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .persist()
       val bounds = e.agg(min(unix_micros(col("ts"))),
         max(unix_micros(col("ts")))).head()
       val lo = bounds.getLong(0)
@@ -683,9 +686,13 @@ object Streams {
         require(part.renameTo(dest), s"rename failed for slice $i")
         graft.LocalFs.deleteRecursively(work)
         // ascending mtimes pin the file source's replay order (paths
-        // s00..s03 agree, as a tiebreak within one mtime tick)
-        dest.setLastModified(base + i * 2000L)
+        // s00..s03 agree, as a tiebreak within one mtime tick) — as
+        // load-bearing as the rename: an unordered replay drops later
+        // slices' rows as late behind the watermark
+        require(dest.setLastModified(base + i * 2000L),
+          s"setLastModified failed for slice $i")
       }
+      e.unpersist()
       new File(tmp, "_SUCCESS").createNewFile()
       graft.LocalFs.publishDir(tmp, new File(landing),
         destValid = () => new File(s"$landing/_SUCCESS").exists())

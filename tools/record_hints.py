@@ -16,14 +16,27 @@ import sys
 
 
 def run_medians(path):
-    reps = []
+    reps, unstable = [], set()
     with open(path) as f:
         for line in f:
             m = re.search(r'\{"diag":"bench_rep".*\}', line)
             if m:
                 reps.append(json.loads(m.group(0))["times"])
+            m = re.search(r'\{"diag":"bench",.*\}', line)
+            if m:
+                d = json.loads(m.group(0))
+                # Bench's graded median is over OK samples only; the raw
+                # per-rep times carry no ok flag, so a key with any errored
+                # rep cannot be reproduced from them — refuse rather than
+                # record a fast-fail-biased hint
+                unstable |= set(d.get("errors", {})) | set(d.get("flaky", []))
     if not reps:
         raise SystemExit(f"no bench_rep diagnostics lines in {path}")
+    if unstable:
+        raise SystemExit(
+            f"{path} has errored/flaky keys {sorted(unstable)} — a baseline "
+            "recording must be clean (re-run; the per-rep times of a failed "
+            "rep are fail times, not costs)")
     keys = reps[0].keys()
     return {k: statistics.median(r[k] for r in reps) for k in keys}
 
