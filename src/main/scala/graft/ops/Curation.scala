@@ -108,7 +108,10 @@ object Curation {
     * (doc_id, n_grams, n_hits, is_contaminated) where `n_hits` counts the
     * doc's DISTINCT grams found in the benchmark (repeats of one leaked
     * gram count once — deterministic and size-independent); docs shorter
-    * than n words carry n_grams = 0 and are trivially clean. Unordered.
+    * than n words carry n_grams = 0 and are trivially clean. NULL-text
+    * rows are dropped on both sides (the `tfidfTopK` convention — legacy
+    * sizeOfNull would otherwise emit n_grams = −1 for them where an
+    * oracle emits NULL). Unordered.
     */
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
       n: Int): DataFrame = {
@@ -118,9 +121,11 @@ object Curation {
          |  transform(sequence(0, size(w) - $n),
          |    i -> array_join(slice(w, i + 1, $n), ' '))
          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
-    val bg = benchmark.withColumn("w", split(col("text"), " "))
+    val bg = benchmark.filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
       .select(explode(grams).as("gram")).distinct()
-    val withGrams = docs.withColumn("w", split(col("text"), " "))
+    val withGrams = docs.filter(col("text").isNotNull)
+      .withColumn("w", split(col("text"), " "))
       .withColumn("grams", grams)
     val hits = withGrams
       .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
@@ -141,7 +146,8 @@ object Curation {
     // slice(w, i + 1, n) over its 0-based sequence
     "contamination_check" ->
       """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
         |bg AS (
         |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
         |    i -> array_to_string(w[i : i + 4], ' '))) AS gram

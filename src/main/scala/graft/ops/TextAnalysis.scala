@@ -203,10 +203,15 @@ object TextAnalysis {
     * unordered. Documents too short for an n-gram level (< 2 words for
     * bigrams, < 3 for trigrams) emit null for that fraction — undefined,
     * not zero, mirroring `textStats`' empty-doc ratio convention (and
-    * ANSI-safe: the divisions are gated, never 0/0).
+    * ANSI-safe: the divisions are gated, never 0/0). NULL-text rows are
+    * dropped, matching `tfidfTopK`'s convention — under legacy sizeOfNull,
+    * size(split(NULL)) is −1, which would silently emit n_words = −1 here
+    * while an oracle emits NULL (a dormant divergence on today's
+    * null-free corpora, declared away on both twins).
     */
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_words", size(col("w")).cast(LongType))
       .withColumn("bi", expr(
@@ -380,7 +385,8 @@ object TextAnalysis {
     // w[i+1] exactly like the Spark side's sequence over 0-based offsets)
     "repetition_stats" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE text IS NOT NULL),
         |g AS (
         |  SELECT doc_id, w, len(w) AS n_words,
         |    CASE WHEN len(w) >= 2 THEN

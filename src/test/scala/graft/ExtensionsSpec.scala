@@ -528,9 +528,12 @@ class ExtensionsSpec extends SparkSpec {
     // and 7) and is the only benchmark hit — it must count once
     assert(got(4L) == ((7L, 1L, 1)),
       s"repeated leaked gram double-counted: ${got(4L)}")
-    // corpus sanity: both branches populated at sf0.001-scale too
+    // corpus sanity: BOTH branches genuinely populated at sf0.001-scale —
+    // the harness's planted near-duplicates guarantee true positives, and
+    // the corpus is not all-leaked, so an empty side means the gate broke
     val corpus = graft.ops.Curation.contaminationCheck(spark, sf)
-    assert(corpus.filter(col("is_contaminated") === 1).count() >= 0)
+    assert(corpus.filter(col("is_contaminated") === 1).count() > 0)
+    assert(corpus.filter(col("is_contaminated") === 0).count() > 0)
     assert(corpus.count() ==
       Tables.table(spark, sf, "documents")
         .filter(col("doc_id") >= 20).count())

@@ -38,6 +38,13 @@ def run_medians(path):
             "recording must be clean (re-run; the per-rep times of a failed "
             "rep are fail times, not costs)")
     keys = reps[0].keys()
+    for i, r in enumerate(reps[1:], start=2):
+        if r.keys() != keys:
+            diff = sorted(keys ^ r.keys())
+            raise SystemExit(
+                f"{path} rep {i} covers a different key set than rep 1 "
+                f"(symmetric difference: {diff}) — a truncated or mixed log; "
+                "re-run the recording")
     return {k: statistics.median(r[k] for r in reps) for k in keys}
 
 
