@@ -29,6 +29,7 @@ object LocalFs {
     * | IVF quantizer     | published cache | graft_ivf_quantizer_v1   | none | Similarity (ivfModel)     |
     * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
     * | CDC sorted landing| published cache | graft_cdc_sorted_v1      | none | Streams.landedEventsSorted|
+    * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -47,11 +48,12 @@ object LocalFs {
     val IvfQuantizerCache = "graft_ivf_quantizer_v1"
     val CdcLandingCache = "graft_cdc_landing_v1"
     val CdcSortedCache = "graft_cdc_sorted_v1"
+    val ImageFixtureCache = "graft_img_fixture_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
-        CdcSortedCache)
+        CdcSortedCache, ImageFixtureCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

@@ -144,11 +144,12 @@ object SparkEntry {
     "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
     "cdc_snapshot_ttl" -> (Streams.cdcSnapshotTtlQuery _),
     "asof_stream" -> (Streams.asofStreamQuery _),
-    // §2j multimodal plumbing
-    "mm_decode_stub" -> (Multimodal.decodeStub _),
+    // §2j multimodal: real PNG decode/resize over the planted image
+    // fixture, plus the frame plumbing
+    "mm_decode" -> (Multimodal.mmDecode _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
-    "mm_resize_stub" -> (Multimodal.resizeStub _),
+    "mm_resize" -> (Multimodal.mmResize _),
     // flagship as a checked query
     "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
   )

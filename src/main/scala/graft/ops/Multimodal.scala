@@ -1,5 +1,9 @@
 package graft.ops
 
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -10,58 +14,227 @@ import graft.Tables.table
   *
   * Media assets are opaque `binary` columns travelling next to typed
   * metadata; decode / feature-extraction is per-row imperative work done by
-  * a native library at the executors. This container has no image/audio
-  * codecs, so the decode step is a clearly-marked deterministic STUB
-  * (hash-derived pseudo-features) — but the Spark-side plumbing is real and
-  * is the part that matters at 100 TB:
-  *  - binary payload + metadata struct schema,
-  *  - per-row feature extraction inside the scan stage (no shuffle),
-  *  - a typed `mapPartitions` pipeline for the chunk/frame-explode shape
-  *    (one input row → many frame rows) with partition-local batching, which
-  *    is the Scala analog of arrow-batched `mapInPandas` decode loops.
+  * a codec at the executors. The image keys run a REAL decode — PNG bytes
+  * through `javax.imageio` (public JDK, no extra deps) — over a
+  * deterministic synthetic-image fixture:
+  *
+  *  - the FIXTURE writer plants, per document, an RGB image whose
+  *    dimensions and per-pixel channel values are pure arithmetic in
+  *    (doc_id, x, y) ([[imgWidth]]/[[pixel]]), encoded as PNG by a
+  *    hand-rolled minimal writer ([[encodePng]]: IHDR/IDAT/IEND +
+  *    Deflater + CRC32 — deliberately NOT ImageIO, so encode and decode
+  *    are independent implementations);
+  *  - the OPERATORS ([[decodeImages]], [[resizeImages]]) know nothing of
+  *    the planting: they decode whatever PNG bytes arrive and emit
+  *    dimensions / channel sums / a strided-downsample thumbnail;
+  *  - the DuckDB twins recompute the planted arithmetic directly, so a
+  *    hash match proves the executor-side decode actually read the pixels
+  *    (a digest or a stubbed decode cannot reproduce the planted sums).
+  *
+  * Scale shape: decode is per-row work inside a typed `mapPartitions`
+  * batch loop (the Scala analog of an arrow-batched `mapInPandas` decode)
+  * — zero shuffle, embarrassingly parallel, the binary column rides
+  * parquet exactly as a 100 TB image corpus would. The fixture stands in
+  * for that corpus because the harness tables carry no binary media
+  * column; it is built once per corpus (content-fingerprinted, atomically
+  * published — the `landedEvents` discipline).
   */
 object Multimodal {
 
-  /** One "asset" row per document: UTF-8 payload standing in for an image
-    * blob, metadata struct (byte count, mime, md5 checksum), and an 8-dim
-    * stub feature vector (STUB — replace the per-slot expressions with the
-    * real decoder's embedding at deploy time). Each feature slot is a
-    * strided codepoint-sum over one eighth of the content — pure arithmetic,
-    * content-sensitive, and engine-neutral, so the WHOLE output (checksum
-    * and features included) is hash-checked against the DuckDB oracle.
-    * Surfaced as per-slot doubles: the driver comparator can't hash array
-    * cells, and float JSON formatting differs between engines.
+  /** Planted image parameters — the shared contract between the fixture
+    * writer and the DuckDB twins (change both together). Dimensions stay
+    * in 8..16 × 8..14 so the twins' per-pixel recomputation is cheap at
+    * any harness scale factor.
     */
-  def decodeStub(spark: SparkSession, sfDir: String): DataFrame =
-    decodeStub(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+  private[graft] def imgWidth(docId: Long): Int = 8 + (docId % 9).toInt
+  private[graft] def imgHeight(docId: Long): Int = 8 + ((docId * 3) % 7).toInt
 
-  /** API form: asset rows over any `(doc_id, text)` frame — unordered. */
-  def decodeStub(docs: DataFrame): DataFrame = {
-    // slot i samples 32 strided positions from segment i of the doc:
-    // f_i = (Σ_j codepoint(text[⌊(32i+j)·n/256⌋])) mod 1000 / 1000 ∈ [0,1).
-    // All 8 slot sums come from ONE native single-pass expression
-    // (StridedAsciiSums): the composed 256-term ascii/substr tree both
-    // overflowed janino's method limit (whole stage silently interpreted)
-    // and re-walked the string from offset 0 per term. The sums array is
-    // hoisted into its own projection so it evaluates once — CollapseProject
-    // never re-inlines a non-cheap alias referenced 8× (same hoist as
-    // ml_assembler, plan-guarded in the suite). The suite also pins the
-    // native expression bit-equal to the composed form.
-    def slot(i: Int) =
-      (pmod(element_at(col("slot_sums"), i + 1), lit(1000L))
-        .cast(DoubleType) / 1000.0).as(s"f$i")
-    docs
-      .withColumn("payload", encode(col("text"), "UTF-8"))
-      .withColumn("meta", struct(
-        length(col("payload")).as("n_bytes"),
-        lit("application/octet-stream").as("mime"),
-        md5(col("payload")).as("checksum")))
-      .withColumn("slot_sums", graft.functions.StringMath.stridedAsciiSums(
-        col("text"), slots = 8, terms = 32, denom = 256))
-      .select(Seq(col("doc_id"),
-        col("meta.n_bytes").as("n_bytes"),
-        col("meta.mime").as("mime"),
-        col("meta.checksum").as("checksum")) ++ (0 until 8).map(slot): _*)
+  /** Planted (r, g, b) at (x, y) — distinct coefficient triples per
+    * channel so a channel swap or a transposed axis cannot cancel out.
+    */
+  private[graft] def pixel(docId: Long, x: Int, y: Int): (Int, Int, Int) = (
+    ((x * 7 + y * 11 + docId * 13) % 256).toInt,
+    ((x * 5 + y * 3 + docId * 17) % 256).toInt,
+    ((x * 2 + y * 5 + docId * 23) % 256).toInt)
+
+  /** Minimal PNG encoder: 8-bit truecolor (color type 2), no interlace,
+    * filter 0 per scanline, one IDAT. Hand-rolled over `java.util.zip`
+    * precisely so the decode operators' `ImageIO` path is exercised
+    * against an INDEPENDENT writer — a round-trip through one library
+    * would prove nothing about either side.
+    */
+  private[graft] def encodePng(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(w > 0 && h > 0, s"invalid dimensions ${w}x$h")
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var idx = 0
+    var y = 0
+    while (y < h) {
+      raw(idx) = 0 // filter type 0 (None) for this scanline
+      idx += 1
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        raw(idx) = r.toByte; raw(idx + 1) = g.toByte; raw(idx + 2) = b.toByte
+        idx += 3
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zipped = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!deflater.finished())
+      zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val out = java.nio.ByteBuffer.allocate(12 + data.length)
+      out.putInt(data.length).put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++
+      chunk("IDAT", zipped.toByteArray) ++
+      chunk("IEND", Array.empty[Byte])
+  }
+
+  /** The per-corpus image fixture: one `(doc_id, png binary)` parquet row
+    * per document, PNG content planted from [[imgWidth]]/[[pixel]].
+    * Content-fingerprinted against the documents table and atomically
+    * published (the `landedEvents` discipline), so a regenerated corpus
+    * rebuilds the fixture instead of serving stale bytes.
+    */
+  private def imageFixture(spark: SparkSession, sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath(graft.LocalFs.Names.ImageFixtureCache,
+      sfDir, new File(s"$sfDir/documents.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val spark2 = spark
+      import spark2.implicits._
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      table(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ids.map { id =>
+            require(id >= 0, s"fixture planting assumes doc_id >= 0, got $id")
+            (id, encodePng(imgWidth(id), imgHeight(id), pixel(id, _, _)))
+          }
+        }
+        .toDF("doc_id", "png")
+        .write.mode("overwrite").parquet(tmp)
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    new File(landing).setLastModified(System.currentTimeMillis())
+    landing
+  }
+
+  /** The harness image-asset relation: `(doc_id, png binary)`. */
+  def imageAssets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(imageFixture(spark, sfDir))
+
+  /** `mm_decode` checked key: real PNG decode over the image fixture —
+    * per image, its decoded dimensions and exact per-channel pixel sums.
+    * The DuckDB twin recomputes the planted arithmetic per pixel, so a
+    * hash match certifies the decoder read every pixel of every image.
+    */
+  def mmDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decodeImages(imageAssets(spark, sfDir)).orderBy(col("doc_id"))
+
+  /** API form: decode any `(doc_id, png binary)` frame to
+    * `(doc_id, width, height, sum_r, sum_g, sum_b)` — unordered. Fails
+    * loudly on undecodable bytes (a corrupt asset in a curation pipeline
+    * is a data bug to surface, not a row to silently drop — wrap with a
+    * TRY upstream if skip-and-log is the wanted policy).
+    */
+  def decodeImages(assets: DataFrame): DataFrame = {
+    val spark2 = assets.sparkSession
+    import spark2.implicits._
+    assets
+      .select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false) // in-memory streams; no executor tmp files
+        rows.map { case (docId, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"doc $docId: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              sr += (argb >> 16) & 0xff
+              sg += (argb >> 8) & 0xff
+              sb += argb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (docId, w, h, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** `mm_resize` checked key: decode + strided nearest-neighbor downsample
+    * to a fixed 4×4 thumbnail, surfaced as a CSV of the 48 sampled channel
+    * values (hashable cells; int→string formatting is engine-neutral).
+    * The twin recomputes the sampled pixels from the planted arithmetic —
+    * a match proves the resize sampled the true decoded pixels at the
+    * contract positions (⌊i·w/4⌋, ⌊j·h/4⌋).
+    */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame =
+    resizeImages(imageAssets(spark, sfDir), thumbW = 4, thumbH = 4)
+      .orderBy(col("doc_id"))
+
+  /** API form: fixed-size strided thumbnail over any `(doc_id, png binary)`
+    * frame — unordered. Nearest-neighbor by construction (sample at
+    * ⌊tx·w/thumbW⌋, ⌊ty·h/thumbH⌋): deterministic, codec-independent, and
+    * the contract a downstream fixed-shape feature extractor needs.
+    * Requires thumb dims ≤ the image dims (sample positions stay in
+    * range for any image at least thumbW×thumbH).
+    */
+  def resizeImages(assets: DataFrame, thumbW: Int, thumbH: Int): DataFrame = {
+    require(thumbW >= 1 && thumbH >= 1,
+      s"thumb dims must be >= 1, got ${thumbW}x$thumbH")
+    val spark2 = assets.sparkSession
+    import spark2.implicits._
+    assets
+      .select(col("doc_id"), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (docId, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"doc $docId: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= thumbW && h >= thumbH,
+            s"doc $docId: ${w}x$h smaller than thumb ${thumbW}x$thumbH")
+          val vals = for {
+            ty <- 0 until thumbH
+            tx <- 0 until thumbW
+            argb = img.getRGB(tx * w / thumbW, ty * h / thumbH)
+            c <- Seq((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+          } yield c
+          (docId, w, h, thumbW, thumbH, vals.mkString(","))
+        }
+      }
+      .toDF("doc_id", "width", "height", "thumb_w", "thumb_h", "thumb_csv")
   }
 
   /** Frame-sampling shape: explode each payload into fixed-size "frames"
@@ -92,10 +265,10 @@ object Multimodal {
         rows.flatMap { case (docId, payload) =>
           payload.grouped(frameBytes).zipWithIndex.map {
             case (frame, idx) =>
-              // STUB decode: real impl hands `frame` to a codec; here a
-              // deterministic position-weighted digest stands in for the
-              // decoded feature. Mod-prime (not wrap-around) arithmetic so
-              // the SQL oracle reproduces it exactly.
+              // per-frame digest: a deterministic position-weighted stand-in
+              // for a video codec's per-frame feature. Mod-prime (not
+              // wrap-around) arithmetic so the SQL oracle reproduces it
+              // exactly.
               val digest = frame.zipWithIndex.map {
                 case (b, k) => (k + 1L) * b
               }.sum % 144115188075855881L
@@ -104,38 +277,6 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_digest")
-  }
-
-  /** Resize shape: downsample each payload to a fixed-length thumbnail by
-    * striding over the bytes (STUB for an image resize — a real kernel
-    * would interpolate pixels; the stride keeps it deterministic and
-    * byte-faithful). Fixed output size regardless of input size is the
-    * contract a downstream feature extractor needs.
-    */
-  def resizeStub(spark: SparkSession, sfDir: String): DataFrame =
-    resizeStub(table(spark, sfDir, "documents"), thumbLen = 64)
-      .orderBy(col("doc_id"))
-
-  /** API form: fixed-length strided thumbnail at a caller-chosen length
-    * over any `(doc_id, text)` frame — unordered.
-    */
-  def resizeStub(docs: DataFrame, thumbLen: Int): DataFrame = {
-    require(thumbLen >= 1, s"thumbLen must be >= 1, got $thumbLen")
-    docs
-      .withColumn("n_chars", length(col("text")))
-      // the strided downsample is StridedAsciiSums degenerated to one term
-      // per slot: element i = codepoint at position ⌊i·n/64⌋+1 — the same
-      // single-pass walk as the decode stub instead of 64 independent
-      // substr reads each re-walking the string (see StringMath)
-      .withColumn("thumb", graft.functions.StringMath.stridedAsciiSums(
-        col("text"), slots = thumbLen, terms = 1, denom = thumbLen))
-      .select(col("doc_id"), col("n_chars"),
-        size(col("thumb")).as("thumb_len"),
-        // CSV rendering: the comparator needs hashable cells, and int→string
-        // formatting is engine-independent so the byte content stays
-        // oracle-checked
-        array_join(transform(col("thumb"), _.cast(StringType)), ",")
-          .as("thumb_csv"))
   }
 
   /** SQL-checkable slice of the multimodal plumbing: payload sizing layout
@@ -162,23 +303,47 @@ object Multimodal {
   }
 
   val oracleSql: Map[String, String] = Map(
-    // stub decode is engine-neutral arithmetic over the ASCII corpus: byte
-    // count, md5 hex digest (identical in both engines over UTF-8 bytes),
-    // and strided codepoint-sum features
-    "mm_decode_stub" -> {
-      val slots = (0 until 8).map { i =>
-        s"""  CAST((list_sum(list_transform(range(0, 32),
-           |    j -> ascii(substr(text,
-           |      CAST(FLOOR((${i * 32} + j) * length(text) / 256.0) AS INTEGER) + 1,
-           |      1)))) % 1000) AS DOUBLE) / 1000.0 AS f$i""".stripMargin
-      }.mkString(",\n")
-      s"""SELECT doc_id,
-         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-         |  'application/octet-stream' AS mime,
-         |  md5(text) AS checksum,
-         |$slots
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    // the planted-pixel twin: per document the same (w, h) arithmetic and
+    // the per-channel sums enumerated pixel-by-pixel — values only a real
+    // decode of the PNG bytes can reproduce on the Spark side
+    "mm_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    8 + doc_id % 9 AS w,
+        |    8 + (doc_id * 3) % 7 AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, w, h, x, y
+        |  FROM d,
+        |    unnest(range(0, w)) AS tx(x),
+        |    unnest(range(0, h)) AS ty(y))
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(SUM((x*7 + y*11 + doc_id*13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((x*5 + y*3 + doc_id*17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((x*2 + y*5 + doc_id*23) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+    // the strided-sample twin: k enumerates (ty, tx, channel) row-major
+    // (k = ty·12 + tx·3 + ch), sample position ⌊tx·w/4⌋, ⌊ty·h/4⌋ — `//`
+    // is DuckDB's integer division, matching Spark-side Int division
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 7 AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(4 AS INTEGER) AS thumb_w, CAST(4 AS INTEGER) AS thumb_h,
+        |  array_to_string(list_transform(range(0, 48), k -> CAST(
+        |    CASE k % 3
+        |      WHEN 0 THEN ((((k % 12) // 3) * w // 4) * 7
+        |        + ((k // 12) * h // 4) * 11 + doc_id * 13) % 256
+        |      WHEN 1 THEN ((((k % 12) // 3) * w // 4) * 5
+        |        + ((k // 12) * h // 4) * 3 + doc_id * 17) % 256
+        |      ELSE ((((k % 12) // 3) * w // 4) * 2
+        |        + ((k // 12) * h // 4) * 5 + doc_id * 23) % 256
+        |    END AS VARCHAR)), ',') AS thumb_csv
+        |FROM d ORDER BY doc_id""".stripMargin,
     // frame explode reproduced with a correlated unnest(range(...)) — one
     // row per 256-byte frame; the position-weighted digest is plain
     // arithmetic in both engines
@@ -192,18 +357,6 @@ object Multimodal {
         |FROM documents,
         |  unnest(range(0, CAST(CEIL(length(text)/256.0) AS INTEGER))) AS t(j)
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    // stride-downsample is pure arithmetic over ASCII codepoints (corpus is
-    // all-ASCII), so the resize contract gets a full hash oracle; DuckDB
-    // needs an explicit FLOOR where Spark's CAST AS INT truncates
-    "mm_resize_stub" ->
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_chars,
-        |  CAST(64 AS INTEGER) AS thumb_len,
-        |  array_to_string(list_transform(range(0, 64),
-        |    i -> CAST(ascii(substr(text,
-        |           CAST(FLOOR(i * length(text) / 64.0) AS INTEGER) + 1, 1))
-        |         AS VARCHAR)), ',') AS thumb_csv
-        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_layout" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -21,7 +21,7 @@ object ExplainMain {
     val keys = if (args.nonEmpty) args.toSeq
       else Seq("flagship_nation_top_supplier", "filter_eq", "select_cols",
         "groupby_agg", "join_inner_equi", "sim_search", "json_extract",
-        "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode_stub",
+        "window_top1", "dedup_ngram", "dedup_simhash", "mm_decode",
         "corpus_clean", "join_asof", "join_range", "sketch_kmv",
         "pivot_wide", "sample_stratified", "join_salted", "agg_cube",
         "window_moving_avg", "event_funnel", "tfidf_topk", "ngram_lm_score",

@@ -449,31 +449,39 @@ class ExtensionsSpec extends SparkSpec {
     lsh.foreach { case (q, s) => assert(s <= exact(q) + 1e-9) }
   }
 
-  test("native strided_ascii_sums equals the composed ascii/substr form") {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    import graft.functions.StringMath
+  test("mm_decode sums equal an independent Scala recomputation of the planting") {
     import spark.implicits._
-    // the decode stub's single-pass loop must be bit-equal to the
-    // expression tree it replaced (which the suite keeps as the semantic
-    // spec), including the empty-string, multi-byte-codepoint, and
-    // shorter-than-sample-count edges
-    def composed(textCol: org.apache.spark.sql.Column, i: Int) = {
-      val n = length(textCol).cast(LongType)
-      (0 until 32).map { j =>
-        val pos = ((lit((i * 32 + j).toLong) * n) / 256L)
-          .cast(IntegerType) + 1
-        ascii(textCol.substr(pos, lit(1))).cast(LongType)
-      }.reduce(_ + _)
+    // the fixture plants pixel arithmetic; the operator decodes PNG bytes
+    // with ImageIO knowing nothing of the planting. Equality over the whole
+    // corpus proves the executor-side decode read every pixel (the DuckDB
+    // twin re-proves it cross-engine; this is the in-suite form)
+    val got = Multimodal.mmDecode(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, sr, sg, sb) =>
+      assert(w == Multimodal.imgWidth(id) && h == Multimodal.imgHeight(id),
+        s"doc $id dims ${w}x$h")
+      var (er, eg, eb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pixel(id, x, y)
+        er += r; eg += g; eb += b
+      }
+      assert((sr, sg, sb) == ((er, eg, eb)), s"doc $id channel sums")
     }
-    val corpus = Tables.table(spark, sf, "documents").select(col("text"))
-    val edges = Seq("", "é", "héllo wörld", "a").toDF("text")
-    Seq(corpus, edges).foreach { df =>
-      val sums = StringMath.stridedAsciiSums(col("text"), 8, 32, 256)
-      val bad = (0 until 8).map { i =>
-        !(element_at(sums, i + 1) <=> composed(col("text"), i))
-      }.reduce(_ || _)
-      assert(df.filter(bad).count() == 0)
+  }
+
+  test("decode fails loudly on undecodable payloads") {
+    import spark.implicits._
+    // corrupt assets are a data bug to surface, not a row to drop — the
+    // operator's documented contract
+    val junk = Seq((7L, Array[Byte](1, 2, 3, 4, 5))).toDF("doc_id", "png")
+    val e = intercept[Exception] {
+      Multimodal.decodeImages(junk).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("not a decodable image")), e)
   }
 
   test("text_stats ratios are in [0,1] and token math is consistent") {
@@ -673,9 +681,19 @@ class ExtensionsSpec extends SparkSpec {
     val layout = Multimodal.frameLayout(assets, frameBytes = 8).head()
     assert(layout.getInt(2) == 3 && layout.getInt(1) == 20)
 
-    val docs = Seq((1L, "some document text here")).toDF("doc_id", "text")
-    val thumb = Multimodal.resizeStub(docs, thumbLen = 16).head()
-    assert(thumb.getInt(thumb.fieldIndex("thumb_len")) == 16)
+    // thumbnail shape is caller policy: a 10×8 image at 2×3 samples the
+    // planted pixels at (⌊tx·10/2⌋, ⌊ty·8/3⌋)
+    val png = Seq((5L, Multimodal.encodePng(10, 8, Multimodal.pixel(5L, _, _))))
+      .toDF("doc_id", "png")
+    val thumb = Multimodal.resizeImages(png, thumbW = 2, thumbH = 3).head()
+    assert(thumb.getInt(thumb.fieldIndex("thumb_w")) == 2 &&
+      thumb.getInt(thumb.fieldIndex("thumb_h")) == 3)
+    val expected = (for {
+      ty <- 0 until 3; tx <- 0 until 2
+      (r, g, b) = Multimodal.pixel(5L, tx * 10 / 2, ty * 8 / 3)
+      c <- Seq(r, g, b)
+    } yield c).mkString(",")
+    assert(thumb.getString(thumb.fieldIndex("thumb_csv")) == expected)
 
     // KMV at a caller-chosen sketch size over an arbitrary key expression
     val ids = (1 to 100).map(i => Tuple1(i * 7L)).toDF("id")
@@ -698,24 +716,25 @@ class ExtensionsSpec extends SparkSpec {
       .count() == 0)
   }
 
-  test("resize stub yields fixed-length thumbnails of valid char codes") {
-    val df = Multimodal.resizeStub(spark, sf)
-      .withColumn("thumb", expr("transform(split(thumb_csv, ','), s -> CAST(s AS INT))"))
-    assert(df.filter(col("thumb_len") =!= 64).count() == 0)
-    assert(df.filter(size(col("thumb")) =!= 64).count() == 0)
+  test("mm_resize thumbnails are 4x4 RGB samples of the decoded pixels") {
+    import spark.implicits._
+    val df = Multimodal.mmResize(spark, sf)
+      .withColumn("thumb",
+        expr("transform(split(thumb_csv, ','), s -> CAST(s AS INT))"))
+    // fixed 48-cell (4×4×RGB) shape, every cell a valid channel value
+    assert(df.filter(size(col("thumb")) =!= 48).count() == 0)
     assert(df.filter(expr(
-      "exists(thumb, b -> b IS NULL OR b < 0 OR b > 127)")).count() == 0)
-  }
-
-  test("decode stub emits bounded features and faithful byte counts") {
-    val df = Multimodal.decodeStub(spark, sf)
-    val oob = (0 until 8).map(i =>
-      col(s"f$i").isNull || col(s"f$i") < 0.0 || col(s"f$i") >= 1.0)
-      .reduce(_ || _)
-    assert(df.filter(oob).count() == 0)
-    assert(df.filter(col("n_bytes") <= 0).count() == 0)
-    // content-sensitivity: distinct docs should not collapse to one vector
-    assert(df.select((0 until 8).map(i => col(s"f$i")): _*)
-      .distinct().count() > 1)
+      "exists(thumb, b -> b IS NULL OR b < 0 OR b > 255)")).count() == 0)
+    // and the sampled values are the planted pixels at the stride positions
+    df.select(col("doc_id"), col("width"), col("height"), col("thumb_csv"))
+      .as[(Long, Int, Int, String)].collect().foreach {
+        case (id, w, h, csv) =>
+          val expected = (for {
+            ty <- 0 until 4; tx <- 0 until 4
+            (r, g, b) = Multimodal.pixel(id, tx * w / 4, ty * h / 4)
+            c <- Seq(r, g, b)
+          } yield c).mkString(",")
+          assert(csv == expected, s"doc $id thumb")
+      }
   }
 }

@@ -147,13 +147,19 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("mm_decode_stub evaluates the slot-sum pass exactly once") {
-    // the hoisted slot_sums alias is referenced by 8 element_at slots; if a
-    // rewrite let CollapseProject inline it, the single-pass expression
-    // would run 8× per row and the plan would show 8 copies
-    val p = plan("mm_decode_stub")
-    val n = "strided_ascii_sums".r.findAllIn(p).length
-    assert(n == 1, s"expected 1 strided_ascii_sums evaluation, got $n in:\n$p")
+  test("image decode and resize are scan-stage object pipelines: zero Exchange") {
+    // the multimodal decode contract at 100 TB: per-row codec work rides
+    // the scan stage as a typed mapPartitions — no shuffle of the binary
+    // payloads, ever (the checked keys add only the presentation sort)
+    val assets = ops.Multimodal.imageAssets(spark, sf)
+    Seq(
+      "decodeImages" -> ops.Multimodal.decodeImages(assets),
+      "resizeImages" -> ops.Multimodal.resizeImages(assets, 4, 4))
+      .foreach { case (name, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
+        assert(p.contains("MapPartitions"), s"$name lost its batch loop:\n$p")
+      }
   }
 
   test("ml_assembler evaluates the vector conversion exactly once") {

@@ -77,34 +77,35 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("strided_ascii_sums equals the composed form for arbitrary strings") {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    import spark.implicits._
-    import graft.functions.StringMath
-    // arbitrary content including multi-byte codepoints and a surrogate
-    // pair; smaller slot/term params keep the composed spec tree compact
-    val (slots, terms, denom) = (4, 8, 32)
-    val charGen = Gen.frequency(
-      8 -> Gen.alphaNumChar.map(_.toString),
-      1 -> Gen.oneOf("é", "ß", "语", "🙂", " "),
-      1 -> Gen.const(""))
-    val strGen = Gen.listOfN(20, charGen).map(_.mkString)
-    val texts = samples(strGen, 40) :+ "" :+ "ab"
-    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-      .toDF("id", "text")
-    def composed(i: Int) = {
-      val n = length(col("text")).cast(LongType)
-      (0 until terms).map { j =>
-        val pos = ((lit((i * terms + j).toLong) * n) / denom.toLong)
-          .cast(IntegerType) + 1
-        ascii(col("text").substr(pos, lit(1))).cast(LongType)
-      }.reduce(_ + _)
+  test("png encoder round-trips through imageio exactly for arbitrary images") {
+    // the multimodal fixture's whole evidentiary value: the hand-rolled
+    // encoder (Deflater + CRC32, no ImageIO) and the operators' ImageIO
+    // decode are independent implementations that must agree pixel-exactly
+    // on ANY image, not just the planted corpus — arbitrary dims and an
+    // arbitrary affine pixel formula, decoded back pixel by pixel
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    import graft.ops.Multimodal
+    val caseGen = for {
+      w <- Gen.choose(1, 23)
+      h <- Gen.choose(1, 19)
+      a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)
+      c <- Gen.choose(0, 255)
+    } yield (w, h, a, b, c)
+    samples(caseGen, 25).foreach { case (w, h, a, b, c) =>
+      def px(x: Int, y: Int): (Int, Int, Int) =
+        ((x * a + y * b + c) % 256, (x * b + y * c + a) % 256,
+          (x * c + y * a + b) % 256)
+      val img = ImageIO.read(
+        new ByteArrayInputStream(Multimodal.encodePng(w, h, px)))
+      assert(img != null, s"${w}x$h did not decode")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val got = ((argb >> 16) & 0xff, (argb >> 8) & 0xff, argb & 0xff)
+        assert(got == px(x, y), s"pixel ($x,$y) of ${w}x$h a=$a b=$b c=$c")
+      }
     }
-    val sums = StringMath.stridedAsciiSums(col("text"), slots, terms, denom)
-    val bad = (0 until slots).map { i =>
-      !(element_at(sums, i + 1) <=> composed(i))
-    }.reduce(_ || _)
-    assert(df.filter(bad).count() == 0)
   }
 
   test("simhash fingerprint equals exploded votes for arbitrary token lists") {
