@@ -26,7 +26,7 @@ object LocalFs {
     * |-------------------|-----------------|--------------------------|------|---------------------------|
     * | CSV landing       | published cache | graft_scan_csv_v1        | none | Sources.scanCsvTyped      |
     * | bucketed layout   | published cache | graft_bucketed_v2        | none | Sources.bucketedJoin      |
-    * | IVF quantizer     | published cache | graft_ivf_quantizer_v1   | none | Similarity (ivfModel)     |
+    * | IVF quantizer     | published cache | graft_ivf_quantizer_v2   | none | Similarity (ivfModel)     |
     * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
     * | CDC sorted landing| published cache | graft_cdc_sorted_v1      | none | Streams.landedEventsSorted|
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
@@ -45,7 +45,7 @@ object LocalFs {
   object Names {
     val ScanCsvCache = "graft_scan_csv_v1"
     val BucketedCache = "graft_bucketed_v2"
-    val IvfQuantizerCache = "graft_ivf_quantizer_v1"
+    val IvfQuantizerCache = "graft_ivf_quantizer_v2"
     val CdcLandingCache = "graft_cdc_landing_v1"
     val CdcSortedCache = "graft_cdc_sorted_v1"
     val ImageFixtureCache = "graft_img_fixture_v1"

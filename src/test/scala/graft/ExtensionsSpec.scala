@@ -371,7 +371,7 @@ class ExtensionsSpec extends SparkSpec {
     val row = Similarity.simSearchQuantChecked(spark, sf).collect().head
     assert(row.getAs[Boolean]("recall_ok"),
       s"quantized pooled recall under its certified floor: $row")
-    assert(row.getAs[Double]("min_recall") == 0.5)
+    assert(row.getAs[Double]("min_recall") == 0.8)
   }
 
   test("IVF sim_search: bounded by exact results, sane recall") {
@@ -385,11 +385,11 @@ class ExtensionsSpec extends SparkSpec {
     assert(ivf.length == exact.length)
     val exactTop1 = exact.filter(_._4 == 1).map(r => r._1 -> r._3).toMap
     ivf.foreach { case (q, _, s, _) => assert(s <= exactTop1(q) + 1e-9) }
-    // probing 4/16 clusters of structure-free embeddings: expect partial
-    // but non-trivial overlap with the exact top-10
+    // probing 12/32 clusters: measured recall 1.00 on this corpus; the
+    // suite floor matches the certified 0.8 contract
     val recall = exact.map(r => (r._1, r._2)).toSet
       .intersect(ivf.map(r => (r._1, r._2)).toSet).size.toDouble / exact.length
-    assert(recall >= 0.2, s"ivf recall too low: $recall")
+    assert(recall >= 0.8, s"ivf recall too low: $recall")
   }
 
   test("LSH sim_search recalls a floor of the exact top-10") {
@@ -402,7 +402,7 @@ class ExtensionsSpec extends SparkSpec {
     val lsh = Similarity.simSearchLsh(spark, sf)
       .select("q_id", "c_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(lsh).size.toDouble / exact.size
-    assert(recall >= 0.2, s"lsh recall too low: $recall")
+    assert(recall >= 0.8, s"lsh recall too low: $recall")
   }
 
   test("recall certificates (driver keys) certify pooled floors with exact probe counts") {
@@ -411,11 +411,11 @@ class ExtensionsSpec extends SparkSpec {
     // column but recall_ok is oracle-recomputable, and recall_ok must
     // hold on the suite corpus just as the driver pins it at sf0.01
     assert(Similarity.simSearchLshChecked(spark, sf)
-      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.2, true)))
+      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.8, true)))
     assert(Similarity.simSearchIvfChecked(spark, sf)
-      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.2, true)))
+      .as[(Long, Int, Double, Boolean)].head() == ((5L, 10, 0.8, true)))
     assert(Dedup.dedupEmbedChecked(spark, sf)
-      .as[(Long, Int, Double, Boolean)].head() == ((100L, 1, 0.5, true)))
+      .as[(Long, Int, Double, Boolean)].head() == ((100L, 1, 0.8, true)))
   }
 
   test("probe predicate overloads select the query side of every ANN path") {
