@@ -111,10 +111,38 @@ object Curation {
     * than n words carry n_grams = 0 and are trivially clean. NULL-text
     * rows are dropped on both sides (the `tfidfTopK` convention — legacy
     * sizeOfNull would otherwise emit n_grams = −1 for them where an
-    * oracle emits NULL). Unordered.
+    * oracle emits NULL). Unordered. Broadcast regime — the default for
+    * real eval sets (thousands of examples).
     */
   def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    contaminationCheck(docs, benchmark, n, broadcastBenchmark = true)
+
+  /** Regime overload — the documented scale contract for the benchmark
+    * gram lookup:
+    *
+    *  - `broadcastBenchmark = true` (the default form): eval sets are
+    *    small by definition, so the distinct benchmark grams broadcast
+    *    and the corpus-side gram explosion never shuffles for the lookup.
+    *    This regime has an implicit size limit — the driver materializes
+    *    the broadcast side (`spark.sql.autoBroadcastJoinThreshold`-scale,
+    *    tens of MB) — which is exactly the undocumented cliff this
+    *    overload removes.
+    *  - `broadcastBenchmark = false`: for benchmark gram sets past
+    *    broadcast scale (a mega-benchmark union, or decontaminating
+    *    against another CORPUS), the lookup becomes a SHUFFLED HASH join
+    *    keyed on the gram: both sides hash-partition, the benchmark side
+    *    builds per-partition hash tables, and neither side is ever
+    *    sorted (a sort-merge join here would sort the full corpus gram
+    *    explosion — the expensive thing — for a lookup that needs no
+    *    order). Plan-guarded per regime in PlanSpec; ExtensionsSpec pins
+    *    the two regimes row-identical.
+    *
+    * The per-doc hit count stays a map-side-combinable aggregate in both
+    * regimes; only the lookup join changes shape.
+    */
+  def contaminationCheck(docs: DataFrame, benchmark: DataFrame,
+      n: Int, broadcastBenchmark: Boolean): DataFrame = {
     require(n >= 1, s"gram size must be >= 1, got $n")
     def grams = expr(
       s"""CASE WHEN size(w) >= $n THEN
@@ -124,12 +152,14 @@ object Curation {
     val bg = benchmark.filter(col("text").isNotNull)
       .withColumn("w", split(col("text"), " "))
       .select(explode(grams).as("gram")).distinct()
+    val lookup = if (broadcastBenchmark) broadcast(bg)
+      else bg.hint("shuffle_hash")
     val withGrams = docs.filter(col("text").isNotNull)
       .withColumn("w", split(col("text"), " "))
       .withColumn("grams", grams)
     val hits = withGrams
       .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
-      .join(broadcast(bg), "gram")
+      .join(lookup, "gram")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("h"))
     withGrams
       .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"))

@@ -542,6 +542,20 @@ class ExtensionsSpec extends SparkSpec {
     val corpus = graft.ops.Curation.contaminationCheck(spark, sf)
     assert(corpus.filter(col("is_contaminated") === 1).count() > 0)
     assert(corpus.filter(col("is_contaminated") === 0).count() > 0)
+    // the non-broadcast (shuffled-hash) regime is the same operator at a
+    // different join shape: row-identical on fixtures and corpus
+    val all = Tables.table(spark, sf, "documents")
+    val shuffled = Curation.contaminationCheck(
+      all.filter(col("doc_id") >= 20), all.filter(col("doc_id") < 20),
+      n = 5, broadcastBenchmark = false)
+    assert(shuffled.exceptAll(corpus).count() == 0 &&
+      corpus.exceptAll(shuffled).count() == 0)
+    val gotShuffled = Curation
+      .contaminationCheck(docs, bench, n = 5, broadcastBenchmark = false)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(gotShuffled == got)
     assert(corpus.count() ==
       Tables.table(spark, sf, "documents")
         .filter(col("doc_id") >= 20).count())

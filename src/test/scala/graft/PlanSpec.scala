@@ -84,6 +84,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("contamination non-broadcast regime hash-joins shuffled, never sorts the grams") {
+    // the past-broadcast-scale contract: the gram lookup becomes a
+    // SHUFFLED HASH join — no broadcast of a too-big benchmark, and no
+    // sort-merge (which would sort the full corpus gram explosion for an
+    // order-free lookup)
+    import org.apache.spark.sql.functions._
+    val docs = Tables.table(spark, sf, "documents")
+    val p = ops.Curation.contaminationCheck(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      n = 5, broadcastBenchmark = false)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("order_limit runs as TakeOrderedAndProject, not global sort") {
     val p = plan("order_limit")
     assert(p.contains("TakeOrderedAndProject"), p)
