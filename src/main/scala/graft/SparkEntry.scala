@@ -142,6 +142,7 @@ object SparkEntry {
     // streaming replays to completion, pinned to their batch twins'
     // oracles: CDC upsert snapshot + as-of attribution
     "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
+    "cdc_snapshot_rocksdb" -> (Streams.cdcSnapshotRocksdbQuery _),
     "cdc_snapshot_ttl" -> (Streams.cdcSnapshotTtlQuery _),
     "asof_stream" -> (Streams.asofStreamQuery _),
     // §2j multimodal: real PNG decode/resize over the planted image

@@ -577,8 +577,9 @@ object Streams {
     * swept the landing itself out from under the stream (StreamingSpec
     * pins the regression by backdating the landing past the TTL).
     */
-  private def replayToFeed(spark: SparkSession,
-      out: Dataset[_]): DataFrame = {
+  private def replayToFeed(spark: SparkSession, out: Dataset[_],
+      check: org.apache.spark.sql.streaming.StreamingQuery => Unit =
+        _ => ()): DataFrame = {
     import java.io.File
     val parent = new File(sys.props("java.io.tmpdir"))
     val work = new File(parent,
@@ -592,6 +593,7 @@ object Streams {
       .option("checkpointLocation", new File(work, "ck").getPath)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    check(q)
     spark.read.parquet(feedDir)
   }
 
@@ -620,8 +622,17 @@ object Streams {
     * compaction, over the feed (≈ key cardinality), never the raw log.
     */
   def cdcSnapshotQuery(spark: SparkSession, sfDir: String): DataFrame =
-    replayToFeed(spark,
-      upsertStream(spark, readEvents(spark, landedEvents(spark, sfDir))))
+    snapshotFromFeed(replayToFeed(spark,
+      upsertStream(spark, readEvents(spark, landedEvents(spark, sfDir)))))
+
+  /** Shared snapshot reconstruction over an upsert change feed — the same
+    * max_by compaction as the batch operator, over the feed (≈ key
+    * cardinality), never the raw log. Split out so the state-store-backend
+    * keys (`cdc_snapshot` default store / `cdc_snapshot_rocksdb`) share
+    * one projection by construction.
+    */
+  private def snapshotFromFeed(feed: DataFrame): DataFrame =
+    feed
       .groupBy(col("user_id"), col("event_type"))
       .agg(max_by(
         struct(col("value"), col("ts"), col("event_id"), col("n_versions")),
@@ -632,6 +643,43 @@ object Streams {
         col("cur.event_id").as("event_id"),
         col("cur.n_versions").as("n_versions"))
       .orderBy(col("user_id"), col("event_type"))
+
+  /** `cdc_snapshot_rocksdb` checked key: the SAME streaming upsert replay
+    * as [[cdcSnapshotQuery]], executed on the disk-backed RocksDB state
+    * store provider — the backend a real large-state deployment runs
+    * (per-key state off-heap/on-disk, bounded memory at any key
+    * cardinality) — and pinned to the same batch-compaction oracle. The
+    * replay REQUIRES the provider to have engaged, read from the query's
+    * own state-operator metrics: a conf typo or provider fallback fails
+    * the key loudly instead of re-grading the default store under a new
+    * name. The provider conf is scoped to this replay and restored after
+    * (state-store provider binds at stream start, so the setting cannot
+    * leak into a concurrent query's plan; the returned frame reads the
+    * already-written feed and is conf-independent).
+    */
+  def cdcSnapshotRocksdbQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state." +
+      "RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption(provKey)
+    val feed =
+      try {
+        spark.conf.set(provKey, rocks)
+        replayToFeed(spark,
+          upsertStream(spark, readEvents(spark, landedEvents(spark, sfDir))),
+          check = q => {
+            val engaged = q.recentProgress.flatMap(_.stateOperators)
+              .flatMap(_.customMetrics.keySet.toArray(Array.empty[String]))
+              .exists(_.startsWith("rocksdb"))
+            require(engaged,
+              "RocksDB state store provider did not engage for the replay")
+          })
+      } finally prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    snapshotFromFeed(feed)
+  }
 
   /** Number of event-time slices in the sorted landing, and the TTL for
     * the evicting replay. The slice count is part of the `cdc_snapshot_ttl`
@@ -830,6 +878,9 @@ object Streams {
     // pinned BY REFERENCE to the batch twins' oracles: each streaming
     // replay must land on exactly the rows its batch operator computes
     "cdc_snapshot" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),
+    // the RocksDB-backed replay must land on the identical snapshot: same
+    // oracle by reference (backend choice must be semantics-free)
+    "cdc_snapshot_rocksdb" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),
     "asof_stream" -> graft.ops.Temporal.oracleSql("join_asof"),
     // the TTL replay's twin: latest version per key by (ts, event_id)
     // order — no n_versions (restart-dependent by contract) — plus the

@@ -385,6 +385,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows(Streams.cdcSnapshotQuery(spark, sf)) == batch)
   }
 
+  test("cdc_snapshot_rocksdb key: RocksDB-backed replay lands the identical snapshot") {
+    // the large-state backend as a CHECKED key: same rows as the batch
+    // compaction (the key's own require() already proved provider
+    // engagement from state metrics, or this would have thrown), and the
+    // session's provider conf must be restored afterwards
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(provKey)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val got = rows(Streams.cdcSnapshotRocksdbQuery(spark, sf))
+    assert(got.nonEmpty)
+    assert(got == rows(graft.ops.Lifecycle.upsertLatest(spark, sf)))
+    assert(spark.conf.getOption(provKey) == before,
+      "provider conf leaked out of the rocksdb replay")
+  }
+
   test("cdc_snapshot_ttl key: evicting paced replay still lands the batch rows") {
     // the TTL-evicting replay over the SORTED multi-file landing: the
     // version-order snapshot (no n_versions — restart-dependent by
