@@ -115,6 +115,7 @@ object SparkEntry {
     "dedup_cluster" -> (Dedup.dedupClusters _),
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_embed" -> (Dedup.dedupEmbedChecked _),
+    "dedup_embed_incremental" -> (Dedup.dedupEmbedIncrementalChecked _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
     // eval-set decontamination (benchmark n-gram overlap gate)

@@ -639,6 +639,191 @@ object Dedup {
       dedupEmbed(spark, sfDir).select(col("q_id"), col("nn_id").as("c_id")),
       k = 1, floor = 0.8)
 
+  /** INCREMENTAL EMBEDDING DEDUP — the ANN counterpart of
+    * [[dedupIncremental]]: a daily batch of new vectors is screened
+    * against the existing corpus (and against itself) for cosine
+    * near-duplicates, and each new vector gets a keep decision. Keep
+    * rule, per new vector:
+    *
+    *  - `is_dup_corpus` — some EXISTING vector has cosine ≥ τ;
+    *  - `is_dup_batch`  — not a corpus dup, but some EARLIER new vector
+    *    (smaller vec_id = earlier arrival) has cosine ≥ τ;
+    *  - `keep`          — neither.
+    *
+    * The within-batch rule is deliberately ONE-HOP, not transitive: it
+    * matches a streaming dedup index that inserts every incoming vector
+    * (kept or not) and flags each arrival against everything already
+    * indexed — the semantics a crawl pipeline actually runs, and (unlike
+    * connected components) exactly recomputable by the SQL oracle with
+    * no recursion.
+    *
+    * Production path = the int8 QUANTIZED prescan from
+    * [[Similarity.simSearchQuantized]]: stage 1 scores batch×(corpus ∪
+    * earlier-batch) with the 1-byte-per-element kernel and keeps only the
+    * top-`rerank` candidate ids per (probe, side) — no float arrays cross
+    * the shuffle; stage 2 re-scores that sliver with the exact double
+    * kernel. At 100 TB the prescan input is itself fed by an IVF/LSH
+    * candidate stage (compose with [[Similarity.simSearchIvf]]); the keep
+    * logic is a per-probe max over ≤ 2·rerank rows either way.
+    *
+    * τ defaults to 0.42 for the harness corpus: the generator plants no
+    * embedding near-dup twins across the parity split (max any-pair
+    * cosine ≈ 0.51), so the conventional 0.9 would make every branch of
+    * the rule vacuous; 0.42 populates all three branches (corpus-dup /
+    * batch-dup / keep) at every harness scale. Production callers pass
+    * their corpus' calibrated threshold.
+    */
+  def dedupEmbedIncremental(spark: SparkSession, sfDir: String): DataFrame =
+    dedupEmbedIncremental(spark, sfDir, col("vec_id") % 2 === 1,
+      tau = IncrementalEmbedTau, rerank = 8)
+
+  /** Quantized-prescan incremental report for an arbitrary new-batch
+    * predicate over the embeddings table. `rerank` bounds the exact
+    * re-score pool per (probe, side).
+    */
+  def dedupEmbedIncremental(spark: SparkSession, sfDir: String,
+      isNew: org.apache.spark.sql.Column, tau: Double,
+      rerank: Int): DataFrame =
+    dedupEmbedIncremental(table(spark, sfDir, "embeddings"), isNew, tau,
+      rerank)
+
+  /** GENERIC frame form — the production API shape (mirrors the frame
+    * form of [[dedupIncremental]]): `vectors` is any (vec_id, embedding)
+    * frame, `isNew` marks the incoming batch, arrival order within the
+    * batch is vec_id order. Zero-norm vectors are excluded at the shared
+    * prep chokepoint (same contract as every ANN path).
+    */
+  def dedupEmbedIncremental(vectors: DataFrame,
+      isNew: org.apache.spark.sql.Column, tau: Double,
+      rerank: Int): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    val v = Similarity.quantize(Similarity.prepped(vectors), "demb")
+      .withColumn("is_new", isNew)
+    // stage 1: int8 scan — probes broadcast WITHOUT their float arrays,
+    // and only (q_id, c_id, side) survive the cut
+    val probesQ = v.filter(col("is_new"))
+      .select(col("vec_id").as("q_id"), col("q_vec").as("pq_vec"),
+        col("q_scale").as("pq_scale"), col("nrm").as("q_nrm"))
+    val candsQ = v.select(col("vec_id").as("c_id"), col("q_vec").as("cq_vec"),
+      col("q_scale").as("cq_scale"), col("nrm").as("c_nrm"),
+      col("is_new").as("c_new"))
+    val wPre = Window.partitionBy(col("q_id"), col("side"))
+      .orderBy(col("pre_sim").desc, col("c_id"))
+    val pool = candsQ.crossJoin(broadcast(probesQ))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("side", when(!col("c_new"), lit("corpus"))
+        .when(col("c_id") < col("q_id"), lit("prior")))
+      .filter(col("side").isNotNull)
+      .withColumn("pre_sim",
+        col("pq_scale") * col("cq_scale")
+          * graft.functions.VectorMath.dotInt8(col("pq_vec"), col("cq_vec"))
+          / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pre_rnk", row_number().over(wPre))
+      .filter(col("pre_rnk") <= rerank)
+      .select(col("q_id"), col("c_id"), col("side"))
+    // stage 2: exact rerank of the sliver, then the keep rule (filter on
+    // the carried is_new flag, not the raw predicate — isNew may bind
+    // columns this projection drops)
+    val exact = v.select(col("vec_id"), col("demb"), col("nrm"),
+      col("is_new"))
+    val scored = pool
+      .join(exact.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+        col("nrm").as("c_nrm")), "c_id")
+      .join(broadcast(exact.filter(col("is_new"))
+        .select(col("vec_id").as("q_id"),
+          col("demb").as("q_emb"), col("nrm").as("q_nrm"))), "q_id")
+      .withColumn("sim", round(
+        graft.functions.VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
+      .select(col("q_id"), col("side"), col("sim"))
+    embedIncrementalFlags(v.filter(col("is_new")).select(col("vec_id")),
+      scored, tau)
+  }
+
+  /** EXACT reference form of the incremental report: brute-force cosine
+    * over batch×(corpus ∪ earlier-batch), no prescan. This is the
+    * verification twin the certificate runs — identical output when the
+    * quantized pool covers every true near-dup maximum.
+    */
+  def dedupEmbedIncrementalExact(spark: SparkSession, sfDir: String,
+      isNew: org.apache.spark.sql.Column, tau: Double): DataFrame =
+    dedupEmbedIncrementalExact(table(spark, sfDir, "embeddings"), isNew, tau)
+
+  /** Generic frame form of the exact reference path. */
+  def dedupEmbedIncrementalExact(vectors: DataFrame,
+      isNew: org.apache.spark.sql.Column, tau: Double): DataFrame = {
+    val v = Similarity.prepped(vectors).withColumn("is_new", isNew)
+    val probes = v.filter(col("is_new"))
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = v.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+        col("nrm").as("c_nrm"), col("is_new").as("c_new"))
+      .crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("side", when(!col("c_new"), lit("corpus"))
+        .when(col("c_id") < col("q_id"), lit("prior")))
+      .filter(col("side").isNotNull)
+      .withColumn("sim", round(
+        graft.functions.VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
+      .select(col("q_id"), col("side"), col("sim"))
+    embedIncrementalFlags(v.filter(col("is_new")).select(col("vec_id")),
+      scored, tau)
+  }
+
+  /** Shared keep-rule tail: per-probe max cosine per side → flags. The
+    * left join keeps new vectors with NO candidate pairs at all (their
+    * maxima are NULL → both flags false → keep).
+    */
+  private def embedIncrementalFlags(newIds: DataFrame, scored: DataFrame,
+      tau: Double): DataFrame = {
+    val maxes = scored.groupBy(col("q_id")).agg(
+      max(when(col("side") === "corpus", col("sim"))).as("max_corpus_cos"),
+      max(when(col("side") === "prior", col("sim"))).as("max_prior_cos"))
+    newIds.select(col("vec_id").as("q_id"))
+      .join(maxes, Seq("q_id"), "left")
+      .withColumn("is_dup_corpus",
+        coalesce(col("max_corpus_cos") >= tau, lit(false)))
+      .withColumn("is_dup_batch", !col("is_dup_corpus") &&
+        coalesce(col("max_prior_cos") >= tau, lit(false)))
+      .withColumn("keep", !col("is_dup_corpus") && !col("is_dup_batch"))
+      .orderBy(col("q_id"))
+  }
+
+  private val IncrementalEmbedTau = 0.42
+
+  /** `dedup_embed_incremental` checked key: ONE row aggregating the EXACT
+    * keep rule — (n_new, n_dup_corpus, n_dup_batch, n_keep, tau), every
+    * value recomputed brute-force by the DuckDB oracle — plus `quant_ok`,
+    * the Spark-verified boolean that the quantized-prescan production
+    * path reproduces the exact keep decision for EVERY new vector (the
+    * oracle pins it TRUE). Same grading pattern as
+    * [[Similarity.recallCertificate]], but over decisions, not recall:
+    * the keep rule itself is hash-checked, and the int8 path is certified
+    * decision-identical to it.
+    */
+  def dedupEmbedIncrementalChecked(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val isNew = col("vec_id") % 2 === 1
+    val exact = dedupEmbedIncrementalExact(spark, sfDir, isNew,
+      IncrementalEmbedTau)
+    val quant = dedupEmbedIncremental(spark, sfDir, isNew,
+      IncrementalEmbedTau, rerank = 8)
+    val agree = exact.select(col("q_id"), col("keep"))
+      .join(quant.select(col("q_id"), col("keep").as("keep_q")),
+        Seq("q_id"), "full_outer")
+      .agg(coalesce(
+        min(col("keep").isNotNull && col("keep_q").isNotNull &&
+          col("keep") === col("keep_q")), lit(false)).as("quant_ok"))
+    exact.agg(
+        count(lit(1)).as("n_new"),
+        count(when(col("is_dup_corpus"), lit(1))).as("n_dup_corpus"),
+        count(when(col("is_dup_batch"), lit(1))).as("n_dup_batch"),
+        count(when(col("keep"), lit(1))).as("n_keep"))
+      .withColumn("tau", lit(IncrementalEmbedTau))
+      .crossJoin(agree)
+  }
+
   /** Shared CTE chain recomputing `simhashFingerprints` in DuckDB SQL:
     * same token split + length floor, same md5-derived 60-bit token hash
     * (md5 hex is engine-identical; `CAST('0x…' AS BIGINT)` parses it), and
@@ -709,6 +894,41 @@ object Dedup {
         |FROM embeddings WHERE vec_id < 100
         |  AND list_sum(list_transform(embedding,
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0""".stripMargin,
+    // EXACT brute-force recompute of the one-hop incremental keep rule
+    // (see dedupEmbedIncrementalChecked): every aggregate is engine-exact
+    // (6dp-rounded cosines on both sides make the τ comparison bit-stable);
+    // quant_ok — the int8 path's decision agreement — is pinned TRUE.
+    "dedup_embed_incremental" ->
+      """WITH v AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |           SQRT(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
+        |n AS (SELECT vec_id, emb, nrm FROM v WHERE vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT n.vec_id AS q_id,
+        |    CASE WHEN v.vec_id % 2 = 0 THEN 'corpus' ELSE 'prior' END AS side,
+        |    ROUND(list_sum(list_transform(list_zip(n.emb, v.emb),
+        |      p -> p[1] * p[2])) / (n.nrm * v.nrm), 6) AS sim
+        |  FROM n, v
+        |  WHERE v.vec_id != n.vec_id
+        |    AND (v.vec_id % 2 = 0 OR v.vec_id < n.vec_id)),
+        |flags AS (
+        |  SELECT n.vec_id AS q_id,
+        |    COALESCE(MAX(CASE WHEN side = 'corpus' THEN sim END) >= 0.42,
+        |             false) AS dc,
+        |    COALESCE(MAX(CASE WHEN side = 'prior' THEN sim END) >= 0.42,
+        |             false) AS dp
+        |  FROM n LEFT JOIN pairs ON pairs.q_id = n.vec_id
+        |  GROUP BY n.vec_id)
+        |SELECT count(*) AS n_new,
+        |  count(*) FILTER (dc) AS n_dup_corpus,
+        |  count(*) FILTER (NOT dc AND dp) AS n_dup_batch,
+        |  count(*) FILTER (NOT dc AND NOT dp) AS n_keep,
+        |  CAST(0.42 AS DOUBLE) AS tau, true AS quant_ok
+        |FROM flags""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h
         |FROM documents

@@ -56,8 +56,14 @@ object Similarity {
     * nicety; the harness corpus contains none, so checked results are
     * unchanged. The oracle twins carry the same `WHERE nrm > 0`.
     */
-  private def prepped(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "embeddings")
+  private[ops] def prepped(spark: SparkSession, sfDir: String): DataFrame =
+    prepped(table(spark, sfDir, "embeddings"))
+
+  /** Frame form of the prep chokepoint — any (vec_id, embedding) frame,
+    * same cast/norm/zero-vector contract as the table form.
+    */
+  private[ops] def prepped(raw: DataFrame): DataFrame =
+    raw
       .withColumn("demb", transform(col("embedding"), x => x.cast(DoubleType)))
       .withColumn("nrm", sqrt(VectorMath.dot(col("demb"), col("demb"))))
       .filter(col("nrm") > 0.0)
@@ -339,9 +345,12 @@ object Similarity {
       // callers are unique-by-construction (approxSimilarityJoin dedups;
       // IVF emits one row per pair) — this keeps the helper honest for
       // any future caller.
-      .join(approx.select(col("q_id"), col("c_id")).dropDuplicates(
+      // the approx side is ≤ k·probes rows by the operator's contract, so
+      // it broadcasts at any corpus scale — without the hint Spark
+      // sort-merges two frames it has no stats for
+      .join(broadcast(approx.select(col("q_id"), col("c_id")).dropDuplicates(
         "q_id", "c_id")
-        .withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .withColumn("hit", lit(1L))), Seq("q_id", "c_id"), "left")
       .agg(countDistinct(col("q_id")).as("n_probes"),
         count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

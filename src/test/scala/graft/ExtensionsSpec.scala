@@ -186,6 +186,66 @@ class ExtensionsSpec extends SparkSpec {
     assert(existingPairs.count() > 0, "no existing-existing edges — vacuous")
   }
 
+  test("embed incremental: quant prescan reproduces the exact report") {
+    import org.apache.spark.sql.functions.col
+    val isNew = col("vec_id") % 2 === 1
+    val exact = Dedup.dedupEmbedIncrementalExact(spark, sf, isNew, 0.42)
+      .collect().toSeq
+    val quant = Dedup.dedupEmbedIncremental(spark, sf, isNew, 0.42, 8)
+      .collect().toSeq
+    // full row-for-row equality: maxima, not just decisions — the int8
+    // prescan's top-8 pool must contain each side's true top-1
+    assert(exact == quant)
+    // non-vacuous: all three branches of the keep rule fire on the corpus
+    val dc = exact.count(_.getAs[Boolean]("is_dup_corpus"))
+    val db = exact.count(_.getAs[Boolean]("is_dup_batch"))
+    val kp = exact.count(_.getAs[Boolean]("keep"))
+    assert(dc > 0 && db > 0 && kp > 0,
+      s"degenerate corpus for tau=0.42: dc=$dc db=$db keep=$kp")
+  }
+
+  test("embed incremental checked key: counts reconcile and quant_ok holds") {
+    val row = Dedup.dedupEmbedIncrementalChecked(spark, sf).collect()(0)
+    val n = row.getAs[Long]("n_new")
+    assert(n == row.getAs[Long]("n_dup_corpus") +
+      row.getAs[Long]("n_dup_batch") + row.getAs[Long]("n_keep"))
+    assert(row.getAs[Boolean]("quant_ok"))
+  }
+
+  test("embed incremental keep rule on a planted frame, incl. one-hop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val e = 0.02f
+    // even = existing corpus, odd = incoming batch (arrival = id order)
+    val fx = Seq(
+      0L -> Array(1f, 0f, 0f, 0f), // corpus anchor
+      1L -> Array(0f, 1f, 0f, 0f), // new, matches nothing -> keep
+      3L -> Array(0f, 1f, e, 0f), // near v1 (earlier new) -> batch dup
+      5L -> Array(1f, e, 0f, 0f), // near corpus v0 -> corpus dup
+      7L -> Array(1f, 2 * e, 0f, 0f), // near v0 AND v5: corpus wins
+      9L -> Array(0f, 0f, 0f, 1f), // new, isolated -> keep
+      11L -> Array(0f, 0f, 0f, 0f) // zero vector: excluded at prep
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.dedupEmbedIncremental(fx, col("vec_id") % 2 === 1,
+        tau = 0.9, rerank = 4)
+      .select("q_id", "is_dup_corpus", "is_dup_batch", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, false, false, true),
+      (3L, false, true, false),
+      (5L, true, false, false),
+      (7L, true, false, false), // not batch-dup: corpus flag takes priority
+      (9L, false, false, true)))
+    // one-hop is NOT transitive: drop v1 from the batch and v3's match
+    // disappears even though a transitive closure through kept docs would
+    // be unchanged — pins the documented streaming-index semantics
+    val without1 = Dedup.dedupEmbedIncremental(
+        fx.filter(col("vec_id") =!= 1L), col("vec_id") % 2 === 1,
+        tau = 0.9, rerank = 4)
+      .select("q_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(without1(3L))
+  }
+
   test("corpus_clean output is deduped, threshold-clean, and near-dup-free") {
     import spark.implicits._
     import graft.ops.Curation

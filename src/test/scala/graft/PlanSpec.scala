@@ -238,6 +238,48 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("count(distinct"), p)
   }
 
+  test("sim_search_quant graded key plans int8 prescan + broadcast certificate") {
+    // the GRADED form (exact path + quant path + recall certificate):
+    // the int8 kernel must actually be in the driver-checked plan, both
+    // scans cut to their pools via WindowGroupLimit before the window
+    // exchanges, every probe join rides a broadcast, and the certificate's
+    // left join broadcasts the ≤ k·probes approx side — nothing in the
+    // checked key may cartesian or sort-merge
+    val p = plan("sim_search_quant")
+    assert(p.contains("dot_product_int8"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("profile_approx graded key: one scan, hash regime, no string sort-agg") {
+    // the certified form pays the multi-distinct Expand KNOWINGLY (exact
+    // countDistinct per column is what certifies the sketches) — but it
+    // must still be ONE pass over the table, all-hash aggregation, and
+    // join-free; regressing to per-column scans or a SortAggregate would
+    // break the one-scan certification story
+    val p = plan("profile_approx")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Expand"), p) // the documented certification price
+    assert(!p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup_embed_incremental plans the quantized prescan, never cartesian") {
+    // the checked key runs exact + quant paths and the decision-agreement
+    // join; the quant path's int8 prescan and pool cut must survive in
+    // the graded plan, probes must broadcast, and nothing may cartesian
+    // (the agree join on per-new-vec frames may legitimately sort-merge —
+    // both sides scale with the batch)
+    val p = plan("dedup_embed_incremental")
+    assert(p.contains("dot_product_int8"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("set ops never sort their inputs or go nested-loop") {
     Seq("intersect_all", "except_all").foreach { k =>
       val p = plan(k)
