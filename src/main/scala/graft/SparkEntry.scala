@@ -45,6 +45,7 @@ object SparkEntry {
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
     "join_salted" -> (Relational.joinSalted _),
+    "join_bloom" -> (Relational.joinBloom _),
     // §2c temporal joins (as-of / bounded range — event attribution)
     "join_asof" -> (Temporal.joinAsof _),
     "join_range" -> (Temporal.joinRange _),

@@ -528,6 +528,54 @@ object Relational {
       .orderBy(col("s_name"))
   }
 
+  /** BLOOM-PREFILTERED SEMI-JOIN — the large×large semi-join shape where
+    * the key set is too big to broadcast as a hash relation but its BLOOM
+    * is fixed-size: filter lineitem to the line items of high-value
+    * orders (o_totalprice > 475000, ~5% of orders) and aggregate.
+    *
+    * Three stages, all distributed ([[graft.functions.BloomSketch]], the
+    * native expressions Catalyst's own runtime-filter injection uses):
+    *  1. ONE aggregation pass over the key set builds the sketch —
+    *     partial bitmaps OR-merge map-side, the driver receives a single
+    *     `optimalNumOfBits(n, fpp)`-sized binary whatever the corpus size;
+    *  2. the fact scan probes the sketch IN-ROW (codegen'd, before any
+    *     exchange) — at 5% selectivity ~95% of the fact never reaches the
+    *     shuffle, which is the entire economics of the pattern at 100 TB:
+    *     shuffle volume ∝ survivors, not fact;
+    *  3. an exact semi-join on the sliver removes bloom false positives,
+    *     so the result equals the plain semi-join BIT-EXACTLY (no false
+    *     negatives by construction) — that equality IS the oracle, making
+    *     the probabilistic stage hash-verified, not trusted.
+    *
+    * The two key-side actions (count to size the sketch, then the sketch
+    * aggregate itself) are sketch-sized driver round-trips, the same
+    * shape as `sketch_kmv`'s estimator — never fact-sized. Spark CAN
+    * inject a bloom runtime filter itself (`spark.sql.optimizer.runtime.
+    * bloomFilter.enabled`) when join stats warrant; this operator is the
+    * declarative form for when the pipeline KNOWS the key set is
+    * selective — e.g. filtering a 100 TB token-span fact by a curated
+    * document keep-list — and wants the guarantee, not the heuristic.
+    */
+  def joinBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BloomSketch
+    val keys = table(spark, sfDir, "orders")
+      .filter(col("o_totalprice") > 475000.0)
+      .select(col("o_orderkey"))
+    // size honestly from the key set itself (cheap count on the filtered
+    // dim — a pipeline with catalog stats would use them instead)
+    val n = keys.count()
+    val bloom = keys.agg(BloomSketch.bloomAgg(col("o_orderkey"), n, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val li = table(spark, sfDir, "lineitem")
+      .filter(BloomSketch.mightContain(bloom, col("l_orderkey")))
+    li.join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(moneySum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** CUBE over (returnflag, linestatus): every grouping set — per-pair,
     * per-flag, per-status, grand — in ONE pass over the fact table
     * (Expand multiplies each input row into its 4 grouping sets before the
@@ -602,6 +650,18 @@ object Relational {
         |  count(*) AS n_items
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
+    // the PLAIN semi-join: equality proves the bloom prefilter loses no
+    // row (no false negatives) and the exact join removes every false
+    // positive — the probabilistic stage is hash-verified, not trusted
+    "join_bloom" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS sum_price,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_totalprice > 475000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,
         |       coalesce(l_linestatus, 'ALL') AS ls,

@@ -238,6 +238,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("count(distinct"), p)
   }
 
+  test("join_bloom probes the sketch in the fact scan stage, never cartesian") {
+    // the bloom membership probe must be an in-row Filter on the fact
+    // branch (map-side, before any exchange/join) — the native
+    // might_contain expression, not a UDF — and the exact rescue join
+    // must never degenerate to a cartesian product
+    val p = plan("join_bloom")
+    assert(p.contains("might_contain"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("UDF"), p.take(2000))
+  }
+
   test("sim_search_quant graded key plans int8 prescan + broadcast certificate") {
     // the GRADED form (exact path + quant path + recall certificate):
     // the int8 kernel must actually be in the driver-checked plan, both

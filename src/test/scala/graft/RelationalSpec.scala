@@ -232,6 +232,62 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("join_bloom equals the plain semi-join and actually prunes the fact") {
+    import spark.implicits._
+    import graft.functions.BloomSketch
+    val got = Relational.joinBloom(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val li = Tables.table(spark, sf, "lineitem")
+    val keys = Tables.table(spark, sf, "orders")
+      .filter(col("o_totalprice") > 475000.0).select(col("o_orderkey"))
+    val plain = li
+      .join(keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+        Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_extendedprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"),
+        count(lit(1)).as("n_items"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(got == plain)
+    assert(got.nonEmpty)
+    // the prefilter must EARN its stage: at ~5% key selectivity + 1% fpp
+    // the sketch should pass well under 20% of the fact (a sketch that
+    // passes everything would still be "correct" — and pointless)
+    val n = keys.count()
+    val bloom = keys.agg(BloomSketch.bloomAgg(col("o_orderkey"), n, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val survivors =
+      li.filter(BloomSketch.mightContain(bloom, col("l_orderkey"))).count()
+    val total = li.count()
+    assert(survivors < total / 5,
+      s"bloom passed $survivors of $total fact rows — not pruning")
+    assert(survivors > 0)
+  }
+
+  test("bloom sketch: zero false negatives even undersized; fpp is a lie-proof dial") {
+    import spark.implicits._
+    import graft.functions.BloomSketch
+    val keys = (0L until 500L).map(_ * 3).toDF("k")
+    // deliberately UNDERSIZED sketch (capacity 10 for 500 keys): false
+    // positives explode, but a bloom can never lose a member — the
+    // no-false-negative contract the exact-join rescue relies on
+    val bloom = keys.agg(BloomSketch.bloomAgg(col("k"), 10L, 0.5))
+      .head().getAs[Array[Byte]](0)
+    val members = (0L until 1500L).toDF("k")
+      .filter(BloomSketch.mightContain(bloom, col("k")))
+      .as[Long].collect().toSet
+    (0L until 500L).map(_ * 3).foreach { k =>
+      assert(members.contains(k), s"member $k lost — false negative")
+    }
+    // properly sized, non-members mostly fail the probe
+    val sized = keys.agg(BloomSketch.bloomAgg(col("k"), 500L, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val fps = (0L until 1500L).filter(_ % 3 != 0).toDF("k")
+      .filter(BloomSketch.mightContain(sized, col("k"))).count()
+    assert(fps <= 50, s"$fps false positives of 1000 at fpp 0.01")
+  }
+
   test("join_salted equals the plain unsalted join-aggregate") {
     import spark.implicits._
     val salted = Relational.joinSalted(spark, sf)
