@@ -147,6 +147,9 @@ object SparkEntry {
     "cdc_snapshot_rocksdb" -> (Streams.cdcSnapshotRocksdbQuery _),
     "cdc_snapshot_ttl" -> (Streams.cdcSnapshotTtlQuery _),
     "asof_stream" -> (Streams.asofStreamQuery _),
+    // streaming content dedup replayed to completion (ingest-time
+    // dedup_exact; projection makes the survivor set batch-twin-exact)
+    "stream_dedup" -> (Streams.streamDedupQuery _),
     // §2j multimodal: real PNG decode/resize over the planted image
     // fixture, plus the frame plumbing
     "mm_decode" -> (Multimodal.mmDecode _),

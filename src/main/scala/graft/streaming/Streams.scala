@@ -124,12 +124,13 @@ object Streams {
     * serializes via to_json with ignoreNullFields=false — every column
     * slot is always present.
     */
-  def dedupContent(events: DataFrame, contentCols: Seq[String]): DataFrame =
+  def dedupContent(events: DataFrame, contentCols: Seq[String],
+      delay: String = "10 minutes"): DataFrame =
     events
       .withColumn("h", sha2(to_json(
         struct(contentCols.map(col): _*),
         Map("ignoreNullFields" -> "false").asJava), 256))
-      .withWatermark("ts", "10 minutes")
+      .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("h")
       // internal dedup key: the state key is captured by the operator above,
       // so dropping it keeps the output schema identical to the input's
@@ -681,6 +682,34 @@ object Streams {
     snapshotFromFeed(feed)
   }
 
+  /** `stream_dedup` checked key: the streaming CONTENT dedup
+    * ([[dedupContent]] — the ingest-time form of `dedup_exact` a
+    * training-data pipeline runs on its event firehose) replayed over the
+    * harness change log to completion. Keyed on (user_id, event_type,
+    * props) — the corpus carries genuine payload duplicates (~6% of
+    * rows), so the state store earns its keep.
+    *
+    * Why this is oracle-safe: WHICH arrival survives a duplicate group is
+    * interleaving-dependent, but the graded projection keeps only the
+    * CONTENT columns — identical across the group by definition — so the
+    * feed converges to exactly one row per distinct content under any
+    * batching. The oracle is the batch `SELECT DISTINCT` twin; an
+    * operator that dropped a key (false merge) or re-emitted one (state
+    * loss) hash-mismatches on row count. The watermark horizon is set
+    * past the corpus' 30-day span (a bounded BACKFILL replay — no
+    * eviction may fire, or re-emissions would depend on batch
+    * boundaries); a production tail uses a real horizon and accepts
+    * horizon-spaced re-emissions by contract (state bounded by the
+    * horizon's key cardinality, the property that makes this runnable
+    * forever).
+    */
+  def streamDedupQuery(spark: SparkSession, sfDir: String): DataFrame =
+    replayToFeed(spark,
+      dedupContent(readEvents(spark, landedEvents(spark, sfDir)),
+        Seq("user_id", "event_type", "props"), delay = "90 days"))
+      .select(col("user_id"), col("event_type"), col("props"))
+      .orderBy(col("user_id"), col("event_type"), col("props"))
+
   /** Number of event-time slices in the sorted landing, and the TTL for
     * the evicting replay. The slice count is part of the `cdc_snapshot_ttl`
     * ORACLE contract (its twin recomputes the same slice assignment), so
@@ -882,6 +911,12 @@ object Streams {
     // oracle by reference (backend choice must be semantics-free)
     "cdc_snapshot_rocksdb" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),
     "asof_stream" -> graft.ops.Temporal.oracleSql("join_asof"),
+    // the streaming content dedup's batch twin: exactly one row per
+    // distinct (user_id, event_type, props) — a dropped key or a state
+    // loss re-emission changes the row count and hash-mismatches
+    "stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type, props FROM events
+        |ORDER BY user_id, event_type, props""".stripMargin,
     // the TTL replay's twin: latest version per key by (ts, event_id)
     // order — no n_versions (restart-dependent by contract) — plus the
     // slice-count reconstruction of per-key emissions. The slice formula

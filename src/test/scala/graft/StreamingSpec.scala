@@ -93,6 +93,20 @@ class StreamingSpec extends SparkSpec {
     assert(!spark.table("dedupn").columns.contains("h"))
   }
 
+  test("stream_dedup key equals batch DISTINCT and genuinely drops duplicates") {
+    import org.apache.spark.sql.functions._
+    val got = Streams.streamDedupQuery(spark, sf)
+    val raw = Tables.events(spark, sf)
+    val want = raw.select(col("user_id"), col("event_type"), col("props"))
+      .distinct()
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    // non-vacuous: the corpus must carry real payload duplicates, or the
+    // state store never fires and the key grades a pass-through
+    assert(got.count() < raw.count(),
+      "no payload duplicates in corpus — stream_dedup is vacuous")
+  }
+
   test("streaming windowed counts equal the batch aggregation over the corpus") {
     import org.apache.spark.sql.functions._
     // the harness events table replayed as landing files must produce
