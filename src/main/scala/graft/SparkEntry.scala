@@ -31,6 +31,7 @@ object SparkEntry {
     "sink_csv" -> (Sources.sinkCsvRoundTrip _),
     "sink_parquet_partitioned" -> (Sources.sinkParquetPartitioned _),
     "bucketed_join" -> (Sources.bucketedJoin _),
+    "zorder_layout" -> (Sources.zorderLayout _),
     // §2b projection / filter / cleaning
     "select_cols" -> (Relational.selectCols _),
     "select_cast" -> (Relational.selectCast _),
@@ -63,6 +64,8 @@ object SparkEntry {
     "daily_counts" -> (Relational.dailyCounts _),
     // distinct-count sketching (KMV — cross-engine-exact estimator)
     "sketch_kmv" -> (Sketches.kmvDistinct _),
+    // frequency sketching (exact top-k + count-min-sketch certificate)
+    "heavy_hitters" -> (Sketches.heavyHitters _),
     // §2e windows
     "window_rank" -> (Relational.windowRank _),
     "window_top1" -> (Relational.windowTop1 _),

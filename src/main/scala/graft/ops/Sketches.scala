@@ -1,8 +1,11 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.CountMinSketch
 
 import graft.Tables
 
@@ -67,7 +70,91 @@ object Sketches {
         col("exact_distinct"))
   }
 
+  /** Count-min-sketch parameters for the heavy-hitter certificate:
+    * ε = 0.1% of total updates (the additive over-estimate bound),
+    * δ = 1% per-point failure probability, fixed seed so the sketch —
+    * and therefore the certificate — is deterministic run to run.
+    */
+  private[graft] val CmsEps = 0.001
+  private[graft] val CmsConf = 0.99
+  private[graft] val CmsSeed = 42
+
+  /** Top-k frequency heavy hitters of `events.user_id`, each certified
+    * against a count-min sketch (Cormode & Muthukrishnan 2005) built over
+    * the same stream: `cms_ok` pins the CMS guarantee — estimate never
+    * below the true count, and within ε·N above it — making the sketch
+    * path hash-verified, not trusted (the house certificate pattern;
+    * cf. `quantile_approx`'s rank certificate, `profile_stats`' HLL).
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    heavyHitters(Tables.table(spark, sfDir, "events"), col("user_id"), 10)
+
+  /** API form over any frame / key expression / k.
+    *
+    * Two distributed passes, both sketch-shaped at the driver:
+    *  1. EXACT top-k: partial-agg per-key counts (map-side combine — the
+    *     shuffle carries one row per distinct key per partition, never
+    *     the stream) + `TakeOrderedAndProject` on (count desc, key) —
+    *     every partition forwards only its own top candidates.
+    *  2. CMS: ONE `count_min_sketch` aggregate over the raw stream —
+    *     partial sketches merge map-side (cellwise sums), the driver
+    *     receives a single d×w counter grid (~2.7k×5 longs at ε=0.1%,
+    *     δ=1%) REGARDLESS of stream size, plus the total update count in
+    *     the same action.
+    *
+    * The per-hitter estimates are a k-sized driver round-trip against the
+    * collected sketch (same shape as `join_bloom`'s sketch actions), then
+    * joined back BROADCAST so the returned plan keeps the distributed
+    * top-k lineage. At 100 TB the sketch side is the point: it is the
+    * fixed-size, mergeable, streamable summary a pipeline keeps when the
+    * key universe no longer fits an exact groupBy; the exact side here
+    * doubles as candidate source and as the certificate's ground truth.
+    *
+    * Null keys are excluded at the chokepoint: the CMS aggregate skips
+    * nulls, so the exact side must too or the two sides would disagree
+    * on N.
+    */
+  def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val keyed = df.filter(key.isNotNull).select(key.as("key"))
+    val keyType = keyed.schema.head.dataType
+    // collected once (k rows) for the estimate round-trip, recomputed by
+    // the returned plan — the recompute is one partial-agg scan, cheaper
+    // than carrying a cache contract for a k-row frame
+    val exactTop = keyed.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("key"))
+      .limit(k)
+    // one action: the sketch AND its update count N (the ε·N slack term)
+    val skRow = keyed.agg(
+      count_min_sketch(col("key"), lit(CmsEps), lit(CmsConf),
+        lit(CmsSeed)).as("sk"),
+      count(lit(1)).as("n")).head()
+    val cms = CountMinSketch.readFrom(skRow.getAs[Array[Byte]](0))
+    val slack = math.ceil(CmsEps * skRow.getLong(1)).toLong
+    val ests = exactTop.collect().toSeq.map { r =>
+      Row(r.get(0), cms.estimateCount(r.get(0)))
+    }
+    val estDf = spark.createDataFrame(ests.asJava, StructType(Seq(
+      StructField("key", keyType), StructField("cms_est", LongType))))
+    exactTop.join(broadcast(estDf), Seq("key"))
+      .select(col("key"), col("n_events"),
+        (col("cms_est") >= col("n_events") &&
+          col("cms_est") <= col("n_events") + lit(slack)).as("cms_ok"))
+      .orderBy(col("n_events").desc, col("key"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // exact top-k twin; the sketch side is pinned through the
+    // certificate — cms_ok TRUE is part of the hashed result
+    "heavy_hitters" ->
+      """SELECT user_id AS key, n_events, TRUE AS cms_ok FROM (
+        |  SELECT user_id, count(*) AS n_events FROM events
+        |  WHERE user_id IS NOT NULL
+        |  GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)
+        |ORDER BY n_events DESC, key""".stripMargin,
     "sketch_kmv" ->
       s"""WITH h AS (SELECT DISTINCT
          |  CAST(concat('0x', substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))

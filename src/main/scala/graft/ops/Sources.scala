@@ -201,7 +201,123 @@ object Sources {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Grid resolution per dimension for the z-order keys: 8 bits → a
+    * 256×256 grid, 16-bit z-values, 256 graded z-runs. Part of the
+    * `zorder_layout` ORACLE contract (the twin hard-codes the same
+    * constants), so changing it requires changing both sides together.
+    */
+  private[graft] val ZBits = 8
+
+  /** Morton (Z-order) interleave of two grid coordinates: bit i of `x`
+    * lands at bit 2i, bit i of `y` at bit 2i+1 (Morton 1966). Pure in-row
+    * long arithmetic — codegen'd, zero shuffle. Inputs must already be
+    * normalized to [0, 2^bits); [[zorderGrid]] does that.
+    */
+  private[graft] def zvalue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Min-max normalize a key to the [0, 2^bits) grid by INTEGER
+    * arithmetic: `((k − min) << bits) div (max − min + 1)`. Integer `div`,
+    * not floor of a double ratio — double division loses exactness past
+    * 2^53 and a 100 TB fact key times 2^bits can exceed it. Contract:
+    * keys fit in 64−bits bits (any practical surrogate key).
+    */
+  private[graft] def zorderGrid(k: String, kmin: String, kmax: String,
+      bits: Int): org.apache.spark.sql.Column =
+    expr(s"((CAST($k AS BIGINT) - $kmin) * ${1L << bits})" +
+      s" div (CAST($kmax AS BIGINT) - $kmin + 1)")
+
+  /** `zorder_layout` checked key: the multi-dimensional clustering layout
+    * (Z-order / Morton curve — the data-skipping layout lakehouse table
+    * formats expose as OPTIMIZE ... ZORDER BY) over
+    * lineitem (l_partkey, l_suppkey), surfaced as its per-z-run locality
+    * stats: each of the 256 z-runs (top 8 z-bits) reports its row count
+    * and its min/max grid cell in BOTH dims. The point the stats prove:
+    * consecutive z-runs cover small boxes in (partkey, suppkey) space —
+    * each run spans ≤ 1/16 of each dim's grid — so file-level min/max
+    * stats on a z-sorted layout prune MULTI-dimensional box predicates,
+    * which a single-column sort can only do for its leading column.
+    * [[zorderWrite]] is the layout op itself; this key is its
+    * SQL-expressible certificate (SourcesSpec pins the physical write).
+    *
+    * Scale shape: one stats agg (4 scalars, broadcast back — the
+    * minmax_scale pattern), then one in-row z computation + a partial agg
+    * on the 256 run ids. No sort in the graded plan — ordering 256 rows
+    * is the caller's display concern, the layout cost lives in
+    * [[zorderWrite]] where it belongs.
+    */
+  def zorderLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.table(spark, sfDir, "lineitem")
+      .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+    val stats = li.agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+      min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+    val gridded = li.crossJoin(broadcast(stats))
+      .select(zorderGrid("x", "xmin", "xmax", ZBits).as("xb"),
+        zorderGrid("y", "ymin", "ymax", ZBits).as("yb"))
+    gridded
+      .select(shiftright(zvalue(col("xb"), col("yb"), ZBits), ZBits)
+          .as("z_run"),
+        col("xb"), col("yb"))
+      .groupBy(col("z_run"))
+      .agg(count(lit(1)).as("n"),
+        min(col("xb")).as("x_lo"), max(col("xb")).as("x_hi"),
+        min(col("yb")).as("y_lo"), max(col("yb")).as("y_hi"))
+      .orderBy(col("z_run"))
+  }
+
+  /** The layout op itself: write `df` clustered on the z-order of two key
+    * columns — range-partitioned into `nFiles` z-ranges, z-sorted within
+    * each — so every output file covers one compact z-interval (≈ a box
+    * in key space) and its parquet min/max column stats prune 2-D box
+    * predicates. The write-once economics are [[bucketedJoin]]'s: pay the
+    * clustered write once, skip data on every subsequent scan.
+    * Returns the re-read frame; SourcesSpec asserts the per-file
+    * z-intervals are disjoint and dim spans stay narrow.
+    */
+  def zorderWrite(df: DataFrame, x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column, nFiles: Int, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.withColumn("zx", x).withColumn("zy", y)
+    val stats = keyed.agg(min(col("zx")).as("xmin"), max(col("zx")).as("xmax"),
+      min(col("zy")).as("ymin"), max(col("zy")).as("ymax"))
+    keyed.crossJoin(broadcast(stats))
+      .withColumn("z", zvalue(
+        zorderGrid("zx", "xmin", "xmax", ZBits),
+        zorderGrid("zy", "ymin", "ymax", ZBits), ZBits))
+      .drop("xmin", "xmax", "ymin", "ymax", "zx", "zy")
+      .repartitionByRange(nFiles, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // identical grid + interleave arithmetic, generated for the same ZBits
+    "zorder_layout" -> {
+      val bits = ZBits
+      val terms = (0 until bits).flatMap(i => Seq(
+        s"(((xb >> $i) & 1) << ${2 * i})",
+        s"(((yb >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH st AS (
+         |  SELECT min(l_partkey) AS xmin, max(l_partkey) AS xmax,
+         |         min(l_suppkey) AS ymin, max(l_suppkey) AS ymax
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT ((l_partkey - xmin) * ${1L << bits})
+         |           // (xmax - xmin + 1) AS xb,
+         |         ((l_suppkey - ymin) * ${1L << bits})
+         |           // (ymax - ymin + 1) AS yb
+         |  FROM lineitem, st)
+         |SELECT ($terms) >> $bits AS z_run, count(*) AS n,
+         |       min(xb) AS x_lo, max(xb) AS x_hi,
+         |       min(yb) AS y_lo, max(yb) AS y_hi
+         |FROM g GROUP BY z_run ORDER BY z_run""".stripMargin
+    },
     "sink_parquet_partitioned" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,

@@ -220,6 +220,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("zorder_layout broadcasts 4 scalars back and aggregates with one" +
+      " hash exchange") {
+    // the stats side is a 1-row aggregate broadcast back over the fact
+    // (the minmax_scale pattern); the z computation is pure in-row long
+    // arithmetic; the only hash exchange feeds the 256-run aggregate
+    val p = plan("zorder_layout")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
   test("profileApprox serving form: one scan, hash-agg only, no sort-agg, no Expand") {
     // the 100 TB serving profile's whole contract: per-column state is an
     // HLL sketch + two longs, aggregated in the hash regime — an exact

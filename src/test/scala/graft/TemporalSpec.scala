@@ -210,4 +210,45 @@ class TemporalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("heavy_hitters == independent exact top-k, every CMS certificate" +
+      " holds") {
+    import spark.implicits._
+    val got = Sketches.heavyHitters(spark, sf).collect().toSeq
+    assert(got.size == 10)
+    assert(got.forall(_.getBoolean(2)), s"cms_ok false in $got")
+    // independent reconstruction: window-rank formulation instead of
+    // orderBy+limit
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_events").desc, col("user_id"))
+    val expect = Tables.table(spark, sf, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("rnk"))
+      .select(col("user_id"), col("n_events"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) == expect)
+  }
+
+  test("heavy_hitters API form: planted counts, CMS never underestimates," +
+      " null keys excluded") {
+    import spark.implicits._
+    // planted frequencies: key i repeated i*10 times, plus null noise
+    val rows = (1 to 6).flatMap(i => Seq.fill(i * 10)(Some(i.toLong))) ++
+      Seq.fill(25)(Option.empty[Long])
+    val df = rows.toDF("k")
+    val got = Sketches.heavyHitters(df, col("k"), 4).collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((6L, 60L), (5L, 50L), (4L, 40L), (3L, 30L)),
+      s"wrong hitters: $got")
+    assert(got.forall(_.getBoolean(2)))
+  }
+
+  test("heavy_hitters plans a partial-agg top-k cut, never a global sort") {
+    val p = Sketches.heavyHitters(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.toLowerCase.contains("cartesian"), p)
+  }
 }
