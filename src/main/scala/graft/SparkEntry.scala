@@ -134,6 +134,7 @@ object SparkEntry {
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
     "token_count" -> (TextAnalysis.tokenCount _),
+    "token_count_bpe" -> (TextAnalysis.tokenCountBpe _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
@@ -153,6 +154,9 @@ object SparkEntry {
     // streaming content dedup replayed to completion (ingest-time
     // dedup_exact; projection makes the survivor set batch-twin-exact)
     "stream_dedup" -> (Streams.streamDedupQuery _),
+    // stream-stream interval join replayed to completion (the two-sided-
+    // watermark pair step of join_range, pinned to the unbinned twin)
+    "stream_range_join" -> (Streams.streamRangeJoinQuery _),
     // §2j multimodal: real PNG decode/resize over the planted image
     // fixture, plus the frame plumbing
     "mm_decode" -> (Multimodal.mmDecode _),

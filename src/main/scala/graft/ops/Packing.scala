@@ -90,14 +90,23 @@ object Packing {
 
   /** The corpus form: BPE-ish token counts from [[TextAnalysis.tokenCount]]
     * feed the packer — the composition a real pipeline runs (count once,
-    * pack from the counts; the text itself never shuffles).
+    * pack from the counts; the text itself never shuffles). With
+    * `subword = true` the counts are the frozen-vocabulary SUBWORD counts
+    * ([[TextAnalysis.tokenCountBpe]]'s `n_subword_tokens`) — the
+    * production pairing, since a trainer's budget is subword tokens, not
+    * pre-tokenizer pieces (PackingSpec pins the laws hold under both).
     */
   def packDocuments(spark: SparkSession, sfDir: String, budget: Int,
-      nShards: Int = 32): DataFrame =
-    packSequences(
-      TextAnalysis.tokenCount(table(spark, sfDir, "documents"))
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")),
-      budget, nShards)
+      nShards: Int = 32, subword: Boolean = false): DataFrame = {
+    val counts =
+      if (subword)
+        TextAnalysis.tokenCountBpe(table(spark, sfDir, "documents"))
+          .select(col("doc_id"), col("n_subword_tokens").as("n_tokens"))
+      else
+        TextAnalysis.tokenCount(table(spark, sfDir, "documents"))
+          .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+    packSequences(counts, budget, nShards)
+  }
 
   /** Graded budget/shard count: 1024-token sequences over 8 streams gives
     * every shard multiple full sequences plus a ragged tail at sf0.01 —

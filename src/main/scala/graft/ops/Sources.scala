@@ -282,14 +282,23 @@ object Sources {
   def zorderWrite(df: DataFrame, x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column, nFiles: Int, out: String): DataFrame = {
     val spark = df.sparkSession
-    val keyed = df.withColumn("zx", x).withColumn("zy", y)
-    val stats = keyed.agg(min(col("zx")).as("xmin"), max(col("zx")).as("xmax"),
-      min(col("zy")).as("ymin"), max(col("zy")).as("ymax"))
+    // working columns use a reserved prefix so a caller frame that already
+    // has e.g. an `xmin` or `zx` column is never silently overwritten
+    // (ADVICE r10); only the documented OUTPUT column `z` is a genuine
+    // conflict, and that one fails fast rather than corrupting the layout
+    require(!df.columns.contains("z"),
+      "zorderWrite writes its sort key as column `z`; rename or drop the " +
+        "input's existing `z` column first")
+    val Seq(zx, zy, xmn, xmx, ymn, ymx) =
+      Seq("zx", "zy", "xmin", "xmax", "ymin", "ymax").map("__graft_" + _)
+    val keyed = df.withColumn(zx, x).withColumn(zy, y)
+    val stats = keyed.agg(min(col(zx)).as(xmn), max(col(zx)).as(xmx),
+      min(col(zy)).as(ymn), max(col(zy)).as(ymx))
     keyed.crossJoin(broadcast(stats))
       .withColumn("z", zvalue(
-        zorderGrid("zx", "xmin", "xmax", ZBits),
-        zorderGrid("zy", "ymin", "ymax", ZBits), ZBits))
-      .drop("xmin", "xmax", "ymin", "ymax", "zx", "zy")
+        zorderGrid(zx, xmn, xmx, ZBits),
+        zorderGrid(zy, ymn, ymx, ZBits), ZBits))
+      .drop(xmn, xmx, ymn, ymx, zx, zy)
       .repartitionByRange(nFiles, col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode("overwrite").parquet(out)

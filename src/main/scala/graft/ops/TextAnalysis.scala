@@ -285,6 +285,94 @@ object TextAnalysis {
     size(regexp_extract_all(text,
       lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0)))
 
+  /** The pre-tokenizer pieces themselves (same regex as
+    * [[bpeTokenCount]]) — shared by the subword scheme below.
+    */
+  private[graft] def preTokenPieces(text: Column): Column =
+    regexp_extract_all(text,
+      lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+"), lit(0))
+
+  /** Fixed subword vocabulary — the data-INDEPENDENT stand-in for a BPE
+    * merge table. A real tokenizer ships a frozen merge list learned once
+    * offline; what matters to the packing pipeline is that tokenization
+    * is a pure frozen function of the text, deterministic across engines
+    * and runs. This vocabulary freezes the high-frequency words of the
+    * corpus' four languages (the same ones the lang-ID lexicons key on)
+    * plus common English function words and single-symbol pieces' natural
+    * one-token cost; everything out-of-vocabulary pays the byte-fallback
+    * price below. Sorted, deduplicated, all-lowercase by construction
+    * (asserted in the suite): the lookup lowercases the piece, mirroring
+    * a lowercasing pre-normalizer.
+    */
+  private[graft] val SubwordVocab: Seq[String] = Seq(
+    "the", "and", "is", "of", "to", "a", "in", "that", "it", "for",
+    "on", "with", "as", "was", "at", "by", "an", "be", "this", "are",
+    "from", "or", "not", "but", "his", "her", "they", "we", "you", "all",
+    "der", "die", "und", "ist", "das", "ein", "eine", "nicht", "mit", "auf",
+    "el", "la", "los", "las", "que", "es", "de", "un", "una", "por",
+    "le", "les", "des", "et", "est", "en", "du", "dans", "pour", "qui"
+  ).distinct.sorted
+
+  /** Characters per fallback chunk: an out-of-vocabulary piece of length
+    * L costs ⌈L/4⌉ tokens — the classic "roughly 4 characters per token"
+    * subword economics, and a closed-form, engine-exact integer formula
+    * (unlike a learned merge walk, which is sequential by nature).
+    */
+  private[graft] val SubwordChunk = 4
+
+  /** Per-piece subword token cost: 1 for an in-vocabulary word
+    * (case-folded lookup), ⌈len/[[SubwordChunk]]⌉ byte-fallback chunks
+    * otherwise. In-row; the vocabulary is a 60-element literal array, a
+    * constant inside codegen.
+    */
+  private def subwordCost(p: Column): Column = {
+    val vocab = array(SubwordVocab.map(lit(_)): _*)
+    when(array_contains(vocab, lower(p)), lit(1L))
+      .otherwise(floor((length(p) + lit(SubwordChunk - 1)) /
+        lit(SubwordChunk)).cast(LongType))
+  }
+
+  /** Subword token count column over raw text — ONE in-row higher-order
+    * fold over the pre-tokenizer pieces, zero shuffle.
+    */
+  private[graft] def subwordTokenCount(text: Column): Column =
+    aggregate(preTokenPieces(text), lit(0L), (acc, p) => acc + subwordCost(p))
+
+  /** `token_count_bpe` checked key: deterministic SUBWORD tokenization of
+    * the documents table — per document, the pre-tokenizer piece count,
+    * the subword token count under the frozen vocabulary + byte-fallback
+    * scheme, and the OOV fallback share (`n_fallback_tokens`, the metric
+    * a curation pipeline watches: a corpus slice whose fallback share
+    * spikes is in a language/script the tokenizer wasn't built for).
+    *
+    * Why not a learned BPE merge walk: merging is inherently sequential
+    * per word (each merge step depends on the previous), which in SQL
+    * terms means an unbounded recursion per token — the wrong shape for a
+    * scan-stage expression and impossible for the oracle to recompute.
+    * The frozen-vocab + ⌈len/4⌉ fallback scheme keeps exactly the two
+    * properties the downstream pipeline consumes — deterministic counts,
+    * realistic common-word-cheap/rare-word-expensive economics — as pure
+    * in-row integer arithmetic, hash-exact in any engine.
+    *
+    * Scale shape: identical to `token_count` — whole-stage-codegen
+    * projection inside the scan, no shuffle, no UDF.
+    */
+  def tokenCountBpe(spark: SparkSession, sfDir: String): DataFrame =
+    tokenCountBpe(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: subword token accounting over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def tokenCountBpe(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      bpeTokenCount(col("text")).as("n_pieces"),
+      subwordTokenCount(col("text")).as("n_subword_tokens"),
+      (subwordTokenCount(col("text")) -
+        size(filter(preTokenPieces(col("text")),
+          p => array_contains(array(SubwordVocab.map(lit(_)): _*), lower(p))))
+        ).as("n_fallback_tokens"))
+
   /** Per-document top-3 TF-IDF terms — the standard distinctive-term
     * scorer a curation pipeline uses for topic tagging and boilerplate
     * detection.
@@ -497,6 +585,28 @@ object TextAnalysis {
         |  CAST(len(regexp_extract_all(text,
         |    '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+')) AS INTEGER) AS n_bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // same frozen vocabulary (interpolated from the ONE Scala constant —
+    // the two sides cannot drift) + identical integer chunk arithmetic;
+    // list_sum of an empty piece list is NULL, coalesced to the fold's 0
+    "token_count_bpe" -> {
+      val vocab = SubwordVocab.map(w => s"'$w'").mkString("[", ", ", "]")
+      val ch = SubwordChunk
+      s"""WITH p AS (
+         |  SELECT doc_id, regexp_extract_all(text,
+         |    '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+') AS pieces
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(pieces) AS INTEGER) AS n_pieces,
+         |  CAST(COALESCE(list_sum(list_transform(pieces, t ->
+         |    CASE WHEN list_contains($vocab, lower(t)) THEN 1
+         |         ELSE (length(t) + ${ch - 1}) // $ch END)), 0)
+         |    AS BIGINT) AS n_subword_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(pieces, t ->
+         |    CASE WHEN list_contains($vocab, lower(t)) THEN 0
+         |         ELSE (length(t) + ${ch - 1}) // $ch END)), 0)
+         |    AS BIGINT) AS n_fallback_tokens
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
     // same fold as rollingFp: list_reduce seeds from the list head, so a 0
     // is prepended to reproduce Spark's aggregate(…, 0L, …) initial value
     "doc_fingerprint" ->

@@ -551,6 +551,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(df.filter(col("stop_tokens") > col("n_tokens")).count() == 0)
   }
 
+  test("token_count_bpe: frozen vocab is canonical, fixture costs exact") {
+    import spark.implicits._
+    // the merge-table stand-in must stay canonical: lowercase, distinct,
+    // sorted (the oracle twin interpolates it verbatim — a duplicate or
+    // uppercase entry would silently change the SQL literal's semantics)
+    val v = TextAnalysis.SubwordVocab
+    assert(v == v.map(_.toLowerCase).distinct.sorted, "vocab not canonical")
+    // hand-computed costs: in-vocab word = 1 (case-folded), OOV word =
+    // ceil(len/4) fallback chunks, punctuation is its own piece
+    val docs = Seq(
+      (1L, "The and"),            // 2 pieces, both in vocab → 2, 0 fallback
+      (2L, "extraordinary"),      // 13 chars → ceil(13/4) = 4, all fallback
+      (3L, "zzzzz, the"),         // zzzzz=2 + ','=1 + the=1 → 4, 3 fallback
+      (4L, ""),                   // no pieces
+      (5L, "a1b2")                // splits a|1|b|2 → 4 pieces, a in vocab
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenCountBpe(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((2, 2L, 0L)))
+    assert(got(2L) == ((1, 4L, 4L)))
+    assert(got(3L) == ((3, 4L, 3L)))
+    assert(got(4L) == ((0, 0L, 0L)))
+    assert(got(5L) == ((4, 4L, 3L)))
+    // corpus law: every piece costs ≥ 1 token, fallback ≤ total
+    val corpus = TextAnalysis.tokenCountBpe(spark, sf)
+    assert(corpus.filter(col("n_subword_tokens") < col("n_pieces") ||
+      col("n_fallback_tokens") > col("n_subword_tokens") ||
+      col("n_fallback_tokens") < 0).count() == 0)
+  }
+
   test("repetition_stats matches hand-computed fixtures incl. short docs") {
     import spark.implicits._
     val docs = Seq(

@@ -48,6 +48,38 @@ class PackingSpec extends SparkSpec {
     } finally { packed.unpersist(); () }
   }
 
+  test("subword-mode packing conserves the SUBWORD token budget") {
+    // the production pairing: pack from token_count_bpe's subword counts
+    // (a trainer budgets subword tokens, not pre-tokenizer pieces) — the
+    // same laws must hold, and conservation must be against the SUBWORD
+    // counts, proving the mode switch actually changed the pack input
+    val budget = 512
+    val packed = Packing.packDocuments(spark, sf, budget, nShards = 4,
+      subword = true).cache()
+    try {
+      val tc = graft.ops.TextAnalysis
+        .tokenCountBpe(Tables.table(spark, sf, "documents"))
+        .select(col("doc_id"), col("n_subword_tokens").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val perDoc = packed.groupBy("doc_id").agg(sum("span_len").as("s"))
+        .join(tc, Seq("doc_id"), "full")
+      assert(perDoc.filter(col("s").isNull || col("n_tokens").isNull ||
+        col("s") =!= col("n_tokens")).count() == 0)
+      val seqLen = packed.groupBy("shard", "seq_id")
+        .agg(sum("span_len").as("len"))
+      val lastSeq = seqLen.groupBy("shard").agg(max("seq_id").as("last"))
+      assert(seqLen.join(lastSeq, "shard")
+        .filter(col("seq_id") =!= col("last") && col("len") =!= budget)
+        .count() == 0, "non-tail sequence not at full budget")
+      // subword counts genuinely differ from piece counts on this corpus
+      // (otherwise this test would silently re-prove the default mode)
+      val diff = graft.ops.TextAnalysis
+        .tokenCountBpe(Tables.table(spark, sf, "documents"))
+        .filter(col("n_subword_tokens") =!= col("n_pieces")).count()
+      assert(diff > 0, "subword == piece counts corpus-wide")
+    } finally packed.unpersist()
+  }
+
   test("packing equals the sequential per-shard fold on a random corpus") {
     val rnd = new scala.util.Random(9L)
     // includes zero-token documents (must be dropped) and budget-straddling

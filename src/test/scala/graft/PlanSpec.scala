@@ -23,6 +23,7 @@ class PlanSpec extends SparkSpec {
       "textStats" -> TextAnalysis.textStats(docs),
       "langId" -> TextAnalysis.langId(docs),
       "tokenCount" -> TextAnalysis.tokenCount(docs),
+      "tokenCountBpe" -> TextAnalysis.tokenCountBpe(docs),
       "docFingerprint" -> TextAnalysis.docFingerprint(docs),
       "repetitionStats" -> TextAnalysis.repetitionStats(docs),
       "textRedact" -> TextAnalysis.textRedact(

@@ -696,6 +696,44 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream join evicts out-of-horizon state, loses no in-horizon pairs") {
+    // the production contract behind `stream_range_join`: across paced
+    // event-time-ordered micro-batches the two-sided watermark derives a
+    // state horizon per side (clicks older than wm − 24 h, purchases older
+    // than the click watermark) and EVICTS — yet no pair inside the 24 h
+    // window is lost, because an evicted row can no longer match anything
+    // the ordered replay will deliver. Three day-apart slices, one file
+    // per micro-batch: eviction must fire by slice 3 (wm is then ≥ 29 h
+    // past slice 1), and the pair set must equal the per-slice truth.
+    def t(s: String) = Timestamp.valueOf(s)
+    val dir = Files.createTempDirectory("graft_ssjevict_in").toString
+    writeBatch(dir, Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      (2L, t("2024-01-01 11:00:00"), 1L, "purchase", 5.0)))
+    Thread.sleep(1100) // distinct mtimes pin the file source's pacing order
+    writeBatch(dir, Seq(
+      (3L, t("2024-01-02 16:00:00"), 1L, "click", 1.0),
+      (4L, t("2024-01-02 17:00:00"), 1L, "purchase", 5.0)))
+    Thread.sleep(1100)
+    writeBatch(dir, Seq(
+      (5L, t("2024-01-03 22:00:00"), 1L, "click", 1.0),
+      (6L, t("2024-01-03 22:30:00"), 1L, "purchase", 5.0)))
+    val checkpoint = Files.createTempDirectory("graft_ssjevict_ck").toString
+    val q = Streams.rangeJoinPairs(Streams.readEventsPaced(spark, dir))
+      .writeStream.format("memory").queryName("ssje")
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val pairs = spark.sql("SELECT p_id, c_id FROM ssje").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 1L), (4L, 3L), (6L, 5L)))
+    assert(q.recentProgress.flatMap(_.stateOperators).length > 1,
+      "replay did not pace into multiple stateful micro-batches")
+    val removed = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsRemoved).sum
+    assert(removed > 0, "state horizon never evicted any join state")
+  }
+
   test("streaming as-of and N-stage funnel equal batch twins on random tie-heavy logs") {
     import org.apache.spark.sql.functions._
     // Property pin (the PropertiesSpec discipline, run here for the
