@@ -49,11 +49,12 @@ object LocalFs {
     val CdcLandingCache = "graft_cdc_landing_v1"
     val CdcSortedCache = "graft_cdc_sorted_v1"
     val ImageFixtureCache = "graft_img_fixture_v1"
+    val JpegFixtureCache = "graft_jpeg_fixture_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
-        CdcSortedCache, ImageFixtureCache)
+        CdcSortedCache, ImageFixtureCache, JpegFixtureCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

@@ -120,6 +120,9 @@ object SparkEntry {
     "dedup_incremental" -> (Dedup.dedupIncremental _),
     "dedup_embed" -> (Dedup.dedupEmbedChecked _),
     "dedup_embed_incremental" -> (Dedup.dedupEmbedIncrementalChecked _),
+    // the full ANN stack composed end-to-end (IVF candidates → int8
+    // prescan → exact rerank → keep rule), certified against the exact rule
+    "dedup_embed_ivf" -> (Dedup.dedupEmbedIvfChecked _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
     // eval-set decontamination (benchmark n-gram overlap gate)
@@ -160,6 +163,7 @@ object SparkEntry {
     // §2j multimodal: real PNG decode/resize over the planted image
     // fixture, plus the frame plumbing
     "mm_decode" -> (Multimodal.mmDecode _),
+    "mm_decode_jpeg" -> (Multimodal.mmDecodeJpeg _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),

@@ -740,6 +740,86 @@ object Dedup {
       scored, tau)
   }
 
+  /** IVF-COMPOSED incremental embedding dedup — the 100 TB serving shape
+    * promised by [[dedupEmbedIncremental]]'s scaladoc, now as one runnable
+    * operator: the int8 prescan's candidate stage is
+    * [[Similarity.ivfAssign]]'s cluster layout instead of a full
+    * batch×corpus scan. Per new vector, stage 0 ranks the
+    * [[Similarity.IvfClusters]] centroids and keeps the `nProbe` nearest
+    * ([[Similarity.nearestClusters]] — centroid table broadcasts); stage 1
+    * int8-prescans ONLY corpus rows in those probed clusters (an equi-join
+    * on `cluster` against the broadcast probe slivers — never a cross
+    * join); stage 2 exact-reranks the per-(probe, side) top-`rerank` pool
+    * with the double kernel and applies the same one-hop keep rule.
+    *
+    * Cost shape at 100 TB: the cluster assignment is the write-once IVF
+    * layout every ANN consumer shares; each new vector touches
+    * nProbe/IvfClusters of the corpus with 1-byte-per-element bandwidth,
+    * and only (q_id, c_id, side) triples cross the pool shuffle. The
+    * recall trade is the IVF dial documented on [[Similarity.simSearchIvf]]:
+    * a true near-dup in an unprobed cluster is missed, so the checked key
+    * certifies DECISION agreement against the exact rule at a floor rather
+    * than assuming it ([[dedupEmbedIvfChecked]]); measured agreement on
+    * the harness corpus is 1.0 at the default nProbe.
+    */
+  def dedupEmbedIncrementalIvf(spark: SparkSession, sfDir: String,
+      isNew: org.apache.spark.sql.Column, tau: Double, rerank: Int,
+      nProbe: Int = Similarity.IvfNProbe): DataFrame = {
+    require(rerank >= 1, s"rerank must be >= 1, got $rerank")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val (assigned, centroids) = Similarity.ivfAssign(spark, sfDir)
+    val v = Similarity.quantize(assigned, "demb").withColumn("is_new", isNew)
+    // stage 0: each new vector's probed clusters, carrying its int8 form —
+    // the broadcast payload is (probes × nProbe) slim rows, no doubles
+    val probeClusters = Similarity.nearestClusters(
+      v.filter(col("is_new"))
+        .select(col("vec_id").as("q_id"), col("unit").as("q_unit")),
+      centroids, nProbe)
+      .join(v.filter(col("is_new"))
+        .select(col("vec_id").as("q_id"), col("q_vec").as("pq_vec"),
+          col("q_scale").as("pq_scale"), col("nrm").as("q_nrm")), "q_id")
+      .select(col("q_id"), col("cluster"), col("pq_vec"), col("pq_scale"),
+        col("q_nrm"))
+    // stage 1: int8 prescan over probed clusters only — an equi-join on
+    // the cluster id (BroadcastHashJoin), not a corpus-wide cross join
+    val candsQ = v.select(col("vec_id").as("c_id"), col("q_vec").as("cq_vec"),
+      col("q_scale").as("cq_scale"), col("nrm").as("c_nrm"),
+      col("is_new").as("c_new"), col("cluster"))
+    val wPre = Window.partitionBy(col("q_id"), col("side"))
+      .orderBy(col("pre_sim").desc, col("c_id"))
+    val pool = candsQ.join(broadcast(probeClusters), "cluster")
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("side", when(!col("c_new"), lit("corpus"))
+        .when(col("c_id") < col("q_id"), lit("prior")))
+      .filter(col("side").isNotNull)
+      // no pair-dedup needed: a candidate lives in exactly ONE cluster and
+      // probeClusters is unique on (q_id, cluster), so the equi-join emits
+      // each (q_id, c_id) at most once by construction
+      .withColumn("pre_sim",
+        col("pq_scale") * col("cq_scale")
+          * graft.functions.VectorMath.dotInt8(col("pq_vec"), col("cq_vec"))
+          / (col("q_nrm") * col("c_nrm")))
+      .withColumn("pre_rnk", row_number().over(wPre))
+      .filter(col("pre_rnk") <= rerank)
+      .select(col("q_id"), col("c_id"), col("side"))
+    // stage 2: exact rerank of the sliver + the shared keep rule (same
+    // kernel, rounding and flags as the quantized full-scan form)
+    val exact = v.select(col("vec_id"), col("demb"), col("nrm"),
+      col("is_new"))
+    val scored = pool
+      .join(exact.select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+        col("nrm").as("c_nrm")), "c_id")
+      .join(broadcast(exact.filter(col("is_new"))
+        .select(col("vec_id").as("q_id"),
+          col("demb").as("q_emb"), col("nrm").as("q_nrm"))), "q_id")
+      .withColumn("sim", round(
+        graft.functions.VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
+      .select(col("q_id"), col("side"), col("sim"))
+    embedIncrementalFlags(v.filter(col("is_new")).select(col("vec_id")),
+      scored, tau)
+  }
+
   /** EXACT reference form of the incremental report: brute-force cosine
     * over batch×(corpus ∪ earlier-batch), no prescan. This is the
     * verification twin the certificate runs — identical output when the
@@ -815,6 +895,47 @@ object Dedup {
       .agg(coalesce(
         min(col("keep").isNotNull && col("keep_q").isNotNull &&
           col("keep") === col("keep_q")), lit(false)).as("quant_ok"))
+    exact.agg(
+        count(lit(1)).as("n_new"),
+        count(when(col("is_dup_corpus"), lit(1))).as("n_dup_corpus"),
+        count(when(col("is_dup_batch"), lit(1))).as("n_dup_batch"),
+        count(when(col("keep"), lit(1))).as("n_keep"))
+      .withColumn("tau", lit(IncrementalEmbedTau))
+      .crossJoin(agree)
+  }
+
+  /** Decision-agreement floor for the IVF-composed path's certificate:
+    * unlike the quantized full-scan (which reads every candidate and is
+    * decision-identical by construction when the pool is wide enough), IVF
+    * legitimately trades recall for touch fraction, so its certificate is
+    * a FLOOR on per-vector keep-decision agreement — the same move as the
+    * ANN recall certificates' 0.8 floors. Measured agreement on the
+    * harness corpus is 1.0 at nProbe=24/32; 0.95 carries headroom against
+    * corpus regeneration while still being a strong published contract.
+    */
+  private val IvfAgreeFloor = 0.95
+
+  /** `dedup_embed_ivf` checked key: the EXACT one-hop keep rule's
+    * aggregate counts (each recomputed brute-force by the DuckDB oracle —
+    * same contract as `dedup_embed_incremental`) plus `ivf_ok`, the
+    * Spark-verified certificate that the IVF-composed serving path
+    * ([[dedupEmbedIncrementalIvf]]) reproduces the exact keep decision for
+    * at least [[IvfAgreeFloor]] of the batch (the oracle pins it TRUE).
+    * This is the end-to-end audit of the full ANN stack: IVF candidate
+    * stage → int8 prescan → exact rerank → keep rule, graded as one key.
+    */
+  def dedupEmbedIvfChecked(spark: SparkSession, sfDir: String): DataFrame = {
+    val isNew = col("vec_id") % 2 === 1
+    val exact = dedupEmbedIncrementalExact(spark, sfDir, isNew,
+      IncrementalEmbedTau)
+    val ivf = dedupEmbedIncrementalIvf(spark, sfDir, isNew,
+      IncrementalEmbedTau, rerank = 8)
+    val agree = exact.select(col("q_id"), col("keep"))
+      .join(ivf.select(col("q_id"), col("keep").as("keep_i")),
+        Seq("q_id"), "full_outer")
+      .agg((sum(when(col("keep").isNotNull && col("keep_i").isNotNull &&
+          col("keep") === col("keep_i"), 1L).otherwise(0L))
+        >= count(lit(1)) * IvfAgreeFloor).as("ivf_ok"))
     exact.agg(
         count(lit(1)).as("n_new"),
         count(when(col("is_dup_corpus"), lit(1))).as("n_dup_corpus"),
@@ -928,6 +1049,39 @@ object Dedup {
         |  count(*) FILTER (NOT dc AND dp) AS n_dup_batch,
         |  count(*) FILTER (NOT dc AND NOT dp) AS n_keep,
         |  CAST(0.42 AS DOUBLE) AS tau, true AS quant_ok
+        |FROM flags""".stripMargin,
+    // same exact-rule recompute as dedup_embed_incremental; the pinned
+    // boolean is the IVF-composed path's decision-agreement certificate
+    "dedup_embed_ivf" ->
+      """WITH v AS (
+        |  SELECT * FROM (
+        |    SELECT vec_id,
+        |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+        |           SQRT(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |    FROM embeddings) WHERE nrm > 0),
+        |n AS (SELECT vec_id, emb, nrm FROM v WHERE vec_id % 2 = 1),
+        |pairs AS (
+        |  SELECT n.vec_id AS q_id,
+        |    CASE WHEN v.vec_id % 2 = 0 THEN 'corpus' ELSE 'prior' END AS side,
+        |    ROUND(list_sum(list_transform(list_zip(n.emb, v.emb),
+        |      p -> p[1] * p[2])) / (n.nrm * v.nrm), 6) AS sim
+        |  FROM n, v
+        |  WHERE v.vec_id != n.vec_id
+        |    AND (v.vec_id % 2 = 0 OR v.vec_id < n.vec_id)),
+        |flags AS (
+        |  SELECT n.vec_id AS q_id,
+        |    COALESCE(MAX(CASE WHEN side = 'corpus' THEN sim END) >= 0.42,
+        |             false) AS dc,
+        |    COALESCE(MAX(CASE WHEN side = 'prior' THEN sim END) >= 0.42,
+        |             false) AS dp
+        |  FROM n LEFT JOIN pairs ON pairs.q_id = n.vec_id
+        |  GROUP BY n.vec_id)
+        |SELECT count(*) AS n_new,
+        |  count(*) FILTER (dc) AS n_dup_corpus,
+        |  count(*) FILTER (NOT dc AND dp) AS n_dup_batch,
+        |  count(*) FILTER (NOT dc AND NOT dp) AS n_keep,
+        |  CAST(0.42 AS DOUBLE) AS tau, true AS ivf_ok
         |FROM flags""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, text, lang, source, n_chars, sha256(text) AS h

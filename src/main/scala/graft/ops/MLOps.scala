@@ -423,6 +423,48 @@ object MLOps {
     out
   }
 
+  /** MODEL PERSISTENCE CONTRACT — a pipeline that trains must ship its
+    * model. Fits the standard pipeline (indexer → assembler → seeded RF)
+    * on the deterministic train slice and publishes it at `path` with the
+    * IVF quantizer's atomic-publish discipline ([[Similarity]]): the model
+    * is written to a session-private `<path>.tmp.<appId>` directory and
+    * atomically renamed into place, so `path` only ever holds a COMPLETE
+    * model — spark.ml writers land metadata before data, and a crash
+    * mid-save must not poison the path for every later session. At 100 TB
+    * the same move works on any HDFS-compatible FS (rename is the
+    * committer primitive); a concurrent loser's tmp dir is swept.
+    *
+    * The round-trip guarantee (MLSpec-pinned): a model saved here, loaded
+    * by [[scoreWithSavedPipeline]] in any later session, produces
+    * BIT-EQUAL predictions to the in-memory model — spark.ml persistence
+    * serializes the fitted parameters (tree splits, indexer labels)
+    * exactly, not a retraining recipe.
+    */
+  def saveFittedPipeline(spark: SparkSession, sfDir: String,
+      path: String): Unit = {
+    val data = labeledEvents(spark, sfDir)
+    val train = trainSlice(data).persist()
+    val model = fullPipeline().fit(train)
+    train.unpersist()
+    val dest = new java.io.File(path)
+    val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
+    model.write.overwrite().save(tmp)
+    graft.LocalFs.publishDir(new java.io.File(tmp), dest,
+      destValid = () => dest.exists())
+  }
+
+  /** Load a [[saveFittedPipeline]]-published model and score the full
+    * corpus with it — the serving half of the persistence round-trip,
+    * projected identically to [[pipeline]] so the two are directly
+    * comparable.
+    */
+  def scoreWithSavedPipeline(spark: SparkSession, sfDir: String,
+      path: String): DataFrame =
+    org.apache.spark.ml.PipelineModel.load(path)
+      .transform(labeledEvents(spark, sfDir))
+      .select(col("event_id"), col("label_idx"), col("prediction"))
+      .orderBy(col("event_id"))
+
   // ---------------------------------------------------------------- SQL ----
 
   /** StringIndexer frequencyDesc is SQL-expressible: index = dense rank of

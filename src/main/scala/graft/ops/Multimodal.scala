@@ -146,6 +146,99 @@ object Multimodal {
   def imageAssets(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(imageFixture(spark, sfDir))
 
+  /** Planted solid color for the JPEG fixture — per-doc DISTINCT channel
+    * means spread over the full 0..255 range, so the lossy-decode
+    * certificate ([[mmDecodeJpeg]]) cannot be satisfied by any decoder
+    * that didn't read the actual bytes (unlike the gradient planting,
+    * whose corpus-wide means all sit near 127.5, a solid per-doc color is
+    * unguessable without decoding).
+    */
+  private[graft] def jpegColor(docId: Long): (Int, Int, Int) = (
+    ((docId * 37 + 11) % 256).toInt,
+    ((docId * 59 + 7) % 256).toInt,
+    ((docId * 83 + 3) % 256).toInt)
+
+  /** Lossy-decode mean tolerance (units per channel mean): a solid-color
+    * JPEG decodes DC-only, so the error budget is the luminance/chroma DC
+    * quantization step (≤ ~4 at ImageIO's default quality) plus the
+    * RGB↔YCbCr rounding — 8 bounds both with headroom while staying far
+    * below the ≥ 37-unit spacing of neighboring planted colors.
+    */
+  private[graft] val JpegMeanTol = 8L
+
+  /** The per-corpus JPEG fixture: `(doc_id, jpeg binary)`, one solid-color
+    * image per document (same dims arithmetic as the PNG fixture), encoded
+    * through ImageIO's real JPEG writer. Same content-fingerprint +
+    * atomic-publish discipline as [[imageFixture]].
+    */
+  private def jpegFixture(spark: SparkSession, sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath(graft.LocalFs.Names.JpegFixtureCache,
+      sfDir, new File(s"$sfDir/documents.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val spark2 = spark
+      import spark2.implicits._
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      table(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ImageIO.setUseCache(false)
+          ids.map { id =>
+            require(id >= 0, s"fixture planting assumes doc_id >= 0, got $id")
+            val (w, h) = (imgWidth(id), imgHeight(id))
+            val (r, g, b) = jpegColor(id)
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val argb = (r << 16) | (g << 8) | b
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, argb); x += 1 }
+              y += 1
+            }
+            val out = new java.io.ByteArrayOutputStream()
+            require(ImageIO.write(img, "jpg", out),
+              "no JPEG writer available in this JRE")
+            (id, out.toByteArray)
+          }
+        }
+        .toDF("doc_id", "jpeg")
+        .write.mode("overwrite").parquet(tmp)
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    new File(landing).setLastModified(System.currentTimeMillis())
+    landing
+  }
+
+  /** The harness JPEG-asset relation: `(doc_id, jpeg binary)`. */
+  def jpegAssets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(jpegFixture(spark, sfDir))
+
+  /** `mm_decode_jpeg` checked key: real JPEG decode through the same
+    * ImageIO executor path as [[mmDecode]], certified for a LOSSY codec —
+    * exact decoded dimensions plus `px_ok`, the certificate that every
+    * decoded channel MEAN is within [[JpegMeanTol]] of the planted
+    * per-doc solid color (per-pixel exactness is the PNG key's job; a
+    * lossy codec promises the signal, not the bits). The DuckDB twin
+    * recomputes the dims arithmetic and pins `px_ok` TRUE — only a real
+    * decode of the bytes can hit 500 per-doc colors spread over 0..255.
+    */
+  def mmDecodeJpeg(spark: SparkSession, sfDir: String): DataFrame = {
+    def planted(mul: Long, add: Long) = (col("doc_id") * mul + add) % 256
+    def chanOk(sumCol: String, mul: Long, add: Long) =
+      abs(col(sumCol) - planted(mul, add) * col("n_px")) <=
+        lit(JpegMeanTol) * col("n_px")
+    decodeImages(jpegAssets(spark, sfDir), payloadCol = "jpeg")
+      .withColumn("n_px",
+        col("width").cast(LongType) * col("height").cast(LongType))
+      .withColumn("px_ok",
+        chanOk("sum_r", 37L, 11L) && chanOk("sum_g", 59L, 7L) &&
+          chanOk("sum_b", 83L, 3L))
+      .select(col("doc_id"), col("width"), col("height"), col("px_ok"))
+      .orderBy(col("doc_id"))
+  }
+
   /** `mm_decode` checked key: real PNG decode over the image fixture —
     * per image, its decoded dimensions and exact per-channel pixel sums.
     * The DuckDB twin recomputes the planted arithmetic per pixel, so a
@@ -154,17 +247,18 @@ object Multimodal {
   def mmDecode(spark: SparkSession, sfDir: String): DataFrame =
     decodeImages(imageAssets(spark, sfDir)).orderBy(col("doc_id"))
 
-  /** API form: decode any `(doc_id, png binary)` frame to
-    * `(doc_id, width, height, sum_r, sum_g, sum_b)` — unordered. Fails
+  /** API form: decode any `(doc_id, <payloadCol> binary)` frame to
+    * `(doc_id, width, height, sum_r, sum_g, sum_b)` — unordered, any
+    * ImageIO-decodable format (PNG, JPEG, BMP, GIF…). Fails
     * loudly on undecodable bytes (a corrupt asset in a curation pipeline
     * is a data bug to surface, not a row to silently drop — wrap with a
     * TRY upstream if skip-and-log is the wanted policy).
     */
-  def decodeImages(assets: DataFrame): DataFrame = {
+  def decodeImages(assets: DataFrame, payloadCol: String = "png"): DataFrame = {
     val spark2 = assets.sparkSession
     import spark2.implicits._
     assets
-      .select(col("doc_id"), col("png"))
+      .select(col("doc_id"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         ImageIO.setUseCache(false) // in-memory streams; no executor tmp files
@@ -344,6 +438,14 @@ object Multimodal {
         |        + ((k // 12) * h // 4) * 5 + doc_id * 23) % 256
         |    END AS VARCHAR)), ',') AS thumb_csv
         |FROM d ORDER BY doc_id""".stripMargin,
+    // the lossy-codec twin: exact dims arithmetic, and the channel-mean
+    // certificate pinned TRUE (see mmDecodeJpeg's scaladoc)
+    "mm_decode_jpeg" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INTEGER) AS width,
+        |  CAST(8 + (doc_id * 3) % 7 AS INTEGER) AS height,
+        |  true AS px_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // frame explode reproduced with a correlated unnest(range(...)) — one
     // row per 256-byte frame; the position-weighted digest is plain
     // arithmetic in both engines

@@ -138,19 +138,23 @@ object Similarity {
   def simSearchIvf(spark: SparkSession, sfDir: String): DataFrame =
     simSearchIvf(spark, sfDir, defaultProbe)
 
-  /** IVF search for an arbitrary probe predicate over the embeddings table. */
-  def simSearchIvf(spark: SparkSession, sfDir: String, probe: Column,
-      k: Int = K): DataFrame = {
-    val nClusters = 32
-    val nProbe = 24
-    val v = unitVectors(spark, sfDir)
-    // Fit-ONCE quantizer: at 100 TB the coarse quantizer is corpus
-    // infrastructure, not per-query work. The fitted model is persisted at
-    // a corpus-keyed path; later sessions load it and only pay cluster
-    // assignment. (Seeded fit → identical centroids either way.)
-    // the cache tag fingerprints the corpus content (LocalFs.cachePath):
-    // regenerating the embeddings table in place changes the tag → the
-    // quantizer refits instead of silently serving stale centroids
+  /** The engine's standard IVF layout parameters (single source of truth
+    * for the coarse-quantizer size and default probe width — see
+    * [[simSearchIvf]]'s probe-width honesty note).
+    */
+  private[ops] val IvfClusters = 32
+  private[ops] val IvfNProbe = 24
+
+  /** Fit-ONCE coarse quantizer: at 100 TB the quantizer is corpus
+    * infrastructure, not per-query work. The fitted model is persisted at
+    * a corpus-keyed path; later sessions load it and only pay cluster
+    * assignment. (Seeded fit → identical centroids either way.)
+    * The cache tag fingerprints the corpus content (LocalFs.cachePath):
+    * regenerating the embeddings table in place changes the tag → the
+    * quantizer refits instead of silently serving stale centroids.
+    */
+  private[ops] def ivfQuantizer(spark: SparkSession, sfDir: String,
+      v: DataFrame): org.apache.spark.ml.clustering.KMeansModel = {
     val modelPath = graft.LocalFs.cachePath(
       graft.LocalFs.Names.IvfQuantizerCache, sfDir,
       new java.io.File(s"$sfDir/embeddings.parquet"))
@@ -159,35 +163,62 @@ object Similarity {
     // metadata before data, so guarding on the writer's own files would
     // let a crash mid-save poison the cache for every later session)
     val dest = new java.io.File(modelPath)
-    val model =
-      if (dest.exists())
-        org.apache.spark.ml.clustering.KMeansModel.load(modelPath)
-      else {
-        val m = new KMeans().setK(nClusters).setSeed(42L)
-          .setFeaturesCol("vec").setPredictionCol("cluster").fit(v)
-        val tmp = s"$modelPath.tmp.${spark.sparkContext.applicationId}"
-        m.write.overwrite().save(tmp)
-        graft.LocalFs.publishDir(new java.io.File(tmp), dest,
-          destValid = () => dest.exists())
-        m
-      }
+    if (dest.exists())
+      org.apache.spark.ml.clustering.KMeansModel.load(modelPath)
+    else {
+      val m = new KMeans().setK(IvfClusters).setSeed(42L)
+        .setFeaturesCol("vec").setPredictionCol("cluster").fit(v)
+      val tmp = s"$modelPath.tmp.${spark.sparkContext.applicationId}"
+      m.write.overwrite().save(tmp)
+      graft.LocalFs.publishDir(new java.io.File(tmp), dest,
+        destValid = () => dest.exists())
+      m
+    }
+  }
+
+  /** The corpus in IVF layout: every [[unitVectors]] column plus the
+    * quantizer's `cluster` assignment, and the centroid table (IvfClusters
+    * rows — broadcastable anywhere). At 100 TB `cluster` is a write-once
+    * partitioning column; every IVF consumer (top-k search, incremental
+    * dedup) shares this one layout.
+    */
+  private[ops] def ivfAssign(spark: SparkSession,
+      sfDir: String): (DataFrame, DataFrame) = {
+    val v = unitVectors(spark, sfDir)
+    val model = ivfQuantizer(spark, sfDir, v)
     val assigned = model.transform(v)
-      .select(col("vec_id"), col("unit"), col("cluster"))
-    // centroids as a tiny broadcastable table
     val centroids = spark.createDataFrame(
       model.clusterCenters.zipWithIndex.toIndexedSeq
         .map { case (c, i) => (i, c.toArray.toSeq) })
       .toDF("cluster", "centroid")
-    // each probe picks its nProbe nearest centroids (32 rows → broadcast)
-    val probes = assigned.filter(probe)
-      .select(col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    (assigned, centroids)
+  }
+
+  /** Each probe's `nProbe` nearest clusters by centroid similarity: input
+    * (q_id, q_unit), output (q_id, q_unit, cluster) — nProbe rows per
+    * probe. The centroid table broadcasts (IvfClusters rows), so this is a
+    * map-side ranking over the probe set.
+    */
+  private[ops] def nearestClusters(probes: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val wC = Window.partitionBy(col("q_id"))
       .orderBy(col("c_sim").desc, col("cluster"))
-    val probeClusters = probes.crossJoin(broadcast(centroids))
+    probes.crossJoin(broadcast(centroids))
       .withColumn("c_sim", VectorMath.dot(col("q_unit"), col("centroid")))
       .withColumn("c_rnk", row_number().over(wC))
       .filter(col("c_rnk") <= nProbe)
-      .select(col("q_id"), col("q_unit"), col("cluster"))
+      .select(probes.columns.map(col).toIndexedSeq :+ col("cluster"): _*)
+  }
+
+  /** IVF search for an arbitrary probe predicate over the embeddings table. */
+  def simSearchIvf(spark: SparkSession, sfDir: String, probe: Column,
+      k: Int = K): DataFrame = {
+    val (assignedAll, centroids) = ivfAssign(spark, sfDir)
+    val assigned = assignedAll.select(col("vec_id"), col("unit"), col("cluster"))
+    // each probe picks its nProbe nearest centroids (32 rows → broadcast)
+    val probes = assigned.filter(probe)
+      .select(col("vec_id").as("q_id"), col("unit").as("q_unit"))
+    val probeClusters = nearestClusters(probes, centroids, IvfNProbe)
     // candidates = corpus rows in the probed clusters only
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("c_id"))

@@ -212,6 +212,36 @@ class ExtensionsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("quant_ok"))
   }
 
+  test("embed incremental IVF composition reproduces the exact decisions") {
+    import org.apache.spark.sql.functions.col
+    val isNew = col("vec_id") % 2 === 1
+    val exact = Dedup.dedupEmbedIncrementalExact(spark, sf, isNew, 0.42)
+      .select("q_id", "is_dup_corpus", "is_dup_batch", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    val ivf = Dedup.dedupEmbedIncrementalIvf(spark, sf, isNew, 0.42,
+        rerank = 8)
+      .select("q_id", "is_dup_corpus", "is_dup_batch", "keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    // measured agreement on the harness corpus is total (the certificate's
+    // published floor is 0.95; the suite pins the stronger observed fact,
+    // FLAG decisions included — only the maxima values may differ, when a
+    // probed-cluster candidate ties the unprobed true max past tau)
+    assert(ivf.keySet == exact.keySet)
+    val disagree = exact.keys.filter(k => exact(k) != ivf(k))
+    assert(disagree.isEmpty,
+      s"IVF decisions diverge from exact for vec_ids: ${disagree.toSeq.sorted.take(10)}")
+  }
+
+  test("embed IVF checked key: counts reconcile and ivf_ok holds") {
+    val row = Dedup.dedupEmbedIvfChecked(spark, sf).collect()(0)
+    val n = row.getAs[Long]("n_new")
+    assert(n == row.getAs[Long]("n_dup_corpus") +
+      row.getAs[Long]("n_dup_batch") + row.getAs[Long]("n_keep"))
+    assert(row.getAs[Boolean]("ivf_ok"))
+  }
+
   test("embed incremental keep rule on a planted frame, incl. one-hop") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -528,6 +558,33 @@ class ExtensionsSpec extends SparkSpec {
       }
       assert((sr, sg, sb) == ((er, eg, eb)), s"doc $id channel sums")
     }
+  }
+
+  test("mm_decode_jpeg: lossy decode stays within the mean-tolerance contract") {
+    import spark.implicits._
+    // the JPEG fixture plants one solid color per doc; the decode must
+    // recover every doc's dims exactly and its channel means within
+    // JpegMeanTol — and the certificate must be non-vacuously tight: the
+    // decoded sums differ from a naive "planted exactly" recompute for at
+    // least some docs (JPEG is lossy; bit-equality would mean the test
+    // isn't exercising a real lossy codec)
+    val got = Multimodal.mmDecodeJpeg(spark, sf)
+      .as[(Long, Int, Int, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, w, h, ok) =>
+      assert(w == Multimodal.imgWidth(id) && h == Multimodal.imgHeight(id),
+        s"doc $id dims ${w}x$h")
+      assert(ok, s"doc $id channel means exceed the JPEG tolerance")
+    }
+    val sums = Multimodal.decodeImages(
+        Multimodal.jpegAssets(spark, sf), payloadCol = "jpeg")
+      .as[(Long, Int, Int, Long, Long, Long)].collect()
+    val lossy = sums.count { case (id, w, h, sr, sg, sb) =>
+      val (r, g, b) = Multimodal.jpegColor(id)
+      val n = w.toLong * h
+      (sr, sg, sb) != ((r * n, g * n, b * n))
+    }
+    assert(lossy > 0, "every JPEG decoded bit-exactly — lossy path untested")
   }
 
   test("decode fails loudly on undecodable payloads") {

@@ -114,4 +114,25 @@ class MLSpec extends SparkSpec {
     assert(a.forall(r => Set(0, 1).contains(r.getAs[Int]("outcome_idx"))))
     assert(a.forall(r => Set(0.0, 1.0).contains(r.getAs[Double]("prediction"))))
   }
+
+  test("model save/load round-trip: reloaded predictions are bit-equal") {
+    // the persistence contract (MLOps.saveFittedPipeline): a published
+    // model reloaded in a later session scores bit-identically — spark.ml
+    // serializes the fitted parameters, not a retraining recipe. The saved
+    // path is atomic-publish guarded, so it holds a complete model or
+    // nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ml_model")
+    val path = s"$dir/pipeline_model"
+    try {
+      MLOps.saveFittedPipeline(spark, sf, path)
+      assert(new java.io.File(path).exists(), "model dir not published")
+      assert(!new java.io.File(s"$path.tmp.${spark.sparkContext.applicationId}")
+        .exists(), "tmp save dir survived the atomic publish")
+      val direct = MLOps.pipeline(spark, sf).collect()
+      val reloaded = MLOps.scoreWithSavedPipeline(spark, sf, path).collect()
+      assert(direct.nonEmpty)
+      assert(direct.sameElements(reloaded),
+        "reloaded model predictions differ from the in-memory fit")
+    } finally LocalFs.deleteRecursively(dir.toFile)
+  }
 }

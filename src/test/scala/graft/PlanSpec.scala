@@ -171,6 +171,8 @@ class PlanSpec extends SparkSpec {
     val assets = ops.Multimodal.imageAssets(spark, sf)
     Seq(
       "decodeImages" -> ops.Multimodal.decodeImages(assets),
+      "decodeJpeg" -> ops.Multimodal.decodeImages(
+        ops.Multimodal.jpegAssets(spark, sf), payloadCol = "jpeg"),
       "resizeImages" -> ops.Multimodal.resizeImages(assets, 4, 4))
       .foreach { case (name, df) =>
         val p = df.queryExecution.executedPlan.toString
@@ -301,6 +303,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("dot_product_int8"), p)
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("heavy_hitters cuts its exact top-k partially, broadcasts the estimates") {
+    // the returned plan's claims: per-key counts combine map-side, the
+    // top-k is a TakeOrderedAndProject (every partition forwards only its
+    // own candidates — no global sort), and the k-row estimate frame joins
+    // back broadcast; nothing may sort-merge or cartesian
+    val p = plan("heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("IVF-composed embed dedup candidates come from the cluster equi-join") {
+    // the composition's entire point: the int8 prescan's candidate stage
+    // is a BroadcastHashJoin ON THE CLUSTER ID (corpus rows in probed
+    // clusters only) — the one BroadcastNestedLoopJoin allowed is the
+    // probe × IvfClusters centroid ranking. A regression back to the
+    // corpus-wide probe cross-join would show a second BNLJ and lose the
+    // cluster-keyed hash join.
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Dedup.dedupEmbedIncrementalIvf(
+        SparkSpec.spark, sf, col("vec_id") % 2 === 1, tau = 0.42, rerank = 8)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("dot_product_int8"), p)
+    assert("BroadcastHashJoin \\[cluster#".r.findAllIn(p).nonEmpty, p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 1, p)
+    assert(p.contains("WindowGroupLimit"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
