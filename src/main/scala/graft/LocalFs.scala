@@ -58,10 +58,12 @@ object LocalFs {
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"
+    val SinkJsonl = "graft_sink_jsonl_"
     val CdcReplay = "graft_cdcrun_"
 
     /** Prefixes handed to [[sweepAged]] for session-scoped work dirs. */
-    val sweptPrefixes: Seq[String] = Seq(SinkCsv, SinkParquet, CdcReplay)
+    val sweptPrefixes: Seq[String] =
+      Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay)
 
     /** True iff sweeping `sweepPrefix` could delete a directory published
       * under `cachePrefix`. A published name is `<cachePrefix><sfTag>_<fp>`

@@ -30,6 +30,9 @@ object SparkEntry {
     "scan_csv_typed" -> (Sources.scanCsvTyped _),
     "sink_csv" -> (Sources.sinkCsvRoundTrip _),
     "sink_parquet_partitioned" -> (Sources.sinkParquetPartitioned _),
+    "sink_jsonl" -> (Sources.sinkJsonlRoundTrip _),
+    // deterministic source-mixture sampling (fractional epochs per source)
+    "mix_sample" -> (Sources.mixSample _),
     "bucketed_join" -> (Sources.bucketedJoin _),
     "zorder_layout" -> (Sources.zorderLayout _),
     // §2b projection / filter / cleaning

@@ -121,6 +121,87 @@ object Sources {
       .orderBy(col("c_custkey"))
   }
 
+  /** JSONL round-trip — the crawl-pipeline interchange format (WARC
+    * extractors, CommonCrawl derivatives and most open-data text corpora
+    * ship as JSON lines): documents written as one JSON object per line
+    * (`df.write.json` — one part file per partition, no driver
+    * collection), re-read with an EXPLICIT schema. The explicit schema is
+    * the 100 TB discipline: schema inference is a full extra pass over
+    * the data and can silently widen types between backfills; a declared
+    * `StructType` makes the read single-pass and the contract stable.
+    * Verified by the oracle comparing the round-trip to the original
+    * table — JSON string escaping (newlines, quotes, unicode) must
+    * round-trip the text column bit-exactly.
+    */
+  def sinkJsonlRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = sessionSinkPath(spark, graft.LocalFs.Names.SinkJsonl)
+    Tables.table(spark, sfDir, "documents")
+      .write.mode("overwrite").json(out)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.read.schema(schema).json(out)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** TRAINING-MIX SAMPLING — the source-mixture step every LLM data
+    * pipeline runs before packing: each source is up-/down-weighted to a
+    * target epoch count (GPT-3/Dolma-style mixture weights). Per row the
+    * emitted copy count is `floor(w) + (hash < frac(w) ? 1 : 0)` with a
+    * DETERMINISTIC per-(row, salt) hash — the `split_hash` discipline, so
+    * the sample is reproducible across engines, re-runs and backfills,
+    * needs no stored assignment table, and per-source expected volume is
+    * exactly `w · n_source`. Rows with weight 0 (and hash-rejected
+    * fractional rows) are dropped in the scan stage; replicated rows are
+    * emitted by an in-row bounded `explode(sequence(...))` with a
+    * `copy_idx` so downstream shuffles (packing, shard assignment) can
+    * decorrelate epochs. Zero shuffle, zero state — the whole mixture is
+    * a projection.
+    *
+    * The demo key's weights exercise all regimes: src0 ×2.5 (integer +
+    * fractional epochs), src1 ×1.0 (pass-through), src2 ×0.25
+    * (downsample), everything else ×0.5.
+    */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame =
+    mixSample(Tables.table(spark, sfDir, "documents"), col("doc_id"),
+      col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+      defaultWeight = 0.5, salt = "mix_v1")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+
+  /** API form: mixture-sample any frame. `key` must be row-unique (it
+    * seeds the per-row hash); `weights` maps source values to target
+    * epoch counts, `defaultWeight` covers unlisted sources. Unordered.
+    */
+  def mixSample(df: DataFrame, key: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column, weights: Map[String, Double],
+      defaultWeight: Double, salt: String): DataFrame = {
+    require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0),
+      "mixture weights must be >= 0")
+    // weight lookup as a literal CASE chain — tiny, codegen'd, no join
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
+      when(source === s, lit(wt)).otherwise(acc)
+    }
+    // 60-bit md5-derived hash scaled to [0, 1) — same conv discipline as
+    // split_hash/sketch_kmv (15 hex chars avoid signed-64 overflow); the
+    // salt decorrelates this draw from any other hash of the same key
+    val u = conv(substring(md5(concat(key.cast(StringType), lit(":"),
+      lit(salt))), 1, 15), 16, 10).cast(DoubleType) / lit(1.152921504606846976e18)
+    df.withColumn("__w", w)
+      .withColumn("n_copies",
+        (floor(col("__w")) + when(u < col("__w") - floor(col("__w")), 1L)
+          .otherwise(0L)).cast(LongType))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
+      .drop("__w", "n_copies")
+  }
+
   /** Partitioned parquet sink + partition-pruned re-read: documents written
     * `partitionBy(lang)`, then read back filtered to one language. At 100 TB
     * the filter never touches the other partitions' files (explain shows
@@ -306,6 +387,31 @@ object Sources {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // round-trip identity: the JSONL write+read must reproduce the table
+    "sink_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // identical md5-hash mixture arithmetic: same 60-bit uniform draw,
+    // same CASE weight chain, same floor+fractional copy count, same
+    // range-explode — the sample is engine-reproducible by construction
+    "mix_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.25 ELSE 0.5 END AS w,
+        |    CAST(CAST(concat('0x', substring(md5(
+        |        CAST(doc_id AS VARCHAR) || ':mix_v1'), 1, 15)) AS BIGINT)
+        |      AS DOUBLE) / 1152921504606846976 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END
+        |      AS BIGINT) AS n
+        |  FROM w)
+        |SELECT doc_id, source, CAST(j AS BIGINT) AS copy_idx
+        |FROM c, unnest(range(0, n)) AS t(j)
+        |WHERE n > 0
+        |ORDER BY doc_id, copy_idx""".stripMargin,
     // identical grid + interleave arithmetic, generated for the same ZBits
     "zorder_layout" -> {
       val bits = ZBits

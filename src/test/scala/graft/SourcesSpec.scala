@@ -62,4 +62,63 @@ class SourcesSpec extends SparkSpec {
       graft.LocalFs.deleteRecursively(dir)
     }
   }
+
+  test("mix_sample: weight laws — pass-through, drop, epochs, dense copies") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+    val n = docs.count()
+    val sampled = Sources.mixSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 0.0),
+      defaultWeight = 0.5, salt = "t")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .as[(Long, String, Long)].collect().toSeq
+    val bySrc = sampled.groupBy(_._2)
+    // integer weights are EXACT, not probabilistic: every src0 doc appears
+    // exactly 3 times, every src1 doc exactly once, no src2 doc at all
+    val n0 = docs.filter(col("source") === "src0").count()
+    val n1 = docs.filter(col("source") === "src1").count()
+    assert(bySrc("src0").size == 3 * n0, "3.0-weight source not tripled")
+    assert(bySrc("src1").size == n1, "1.0-weight source not passed through")
+    assert(!bySrc.contains("src2"), "0-weight source not dropped")
+    // copy_idx is dense 0..n-1 per doc (epoch decorrelation downstream
+    // keys on it)
+    sampled.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size).toSeq,
+        s"doc $id copy_idx not dense")
+    }
+    // fractional weights converge to the target rate (binomial tolerance;
+    // the corpus has ~n/20 docs per source, pooled default-weight docs
+    // give a tight bound)
+    val defCount = sampled.count(r => r._2 != "src0" && r._2 != "src1")
+    val defDocs = n - n0 - n1 - docs.filter(col("source") === "src2").count()
+    val rate = defCount.toDouble / defDocs
+    assert(math.abs(rate - 0.5) < 0.15,
+      s"default-weight realized rate $rate far from 0.5")
+    // determinism: the same salt reproduces the identical sample
+    val again = Sources.mixSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 0.0),
+      defaultWeight = 0.5, salt = "t")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(sampled.sorted == again.sorted)
+  }
+
+  test("mix_sample plans as a scan-stage projection: zero Exchange") {
+    // the 100 TB claim: the whole mixture — weight CASE, hash draw, copy
+    // explode — is in-row work in the scan stage; no shuffle, no state
+    val p = Sources.mixSample(Tables.table(spark, sf, "documents"),
+      col("doc_id"), col("source"), Map("src0" -> 2.0),
+      defaultWeight = 0.5, salt = "t")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("sink_jsonl round-trip reproduces the documents table bit-exactly") {
+    val back = Sources.sinkJsonlRoundTrip(spark, sf)
+    val orig = Tables.table(spark, sf, "documents")
+    assert(back.count() == orig.count())
+    // set equality both ways — JSON escaping must not perturb any value
+    assert(back.exceptAll(orig).isEmpty && orig.exceptAll(back).isEmpty,
+      "JSONL round-trip changed at least one row")
+  }
 }
