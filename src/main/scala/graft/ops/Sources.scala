@@ -184,6 +184,13 @@ object Sources {
       defaultWeight: Double, salt: String): DataFrame = {
     require((weights.values.toSeq :+ defaultWeight).forall(_ >= 0),
       "mixture weights must be >= 0")
+    // only the documented OUTPUT column `copy_idx` is a genuine conflict —
+    // fail fast rather than silently overwrite it (the zorderWrite
+    // collision discipline); working columns use the reserved prefix
+    require(!df.columns.contains("copy_idx"),
+      "mixSample emits its replica index as column `copy_idx`; rename or " +
+        "drop the input's existing `copy_idx` column first")
+    val Seq(wc, nc) = Seq("w", "n").map("__graft_mix_" + _)
     // weight lookup as a literal CASE chain — tiny, codegen'd, no join
     val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, wt)) =>
       when(source === s, lit(wt)).otherwise(acc)
@@ -193,13 +200,13 @@ object Sources {
     // salt decorrelates this draw from any other hash of the same key
     val u = conv(substring(md5(concat(key.cast(StringType), lit(":"),
       lit(salt))), 1, 15), 16, 10).cast(DoubleType) / lit(1.152921504606846976e18)
-    df.withColumn("__w", w)
-      .withColumn("n_copies",
-        (floor(col("__w")) + when(u < col("__w") - floor(col("__w")), 1L)
+    df.withColumn(wc, w)
+      .withColumn(nc,
+        (floor(col(wc)) + when(u < col(wc) - floor(col(wc)), 1L)
           .otherwise(0L)).cast(LongType))
-      .filter(col("n_copies") > 0)
-      .withColumn("copy_idx", explode(sequence(lit(0L), col("n_copies") - 1)))
-      .drop("__w", "n_copies")
+      .filter(col(nc) > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col(nc) - 1)))
+      .drop(wc, nc)
   }
 
   /** Partitioned parquet sink + partition-pruned re-read: documents written
