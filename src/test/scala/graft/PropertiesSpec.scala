@@ -686,4 +686,42 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("mix_sample conservation laws hold for arbitrary frames and weights") {
+    // for ANY input: every emitted row is a copy of an input row with a
+    // dense 0..n-1 copy index; integer weights replicate exactly; weight 0
+    // drops; fractional weights emit floor(w) or floor(w)+1 copies; and
+    // the same salt reproduces the identical sample while a different
+    // salt draws independently (per-row counts may differ)
+    import spark.implicits._
+    import graft.ops.Sources
+    val gen = Gen.listOfN(40, Gen.oneOf("a", "b", "c", "d"))
+    val weights = Map("a" -> 2.0, "b" -> 0.0, "c" -> 1.7)
+    samples(gen, 8).filter(_.nonEmpty).foreach { tags =>
+      val df = tags.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "tag")
+      def draw(salt: String) = Sources.mixSample(df, col("id"), col("tag"),
+          weights, defaultWeight = 0.5, salt = salt)
+        .select(col("id"), col("tag"), col("copy_idx"))
+        .as[(Long, String, Long)].collect().toSeq
+      val got = draw("s1")
+      val byId = got.groupBy(_._1)
+      byId.foreach { case (id, rows) =>
+        assert(rows.map(_._3).sorted == (0L until rows.size).toSeq,
+          s"id $id copy_idx not dense")
+        assert(rows.map(_._2).distinct.size == 1)
+      }
+      val counts = byId.view.mapValues(_.size).toMap
+      tags.zipWithIndex.foreach { case (t, i) =>
+        val n = counts.getOrElse(i.toLong, 0)
+        t match {
+          case "a" => assert(n == 2, s"integer weight 2.0 emitted $n")
+          case "b" => assert(n == 0, s"weight 0 emitted $n")
+          case "c" => assert(n == 1 || n == 2, s"weight 1.7 emitted $n")
+          case _   => assert(n == 0 || n == 1, s"weight 0.5 emitted $n")
+        }
+      }
+      assert(draw("s1").sorted == got.sorted, "same salt not reproducible")
+    }
+  }
 }
