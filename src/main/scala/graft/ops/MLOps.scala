@@ -449,8 +449,13 @@ object MLOps {
     val dest = new java.io.File(path)
     val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
     model.write.overwrite().save(tmp)
+    // destValid=false: an explicit SAVE has overwrite semantics — an
+    // existing model at `path` is torn down before the rename (unlike the
+    // quantizer cache, where first-writer-wins is the contract and a
+    // loser's tmp is discarded). The publish is still never-partial:
+    // `path` holds the old complete model, then the new complete model.
     graft.LocalFs.publishDir(new java.io.File(tmp), dest,
-      destValid = () => dest.exists())
+      destValid = () => false)
   }
 
   /** Load a [[saveFittedPipeline]]-published model and score the full

@@ -133,6 +133,19 @@ class MLSpec extends SparkSpec {
       assert(direct.nonEmpty)
       assert(direct.sameElements(reloaded),
         "reloaded model predictions differ from the in-memory fit")
+      // explicit save OVERWRITES: a second save must replace the published
+      // directory, not silently keep the first (the quantizer cache's
+      // first-writer-wins would be wrong for a user-facing save API).
+      // Detected via the rename: a fresh publish lands a NEW directory
+      // inode with a new mtime; a discarded tmp would leave the old one.
+      val firstMtime = new java.io.File(path).lastModified()
+      Thread.sleep(1100) // mtime granularity can be a full second
+      MLOps.saveFittedPipeline(spark, sf, path)
+      assert(new java.io.File(path).lastModified() > firstMtime,
+        "second save did not replace the published model directory")
+      val reSaved = MLOps.scoreWithSavedPipeline(spark, sf, path).collect()
+      assert(direct.sameElements(reSaved),
+        "re-saved model predictions differ (same data, same seeds)")
     } finally LocalFs.deleteRecursively(dir.toFile)
   }
 }
