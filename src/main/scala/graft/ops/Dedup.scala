@@ -759,8 +759,9 @@ object Dedup {
     * recall trade is the IVF dial documented on [[Similarity.simSearchIvf]]:
     * a true near-dup in an unprobed cluster is missed, so the checked key
     * certifies DECISION agreement against the exact rule at a floor rather
-    * than assuming it ([[dedupEmbedIvfChecked]]); measured agreement on
-    * the harness corpus is 1.0 at the default nProbe.
+    * than assuming it ([[dedupEmbedIvfChecked]]); measured keep-agreement
+    * at the default nProbe: 1.00 at sf0.001/sf0.01, 0.995 at sf0.1,
+    * 0.997 on a 10× replica (AnnScaleMain).
     */
   def dedupEmbedIncrementalIvf(spark: SparkSession, sfDir: String,
       isNew: org.apache.spark.sql.Column, tau: Double, rerank: Int,
@@ -909,9 +910,10 @@ object Dedup {
     * decision-identical by construction when the pool is wide enough), IVF
     * legitimately trades recall for touch fraction, so its certificate is
     * a FLOOR on per-vector keep-decision agreement — the same move as the
-    * ANN recall certificates' 0.8 floors. Measured agreement on the
-    * harness corpus is 1.0 at nProbe=24/32; 0.95 carries headroom against
-    * corpus regeneration while still being a strong published contract.
+    * ANN recall certificates' 0.8 floors. Measured at nProbe=24/32: 1.00
+    * on the sf0.001/sf0.01 corpora, 0.995 at sf0.1, 0.997 on a 10×
+    * replica (AnnScaleMain) — 0.95 carries real headroom against corpus
+    * regeneration while still being a strong published contract.
     */
   private val IvfAgreeFloor = 0.95
 
