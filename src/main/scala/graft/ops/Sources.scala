@@ -209,6 +209,39 @@ object Sources {
       .drop(wc, nc)
   }
 
+  /** FRAME-WEIGHTS form of [[mixSample]] — the shape a real mixture config
+    * takes when the source dimension is large (thousands of domains): a
+    * literal CASE chain over 10k sources would blow past codegen limits
+    * and bake the config into the plan, so the weights arrive as a
+    * `(source, weight)` frame (a config table) and attach via a BROADCAST
+    * left join — still no shuffle of the corpus, and the mixture config
+    * becomes data a pipeline can version and join-audit. Unlisted sources
+    * fall back to `defaultWeight`; non-positive weights drop their rows
+    * (the copy count never goes below zero); the per-row draw and copy
+    * arithmetic match the Map form row-for-row (suite-pinned — only the
+    * join's column ordering differs).
+    */
+  def mixSample(df: DataFrame, key: org.apache.spark.sql.Column,
+      sourceCol: String, weightsDf: DataFrame,
+      defaultWeight: Double, salt: String): DataFrame = {
+    require(!df.columns.contains("copy_idx"),
+      "mixSample emits its replica index as column `copy_idx`; rename or " +
+        "drop the input's existing `copy_idx` column first")
+    val Seq(wc, nc) = Seq("w", "n").map("__graft_mix_" + _)
+    val w = weightsDf.select(col(sourceCol),
+      col("weight").cast(DoubleType).as(wc))
+    val u = conv(substring(md5(concat(key.cast(StringType), lit(":"),
+      lit(salt))), 1, 15), 16, 10).cast(DoubleType) / lit(1.152921504606846976e18)
+    df.join(broadcast(w), Seq(sourceCol), "left")
+      .withColumn(wc, coalesce(col(wc), lit(defaultWeight)))
+      .withColumn(nc,
+        (floor(col(wc)) + when(u < col(wc) - floor(col(wc)), 1L)
+          .otherwise(0L)).cast(LongType))
+      .filter(col(nc) > 0)
+      .withColumn("copy_idx", explode(sequence(lit(0L), col(nc) - 1)))
+      .drop(wc, nc)
+  }
+
   /** Partitioned parquet sink + partition-pruned re-read: documents written
     * `partitionBy(lang)`, then read back filtered to one language. At 100 TB
     * the filter never touches the other partitions' files (explain shows

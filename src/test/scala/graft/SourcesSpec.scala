@@ -113,6 +113,29 @@ class SourcesSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("mix_sample frame-weights form equals the Map form row-for-row") {
+    import spark.implicits._
+    val docs = Tables.table(spark, sf, "documents")
+    val weights = Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.0)
+    val viaMap = Sources.mixSample(docs, col("doc_id"), col("source"),
+        weights, defaultWeight = 0.5, salt = "fw")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val wdf = weights.toSeq.toDF("source", "weight")
+    val viaFrame = Sources.mixSample(docs, col("doc_id"), "source",
+        wdf, defaultWeight = 0.5, salt = "fw")
+      .select(col("doc_id"), col("source"), col("copy_idx"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(viaMap.nonEmpty)
+    assert(viaFrame == viaMap)
+    // the weight attach is a broadcast join — the corpus never shuffles
+    val p = Sources.mixSample(docs, col("doc_id"), "source", wdf,
+        defaultWeight = 0.5, salt = "fw")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("sink_jsonl round-trip reproduces the documents table bit-exactly") {
     val back = Sources.sinkJsonlRoundTrip(spark, sf)
     val orig = Tables.table(spark, sf, "documents")
