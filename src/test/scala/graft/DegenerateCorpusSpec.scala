@@ -85,6 +85,31 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(perProbe.values.forall(_ == 6)) // 7 non-zero others minus self
   }
 
+  test("IVF-composed incremental dedup survives a corpus smaller than IvfClusters") {
+    import org.apache.spark.sql.functions.col
+    // 8 vectors against a k=32 coarse quantizer: spark.ml KMeans caps the
+    // effective cluster count at the point count, and the composition must
+    // ride that rather than abort — the micro-corpus case every unit of
+    // corpus infrastructure eventually meets (a fresh pipeline's first
+    // day). The zero-norm batch vector (vec_id 1) is excluded at the
+    // shared prep chokepoint, same contract as every ANN path.
+    val dir = degenerateSf()
+    val got = graft.ops.Dedup.dedupEmbedIncrementalIvf(
+        spark, dir, col("vec_id") % 2 === 1, tau = 0.9, rerank = 4)
+      .collect()
+    assert(got.map(_.getLong(0)).toSet == Set(3L, 5L, 7L),
+      "batch = odd vec_ids minus the zero-norm one")
+    got.foreach { r =>
+      Seq("max_corpus_cos", "max_prior_cos").foreach { c =>
+        val i = r.fieldIndex(c)
+        if (!r.isNullAt(i)) {
+          val v = r.getDouble(i)
+          assert(!v.isNaN && !v.isInfinite && math.abs(v) <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
   test("corpus_clean composes over a degenerate corpus, keeping the near-dup representative") {
     import spark.implicits._
     // composition is where degenerate rows resurface: the empty and
