@@ -578,6 +578,21 @@ object Streams {
     * swept the landing itself out from under the stream (StreamingSpec
     * pins the regression by backdating the landing past the TTL).
     */
+  /** State-partition count for the REPLAY harness. A streaming query's
+    * state partitioning binds to `spark.sql.shuffle.partitions` at first
+    * start (recorded in its checkpoint), and every state partition costs
+    * fixed per-micro-batch work (store open/commit/snapshot) regardless
+    * of rows — at the harness corpus size (≤ 10⁵ rows per replay) 32
+    * partitions are pure overhead, so replays run at 8. Scoped exactly
+    * like the RocksDB provider conf (set before `start()`, restored
+    * after; each replay has a FRESH checkpoint, so the binding cannot
+    * disagree with a prior run). Production guidance is unchanged:
+    * partitions ∝ state volume — a real deployment sets its own count,
+    * and semantics are partitioning-independent (the suite's batch-twin
+    * equalities and the driver oracles pin that).
+    */
+  private val ReplayPartitions = 8
+
   private def replayToFeed(spark: SparkSession, out: Dataset[_],
       check: org.apache.spark.sql.streaming.StreamingQuery => Unit =
         _ => ()): DataFrame = {
@@ -590,11 +605,19 @@ object Streams {
       keep = work, ttlMs = 60L * 60 * 1000)
     graft.LocalFs.deleteOnExit(work)
     val feedDir = new File(work, "feed").getPath
-    val q = out.writeStream.format("parquet").option("path", feedDir)
-      .option("checkpointLocation", new File(work, "ck").getPath)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
-    check(q)
+    val partKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partKey)
+    try {
+      spark.conf.set(partKey, ReplayPartitions.toString)
+      val q = out.writeStream.format("parquet").option("path", feedDir)
+        .option("checkpointLocation", new File(work, "ck").getPath)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      check(q)
+    } finally prev match {
+      case Some(v) => spark.conf.set(partKey, v)
+      case None => spark.conf.unset(partKey)
+    }
     spark.read.parquet(feedDir)
   }
 
