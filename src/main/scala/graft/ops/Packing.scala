@@ -48,6 +48,15 @@ object Packing {
     *
     * Empty documents (n_tokens ≤ 0) occupy no token space and are
     * dropped — the loader contract, mirroring `corpusClean`'s floor.
+    *
+    * `doc_id` must be ROW-UNIQUE: the span table orders each shard's
+    * stream by it, so duplicate ids would share a window rank and corrupt
+    * the running sums. An epoch-replicated corpus
+    * ([[Sources.mixSample]] emits one row per copy of a document) derives
+    * an instance id first — e.g. `doc_id · maxCopies + copy_idx` —
+    * and packs each epoch copy independently (PackingSpec pins the
+    * composition: per-instance conservation, and a ×2-weighted source
+    * packs exactly twice its single-epoch token mass).
     */
   def packSequences(docs: DataFrame, budget: Int,
       nShards: Int = 32): DataFrame = {

@@ -121,6 +121,47 @@ class PackingSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("mixture-replicated corpora pack after deriving instance ids") {
+    // the mixture → packing composition (the two halves of the
+    // training-data story): mixSample emits duplicate doc_ids (one row
+    // per epoch copy), and packSequences requires a ROW-UNIQUE id (its
+    // span table orders the shard stream by it) — so the composition
+    // derives instance_id = doc_id·8 + copy_idx before counting. The
+    // laws: token conservation per INSTANCE, and double-weighted sources
+    // contribute exactly twice their single-epoch token mass.
+    val budget = 512
+    val docs = Tables.table(spark, sf, "documents")
+    val mixed = graft.ops.Sources.mixSample(docs, col("doc_id"),
+        col("source"), Map("src0" -> 2.0), defaultWeight = 1.0, salt = "pk")
+      .select((col("doc_id") * 8 + col("copy_idx")).as("instance_id"),
+        col("doc_id").as("orig_id"), col("source"), col("text"))
+    val counted = graft.ops.TextAnalysis
+      .tokenCount(mixed.select(col("instance_id").as("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_ws_tokens").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val packed = Packing.packSequences(counted, budget, nShards = 4).cache()
+    try {
+      // conservation per instance
+      val perDoc = packed.groupBy("doc_id").agg(sum("span_len").as("s"))
+        .join(counted, Seq("doc_id"), "full")
+      assert(perDoc.filter(col("s").isNull || col("n_tokens").isNull ||
+        col("s") =!= col("n_tokens")).count() == 0)
+      // the ×2.0 source's packed token mass is exactly twice its
+      // single-epoch mass (integer weights are exact, and every copy
+      // packs independently under its own instance id)
+      val single = graft.ops.TextAnalysis.tokenCount(
+          docs.filter(col("source") === "src0"))
+        .agg(sum(col("n_ws_tokens").cast("long"))).head().getLong(0)
+      val packedSrc0 = packed
+        .join(mixed.select(col("instance_id").as("doc_id"), col("source")),
+          "doc_id")
+        .filter(col("source") === "src0")
+        .agg(sum("span_len")).head().getLong(0)
+      assert(packedSrc0 == 2 * single,
+        s"2.0-weight source packed $packedSrc0 tokens, expected ${2 * single}")
+    } finally packed.unpersist()
+  }
+
   test("packer rejects invalid budgets and drops empty documents") {
     intercept[IllegalArgumentException] {
       Packing.packSequences(Seq((1L, 5)).toDF("doc_id", "n_tokens"), 0)
