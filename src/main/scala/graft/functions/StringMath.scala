@@ -85,6 +85,109 @@ case class SimhashFingerprint(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash_fingerprint"
 }
 
+/** Native n-gram repetition counters for the Gopher-family quality
+  * filters (`repetition_stats`) — the SIX integer counts the three
+  * fractions are computed from, in ONE linear in-row pass:
+  * (n_words, n_distinct_words, n_bigrams, max_bigram_count,
+  * n_trigrams, n_distinct_trigrams).
+  *
+  * Replaces a higher-order-function formulation whose top-bigram count —
+  * `array_max(transform(array_distinct(bi), g -> size(filter(bi, …))))` —
+  * was QUADRATIC in document length AND evaluated every lambda
+  * interpreted, outside codegen. The counts here are definitionally
+  * identical (hash-map counting over the same adjacent-token n-grams;
+  * the space-joined n-gram string is injective because split-on-space
+  * tokens contain no spaces), so the downstream fractions — computed in
+  * plain Spark SQL from these integers with the same cast/divide/round
+  * shapes — stay BIT-IDENTICAL to the old form and to the DuckDB oracle
+  * (PropertiesSpec pins equality against the HOF twin on arbitrary
+  * token lists).
+  *
+  * Null contract: a NULL tokens array is NULL (standard unary null
+  * propagation); a NULL ELEMENT nulls the whole result — a fail-safe the
+  * old form approximated with null-poisoned n-gram strings, and no
+  * split() output can produce (documented, suite-pinned).
+  */
+case class NGramRepCounts(child: Expression) extends UnaryExpression {
+
+  import org.apache.spark.sql.types.StructField
+  import org.apache.spark.sql.types.StructType
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct_words", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("max_bigram_count", LongType, nullable = false),
+    StructField("n_trigrams", LongType, nullable = false),
+    StructField("n_distinct_trigrams", LongType, nullable = false)))
+
+  // nullable beyond the child's nullability: a null ELEMENT nulls the
+  // result even when the array column itself is non-null
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_rep_counts requires array<string>, got ${other.simpleString}")
+    }
+
+  /** One pass over the tokens; returns null iff any element is null. */
+  def computeCounts(arr: ArrayData)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val n = arr.numElements()
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      toks(i) = arr.getUTF8String(i).toString
+      i += 1
+    }
+    val words = new java.util.HashSet[String]()
+    i = 0
+    while (i < n) { words.add(toks(i)); i += 1 }
+    val bi = new java.util.HashMap[String, Int]()
+    var maxBi = 0L
+    i = 0
+    while (i < n - 1) {
+      val k = toks(i) + " " + toks(i + 1)
+      val c = bi.getOrDefault(k, 0) + 1
+      bi.put(k, c)
+      if (c > maxBi) maxBi = c.toLong
+      i += 1
+    }
+    val tri = new java.util.HashSet[String]()
+    i = 0
+    while (i < n - 2) {
+      tri.add(toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n.toLong, words.size.toLong, math.max(n - 1, 0).toLong,
+        maxBi, math.max(n - 2, 0).toLong, tri.size.toLong))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramRepCounts", this,
+      classOf[NGramRepCounts].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = $ref.computeCounts($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NGramRepCounts = copy(child = newChild)
+
+  override def prettyName: String = "ngram_rep_counts"
+}
+
 object StringMath {
 
   import org.apache.spark.sql.graftbridge.Bridge
@@ -94,4 +197,10 @@ object StringMath {
     */
   def simhashFingerprint(tokens: Column): Column =
     Bridge.column(SimhashFingerprint(Bridge.expression(tokens)))
+
+  /** The six Gopher repetition counters over a token-array column in one
+    * in-row pass (struct of longs — see [[NGramRepCounts]]).
+    */
+  def ngramRepCounts(tokens: Column): Column =
+    Bridge.column(NGramRepCounts(Bridge.expression(tokens)))
 }

@@ -212,32 +212,28 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_words", size(col("w")).cast(LongType))
-      .withColumn("bi", expr(
-        """CASE WHEN size(w) >= 2 THEN
-          |  transform(sequence(0, size(w) - 2),
-          |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
-      .withColumn("tri", expr(
-        """CASE WHEN size(w) >= 3 THEN
-          |  transform(sequence(0, size(w) - 3),
-          |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2),
-          |                ' ', element_at(w, i + 3)))
-          |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+      // ONE linear native pass per document for all six counters
+      // (StringMath.ngramRepCounts — codegen'd, in the scan stage); the
+      // fractions below use the same integer operands and cast/divide/
+      // round shapes as the HOF formulation it replaced, so values are
+      // bit-identical (PropertiesSpec pins the equality on arbitrary
+      // token lists; the DuckDB oracle re-proves it cross-engine). The
+      // old top-bigram form — array_max over a filter per DISTINCT
+      // bigram — was quadratic per document in interpreted lambdas.
+      .withColumn("rc",
+        graft.functions.StringMath.ngramRepCounts(split(col("text"), " ")))
       .select(
         col("doc_id"),
-        col("n_words"),
-        round((col("n_words") - size(array_distinct(col("w"))))
-          .cast(DoubleType) / col("n_words"), 6).as("dup_word_frac"),
-        when(size(col("bi")) > 0, round(
-          expr("""array_max(transform(array_distinct(bi),
-                 |  g -> size(filter(bi, x -> x = g))))""".stripMargin)
-            .cast(DoubleType) / size(col("bi")), 6))
+        col("rc.n_words").as("n_words"),
+        round((col("rc.n_words") - col("rc.n_distinct_words"))
+          .cast(DoubleType) / col("rc.n_words"), 6).as("dup_word_frac"),
+        when(col("rc.n_bigrams") > 0, round(
+          col("rc.max_bigram_count")
+            .cast(DoubleType) / col("rc.n_bigrams"), 6))
           .as("top_bigram_frac"),
-        when(size(col("tri")) > 0, round(
-          (size(col("tri")) - size(array_distinct(col("tri"))))
-            .cast(DoubleType) / size(col("tri")), 6))
+        when(col("rc.n_trigrams") > 0, round(
+          (col("rc.n_trigrams") - col("rc.n_distinct_trigrams"))
+            .cast(DoubleType) / col("rc.n_trigrams"), 6))
           .as("dup_trigram_frac"))
 
   /** The [0,1] quality score from a tokens column — the single source

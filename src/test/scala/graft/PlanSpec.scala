@@ -143,6 +143,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("simhash_fingerprint"), p)
   }
 
+  test("repetition_stats runs the native linear counter, not interpreted lambdas") {
+    // the counters must come from the one-pass codegen'd expression — a
+    // regression back to the HOF formulation (quadratic top-bigram count,
+    // every lambda interpreted) would show lambda machinery in the plan
+    val p = plan("repetition_stats")
+    assert(p.contains("ngram_rep_counts"), p)
+    assert(!p.contains("lambdafunction"), p)
+  }
+
   test("vocab_topk combines map-side and cuts with TakeOrderedAndProject") {
     // the word-count scale claims: partial aggregation before the token
     // shuffle (one row per distinct token per partition) and a partial

@@ -687,6 +687,49 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("native ngram_rep_counts equals the HOF formulation for arbitrary token lists") {
+    // the quadratic interpreted-lambda formulation repetition_stats
+    // replaced, kept here as the independent twin: both must produce the
+    // same six counters — and therefore bit-identical fractions — on any
+    // token list, duplicates and single-token edge cases included
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, size, split}
+    val gen = Gen.listOfN(14, Gen.oneOf("a", "b", "c", "a b")) // 'a b' never occurs: split re-tokenizes
+    samples(gen, 12).filter(_.nonEmpty).foreach { words =>
+      val df = Seq(words.mkString(" ")).toDF("text")
+        .withColumn("w", split(col("text"), " "))
+      val native = df.select(
+          graft.functions.StringMath.ngramRepCounts(col("w")).as("rc"))
+        .select("rc.*").as[(Long, Long, Long, Long, Long, Long)].head()
+      val hof = df
+        .withColumn("bi", expr(
+          """CASE WHEN size(w) >= 2 THEN
+            |  transform(sequence(0, size(w) - 2),
+            |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2)))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .withColumn("tri", expr(
+          """CASE WHEN size(w) >= 3 THEN
+            |  transform(sequence(0, size(w) - 3),
+            |    i -> concat(element_at(w, i + 1), ' ', element_at(w, i + 2),
+            |                ' ', element_at(w, i + 3)))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin))
+        .select(
+          size(col("w")).cast("long"),
+          size(org.apache.spark.sql.functions.array_distinct(col("w")))
+            .cast("long"),
+          size(col("bi")).cast("long"),
+          expr("""CASE WHEN size(bi) > 0 THEN
+                 |  array_max(transform(array_distinct(bi),
+                 |    g -> size(filter(bi, x -> x = g))))
+                 |ELSE 0 END""".stripMargin).cast("long"),
+          size(col("tri")).cast("long"),
+          size(org.apache.spark.sql.functions.array_distinct(col("tri")))
+            .cast("long"))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      assert(native == hof, s"tokens=${words.take(14)}")
+    }
+  }
+
   test("mix_sample conservation laws hold for arbitrary frames and weights") {
     // for ANY input: every emitted row is a copy of an input row with a
     // dense 0..n-1 copy index; integer weights replicate exactly; weight 0
