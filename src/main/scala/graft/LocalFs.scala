@@ -155,6 +155,30 @@ object LocalFs {
     won
   }
 
+  /** Atomically REPLACE `dest` with `tmp` — the overwrite-semantics
+    * counterpart of [[publishDir]] (which is first-writer-wins). The old
+    * artifact is renamed ASIDE before the new one is renamed in, so at
+    * every instant `dest` is either absent for a microsecond window or
+    * holds a COMPLETE artifact, and a failed swap RESTORES the old one
+    * instead of destroying it (the round-11 advisor finding: delete-then-
+    * rename could tear down the old model and publish nothing while
+    * returning normally). Throws on any rename failure; never returns
+    * having lost the previous artifact silently.
+    */
+  def replaceDir(tmp: File, dest: File): Unit = {
+    val aside = new File(dest.getPath + ".tmp.aside-" + tmp.getName.hashCode.toHexString)
+    if (aside.exists()) deleteRecursively(aside)
+    if (dest.exists())
+      require(dest.renameTo(aside), s"failed to move old artifact aside: $dest")
+    if (!tmp.renameTo(dest)) {
+      deleteRecursively(tmp)
+      if (aside.exists()) aside.renameTo(dest)
+      sys.error(s"failed to publish $tmp at $dest (old artifact restored)")
+    }
+    if (aside.exists()) deleteRecursively(aside)
+    sweepOrphans(dest, keep = dest)
+  }
+
   /** Age after which a stranded `<dest>.tmp.<appId>` directory is presumed
     * dead (crashed writer) rather than in-flight.
     */

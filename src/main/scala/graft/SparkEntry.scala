@@ -115,6 +115,9 @@ object SparkEntry {
     "ml_rebalance_fit" -> (MLOps.rebalanceFit _),
     // §2j dedup
     "dedup_exact" -> (Dedup.dedupExact _),
+    // line-level boilerplate removal (C4/RefinedWeb-style: lines repeated
+    // across >= K documents stripped, text rebuilt in original order)
+    "dedup_lines" -> (Dedup.dedupLines _),
     "dedup_near" -> (Dedup.dedupNear _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),
@@ -145,6 +148,8 @@ object SparkEntry {
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
+    // frozen hashed-feature linear quality scorer (fastText serving shape)
+    "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.table
@@ -43,11 +43,25 @@ object Curation {
     * the engine's cache contract.
     */
   def corpusClean(docsIn: DataFrame, minQuality: Double,
-      keepLang: String): DataFrame = {
+      keepLang: String): DataFrame =
+    corpusClean(docsIn, minQuality, keepLang,
+      TextAnalysis.qualityScore(_))
+
+  /** Pluggable-gate form: the same pipeline with a caller-supplied quality
+    * scorer (`tokens column => score column`) — the slot the frozen
+    * linear scorer ([[TextAnalysis.qualityLmScore]], `quality_score_lm`)
+    * drops into as the model-based alternative to the heuristic gate.
+    * Gate commutation is suite-pinned: pre-filtering the corpus by the
+    * gate and running the pipeline with a trivial threshold produces the
+    * identical result (the gate runs in the scan stage either way, so the
+    * survivor set — and therefore the dedup closure — cannot differ).
+    */
+  def corpusClean(docsIn: DataFrame, minQuality: Double,
+      keepLang: String, quality: Column => Column): DataFrame = {
     val docs = docsIn
       .withColumn("tokens", split(col("text"), " "))
       .filter(size(col("tokens")) >= 3)
-      .withColumn("quality_score", TextAnalysis.qualityScore(col("tokens")))
+      .withColumn("quality_score", quality(col("tokens")))
       .withColumn("pred_lang", TextAnalysis.predLang(col("tokens")))
       .filter(col("quality_score") >= minQuality &&
         col("pred_lang") === keepLang)

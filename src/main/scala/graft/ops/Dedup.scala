@@ -947,6 +947,110 @@ object Dedup {
       .crossJoin(agree)
   }
 
+  /** Boilerplate threshold for the `dedup_lines` demo key: a line is
+    * boilerplate when it occurs in at least this many DISTINCT documents.
+    * Sized between the planted content lines (unique-ish) and the planted
+    * per-source headers (25 docs each at every harness sf).
+    */
+  private[graft] val LineMinDocs = 5L
+
+  /** Content-line chunk width (tokens) for [[lineStructured]]. */
+  private val LineChunkTokens = 10
+
+  /** Line-structured view of the documents corpus for `dedup_lines`. The
+    * harness corpus carries no newlines, so the key plants a deterministic
+    * line structure — per-source nav header, the doc's own tokens chunked
+    * into [[LineChunkTokens]]-token content lines, per-lang license footer
+    * — the exact crawl shape C4/RefinedWeb-style boilerplate removal
+    * targets (nav bars and license lines repeat across a source's pages;
+    * body lines don't). Pure in-row projection; the DuckDB twin
+    * reconstructs the identical lines from the same arithmetic.
+    */
+  private[graft] def lineStructured(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = greatest(
+      ceil(size(toks) / lit(LineChunkTokens.toDouble)), lit(1L))
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => array_join(
+        slice(toks, (i * LineChunkTokens + 1).cast(IntegerType),
+          lit(LineChunkTokens)), " "))
+    docs.select(col("doc_id"),
+      array_join(
+        concat(
+          array(concat(lit("nav "), col("source"), lit(" home login"))),
+          chunks,
+          array(concat(lit("copyright footer "), col("lang")))),
+        "\n").as("text"))
+  }
+
+  /** LINE-LEVEL BOILERPLATE DEDUP — the single most common curation op in
+    * web-crawl pipelines (C4 / RefinedWeb / Dolma all remove lines
+    * repeated across many documents: nav bars, cookie banners, license
+    * headers) and the granularity the document-level dedup family can't
+    * reach. A line appearing in ≥ `minDocs` distinct documents is
+    * boilerplate; every occurrence is removed and each document's text is
+    * reconstructed from its surviving lines in original order.
+    *
+    * Scale shape (the 100 TB story):
+    *  - the boilerplate census GROUPs BY the line's 128-bit md5, never the
+    *    line text — the shuffle carries (32-hex hash, doc_id), not the
+    *    corpus bytes, and `count(DISTINCT doc_id)` plans with map-side
+    *    partial distinct;
+    *  - the boilerplate set's cardinality is ≤ total_lines / minDocs by
+    *    construction and in practice tiny (lines repeated across ≥ K
+    *    documents ARE the template lines), so the removal join is left
+    *    to AQE, which sees the aggregate's runtime size and broadcasts it
+    *    — the corpus-side lines never shuffle for the lookup;
+    *  - reconstruction is ONE hash shuffle of the corpus keyed by doc_id
+    *    (unavoidable: the lines must reunite), with the per-doc order
+    *    restored by sorting the collected (pos, line) structs in-row —
+    *    no window, no range exchange.
+    *
+    * Output per input document: (doc_id, n_lines_in, n_lines_kept,
+    * clean_text). Documents whose every line is boilerplate survive with
+    * clean_text = '' (the caller decides whether to drop empties — that's
+    * a quality gate, not dedup). Unordered.
+    */
+  def dedupLinesOn(docs: DataFrame, minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docs.select(col("doc_id"),
+      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val boiler = lines
+      .groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("lh"), lit(true).as("__graft_bp"))
+    lines
+      .join(boiler, Seq("lh"), "left")
+      .withColumn("keep", col("__graft_bp").isNull)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_in"),
+        count(when(col("keep"), lit(1))).as("n_lines_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(
+                struct(col("pos"), col("line"), col("keep")))),
+              x => x.getField("keep")),
+            x => x.getField("line")),
+          "\n").as("clean_text"))
+  }
+
+  /** `dedup_lines` checked key: [[dedupLinesOn]] over the line-structured
+    * corpus at [[LineMinDocs]]. The DuckDB twin rebuilds the same lines,
+    * censuses the same md5 groups, and reassembles with
+    * `string_agg(… ORDER BY pos)` — an exact independent formulation of
+    * the whole explode → census → anti-lookup → rebuild chain.
+    */
+  def dedupLines(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLinesOn(lineStructured(table(spark, sfDir, "documents")),
+      LineMinDocs)
+      .select(col("doc_id"), col("n_lines_in"), col("n_lines_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+
   /** Shared CTE chain recomputing `simhashFingerprints` in DuckDB SQL:
     * same token split + length floor, same md5-derived 60-bit token hash
     * (md5 hex is engine-identical; `CAST('0x…' AS BIGINT)` parses it), and
@@ -1010,6 +1114,39 @@ object Dedup {
       |  FROM reach GROUP BY u)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact independent formulation of the whole line-dedup chain: rebuild
+    // the planted line structure (header / 10-token chunks / footer — the
+    // same arithmetic as lineStructured, DuckDB's 1-based inclusive slice
+    // t[a : a+9] mirroring Spark's slice(t, a, 10)), census lines by md5
+    // with a distinct-doc threshold, and reassemble surviving lines with
+    // string_agg ORDER BY pos (Spark: in-row array_sort of (pos, line))
+    "dedup_lines" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+        |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+        |      AS BIGINT), 1) AS nc
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |    'nav ' || source || ' home login' AS line FROM d
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    array_to_string(t[(i*10+1) : (i*10+10)], ' ')
+        |  FROM d, UNNEST(range(0, nc)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, nc + 1, 'copyright footer ' || lang FROM d),
+        |bp AS (
+        |  SELECT md5(line) AS lh FROM lines
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+        |k AS (
+        |  SELECT l.doc_id, l.pos, l.line, bp.lh IS NULL AS keep
+        |  FROM lines l LEFT JOIN bp ON md5(l.line) = bp.lh)
+        |SELECT doc_id,
+        |  count(*) AS n_lines_in,
+        |  count(*) FILTER (WHERE keep) AS n_lines_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // recall certificate — see Similarity.recallCertificate's scaladoc
     "dedup_embed" ->
       """SELECT count(*) AS n_probes, 1 AS k,

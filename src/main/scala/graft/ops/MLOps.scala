@@ -449,13 +449,13 @@ object MLOps {
     val dest = new java.io.File(path)
     val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
     model.write.overwrite().save(tmp)
-    // destValid=false: an explicit SAVE has overwrite semantics — an
-    // existing model at `path` is torn down before the rename (unlike the
-    // quantizer cache, where first-writer-wins is the contract and a
-    // loser's tmp is discarded). The publish is still never-partial:
-    // `path` holds the old complete model, then the new complete model.
-    graft.LocalFs.publishDir(new java.io.File(tmp), dest,
-      destValid = () => false)
+    // An explicit SAVE has overwrite semantics (unlike the quantizer
+    // cache, where first-writer-wins is the contract), but the swap must
+    // not be delete-then-rename: that could destroy the old model and then
+    // fail the rename, leaving nothing published. replaceDir renames the
+    // old model ASIDE first, restores it on a failed swap, and throws
+    // rather than returning with the publish silently lost.
+    graft.LocalFs.replaceDir(new java.io.File(tmp), dest)
   }
 
   /** Load a [[saveFittedPipeline]]-published model and score the full

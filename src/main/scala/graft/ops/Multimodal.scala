@@ -159,12 +159,19 @@ object Multimodal {
     ((docId * 83 + 3) % 256).toInt)
 
   /** Lossy-decode mean tolerance (units per channel mean): a solid-color
-    * JPEG decodes DC-only, so the error budget is the luminance/chroma DC
-    * quantization step (≤ ~4 at ImageIO's default quality) plus the
-    * RGB↔YCbCr rounding — 8 bounds both with headroom while staying far
-    * below the ≥ 37-unit spacing of neighboring planted colors.
+    * JPEG decodes DC-only, so the error budget is the luma DC quantization
+    * half-step (~4 at ImageIO's default quality) PLUS the chroma DC error
+    * amplified by the YCbCr→RGB conversion (×1.402 for Cr into R, ×1.772
+    * for Cb into B) and clamping near 0/255 — the theoretical worst case
+    * reaches ~10 per channel, so a tolerance of 8 was only empirically
+    * safe on the current doc_id-derived colors (the round-11 advisor
+    * finding: a regenerated corpus could land a color whose decoded mean
+    * exceeds 8 with a CORRECT decoder). 12 covers the worst case with
+    * margin while staying far below the ≥ 37-unit spacing of neighboring
+    * planted colors, so the certificate still cannot be satisfied without
+    * decoding the actual bytes.
     */
-  private[graft] val JpegMeanTol = 8L
+  private[graft] val JpegMeanTol = 12L
 
   /** The per-corpus JPEG fixture: `(doc_id, jpeg binary)`, one solid-color
     * image per document (same dims arithmetic as the PNG fixture), encoded

@@ -230,6 +230,17 @@ object Sources {
     val Seq(wc, nc) = Seq("w", "n").map("__graft_mix_" + _)
     val w = weightsDf.select(col(sourceCol),
       col("weight").cast(DoubleType).as(wc))
+    // A duplicated config row would multiply every row of its source
+    // through the join BEFORE the copy explode — duplicate (key, copy_idx)
+    // pairs, silently breaking the dense-copy_idx contract the packing
+    // composition's instance ids depend on. The Map form can't hit this;
+    // the config-table form can, so fail fast (the copy_idx-collision
+    // discipline). The config frame is broadcast-sized by contract, so the
+    // two count actions are negligible.
+    require(w.count() == w.select(sourceCol).distinct().count(),
+      s"mixSample weights frame has duplicate `$sourceCol` rows; " +
+        "deduplicate the mixture config first (each source must map to " +
+        "exactly one weight)")
     val u = conv(substring(md5(concat(key.cast(StringType), lit(":"),
       lit(salt))), 1, 15), 16, 10).cast(DoubleType) / lit(1.152921504606846976e18)
     df.join(broadcast(w), Seq(sourceCol), "left")

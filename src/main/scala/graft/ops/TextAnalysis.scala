@@ -463,7 +463,134 @@ object TextAnalysis {
           .as("avg_logp"))
   }
 
+  /** Hashed-feature dimensionality of the frozen quality scorer. */
+  private[graft] val QualityLmBuckets = 1024
+
+  /** Per-bucket weights in MILLI-units for [[qualityLmSumMilli]] — the
+    * FROZEN linear model (the fastText serving shape: a learned weight
+    * vector shipped as an artifact, looked up by hashed feature id; like
+    * [[SubwordVocab]], a data-independent frozen function of the text).
+    * This model encodes the classic organic-text signal: buckets hit by
+    * the English stopword features carry +1000, every other bucket −200,
+    * so the doc-mean weight is positive exactly when the (hashed)
+    * stopword share exceeds 1/6. Integer milli-units keep every sum
+    * engine-exact — no decimal scale rules, no float summation order.
+    * Tokens COLLIDING into a stopword bucket score +1000 too: that is the
+    * hashing trick's documented collision cost, part of the model, and
+    * both engines reproduce it bit-for-bit (the oracle recomputes bucket
+    * membership, not token membership).
+    */
+  private[graft] lazy val QualityLmWeights: Seq[Long] = {
+    val stopBuckets = Stopwords.map(md5Bucket).toSet
+    (0 until QualityLmBuckets).map(b =>
+      if (stopBuckets.contains(b)) 1000L else -200L)
+  }
+
+  /** Driver-side twin of the engines' md5 60-bit bucket hash (the
+    * split_hash/mix_sample conv discipline): first 15 hex chars of
+    * md5(token), mod [[QualityLmBuckets]]. Used only to BUILD the frozen
+    * weight vector; the per-token lookup runs in-row on executors.
+    */
+  private def md5Bucket(s: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(x => f"${x & 0xff}%02x").mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % QualityLmBuckets).toInt
+  }
+
+  /** In-row milli-weight sum of a tokens column under the frozen scorer:
+    * one higher-order fold, each token hashed to its bucket and looked up
+    * in the LITERAL weight array (a constant inside the plan — exactly
+    * how a learned vector ships at serving time). Zero shuffle; exact
+    * integer arithmetic.
+    */
+  private[graft] def qualityLmSumMilli(tokens: Column): Column = {
+    val w = array(QualityLmWeights.map(lit(_)): _*)
+    aggregate(tokens, lit(0L), (acc, t) =>
+      acc + element_at(w,
+        (pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType),
+          lit(QualityLmBuckets.toLong)) + 1).cast(IntegerType)))
+  }
+
+  /** Frozen-scorer logistic score column over a tokens array — the
+    * single source of the `quality_score_lm` formula, shared by the
+    * checked key and the [[Curation]] pipeline's pluggable quality gate.
+    */
+  private[graft] def qualityLmScore(tokens: Column): Column =
+    round(lit(1.0) / (lit(1.0) +
+      exp(round(qualityLmSumMilli(tokens).cast(DoubleType) * 4.0 /
+        (size(tokens) * 1000.0), 9) * lit(-1.0))), 6)
+
+  /** `quality_score_lm` checked key: the FROZEN LINEAR QUALITY SCORER —
+    * the model-based counterpart of the heuristic [[qualityScore]] gate
+    * (the fastText-style classifier slot of a curation pipeline, cf. the
+    * GPT-3/PaLM quality-filter stage). Per document: hashed-unigram
+    * features → frozen weight lookup → exact integer sum → logistic
+    * score `σ(4 · mean_weight)`.
+    *
+    * Determinism contract: the sum is exact integer milli-units (order-
+    * independent, engine-exact); the only float steps are one division,
+    * rounded to 9 dp before the exp (both engines see the identical
+    * double), and the final 6-dp score rounding — the `ngram_lm_score`
+    * libm discipline. `keep_lm` (the gate a pipeline thresholds on) is
+    * decided on the INTEGER sum, so it is bit-stable everywhere.
+    *
+    * Scale shape: whole computation is scan-stage in-row expressions over
+    * a plan-constant array — zero shuffle, zero state, composes into
+    * [[Curation]]'s pipeline as a drop-in alternative quality gate
+    * (suite-pinned).
+    */
+  def qualityScoreLm(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreLm(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: frozen-scorer quality over any `(doc_id, text)` frame —
+    * unordered.
+    */
+  def qualityScoreLm(docs: DataFrame): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .withColumn("tokens", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("tokens")).cast(LongType).as("n_tokens"),
+        qualityLmSumMilli(col("tokens")).as("w_sum_milli"),
+        qualityLmScore(col("tokens")).as("quality_lm"),
+        (qualityLmSumMilli(col("tokens")) >= 0L).as("keep_lm"))
+
   val oracleSql: Map[String, String] = Map(
+    // independent recompute of the frozen scorer: the oracle re-derives
+    // bucket membership from the generating rule (md5 60-bit bucket of
+    // each stopword feature) instead of reading the shipped weight array,
+    // so a drifted vector or a wrong lookup index fails the hash; sums
+    // are exact BIGINT milli-units, the division is rounded to 9 dp
+    // before exp on both engines (the ngram_lm_score libm discipline)
+    "quality_score_lm" ->
+      """WITH sb AS (
+        |  SELECT DISTINCT
+        |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 1024
+        |      AS b
+        |  FROM (VALUES ('the'), ('a'), ('of'), ('and'), ('to'), ('in'),
+        |               ('is')) AS v(s)),
+        |tok AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    unnest(string_split(text, ' ')) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |tw AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN (CAST(concat('0x', substring(md5(tk), 1, 15))
+        |                 AS BIGINT) % 1024) IN (SELECT b FROM sb)
+        |         THEN 1000 ELSE -200 END AS wt
+        |  FROM tok),
+        |s AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(SUM(wt) AS BIGINT) AS w_sum_milli
+        |  FROM tw GROUP BY doc_id, n_tokens)
+        |SELECT doc_id, n_tokens, w_sum_milli,
+        |  ROUND(1.0 / (1.0 + EXP(-ROUND(
+        |    CAST(w_sum_milli AS DOUBLE) * 4.0 / (n_tokens * 1000.0), 9))),
+        |    6) AS quality_lm,
+        |  w_sum_milli >= 0 AS keep_lm
+        |FROM s ORDER BY doc_id""".stripMargin,
     // identical in-row n-gram construction and counting (DuckDB lists are
     // 1-based; range(1, n) is exclusive-stop, so bigram i pairs w[i] with
     // w[i+1] exactly like the Spark side's sequence over 0-based offsets)

@@ -607,6 +607,14 @@ object Streams {
     val feedDir = new File(work, "feed").getPath
     val partKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(partKey)
+    // SINGLE-THREADED ASSUMPTION: this scoped override mutates the shared
+    // session's conf for the replay's duration, so any query PLANNED
+    // concurrently on the same SparkSession would silently bind 8 shuffle
+    // partitions. The harness and suites run keys sequentially, so the
+    // scope is sound here; a deployment embedding replays in a
+    // multi-threaded driver must serialize them (or use a dedicated
+    // session via spark.newSession()) — the conf is recorded into the
+    // streaming checkpoint, so a cross-talk bind would persist.
     try {
       spark.conf.set(partKey, ReplayPartitions.toString)
       val q = out.writeStream.format("parquet").option("path", feedDir)

@@ -27,6 +27,69 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept == Seq(3L, 5L))
   }
 
+  test("dedup_lines strips a planted repeated header, keeps body order") {
+    import spark.implicits._
+    // 6 docs share a nav header and a footer; each has two unique body
+    // lines. minDocs=5 → header+footer are boilerplate, bodies survive in
+    // original order; one doc is ALL boilerplate and must survive with
+    // empty clean_text (dropping empties is a quality gate, not dedup's).
+    val fx = (0L until 6L).map { i =>
+      (i, s"NAV home login\nbody $i alpha\nbody $i beta\nCOPYRIGHT footer")
+    } :+ (6L, "NAV home login\nCOPYRIGHT footer")
+    val out = Dedup.dedupLinesOn(fx.toDF("doc_id", "text"), minDocs = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines_in", "n_lines_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out.size == 7)
+    (0 until 6).foreach { i =>
+      assert(out(i) == (i.toLong, 4L, 2L, s"body $i alpha\nbody $i beta"))
+    }
+    assert(out(6) == (6L, 2L, 0L, ""))
+    // below the threshold nothing is boilerplate: minDocs above the doc
+    // count keeps every line of every doc
+    val untouched = Dedup.dedupLinesOn(fx.toDF("doc_id", "text"),
+      minDocs = 100)
+    assert(untouched.agg(sum(col("n_lines_in") - col("n_lines_kept")))
+      .as[Long].head() == 0L)
+  }
+
+  test("quality_score_lm: frozen scorer gates compose into corpus_clean") {
+    import spark.implicits._
+    val scored = TextAnalysis.qualityScoreLm(spark, sf)
+    // the gate bit is decided on the exact integer sum, and the logistic
+    // score must agree with it at the 0.5 threshold (sigmoid monotone,
+    // sum = 0 maps exactly to 0.5)
+    val rows = scored.select("w_sum_milli", "quality_lm", "keep_lm")
+      .as[(Long, Double, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, q, k) =>
+      assert(q >= 0.0 && q <= 1.0)
+      assert(k == (s >= 0L))
+      assert(k == (q >= 0.5))
+    }
+    // both gate outcomes occur on the harness corpus (a scorer that
+    // passes or fails everything is a broken gate)
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+    // composition: the scorer drops into corpus_clean as the quality
+    // gate, and the gate COMMUTES — pre-filtering the corpus by the gate
+    // then running with a trivial threshold is identical (same survivor
+    // set => same dedup closure => same representatives)
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val composed = Curation.corpusClean(docs, 0.5, "en",
+      TextAnalysis.qualityLmScore(_))
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val prefiltered = Curation.corpusClean(
+      docs.filter(TextAnalysis.qualityLmScore(split(col("text"), " "))
+        >= 0.5),
+      minQuality = -1.0, "en", TextAnalysis.qualityLmScore(_))
+      .select("doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    assert(composed == prefiltered)
+    assert(composed.nonEmpty)
+  }
+
   test("minhash and exact n-gram dedup agree on the planted near-dup pairs") {
     import spark.implicits._
     val near = Dedup.dedupNear(spark, sf)
