@@ -30,6 +30,7 @@ object LocalFs {
     * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
     * | CDC sorted landing| published cache | graft_cdc_sorted_v1      | none | Streams.landedEventsSorted|
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
+    * | noise-img fixture | published cache | graft_img_noise_v1       | none | Multimodal.noiseFixture   |
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -50,11 +51,12 @@ object LocalFs {
     val CdcSortedCache = "graft_cdc_sorted_v1"
     val ImageFixtureCache = "graft_img_fixture_v1"
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
+    val ImgNoiseCache = "graft_img_noise_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
-        CdcSortedCache, ImageFixtureCache, JpegFixtureCache)
+        CdcSortedCache, ImageFixtureCache, JpegFixtureCache, ImgNoiseCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

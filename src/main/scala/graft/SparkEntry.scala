@@ -172,6 +172,9 @@ object SparkEntry {
     // fixture, plus the frame plumbing
     "mm_decode" -> (Multimodal.mmDecode _),
     "mm_decode_jpeg" -> (Multimodal.mmDecodeJpeg _),
+    // perceptual dHash per image + banded hamming image near-dup pairs
+    "mm_phash" -> (Multimodal.mmPhash _),
+    "dedup_image" -> (Multimodal.dedupImage _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),

@@ -254,6 +254,282 @@ object Multimodal {
   def mmDecode(spark: SparkSession, sfDir: String): DataFrame =
     decodeImages(imageAssets(spark, sfDir)).orderBy(col("doc_id"))
 
+  // ------------------------------------------------ perceptual hashing ----
+
+  /** Perceptual-hash grid: images downsample to [[PhashGridW]]×[[PhashGridH]]
+    * cell means, hashed by [[PhashGridW]]−1 horizontal comparisons per row
+    * — 64 bits, the classic dHash layout.
+    */
+  private[graft] val PhashGridW = 9
+  private[graft] val PhashGridH = 8
+
+  /** Margin (gray units) a cell mean must exceed its right neighbor by to
+    * set a hash bit. Textbook dHash uses a bare `>`, which makes every bit
+    * whose neighbors are near-equal a coin flip under lossy re-encoding;
+    * the margin keeps each bit decided by ≥ `PhashMargin` of signal, so
+    * codec noise an order of magnitude smaller (JPEG cell-mean error is
+    * single-digit at these cell sizes) cannot flip it. The planted noise
+    * fixture separates cell levels by 130 units — 3× the margin.
+    */
+  private[graft] val PhashMargin = 45
+
+  /** Planted noise-fixture geometry: large enough that every downsample
+    * cell holds ≥ 4×4 pixels (JPEG ringing averages out inside a cell).
+    */
+  private[graft] def noiseWidth(docId: Long): Int = 36 + (docId % 9).toInt * 2
+  private[graft] def noiseHeight(docId: Long): Int =
+    32 + ((docId * 3) % 7).toInt * 2
+
+  /** Noise-fixture cell LEVEL (gray 60 or 190) at grid cell (cx, cy): an
+    * md5-derived bit of `img:<doc>:<cx>:<cy>` — the split_hash conv
+    * discipline, so the DuckDB twin recomputes the identical bit and the
+    * pattern has full per-doc entropy (a mod-N arithmetic pattern caps the
+    * number of distinct hashes at N; md5 doesn't). Every pixel of the cell
+    * carries the level on all three channels (gray), so the boxed mean is
+    * exactly the level for a lossless codec and within single digits for
+    * a lossy one.
+    */
+  private[graft] def noiseCellLevel(docId: Long, cx: Int, cy: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"img:$docId:$cx:$cy".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 190 else 60
+  }
+
+  /** Which cell a pixel belongs to: cx = ⌊cells·x/w⌋ (the inverse of the
+    * ceil-div box bounds [[dHashImages]] uses — the two maps MUST stay
+    * inverses or the boxed mean stops being exactly the planted level).
+    */
+  private def pixelCell(p: Int, extent: Int, cells: Int): Int =
+    cells * p / extent
+
+  /** Per-doc id offset marking the JPEG re-encode twin of an image in the
+    * combined `dedup_image` corpus (ids stay well below this).
+    */
+  private[graft] val JpegTwinIdOffset = 1L << 40
+
+  /** Every 10th document gets a JPEG re-encode twin planted next to its
+    * PNG — the near-duplicate ground truth for `dedup_image`.
+    */
+  private[graft] def hasJpegTwin(docId: Long): Boolean = docId % 10 == 0
+
+  /** The per-corpus NOISE image fixture for the perceptual-hash keys:
+    * `(img_id, is_jpeg, payload)` — one block-pattern PNG per document
+    * ([[noiseCellLevel]] cells, planted via the hand-rolled [[encodePng]]
+    * writer so decode is exercised against an independent encoder), plus
+    * a real ImageIO JPEG RE-ENCODE of every [[hasJpegTwin]] document (the
+    * planted near-duplicate: same signal, lossy codec). Same
+    * content-fingerprint + atomic-publish discipline as [[imageFixture]].
+    *
+    * Why a third fixture: the gradient fixture's images are all the SAME
+    * lowfreq pattern phase-shifted — a competent perceptual hash MUST
+    * collide them (89-way hash groups, measured), which makes them the
+    * wrong ground truth for near-dup pairs. The noise fixture is the
+    * opposite regime: full-entropy block patterns, measured min hamming
+    * between distinct docs 6 at 5000 docs — so "pair ⇔ same doc" is a
+    * sharp, scale-stable contract.
+    */
+  private def noiseFixture(spark: SparkSession, sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath(graft.LocalFs.Names.ImgNoiseCache,
+      sfDir, new File(s"$sfDir/documents.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val spark2 = spark
+      import spark2.implicits._
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      table(spark, sfDir, "documents")
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { ids =>
+          ImageIO.setUseCache(false)
+          ids.flatMap { id =>
+            require(id >= 0, s"fixture planting assumes doc_id >= 0, got $id")
+            val (w, h) = (noiseWidth(id), noiseHeight(id))
+            def level(x: Int, y: Int): Int = noiseCellLevel(id,
+              pixelCell(x, w, PhashGridW), pixelCell(y, h, PhashGridH))
+            val png = encodePng(w, h, (x, y) => {
+              val v = level(x, y); (v, v, v)
+            })
+            val pngRow = (id, false, png)
+            if (!hasJpegTwin(id)) Iterator(pngRow)
+            else {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = level(x, y)
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              require(ImageIO.write(img, "jpg", out),
+                "no JPEG writer available in this JRE")
+              Iterator(pngRow, (id, true, out.toByteArray))
+            }
+          }
+        }
+        .toDF("img_id", "is_jpeg", "payload")
+        .write.mode("overwrite").parquet(tmp)
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    new File(landing).setLastModified(System.currentTimeMillis())
+    landing
+  }
+
+  /** The harness noise-image relation: `(img_id, is_jpeg, payload)`. */
+  def noiseAssets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(noiseFixture(spark, sfDir))
+
+  /** dHash per image over any `(<idCol>, <payloadCol> binary)` frame:
+    * decode (any ImageIO codec), boxed-mean downsample to the
+    * [[PhashGridW]]×[[PhashGridH]] gray grid (box bounds are CEIL-div —
+    * box (cx,cy) covers x ∈ [⌈cx·w/G⌉, ⌈(cx+1)·w/G⌉), the exact inverse
+    * of [[pixelCell]]), then 64 margin-thresholded horizontal gradient
+    * bits ([[PhashMargin]]). Emits `(<idCol>, width, height, dhash)` —
+    * unordered; zero shuffle (per-row imperative decode work in the same
+    * `mapPartitions` batch-loop shape as [[decodeImages]], which no
+    * Catalyst expression can do).
+    */
+  def dHashImages(assets: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark2 = assets.sparkSession
+    import spark2.implicits._
+    val (gw, gh, margin) = (PhashGridW, PhashGridH, PhashMargin)
+    assets
+      .select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val img = ImageIO.read(new ByteArrayInputStream(bytes))
+          require(img != null, s"image $id: payload is not a decodable image")
+          val (w, h) = (img.getWidth, img.getHeight)
+          require(w >= gw && h >= gh,
+            s"image $id: ${w}x$h smaller than the $gw x $gh hash grid")
+          def ceilDiv(a: Int, b: Int): Int = (a + b - 1) / b
+          val mean = Array.ofDim[Int](gh, gw)
+          var cy = 0
+          while (cy < gh) {
+            val (y0, y1) = (ceilDiv(cy * h, gh), ceilDiv((cy + 1) * h, gh))
+            var cx = 0
+            while (cx < gw) {
+              val (x0, x1) = (ceilDiv(cx * w, gw), ceilDiv((cx + 1) * w, gw))
+              var (s, n) = (0L, 0L)
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val argb = img.getRGB(x, y)
+                  s += ((argb >> 16) & 0xff) + ((argb >> 8) & 0xff) +
+                    (argb & 0xff)
+                  n += 3
+                  x += 1
+                }
+                y += 1
+              }
+              mean(cy)(cx) = (s / n).toInt
+              cx += 1
+            }
+            cy += 1
+          }
+          var bits = 0L
+          cy = 0
+          while (cy < gh) {
+            var cx = 0
+            while (cx < gw - 1) {
+              if (mean(cy)(cx) >= mean(cy)(cx + 1) + margin)
+                bits |= 1L << (cy * (gw - 1) + cx)
+              cx += 1
+            }
+            cy += 1
+          }
+          (id, w, h, bits)
+        }
+      }
+      .toDF(idCol, "width", "height", "dhash")
+  }
+
+  /** 4×16-bit band projection of a dhash column — the blocking keys for
+    * the banded hamming join (pigeonhole: hamming ≤ 3 leaves ≥ 1 of 4
+    * bands intact). All 64 dhash bits are real (unlike simhash's 60), so
+    * the bands are a clean 16-bit split.
+    */
+  private def withDhashBands(df: DataFrame): DataFrame =
+    df.select(df.columns.map(col) ++ Seq(
+      expr("dhash & 65535").as("band0"),
+      expr("shiftright(dhash, 16) & 65535").as("band1"),
+      expr("shiftright(dhash, 32) & 65535").as("band2"),
+      expr("shiftright(dhash, 48) & 65535").as("band3")): _*)
+
+  /** `mm_phash` checked key: the perceptual dHash of every noise-fixture
+    * PNG plus its four banding keys. The DuckDB twin recomputes the hash
+    * from the planted generator — md5 cell bits → levels → margin
+    * comparisons → 64-bit pack (the boxed mean of a planted cell IS its
+    * level, integer-exactly, because the box bounds invert the pixel→cell
+    * map) — so a hash match certifies the decode + downsample + gradient
+    * pipeline end-to-end, per image.
+    */
+  def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
+    withDhashBands(
+      dHashImages(noiseAssets(spark, sfDir).filter(!col("is_jpeg")),
+        "img_id", "payload"))
+      .select(col("img_id").as("doc_id"), col("width"), col("height"),
+        col("dhash"), col("band0"), col("band1"), col("band2"), col("band3"))
+      .orderBy(col("doc_id"))
+
+  /** `dedup_image` checked key: IMAGE NEAR-DUP PAIRS over the combined
+    * corpus (every PNG + the planted JPEG re-encode twins) — dHash each
+    * image, band the hashes, banded equi-self-join, exact hamming ≤ 3
+    * filter (`dedup_simhash_pairs`' machinery on the image surface).
+    * Ground truth is sharp by fixture design: distinct documents sit at
+    * hamming ≥ 6 (measured through 5000 docs) while a twin's lossy
+    * re-encode hashes IDENTICALLY under the margin rule — so the pair set
+    * is exactly {(d, d') : d' = jpeg twin of d}, which the oracle emits
+    * from the planting rule alone. A decoder/hash/join defect surfaces as
+    * a missing or extra pair row.
+    *
+    * Scale shape: decode+hash is scan-stage per-row work, zero shuffle;
+    * the join shuffles 4 band rows of (16-bit key, id, 64-bit hash) per
+    * image — never pixels; bucket cardinality 65536 per band keeps
+    * collision blocks tiny. At 100 TB of images this is the standard
+    * pHash-banding dedup layout (hash once at ingest, band-join
+    * incrementally).
+    */
+  def dedupImage(spark: SparkSession, sfDir: String): DataFrame = {
+    val hashed = dHashImages(
+      noiseAssets(spark, sfDir)
+        .select(
+          (col("img_id") + when(col("is_jpeg"), JpegTwinIdOffset)
+            .otherwise(0L)).as("img_id"),
+          col("payload")),
+      "img_id", "payload")
+    val banded = withDhashBands(hashed)
+      .select(col("img_id"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("img_id").as("id_a"), col("dhash").as("dh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("img_id").as("id_b"), col("dhash").as("dh_b"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("dh_a").bitwiseXOR(col("dh_b"))))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("hamming")).as("hamming"))
+      .select(
+        (col("id_a") % JpegTwinIdOffset).as("doc_a"),
+        (col("id_b") % JpegTwinIdOffset).as("doc_b"),
+        when(col("id_a") >= JpegTwinIdOffset, "jpeg_jpeg")
+          .when(col("id_b") >= JpegTwinIdOffset, "png_jpeg")
+          .otherwise("png_png").as("pair_kind"))
+      .orderBy(col("doc_a"), col("doc_b"), col("pair_kind"))
+  }
+
   /** API form: decode any `(doc_id, <payloadCol> binary)` frame to
     * `(doc_id, width, height, sum_r, sum_g, sum_b)` — unordered, any
     * ImageIO-decodable format (PNG, JPEG, BMP, GIF…). Fails
@@ -471,6 +747,59 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  CAST(CEIL(CAST(octet_length(encode(text)) AS DOUBLE) / 256.0)
         |       AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the planted-generator twin of the perceptual hash: md5 cell bits →
+    // levels → margin-thresholded horizontal comparisons → 64-bit pack
+    // (bit 63 via signed BIGINT shift, the simhash discipline). Matches
+    // only if the Spark side really decoded the pixels and its ceil-div
+    // boxed means reproduced the planted levels exactly.
+    "mm_phash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    36 + (doc_id % 9) * 2 AS w,
+        |    32 + ((doc_id * 3) % 7) * 2 AS h
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id, w, h, gx.cx AS cx, gy.cy AS cy,
+        |    CASE WHEN CAST(concat('0x', substring(md5(
+        |           'img:' || doc_id || ':' || gx.cx || ':' || gy.cy),
+        |           1, 15)) AS BIGINT) % 2 = 1
+        |         THEN 190 ELSE 60 END AS lvl
+        |  FROM d, unnest(range(0, 9)) AS gx(cx), unnest(range(0, 8)) AS gy(cy)),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.lvl >= b.lvl + 45
+        |         THEN CAST(1 AS HUGEINT) << CAST(a.cy * 8 + a.cx AS INTEGER)
+        |         ELSE CAST(0 AS HUGEINT) END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND a.cy = b.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |hsh AS (
+        |  -- bit 63 packs via HUGEINT (a signed-BIGINT 1<<63 overflows);
+        |  -- the unsigned total folds back to two's complement on cast
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN SUM(bit) >= 9223372036854775808
+        |              THEN SUM(bit) - 18446744073709551616
+        |              ELSE SUM(bit) END AS BIGINT) AS dhash
+        |  FROM bits GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  hsh.dhash,
+        |  hsh.dhash & 65535 AS band0,
+        |  (hsh.dhash >> 16) & 65535 AS band1,
+        |  (hsh.dhash >> 32) & 65535 AS band2,
+        |  (hsh.dhash >> 48) & 65535 AS band3
+        |FROM d JOIN hsh USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // the pair ground truth from the planting rule alone: the fixture's
+    // hash-space geometry (distinct docs ≥ hamming 6; a JPEG twin within
+    // the margin rule's noise budget) makes "pair ⇔ planted twin" exact —
+    // a missed twin (decode/hash drift) or a spurious pair (banding or
+    // hamming defect) breaks equality
+    "dedup_image" ->
+      """SELECT doc_id AS doc_a, doc_id AS doc_b,
+        |  'png_jpeg' AS pair_kind
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY doc_a, doc_b, pair_kind""".stripMargin
   )
 }

@@ -90,6 +90,37 @@ class ExtensionsSpec extends SparkSpec {
     assert(composed.nonEmpty)
   }
 
+  test("mm_phash: jpeg re-encode twins hash within hamming 3 of their png") {
+    import spark.implicits._
+    val assets = Multimodal.noiseAssets(spark, sf)
+    val png = Multimodal.dHashImages(assets.filter(!col("is_jpeg")),
+      "img_id", "payload")
+      .select(col("img_id"), col("dhash").as("dh_png"))
+    val jpg = Multimodal.dHashImages(assets.filter(col("is_jpeg")),
+      "img_id", "payload")
+      .select(col("img_id"), col("dhash").as("dh_jpg"))
+    val twins = png.join(jpg, "img_id")
+      .select(col("img_id"),
+        bit_count(col("dh_png").bitwiseXOR(col("dh_jpg"))).as("hamming"))
+      .as[(Long, Int)].collect()
+    assert(twins.nonEmpty, "fixture must plant jpeg twins")
+    twins.foreach { case (id, hm) =>
+      assert(hm <= 3, s"jpeg twin of doc $id drifted to hamming $hm")
+    }
+    // the margin rule is expected to absorb JPEG noise COMPLETELY on this
+    // fixture (cells ≥ 4px, 130-unit level spacing vs the 45 margin): a
+    // nonzero hamming means the codec noise budget assumption eroded
+    assert(twins.forall(_._2 == 0))
+    // distinct documents must sit STRICTLY outside the pair threshold —
+    // the sharpness that makes dedup_image's oracle exact
+    val hs = png.select(col("img_id"), col("dh_png")).as[(Long, Long)]
+      .collect()
+    for (Seq((a, ha), (b, hb)) <- hs.toSeq.combinations(2)) {
+      val hm = java.lang.Long.bitCount(ha ^ hb)
+      assert(hm > 3, s"docs $a/$b collide at hamming $hm")
+    }
+  }
+
   test("minhash and exact n-gram dedup agree on the planted near-dup pairs") {
     import spark.implicits._
     val near = Dedup.dedupNear(spark, sf)
