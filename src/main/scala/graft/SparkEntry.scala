@@ -168,6 +168,9 @@ object SparkEntry {
     // stream-stream interval join replayed to completion (the two-sided-
     // watermark pair step of join_range, pinned to the unbinned twin)
     "stream_range_join" -> (Streams.streamRangeJoinQuery _),
+    // the same interval join replayed as watermark-advancing micro-batches
+    // (grades the state-horizon eviction, not just the emission set)
+    "stream_range_join_paced" -> (Streams.streamRangeJoinPacedQuery _),
     // §2j multimodal: real PNG decode/resize over the planted image
     // fixture, plus the frame plumbing
     "mm_decode" -> (Multimodal.mmDecode _),

@@ -69,7 +69,7 @@ object MLOps {
   /** events with label + numeric feature columns: the transcripts' cleaned
     * all-typed projection shape (select + cast + json field).
     */
-  private def labeledEvents(spark: SparkSession, sfDir: String): DataFrame =
+  private[graft] def labeledEvents(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(
         col("event_id"),
@@ -274,7 +274,14 @@ object MLOps {
     * prefix — selection, not training, so a bounded sample is the
     * scale-correct choice.
     */
-  def crossValidator(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared 3-fold × 2×2-grid CV fit — returns the fitted
+    * CrossValidatorModel plus the grid's (maxDepth, impurity) rows in
+    * ParamMap order (aligned with `avgMetrics`). Factored out so the
+    * checked key and the persistence surface run the IDENTICAL seeded
+    * selection.
+    */
+  private[graft] def fitCv(spark: SparkSession, sfDir: String)
+      : (org.apache.spark.ml.tuning.CrossValidatorModel, Seq[(Int, String)]) = {
     // cache the capped slice: CV materializes 3 fold splits (each persisting
     // train+validation) from this lineage, then refits the winner on the
     // full slice — without the cache the parquet+JSON parse reruns each time
@@ -295,8 +302,14 @@ object MLOps {
       .setSeed(SplitSeed)
     val model = cv.fit(data)
     data.unpersist()
-    val rows = grid.toSeq.zip(model.avgMetrics.toSeq).map { case (pm, m) =>
-      (pm(rfStage.maxDepth), pm(rfStage.impurity), m)
+    (model, grid.toSeq.map(pm =>
+      (pm(rfStage.maxDepth), pm(rfStage.impurity))))
+  }
+
+  def crossValidator(spark: SparkSession, sfDir: String): DataFrame = {
+    val (model, gridRows) = fitCv(spark, sfDir)
+    val rows = gridRows.zip(model.avgMetrics.toSeq).map { case ((d, i), m) =>
+      (d, i, m)
     }
     spark.createDataFrame(rows)
       .toDF("max_depth", "impurity", "avg_accuracy")
@@ -466,6 +479,35 @@ object MLOps {
   def scoreWithSavedPipeline(spark: SparkSession, sfDir: String,
       path: String): DataFrame =
     org.apache.spark.ml.PipelineModel.load(path)
+      .transform(labeledEvents(spark, sfDir))
+      .select(col("event_id"), col("label_idx"), col("prediction"))
+      .orderBy(col("event_id"))
+
+  /** CV-SELECTED model persistence: run the seeded [[fitCv]] selection and
+    * publish the whole `CrossValidatorModel` — the selection artifact a
+    * tuning job ships: the winning refit pipeline (`bestModel`) AND the
+    * per-ParamMap `avgMetrics` audit trail, which spark.ml's CV writer
+    * serializes together (publishing only `bestModel` would lose the
+    * grid's scores — the provenance a later session needs to justify the
+    * pick). Same rename-aside [[graft.LocalFs.replaceDir]] contract as
+    * [[saveFittedPipeline]]: `path` only ever holds a complete model, and
+    * a failed swap restores the previous one.
+    */
+  def saveCvModel(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val (model, _) = fitCv(spark, sfDir)
+    val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
+    model.write.overwrite().save(tmp)
+    graft.LocalFs.replaceDir(new java.io.File(tmp), new java.io.File(path))
+  }
+
+  /** Load a [[saveCvModel]]-published CrossValidatorModel and score the
+    * full corpus with its selected model — MLSpec pins this bit-equal to
+    * the in-memory `bestModel`'s predictions and the reloaded
+    * `avgMetrics` array equal to the fit's.
+    */
+  def scoreWithSavedCvModel(spark: SparkSession, sfDir: String,
+      path: String): DataFrame =
+    org.apache.spark.ml.tuning.CrossValidatorModel.load(path)
       .transform(labeledEvents(spark, sfDir))
       .select(col("event_id"), col("label_idx"), col("prediction"))
       .orderBy(col("event_id"))

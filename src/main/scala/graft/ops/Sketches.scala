@@ -85,15 +85,36 @@ object Sketches {
 
   /** Top-k frequency heavy hitters of `events.user_id`, each certified
     * against a count-min sketch (Cormode & Muthukrishnan 2005) built over
-    * the same stream: `cms_ok` pins the CMS guarantee — estimate never
-    * below the true count, and within ε·N above it — making the sketch
-    * path hash-verified, not trusted (the house certificate pattern;
+    * the same stream. The GRADED certificate `cms_lower_ok` pins the
+    * DETERMINISTIC half of the CMS guarantee — the estimate is never below
+    * the true count (an over-counting structure with no deletions cannot
+    * undercount, on any data) — so it belongs in an exact hash-match
+    * contract. The PROBABILISTIC half (estimate ≤ true + ε·N, per-point
+    * failure δ) lives in the suite via [[heavyHittersEst]]: the round-11
+    * advisory — an unlucky collision pattern on a different grading corpus
+    * could deterministically fail a hashed `cms_ok` even though the sketch
+    * behaves exactly as designed (the house certificate pattern;
     * cf. `quantile_approx`'s rank certificate, `profile_stats`' HLL).
     */
   def heavyHitters(spark: SparkSession, sfDir: String): DataFrame =
     heavyHitters(Tables.table(spark, sfDir, "events"), col("user_id"), 10)
 
-  /** API form over any frame / key expression / k.
+  /** Graded API form over any frame / key expression / k: the exact top-k
+    * plus the deterministic `cms_lower_ok` certificate — the projection of
+    * [[heavyHittersEst]] safe for the hashed oracle.
+    */
+  def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column,
+      k: Int): DataFrame =
+    heavyHittersEst(df, key, k)
+      .select(col("key"), col("n_events"),
+        (col("cms_est") >= col("n_events")).as("cms_lower_ok"))
+      .orderBy(col("n_events").desc, col("key"))
+
+  /** Full-certificate form: the exact top-k with the raw CMS estimate,
+    * the ε·N slack, and BOTH bound checks — `cms_lower_ok` (deterministic)
+    * and `cms_eps_ok` (estimate ≤ true + ε·N, holds per point with
+    * probability ≥ 1−δ; suite-asserted on the harness corpus, kept OUT of
+    * the hashed contract by design). Unordered.
     *
     * Two distributed passes, both sketch-shaped at the driver:
     *  1. EXACT top-k: partial-agg per-key counts (map-side combine — the
@@ -119,8 +140,8 @@ object Sketches {
     * nulls, so the exact side must too or the two sides would disagree
     * on N.
     */
-  def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column,
-      k: Int): DataFrame = {
+  private[graft] def heavyHittersEst(df: DataFrame,
+      key: org.apache.spark.sql.Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val spark = df.sparkSession
     val keyed = df.filter(key.isNotNull).select(key.as("key"))
@@ -145,17 +166,19 @@ object Sketches {
     val estDf = spark.createDataFrame(ests.asJava, StructType(Seq(
       StructField("key", keyType), StructField("cms_est", LongType))))
     exactTop.join(broadcast(estDf), Seq("key"))
-      .select(col("key"), col("n_events"),
-        (col("cms_est") >= col("n_events") &&
-          col("cms_est") <= col("n_events") + lit(slack)).as("cms_ok"))
-      .orderBy(col("n_events").desc, col("key"))
+      .select(col("key"), col("n_events"), col("cms_est"),
+        lit(slack).as("slack"),
+        (col("cms_est") >= col("n_events")).as("cms_lower_ok"),
+        (col("cms_est") <= col("n_events") + lit(slack)).as("cms_eps_ok"))
   }
 
   val oracleSql: Map[String, String] = Map(
     // exact top-k twin; the sketch side is pinned through the
-    // certificate — cms_ok TRUE is part of the hashed result
+    // DETERMINISTIC certificate only — cms_lower_ok TRUE (CMS cannot
+    // undercount) is part of the hashed result; the probabilistic ε-bound
+    // is suite-asserted (heavyHittersEst), never hashed
     "heavy_hitters" ->
-      """SELECT user_id AS key, n_events, TRUE AS cms_ok FROM (
+      """SELECT user_id AS key, n_events, TRUE AS cms_lower_ok FROM (
         |  SELECT user_id, count(*) AS n_events FROM events
         |  WHERE user_id IS NOT NULL
         |  GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10)

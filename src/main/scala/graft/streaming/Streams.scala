@@ -922,13 +922,69 @@ object Streams {
     * together pin both halves of the range-join decomposition.
     */
   def streamRangeJoinQuery(spark: SparkSession, sfDir: String): DataFrame =
-    replayToFeed(spark,
-      rangeJoinPairs(readEvents(spark, landedEvents(spark, sfDir))))
+    rangeJoinProjection(replayToFeed(spark,
+      rangeJoinPairs(readEvents(spark, landedEvents(spark, sfDir)))))
+
+  /** Shared projection of a range-join pair feed to the graded shape. */
+  private def rangeJoinProjection(feed: DataFrame): DataFrame =
+    feed
       .select(col("p_id"), col("user_id"),
         (unix_micros(col("p_ts")) * 1000L).as("p_ts_ns"),
         col("c_id"),
         (unix_micros(col("c_ts")) * 1000L).as("c_ts_ns"))
       .orderBy(col("p_id"), col("c_id"))
+
+  /** Paced replay of [[rangeJoinPairs]] over the SORTED multi-file
+    * landing, exposing the query progress to the caller — the probe the
+    * checked key and StreamingSpec's peak-state assertion share.
+    */
+  private[graft] def streamRangeJoinPaced(spark: SparkSession, sfDir: String,
+      onProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]
+        => Unit): DataFrame =
+    rangeJoinProjection(replayToFeed(spark,
+      rangeJoinPairs(readEventsPaced(spark, landedEventsSorted(spark, sfDir))),
+      check = q => onProgress(q.recentProgress)))
+
+  /** `stream_range_join_paced` checked key: the stream-stream interval
+    * join replayed as [[TtlSlices]] watermark-ADVANCING micro-batches —
+    * the round-11 key proved single-landing equivalence; this one grades
+    * the STATE HORIZON story, which only a paced replay exercises (in one
+    * batch the watermark moves after all data is already joined, so
+    * nothing is ever evicted mid-run).
+    *
+    * Emission-set invariance under pacing: the landing's slices are
+    * event-time RANGES in ascending order and every pair satisfies
+    * `c_ts ≤ p_ts`, so a pair's click lands with or before its purchase
+    * — the click side of every future pair is always still inside the
+    * derived horizon when its purchase arrives (clicks are evicted only
+    * below purchase-watermark − 24 h, and a future purchase's window
+    * bottom sits ≥ watermark − 24 h by definition of the watermark). The
+    * feed therefore equals the unbinned batch twin exactly — the SAME
+    * oracle as `stream_range_join`, while the replay's state arc is
+    * completely different.
+    *
+    * The in-key `require`s are the harness certificate that the claimed
+    * regime actually ran: multiple data-carrying micro-batches, state
+    * rows genuinely REMOVED mid-replay (the horizon fired), and a peak
+    * state strictly below the total rows buffered — i.e. join state was
+    * bounded by the 24 h window volume, never the corpus. That is the
+    * whole 100 TB point of the two-sided-watermark interval join: state
+    * ∝ window volume × key velocity, not stream lifetime.
+    */
+  def streamRangeJoinPacedQuery(spark: SparkSession, sfDir: String): DataFrame =
+    streamRangeJoinPaced(spark, sfDir, progress => {
+      val dataBatches = progress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"paced replay ran $dataBatches data micro-batches — pacing collapsed")
+      val ops = progress.flatMap(_.stateOperators)
+      val added = ops.map(_.numRowsUpdated).sum
+      val removed = ops.map(_.numRowsRemoved).sum
+      val peak = if (ops.isEmpty) 0L else ops.map(_.numRowsTotal).max
+      require(removed > 0,
+        "state horizon never evicted a row — watermark eviction did not fire")
+      require(peak < added,
+        s"peak state $peak not below total buffered $added — state unbounded")
+    })
 
   /** Batch twin of [[sessionize]]: the same session definition — maximal
     * runs of per-user events where consecutive gaps are ≤ `gapMinutes` —
@@ -973,6 +1029,24 @@ object Streams {
     // join over data at rest — every (purchase, click-in-trailing-24h)
     // pair, and nothing else
     "stream_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |                  event_type FROM events),
+        |p AS (SELECT event_id AS p_id, user_id, ts_ns AS p_ts_ns FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user,
+        |             ts_ns AS c_ts_ns FROM e
+        |      WHERE event_type = 'click')
+        |SELECT p.p_id, p.user_id, p.p_ts_ns, c.c_id, c.c_ts_ns
+        |FROM p JOIN c
+        |  ON p.user_id = c.c_user
+        | AND c.c_ts_ns > p.p_ts_ns - 86400000000000
+        | AND c.c_ts_ns <= p.p_ts_ns
+        |ORDER BY p_id, c_id""".stripMargin,
+    // pacing cannot change the emission set (see streamRangeJoinPacedQuery
+    // scaladoc), so the paced replay pins to the SAME unbinned twin; what
+    // differs — the mid-replay eviction arc — is certified by the key's
+    // own progress-metric requires
+    "stream_range_join_paced" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
         |                  event_type FROM events),
         |p AS (SELECT event_id AS p_id, user_id, ts_ns AS p_ts_ns FROM e

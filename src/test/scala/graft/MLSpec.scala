@@ -148,4 +148,42 @@ class MLSpec extends SparkSpec {
         "re-saved model predictions differ (same data, same seeds)")
     } finally LocalFs.deleteRecursively(dir.toFile)
   }
+
+  test("cv model save/load round-trip: selection artifact survives intact") {
+    // the CrossValidatorModel persistence contract (MLOps.saveCvModel):
+    // the published artifact carries BOTH the winning refit pipeline and
+    // the per-ParamMap avgMetrics; reloaded in a later session it scores
+    // bit-identically and reports the identical grid audit trail.
+    val dir = java.nio.file.Files.createTempDirectory("graft_cv_model")
+    val path = s"$dir/cv_model"
+    try {
+      val (fitModel, gridRows) = MLOps.fitCv(spark, sf)
+      val tmp = s"$path.tmp.${spark.sparkContext.applicationId}"
+      fitModel.write.overwrite().save(tmp)
+      LocalFs.replaceDir(new java.io.File(tmp), new java.io.File(path))
+      assert(new java.io.File(path).exists(), "cv model dir not published")
+      val reloaded =
+        org.apache.spark.ml.tuning.CrossValidatorModel.load(path)
+      assert(reloaded.avgMetrics.toSeq == fitModel.avgMetrics.toSeq,
+        "avgMetrics audit trail drifted through persistence")
+      assert(gridRows.size == reloaded.avgMetrics.length)
+      val direct = MLOps.scoreWithSavedCvModel(spark, sf, path).collect()
+      val inMemory = fitModel.bestModel
+        .transform(MLOps.labeledEvents(spark, sf))
+        .select(org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("label_idx"),
+          org.apache.spark.sql.functions.col("prediction"))
+        .orderBy(org.apache.spark.sql.functions.col("event_id"))
+        .collect()
+      assert(direct.nonEmpty)
+      assert(direct.sameElements(inMemory),
+        "reloaded cv bestModel predictions differ from the in-memory fit")
+      // the saveCvModel entry point refits with the same seeds — its
+      // published model must score identically to this fit's
+      MLOps.saveCvModel(spark, sf, path)
+      val reSaved = MLOps.scoreWithSavedCvModel(spark, sf, path).collect()
+      assert(direct.sameElements(reSaved),
+        "re-saved cv model predictions differ (same data, same seeds)")
+    } finally LocalFs.deleteRecursively(dir.toFile)
+  }
 }

@@ -493,6 +493,31 @@ class StreamingSpec extends SparkSpec {
     assert(emissions.forall(e => e >= 1 && e <= 4))
   }
 
+  test("stream_range_join paced replay bounds join state below the corpus") {
+    // the state-horizon certificate, quantitatively: replay the interval
+    // join as event-time-ordered micro-batches and read the state arc off
+    // the query progress — rows must be REMOVED mid-replay (the derived
+    // horizon fired) and the peak must sit strictly below the total rows
+    // buffered (state ∝ 24h window volume, not stream lifetime). The
+    // emission set must still equal the single-landing replay's.
+    var progress = Array.empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val paced = rows(Streams.streamRangeJoinPaced(spark, sf, progress = _))
+    val ops = progress.flatMap(_.stateOperators)
+    val added = ops.map(_.numRowsUpdated).sum
+    val removed = ops.map(_.numRowsRemoved).sum
+    val peak = ops.map(_.numRowsTotal).max
+    assert(progress.count(_.numInputRows > 0) >= 2,
+      "pacing collapsed to one micro-batch")
+    assert(removed > 0, "watermark horizon never evicted join state")
+    assert(peak < added,
+      s"peak state $peak rows not below total buffered $added")
+    assert(paced == rows(Streams.streamRangeJoinQuery(spark, sf)),
+      "paced emission set drifted from the single-landing replay")
+  }
+
   test("cdc replay survives an aged landing cache (r6 sweep-prefix regression)") {
     // Round 6 shipped replay work dirs sharing the landing cache's
     // `graft_cdc_` prefix, so any replay ≥1h after the landing was

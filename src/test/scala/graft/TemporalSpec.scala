@@ -216,7 +216,17 @@ class TemporalSpec extends SparkSpec {
     import spark.implicits._
     val got = Sketches.heavyHitters(spark, sf).collect().toSeq
     assert(got.size == 10)
-    assert(got.forall(_.getBoolean(2)), s"cms_ok false in $got")
+    assert(got.forall(_.getBoolean(2)), s"cms_lower_ok false in $got")
+    // the PROBABILISTIC half of the CMS certificate lives here, not in
+    // the hashed oracle (see heavyHitters scaladoc): estimate within ε·N
+    // above the true count for every hitter on the harness corpus
+    val full = Sketches.heavyHittersEst(
+      Tables.table(spark, sf, "events"), col("user_id"), 10)
+      .collect().toSeq
+    assert(full.forall(_.getAs[Boolean]("cms_eps_ok")),
+      s"cms eps bound violated in $full")
+    assert(full.forall(r => r.getAs[Long]("cms_est") >=
+      r.getAs[Long]("n_events")))
     // independent reconstruction: window-rank formulation instead of
     // orderBy+limit
     val w = org.apache.spark.sql.expressions.Window
