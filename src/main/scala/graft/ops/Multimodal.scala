@@ -344,8 +344,12 @@ object Multimodal {
           ids.flatMap { id =>
             require(id >= 0, s"fixture planting assumes doc_id >= 0, got $id")
             val (w, h) = (noiseWidth(id), noiseHeight(id))
-            def level(x: Int, y: Int): Int = noiseCellLevel(id,
-              pixelCell(x, w, PhashGridW), pixelCell(y, h, PhashGridH))
+            // one md5 per CELL (72/doc), not per pixel — the build-time
+            // difference at sf0.1 is ~70s vs <1s
+            val grid = Array.tabulate(PhashGridH, PhashGridW)(
+              (cy, cx) => noiseCellLevel(id, cx, cy))
+            def level(x: Int, y: Int): Int =
+              grid(pixelCell(y, h, PhashGridH))(pixelCell(x, w, PhashGridW))
             val png = encodePng(w, h, (x, y) => {
               val v = level(x, y); (v, v, v)
             })
