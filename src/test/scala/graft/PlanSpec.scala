@@ -358,4 +358,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lines censuses by line hash and never nested-loops the lines") {
+    // the SCALE.md story: census shuffle keyed on md5(line) with
+    // map-side partial distinct; the boilerplate lookup is never a
+    // nested loop / cartesian; rebuild is a hash exchange on doc_id.
+    // (The lookup join regime itself is AQE's runtime call — broadcast
+    // at harness sizes — so the pin is on the hazards, not the winner.)
+    val p = plan("dedup_lines")
+    assert(p.contains("partial_count(distinct"), p)
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("quality_score_lm is a scan-stage projection: zero Exchange") {
+    // the frozen scorer (literal weight vector + in-row fold) must stay
+    // in the scan's codegen pipeline — no shuffle on the unordered form
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val p = graft.ops.TextAnalysis.qualityScoreLm(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("image hash keys: decode is scan-stage; the pair join is banded") {
+    // mm_phash (unordered core via dHashImages): per-row decode work
+    // inside mapPartitions, no shuffle
+    val hashed = graft.ops.Multimodal.dHashImages(
+      graft.ops.Multimodal.noiseAssets(spark, sf).filter(!
+        org.apache.spark.sql.functions.col("is_jpeg")),
+      "img_id", "payload")
+    val ph = hashed.queryExecution.executedPlan.toString
+    assert(!ph.contains("Exchange"), ph)
+    // dedup_image: the self-join must be the banded EQUI-join — keyed on
+    // (band_idx, band_val) in whatever regime the stats pick (broadcast
+    // at suite scale, shuffled hash at corpus scale) — never a
+    // cartesian/nested-loop of images
+    val p = plan("dedup_image")
+    assert(
+      "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band_idx"
+        .r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
 }
