@@ -1013,8 +1013,15 @@ object Dedup {
     */
   def dedupLinesOn(docs: DataFrame, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val lines = docs.select(col("doc_id"),
-      posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+    // NULL-text rows are dropped explicitly (the tfidfTopK convention):
+    // posexplode over a null array would silently drop them anyway, so
+    // the filter makes the contract visible rather than incidental.
+    // Empty text is a real (single empty line) document and flows
+    // through: it survives with clean_text '' if that line is corpus
+    // boilerplate, intact otherwise.
+    val lines = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
     val boiler = lines
       .groupBy(col("lh"))

@@ -176,6 +176,37 @@ class DegenerateCorpusSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("round-12 ops survive the degenerate corpus (nulls, empties)") {
+    import spark.implicits._
+    import graft.ops.{Dedup, Multimodal, TextAnalysis}
+    val dir = degenerateSf()
+    // quality_score_lm: null text dropped by the documented filter; the
+    // empty doc is one empty token and scores without aborting
+    val q = TextAnalysis.qualityScoreLm(spark, dir).collect()
+    assert(q.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    val empty = q.find(_.getLong(0) == 1L).get
+    assert(empty.getAs[Long]("n_tokens") == 1L)
+    assert(empty.getAs[Double]("quality_lm") >= 0.0 &&
+      empty.getAs[Double]("quality_lm") <= 1.0)
+    // dedup_lines API: null text dropped explicitly; the empty doc is a
+    // single empty line and survives intact below the threshold
+    val dl = Dedup.dedupLinesOn(
+      Seq((0L, "a\nb"), (1L, ""), (2L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), minDocs = 5)
+      .orderBy("doc_id").collect()
+    assert(dl.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(dl(1).getAs[String]("clean_text") == "")
+    assert(dl(1).getAs[Long]("n_lines_in") == 1L)
+    // image keys run over the 5-doc degenerate corpus: every doc hashes,
+    // the planted twin of doc 0 is found, nothing else pairs
+    val ph = Multimodal.mmPhash(spark, dir).collect()
+    assert(ph.length == 5)
+    assert(ph.map(_.getAs[Long]("dhash")).distinct.length == 5)
+    val pairs = Multimodal.dedupImage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(pairs == Seq((0L, 0L, "png_jpeg")), pairs.toString)
+  }
+
   test("corr_matrix emits null for zero-variance pairs instead of aborting") {
     import spark.implicits._
     import graft.ops.Lifecycle
