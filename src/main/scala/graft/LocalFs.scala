@@ -29,8 +29,9 @@ object LocalFs {
     * | IVF quantizer     | published cache | graft_ivf_quantizer_v2   | none | Similarity (ivfModel)     |
     * | CDC landing       | published cache | graft_cdc_landing_v1     | none | Streams.landedEvents      |
     * | CDC sorted landing| published cache | graft_cdc_sorted_v1      | none | Streams.landedEventsSorted|
+    * | CDC flush landing | published cache | graft_cdc_flush_v1       | none | Streams.landedEventsFlush |
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
-    * | noise-img fixture | published cache | graft_img_noise_v1       | none | Multimodal.noiseFixture   |
+    * | noise-img fixture | published cache | graft_img_noise_v2       | none | Multimodal.noiseFixture   |
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -49,14 +50,16 @@ object LocalFs {
     val IvfQuantizerCache = "graft_ivf_quantizer_v2"
     val CdcLandingCache = "graft_cdc_landing_v1"
     val CdcSortedCache = "graft_cdc_sorted_v1"
+    val CdcFlushCache = "graft_cdc_flush_v1"
     val ImageFixtureCache = "graft_img_fixture_v1"
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
-    val ImgNoiseCache = "graft_img_noise_v1"
+    val ImgNoiseCache = "graft_img_noise_v2"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
-        CdcSortedCache, ImageFixtureCache, JpegFixtureCache, ImgNoiseCache)
+        CdcSortedCache, CdcFlushCache, ImageFixtureCache, JpegFixtureCache,
+        ImgNoiseCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

@@ -156,6 +156,9 @@ object SparkEntry {
     "pack_sequences" -> (Packing.packSequencesQuery _),
     // sessionization, batch form (streaming twin suite-pinned equal)
     "sessionize_batch" -> (Streams.sessionizeBatchQuery _),
+    // the streaming sessionizer replayed to completion over the
+    // sentinel-flushed landing (both emission paths graded)
+    "sessionize_stream" -> (Streams.sessionizeStreamQuery _),
     // streaming replays to completion, pinned to their batch twins'
     // oracles: CDC upsert snapshot + as-of attribution
     "cdc_snapshot" -> (Streams.cdcSnapshotQuery _),
@@ -178,6 +181,8 @@ object SparkEntry {
     // perceptual dHash per image + banded hamming image near-dup pairs
     "mm_phash" -> (Multimodal.mmPhash _),
     "dedup_image" -> (Multimodal.dedupImage _),
+    // new image batch vs corpus + within-batch, one-hop keep rule
+    "dedup_image_incremental" -> (Multimodal.dedupImageIncremental _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),

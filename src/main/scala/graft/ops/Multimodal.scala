@@ -281,17 +281,21 @@ object Multimodal {
     32 + ((docId * 3) % 7).toInt * 2
 
   /** Noise-fixture cell LEVEL (gray 60 or 190) at grid cell (cx, cy): an
-    * md5-derived bit of `img:<doc>:<cx>:<cy>` — the split_hash conv
+    * md5-derived bit of `<salt>:<doc>:<cx>:<cy>` — the split_hash conv
     * discipline, so the DuckDB twin recomputes the identical bit and the
     * pattern has full per-doc entropy (a mod-N arithmetic pattern caps the
     * number of distinct hashes at N; md5 doesn't). Every pixel of the cell
     * carries the level on all three channels (gray), so the boxed mean is
     * exactly the level for a lossless codec and within single digits for
-    * a lossy one.
+    * a lossy one. Salt `img` is the corpus pattern; salt `img2` generates
+    * the INDEPENDENT batch-new patterns (measured geometry: min hamming 6
+    * across salts, 9 within img2, through 5000 docs — both safely past
+    * the ≤ 3 pair threshold).
     */
-  private[graft] def noiseCellLevel(docId: Long, cx: Int, cy: Int): Int = {
+  private[graft] def noiseCellLevel(salt: String, docId: Long, cx: Int,
+      cy: Int): Int = {
     val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"img:$docId:$cx:$cy".getBytes("UTF-8"))
+      .digest(s"$salt:$docId:$cx:$cy".getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString.take(15)
     if (java.lang.Long.parseLong(hex, 16) % 2 == 1) 190 else 60
   }
@@ -313,8 +317,16 @@ object Multimodal {
     */
   private[graft] def hasJpegTwin(docId: Long): Boolean = docId % 10 == 0
 
+  /** Batch-new planting for `dedup_image_incremental`: docs ≡ 5 (mod 10)
+    * contribute a genuinely NEW image (salt `img2`) to the incoming
+    * batch; those ≡ 15 (mod 20) also carry a JPEG re-encode of it — the
+    * planted WITHIN-batch near-duplicate.
+    */
+  private[graft] def isBatchNew(docId: Long): Boolean = docId % 10 == 5
+  private[graft] def hasBatchJpeg(docId: Long): Boolean = docId % 20 == 15
+
   /** The per-corpus NOISE image fixture for the perceptual-hash keys:
-    * `(img_id, is_jpeg, payload)` — one block-pattern PNG per document
+    * `(img_id, role, payload)` — one block-pattern PNG per document
     * ([[noiseCellLevel]] cells, planted via the hand-rolled [[encodePng]]
     * writer so decode is exercised against an independent encoder), plus
     * a real ImageIO JPEG RE-ENCODE of every [[hasJpegTwin]] document (the
@@ -346,16 +358,15 @@ object Multimodal {
             val (w, h) = (noiseWidth(id), noiseHeight(id))
             // one md5 per CELL (72/doc), not per pixel — the build-time
             // difference at sf0.1 is ~70s vs <1s
-            val grid = Array.tabulate(PhashGridH, PhashGridW)(
-              (cy, cx) => noiseCellLevel(id, cx, cy))
-            def level(x: Int, y: Int): Int =
-              grid(pixelCell(y, h, PhashGridH))(pixelCell(x, w, PhashGridW))
-            val png = encodePng(w, h, (x, y) => {
-              val v = level(x, y); (v, v, v)
-            })
-            val pngRow = (id, false, png)
-            if (!hasJpegTwin(id)) Iterator(pngRow)
-            else {
+            def levelFn(salt: String): (Int, Int) => Int = {
+              val grid = Array.tabulate(PhashGridH, PhashGridW)(
+                (cy, cx) => noiseCellLevel(salt, id, cx, cy))
+              (x, y) =>
+                grid(pixelCell(y, h, PhashGridH))(pixelCell(x, w, PhashGridW))
+            }
+            def png(level: (Int, Int) => Int): Array[Byte] =
+              encodePng(w, h, (x, y) => { val v = level(x, y); (v, v, v) })
+            def jpeg(level: (Int, Int) => Int): Array[Byte] = {
               val img = new java.awt.image.BufferedImage(w, h,
                 java.awt.image.BufferedImage.TYPE_INT_RGB)
               var y = 0
@@ -371,11 +382,22 @@ object Multimodal {
               val out = new java.io.ByteArrayOutputStream()
               require(ImageIO.write(img, "jpg", out),
                 "no JPEG writer available in this JRE")
-              Iterator(pngRow, (id, true, out.toByteArray))
+              out.toByteArray
             }
+            val corpusLevel = levelFn("img")
+            val rows = Seq.newBuilder[(Long, String, Array[Byte])]
+            rows += ((id, "corpus", png(corpusLevel)))
+            if (hasJpegTwin(id)) rows += ((id, "twin_jpeg", jpeg(corpusLevel)))
+            if (isBatchNew(id)) {
+              val newLevel = levelFn("img2")
+              rows += ((id, "batch_new", png(newLevel)))
+              if (hasBatchJpeg(id))
+                rows += ((id, "batch_new_jpeg", jpeg(newLevel)))
+            }
+            rows.result().iterator
           }
         }
-        .toDF("img_id", "is_jpeg", "payload")
+        .toDF("img_id", "role", "payload")
         .write.mode("overwrite").parquet(tmp)
       graft.LocalFs.publishDir(new File(tmp), new File(landing),
         destValid = () => new File(s"$landing/_SUCCESS").exists())
@@ -384,7 +406,9 @@ object Multimodal {
     landing
   }
 
-  /** The harness noise-image relation: `(img_id, is_jpeg, payload)`. */
+  /** The harness noise-image relation: `(img_id, role, payload)` with
+    * role ∈ corpus | twin_jpeg | batch_new | batch_new_jpeg.
+    */
   def noiseAssets(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(noiseFixture(spark, sfDir))
 
@@ -479,7 +503,7 @@ object Multimodal {
     */
   def mmPhash(spark: SparkSession, sfDir: String): DataFrame =
     withDhashBands(
-      dHashImages(noiseAssets(spark, sfDir).filter(!col("is_jpeg")),
+      dHashImages(noiseAssets(spark, sfDir).filter(col("role") === "corpus"),
         "img_id", "payload"))
       .select(col("img_id").as("doc_id"), col("width"), col("height"),
         col("dhash"), col("band0"), col("band1"), col("band2"), col("band3"))
@@ -506,9 +530,10 @@ object Multimodal {
   def dedupImage(spark: SparkSession, sfDir: String): DataFrame = {
     val hashed = dHashImages(
       noiseAssets(spark, sfDir)
+        .filter(col("role").isin("corpus", "twin_jpeg"))
         .select(
-          (col("img_id") + when(col("is_jpeg"), JpegTwinIdOffset)
-            .otherwise(0L)).as("img_id"),
+          (col("img_id") + when(col("role") === "twin_jpeg",
+            JpegTwinIdOffset).otherwise(0L)).as("img_id"),
           col("payload")),
       "img_id", "payload")
     val banded = withDhashBands(hashed)
@@ -532,6 +557,91 @@ object Multimodal {
           .when(col("id_b") >= JpegTwinIdOffset, "png_jpeg")
           .otherwise("png_png").as("pair_kind"))
       .orderBy(col("doc_a"), col("doc_b"), col("pair_kind"))
+  }
+
+  /** INCREMENTAL IMAGE DEDUP — the crawl-batch shape, on the image
+    * surface: a NEW batch of images deduped against the EXISTING corpus,
+    * plus within-batch, in one pass (`dedup_incremental` /
+    * `dedup_embed_incremental`'s keep discipline with dHash distances).
+    * Per batch image: `is_dup_corpus` (hamming ≤ 3 with any corpus
+    * image), `is_dup_batch` (hamming ≤ 3 with another batch image), and
+    * the one-hop keep rule — keep iff not a corpus dup and no SMALLER-id
+    * batch neighbor (the deterministic representative choice).
+    *
+    * Scale shape: both sides hash at ingest (scan-stage per-row work);
+    * the corpus lookup is a band equi-join of the BATCH's 4 band rows
+    * against the corpus band table — at 100 TB the corpus bands are a
+    * static indexed table and each incremental batch probes it with
+    * batch-sized volume, never corpus×corpus; the within-batch pass is
+    * the tiny self-join. Matches reduce to distinct batch ids before any
+    * output shaping.
+    */
+  def dedupImagesIncremental(corpus: DataFrame, batch: DataFrame,
+      maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame) =
+      withDhashBands(dHashImages(df, "img_id", "payload"))
+        .select(col("img_id"), col("dhash"),
+          posexplode(array(col("band0"), col("band1"), col("band2"),
+            col("band3"))).as(Seq("band_idx", "band_val")))
+    val corpusB = banded(corpus).select(col("band_idx"), col("band_val"),
+      col("dhash").as("dh_c"))
+    val batchB = banded(batch).persist()
+    val corpusDup = batchB
+      .join(corpusB, Seq("band_idx", "band_val"))
+      .filter(bit_count(col("dhash").bitwiseXOR(col("dh_c"))) <= maxHamming)
+      .select(col("img_id")).distinct()
+      .withColumn("__dup_c", lit(true))
+    val a = batchB.select(col("band_idx"), col("band_val"),
+      col("img_id").as("id_a"), col("dhash").as("dh_a"))
+    val b = batchB.select(col("band_idx"), col("band_val"),
+      col("img_id").as("id_b"), col("dhash").as("dh_b"))
+    val batchPairs = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= maxHamming)
+      .groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("min_nbr"))
+    batchB.select(col("img_id")).distinct()
+      .join(corpusDup, Seq("img_id"), "left")
+      .join(batchPairs.select(col("id_a").as("img_id"), col("min_nbr")),
+        Seq("img_id"), "left")
+      .select(col("img_id"),
+        coalesce(col("__dup_c"), lit(false)).as("is_dup_corpus"),
+        col("min_nbr").isNotNull.as("is_dup_batch"),
+        (coalesce(col("__dup_c"), lit(false)) === false &&
+          (col("min_nbr").isNull || col("min_nbr") > col("img_id")))
+          .as("keep"))
+  }
+
+  /** `dedup_image_incremental` checked key: [[dedupImagesIncremental]]
+    * over the planted split — corpus = the noise PNGs; batch = the JPEG
+    * re-encode twins (planted corpus dups) ∪ the salt-`img2` batch-new
+    * images (genuinely new) ∪ their own JPEG re-encodes (planted
+    * WITHIN-batch dups). Batch ids uniquify as `doc_id·4 + role index`,
+    * so the keep-min rule deterministically keeps the PNG of each
+    * within-batch pair. The oracle derives every flag from the planting
+    * rule alone — sound for the same measured-geometry reason as
+    * `dedup_image` (min hamming 6 across salts / 9 within the batch
+    * patterns, vs the ≤ 3 threshold).
+    */
+  def dedupImageIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val assets = noiseAssets(spark, sfDir)
+    val corpus = assets.filter(col("role") === "corpus")
+      .select(col("img_id"), col("payload"))
+    val batch = assets.filter(col("role") =!= "corpus")
+      .select(
+        (col("img_id") * 4 +
+          when(col("role") === "twin_jpeg", 0L)
+            .when(col("role") === "batch_new", 1L)
+            .otherwise(2L)).as("img_id"),
+        col("payload"))
+    dedupImagesIncremental(corpus, batch, maxHamming = 3)
+      .select(
+        expr("img_id div 4").as("doc_id"),
+        when(col("img_id") % 4 === 0, "twin_jpeg")
+          .when(col("img_id") % 4 === 1, "batch_new")
+          .otherwise("batch_new_jpeg").as("role"),
+        col("is_dup_corpus"), col("is_dup_batch"), col("keep"))
+      .orderBy(col("doc_id"), col("role"))
   }
 
   /** API form: decode any `(doc_id, <payloadCol> binary)` frame to
@@ -804,6 +914,21 @@ object Multimodal {
       """SELECT doc_id AS doc_a, doc_id AS doc_b,
         |  'png_jpeg' AS pair_kind
         |FROM documents WHERE doc_id % 10 = 0
-        |ORDER BY doc_a, doc_b, pair_kind""".stripMargin
+        |ORDER BY doc_a, doc_b, pair_kind""".stripMargin,
+    // every flag from the planting rule alone (the dedup_image soundness
+    // argument): twin_jpegs are corpus dups, batch_new images are clean
+    // except the planted within-batch jpeg pairs, and the keep-min rule
+    // deterministically keeps the PNG of each pair
+    "dedup_image_incremental" ->
+      """SELECT doc_id, 'twin_jpeg' AS role, TRUE AS is_dup_corpus,
+        |  FALSE AS is_dup_batch, FALSE AS keep
+        |FROM documents WHERE doc_id % 10 = 0
+        |UNION ALL
+        |SELECT doc_id, 'batch_new', FALSE, doc_id % 20 = 15, TRUE
+        |FROM documents WHERE doc_id % 10 = 5
+        |UNION ALL
+        |SELECT doc_id, 'batch_new_jpeg', FALSE, TRUE, FALSE
+        |FROM documents WHERE doc_id % 20 = 15
+        |ORDER BY doc_id, role""".stripMargin
   )
 }

@@ -986,6 +986,88 @@ object Streams {
         s"peak state $peak not below total buffered $added — state unbounded")
     })
 
+  /** The change log landed as TWO files with ascending mtimes: the whole
+    * corpus, then a single far-future SENTINEL row (user −1, ts = corpus
+    * max + 365 d). Replayed paced, the sentinel batch advances the
+    * watermark past every real session's `last + gap`, so event-time
+    * timeouts flush each still-open session — the landing shape that lets
+    * an AvailableNow replay of a SESSION operator emit the complete
+    * session set (without it, every user's final session would sit in
+    * state forever, since nothing later arrives to time it out). At
+    * production scale the "sentinel" is just the stream's own future
+    * traffic; a bounded backfill replays with exactly this one extra row.
+    * The two boundary scalars (max ts) are the one driver-side action —
+    * the bounded-action precedent. Content-fingerprinted + atomically
+    * published like [[landedEvents]].
+    */
+  private def landedEventsFlush(spark: SparkSession, sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath(graft.LocalFs.Names.CdcFlushCache,
+      sfDir, new File(s"$sfDir/events.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val tmp = new File(s"$landing.tmp.${spark.sparkContext.applicationId}")
+      tmp.mkdirs()
+      val e = graft.Tables.events(spark, sfDir)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      val spark2 = spark
+      import spark2.implicits._
+      val sentinel = Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 365L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0, null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val base = System.currentTimeMillis()
+      Seq(e -> 0, sentinel -> 1).foreach { case (df, i) =>
+        val work = new File(tmp, s"work_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(work.getPath)
+        val part = Option(work.listFiles).getOrElse(Array.empty[File])
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for flush file $i"))
+        val dest = new File(tmp, f"e$i%02d.parquet")
+        require(part.renameTo(dest), s"rename failed for flush file $i")
+        graft.LocalFs.deleteRecursively(work)
+        // ascending mtimes pin the paced replay order: corpus first,
+        // sentinel second — a sentinel landing FIRST would stamp the
+        // watermark past the corpus and drop every real row as late
+        require(dest.setLastModified(base + i * 2000L),
+          s"setLastModified failed for flush file $i")
+      }
+      new File(tmp, "_SUCCESS").createNewFile()
+      graft.LocalFs.publishDir(tmp, new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    new File(landing).setLastModified(System.currentTimeMillis())
+    landing
+  }
+
+  /** `sessionize_stream` checked key: the STREAMING gap sessionization
+    * ([[sessionize]] — `flatMapGroupsWithState` interval merge with
+    * event-time timeouts) replayed over the flush landing to completion
+    * and pinned to the batch twin's session set. The sentinel batch is
+    * what makes the replay COMPLETE: it advances the watermark past every
+    * real session's horizon so the open tail sessions flush through the
+    * timeout path — both emission paths (in-batch close and timeout
+    * close) are exercised and graded.
+    *
+    * The graded projection carries the session IDENTITY and SHAPE
+    * (user, event count, start/end millis) — all integer-exact. The
+    * value sum is deliberately left to the suite's 1e-6 pin: the
+    * streaming fold and the batch aggregation sum doubles in different
+    * orders, and a 6-dp rounding of two sums a few ulps apart can land
+    * on different grid points — the `cms_ok` lesson applied prophylactically
+    * (no float-order luck inside an exact hash contract).
+    */
+  def sessionizeStreamQuery(spark: SparkSession, sfDir: String): DataFrame =
+    replayToFeed(spark,
+      sessionize(spark,
+        readEventsPaced(spark, landedEventsFlush(spark, sfDir)), 30))
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        unix_millis(col("start")).as("start_ms"),
+        unix_millis(col("end")).as("end_ms"))
+      .orderBy(col("user_id"), col("start_ms"))
+
   /** Batch twin of [[sessionize]]: the same session definition — maximal
     * runs of per-user events where consecutive gaps are ≤ `gapMinutes` —
     * computed with window functions over data at rest (`lag` + cumulative
@@ -1095,6 +1177,27 @@ object Streams {
     // the µs-floored timestamp exactly mirrors unix_millis on the Spark
     // side, and integer session bounds sidestep tz-aware/naive parquet
     // timestamp representation differences between the engines.
+    // the streaming replay's twin: the batch session set WITHOUT the
+    // float value sum (session identity/shape is integer-exact across
+    // the two emission paths; the value sum is suite-pinned at 1e-6 —
+    // see sessionizeStreamQuery's scaladoc)
+    "sessionize_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |      THEN 1 ELSE 0 END AS sess_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT *, SUM(sess_start) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM m)
+        |SELECT user_id, COUNT(*) AS n_events,
+        |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, start_ms""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),

