@@ -574,7 +574,10 @@ object Multimodal {
     * static indexed table and each incremental batch probes it with
     * batch-sized volume, never corpus×corpus; the within-batch pass is
     * the tiny self-join. Matches reduce to distinct batch ids before any
-    * output shaping.
+    * output shaping. The batch band frame is persisted (it feeds the
+    * corpus probe, both self-join sides, and the id spine); the caller
+    * releases it via `spark.catalog.clearCache()` — the engine's
+    * documented cache-lifetime contract (Bench/Verify do this per key).
     */
   def dedupImagesIncremental(corpus: DataFrame, batch: DataFrame,
       maxHamming: Int): DataFrame = {

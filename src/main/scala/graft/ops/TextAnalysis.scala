@@ -512,14 +512,24 @@ object TextAnalysis {
           lit(QualityLmBuckets.toLong)) + 1).cast(IntegerType)))
   }
 
+  /** The logistic step over an ALREADY-COMPUTED milli sum — split from
+    * [[qualityLmScore]] so consumers that surface several derived columns
+    * evaluate the in-row fold ONCE (each reference to the fold expression
+    * is a full pass over the tokens; Catalyst does not subexpression-
+    * eliminate higher-order aggregates across projection columns).
+    */
+  private[graft] def qualityLmScoreFromSum(sumMilli: Column,
+      nTokens: Column): Column =
+    round(lit(1.0) / (lit(1.0) +
+      exp(round(sumMilli.cast(DoubleType) * 4.0 /
+        (nTokens * 1000.0), 9) * lit(-1.0))), 6)
+
   /** Frozen-scorer logistic score column over a tokens array — the
     * single source of the `quality_score_lm` formula, shared by the
     * checked key and the [[Curation]] pipeline's pluggable quality gate.
     */
   private[graft] def qualityLmScore(tokens: Column): Column =
-    round(lit(1.0) / (lit(1.0) +
-      exp(round(qualityLmSumMilli(tokens).cast(DoubleType) * 4.0 /
-        (size(tokens) * 1000.0), 9) * lit(-1.0))), 6)
+    qualityLmScoreFromSum(qualityLmSumMilli(tokens), size(tokens))
 
   /** `quality_score_lm` checked key: the FROZEN LINEAR QUALITY SCORER —
     * the model-based counterpart of the heuristic [[qualityScore]] gate
@@ -550,12 +560,16 @@ object TextAnalysis {
     docs
       .filter(col("text").isNotNull)
       .withColumn("tokens", split(col("text"), " "))
+      // the fold runs ONCE; every derived column reads the materialized
+      // sum (three inline references would fold the tokens three times)
+      .withColumn("w_sum_milli", qualityLmSumMilli(col("tokens")))
       .select(
         col("doc_id"),
         size(col("tokens")).cast(LongType).as("n_tokens"),
-        qualityLmSumMilli(col("tokens")).as("w_sum_milli"),
-        qualityLmScore(col("tokens")).as("quality_lm"),
-        (qualityLmSumMilli(col("tokens")) >= 0L).as("keep_lm"))
+        col("w_sum_milli"),
+        qualityLmScoreFromSum(col("w_sum_milli"), size(col("tokens")))
+          .as("quality_lm"),
+        (col("w_sum_milli") >= 0L).as("keep_lm"))
 
   val oracleSql: Map[String, String] = Map(
     // independent recompute of the frozen scorer: the oracle re-derives
