@@ -118,6 +118,9 @@ object SparkEntry {
     // line-level boilerplate removal (C4/RefinedWeb-style: lines repeated
     // across >= K documents stripped, text rebuilt in original order)
     "dedup_lines" -> (Dedup.dedupLines _),
+    // span-level duplicate statistics (Lee et al. exact-substring signal:
+    // per doc, the token share covered by cross-document repeated runs)
+    "dedup_spans" -> (Dedup.dedupSpans _),
     "dedup_near" -> (Dedup.dedupNear _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),

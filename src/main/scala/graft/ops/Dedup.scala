@@ -1058,6 +1058,93 @@ object Dedup {
         col("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** Span gram length for `dedup_spans` — 8 tokens. (The literature's
+    * exact-substring dedup uses ~50-token thresholds against web-scale
+    * corpora; the harness documents run 30–60 tokens, so 8 keeps the
+    * operator's decision structure — long-run overlap, not shingle
+    * overlap — exercised at harness scale. The API form takes any n.)
+    */
+  private[graft] val SpanGram = 8
+
+  /** SPAN-LEVEL DUPLICATE STATISTICS — the third granularity of the
+    * dedup ladder (document `dedup_exact`/`dedup_near`, line
+    * `dedup_lines`, and here token SPANS): for every document, how much
+    * of its text occurs verbatim in other documents, measured by n-token
+    * gram runs shared with ≥ 1 other document — the exact-substring
+    * signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499) expressed relationally.
+    * Per document: gram counts, duplicated-gram counts, the number of
+    * token positions covered by ≥ 1 duplicated gram (interval union, not
+    * double-counted), and the covered fraction — the curation signal a
+    * pipeline thresholds on (a doc that is 90% duplicated spans is a
+    * template or a copy even if no single whole-doc match exists).
+    *
+    * Scale shape: gram hashes are built IN-ROW (transform over an index
+    * sequence — the ngram-dedup discipline: text never crosses the wire
+    * to form a gram) and explode only as (doc_id, pos, 60-bit hash); the
+    * census GROUPs BY the hash with map-side partial distinct; the
+    * dup-flag join shuffles hash-sized rows; the per-doc reduce collects
+    * dup START POSITIONS only (bounded by grams/doc) and the interval
+    * union is one in-row linear fold over the sorted starts. Nothing
+    * corpus-sized is ever shuffled except the gram-hash rows themselves
+    * — the same volume class as a word count.
+    */
+  def dedupSpans(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSpansOn(table(spark, sfDir, "documents"), SpanGram)
+      .orderBy(col("doc_id"))
+
+  /** API form over any `(doc_id, text)` frame and gram length —
+    * unordered. NULL-text rows are dropped (the family convention);
+    * docs shorter than `n` tokens carry zero grams and fraction 0.
+    */
+  def dedupSpansOn(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2, got $n")
+    val base = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_toks", size(col("w")).cast(LongType))
+    // in-row gram hashes with start positions: 60-bit md5 of the joined
+    // gram (engine-exact), one struct per window
+    val grams = base.filter(col("n_toks") >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0L, n_toks - $n),
+             |  i -> struct(i AS pos,
+             |    cast(conv(substring(md5(array_join(
+             |      slice(w, cast(i + 1 AS INT), $n), ' ')), 1, 15), 16, 10)
+             |      AS BIGINT) AS gh))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val census = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"), lit(true).as("__graft_dup"))
+    val perDoc = grams.join(census, Seq("gh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("__graft_dup"), lit(1))).as("n_dup_grams"),
+        sort_array(collect_list(when(col("__graft_dup"), col("pos"))))
+          .as("starts"))
+    // interval-union length of [s, s+n-1] over the sorted dup starts —
+    // one linear fold, never a per-position scan
+    val covered = expr(
+      s"""aggregate(starts,
+         |  struct(0L AS cov, -${n}L AS fin),
+         |  (acc, s) -> struct(
+         |    acc.cov + CASE WHEN s > acc.fin THEN ${n}L
+         |      ELSE greatest(s + ${n - 1}L - acc.fin, 0L) END AS cov,
+         |    greatest(acc.fin, s + ${n - 1}L) AS fin),
+         |  acc -> acc.cov)""".stripMargin)
+    base.select(col("doc_id"), col("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("covered_tokens", coalesce(covered, lit(0L)))
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        col("covered_tokens"),
+        round(col("covered_tokens").cast(DoubleType) / col("n_toks"), 6)
+          .as("dup_frac"))
+  }
+
   /** Shared CTE chain recomputing `simhashFingerprints` in DuckDB SQL:
     * same token split + length floor, same md5-derived 60-bit token hash
     * (md5 hex is engine-identical; `CAST('0x…' AS BIGINT)` parses it), and
@@ -1121,6 +1208,46 @@ object Dedup {
       |  FROM reach GROUP BY u)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // exact independent formulation of the span statistics: same in-row
+    // 8-gram md5 hashes and >= 2-distinct-docs census; coverage is
+    // recomputed the INDEPENDENT way — a per-token-position EXISTS scan
+    // over the dup starts (the Spark side folds an interval union; both
+    // count exactly the positions lying under >= 1 duplicated gram)
+    "dedup_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
+        |  FROM d, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS u(i)
+        |  WHERE len(w) >= 8),
+        |c AS (
+        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+        |h AS (
+        |  SELECT g.doc_id, g.pos, c.gh IS NOT NULL AS dup
+        |  FROM g LEFT JOIN c USING (gh)),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_grams,
+        |    count(*) FILTER (WHERE dup) AS n_dup_grams
+        |  FROM h GROUP BY doc_id),
+        |cov AS (
+        |  SELECT d.doc_id, count(DISTINCT t.p) AS covered
+        |  FROM d
+        |  CROSS JOIN UNNEST(range(0, d.n_toks)) AS t(p)
+        |  JOIN h ON h.doc_id = d.doc_id AND h.dup
+        |        AND h.pos <= t.p AND t.p <= h.pos + 7
+        |  GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.n_toks,
+        |  coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(cov.covered, 0) AS covered_tokens,
+        |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n_toks, 6)
+        |    AS dup_frac
+        |FROM d LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // exact independent formulation of the whole line-dedup chain: rebuild
     // the planted line structure (header / 10-token chunks / footer — the
     // same arithmetic as lineStructured, DuckDB's 1-based inclusive slice

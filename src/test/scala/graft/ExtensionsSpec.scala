@@ -53,6 +53,36 @@ class ExtensionsSpec extends SparkSpec {
       .as[Long].head() == 0L)
   }
 
+  test("dedup_spans: planted shared runs, interval-union coverage exact") {
+    import spark.implicits._
+    // docs 1/2 share a 5-token run ("p q r s t"); with n=4 that is two
+    // overlapping dup 4-grams per doc (starts 2,3 in doc1; 0,1 in doc2)
+    // whose UNION covers 5 tokens — double-counting would report 8
+    val fx = Seq(
+      (1L, "a b p q r s t x y"),        // 9 toks, starts 2,3 dup
+      (2L, "p q r s t m n"),            // 7 toks, starts 0,1 dup
+      (3L, "z z2 z3 z4 z5 z6"),         // unique: no dup grams
+      (4L, "w x"),                      // shorter than n: zero grams
+      (5L, null.asInstanceOf[String]))  // dropped by the family convention
+      .toDF("doc_id", "text")
+    val got = graft.ops.Dedup.dedupSpansOn(fx, n = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "n_grams", "n_dup_grams",
+        "covered_tokens", "dup_frac")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got(0) == ((1L, 9L, 6L, 2L, 5L, 0.555556)))
+    assert(got(1) == ((2L, 7L, 4L, 2L, 5L, 0.714286)))
+    assert(got(2) == ((3L, 6L, 3L, 0L, 0L, 0.0)))
+    assert(got(3) == ((4L, 2L, 0L, 0L, 0L, 0.0)))
+    // corpus sanity: the planted near-duplicate documents carry high
+    // span coverage, and some documents carry none
+    val corpus = graft.ops.Dedup.dedupSpans(spark, sf).collect()
+      .map(_.getAs[Double]("dup_frac"))
+    assert(corpus.exists(_ > 0.8), "planted near-dups should share runs")
+    assert(corpus.exists(_ == 0.0))
+  }
+
   test("quality_score_lm: frozen scorer gates compose into corpus_clean") {
     import spark.implicits._
     val scored = TextAnalysis.qualityScoreLm(spark, sf)

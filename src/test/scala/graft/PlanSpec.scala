@@ -371,6 +371,17 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("dedup_spans builds grams in-row, censuses by hash, no nested loop") {
+    // grams must come from an in-row transform (no window/posexplode of
+    // raw text before hashing), the census runs partial distinct, and
+    // nothing degenerates to a cartesian/nested-loop
+    val p = plan("dedup_spans")
+    assert(p.contains("partial_count(distinct"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("quality_score_lm is a scan-stage projection: zero Exchange") {
     // the frozen scorer (literal weight vector + in-row fold) must stay
     // in the scan's codegen pipeline — no shuffle on the unordered form
