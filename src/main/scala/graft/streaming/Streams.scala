@@ -1009,7 +1009,10 @@ object Streams {
       tmp.mkdirs()
       val e = graft.Tables.events(spark, sfDir)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      val maxTs = e.agg(max(col("ts"))).head().getTimestamp(0)
+      val bounds = e.agg(max(col("ts"))).head()
+      require(!bounds.isNullAt(0),
+        "cannot build a flush landing for an empty events corpus")
+      val maxTs = bounds.getTimestamp(0)
       val spark2 = spark
       import spark2.implicits._
       val sentinel = Seq((-1L,
