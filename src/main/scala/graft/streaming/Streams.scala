@@ -1175,11 +1175,6 @@ object Streams {
         |       ns.n_emissions
         |FROM r JOIN ns USING (user_id, event_type) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
-    // lag + cumulative session counter, the same independent formulation
-    // the suite pins the streaming interval-merge against; epoch_ms over
-    // the µs-floored timestamp exactly mirrors unix_millis on the Spark
-    // side, and integer session bounds sidestep tz-aware/naive parquet
-    // timestamp representation differences between the engines.
     // the streaming replay's twin: the batch session set WITHOUT the
     // float value sum (session identity/shape is integer-exact across
     // the two emission paths; the value sum is suite-pinned at 1e-6 —
@@ -1201,6 +1196,11 @@ object Streams {
         |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms
         |FROM s GROUP BY user_id, sess_id
         |ORDER BY user_id, start_ms""".stripMargin,
+    // lag + cumulative session counter, the same independent formulation
+    // the suite pins the streaming interval-merge against; epoch_ms over
+    // the µs-floored timestamp exactly mirrors unix_millis on the Spark
+    // side, and integer session bounds sidestep tz-aware/naive parquet
+    // timestamp representation differences between the engines.
     "sessionize_batch" ->
       """WITH e AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
