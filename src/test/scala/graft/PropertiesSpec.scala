@@ -143,6 +143,78 @@ class PropertiesSpec extends SparkSpec {
     assert(joined.filter(!(col("fp") <=> col("fp2"))).count() == 0)
   }
 
+  test("dedup_spans coverage equals brute-force position counting for" +
+      " arbitrary corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // random docs over a tiny vocab so cross-document repeated runs occur
+    // organically, plus a forced duplicated doc per corpus; the in-row
+    // interval-union fold must equal an independent per-position scan
+    val n = 4
+    val docGen = Gen.choose(3, 14)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c")))
+    samples(Gen.listOfN(12, docGen), 6).foreach { raw =>
+      val docs = (raw :+ raw.head).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val got = Dedup.dedupSpansOn(docs.toDF("doc_id", "text"), n)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams"),
+            r.getAs[Long]("covered_tokens"))).toMap
+      // brute force: gram string occurrences per doc, census, coverage by
+      // scanning every token position for a dup gram window containing it
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val gramsOf = toks.view.mapValues(w =>
+        if (w.size < n) Seq.empty
+        else (0 to w.size - n).map(i => i -> w.slice(i, i + n).mkString(" "))
+      ).toMap
+      val census = gramsOf.toSeq
+        .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      docs.foreach { case (id, _) =>
+        val w = toks(id)
+        val dupStarts = gramsOf(id).collect {
+          case (p, g) if census(g) >= 2 => p
+        }
+        val covered = (0 until w.size).count(p =>
+          dupStarts.exists(s => s <= p && p <= s + n - 1))
+        assert(got(id) == ((math.max(w.size - n + 1, 0).toLong,
+          dupStarts.size.toLong, covered.toLong)),
+          s"doc $id: got ${got(id)}, brute (${w.size}, $dupStarts)")
+      }
+    }
+  }
+
+  test("dedup_lines equals brute-force census+rebuild for arbitrary corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // docs as random stacks of lines from a tiny line vocab, so some
+    // lines organically cross the distinct-doc threshold and others don't
+    val lineGen = Gen.oneOf("nav bar", "footer", "body x", "body y",
+      "body z", "unique spice")
+    val docGen = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, lineGen))
+    val minDocs = 3L
+    samples(Gen.listOfN(10, docGen), 6).foreach { raw =>
+      val docs = raw.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n"))
+      }
+      val got = Dedup.dedupLinesOn(docs.toDF("doc_id", "text"), minDocs)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_kept"),
+            r.getAs[String]("clean_text"))).toMap
+      val census = docs
+        .flatMap { case (id, t) => t.split("\n", -1).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      docs.foreach { case (id, t) =>
+        val lines = t.split("\n", -1).toSeq
+        val kept = lines.filter(l => census(l) < minDocs)
+        assert(got(id) == ((lines.size.toLong, kept.size.toLong,
+          kept.mkString("\n"))), s"doc $id: got ${got(id)}")
+      }
+    }
+  }
+
   test("randomSplit partitions any input: disjoint, exhaustive") {
     import spark.implicits._
     samples(Gen.zip(Gen.choose(10, 60), Gen.choose(1L, 9999L)), 10)
