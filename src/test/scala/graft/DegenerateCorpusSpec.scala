@@ -197,6 +197,17 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(dl.map(_.getLong(0)).toSeq == Seq(0L, 1L))
     assert(dl(1).getAs[String]("clean_text") == "")
     assert(dl(1).getAs[Long]("n_lines_in") == 1L)
+    // dedup_spans: null text dropped; every surviving doc is shorter
+    // than the 8-token gram, so the whole corpus is trivially clean
+    // (zero grams, zero coverage) — no abort, no fake fractions
+    val sp = Dedup.dedupSpans(spark, dir).collect()
+    assert(sp.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    sp.foreach { r =>
+      assert(r.getAs[Long]("n_grams") ==
+        math.max(r.getAs[Long]("n_toks") - 7, 0))
+      assert(r.getAs[Long]("covered_tokens") == 0L)
+      assert(r.getAs[Double]("dup_frac") == 0.0)
+    }
     // image keys run over the 5-doc degenerate corpus: every doc hashes,
     // the planted twin of doc 0 is found, nothing else pairs
     val ph = Multimodal.mmPhash(spark, dir).collect()
