@@ -177,8 +177,17 @@ object LocalFs {
       require(dest.renameTo(aside), s"failed to move old artifact aside: $dest")
     if (!tmp.renameTo(dest)) {
       deleteRecursively(tmp)
-      if (aside.exists()) aside.renameTo(dest)
-      sys.error(s"failed to publish $tmp at $dest (old artifact restored)")
+      // The restore rename can itself fail (e.g. a concurrent writer raced
+      // a new dest in); reporting "restored" then would be a lie — and the
+      // stranded aside dir would later be swept as an orphan. Tell the
+      // operator exactly where the old artifact actually sits.
+      val restored = !aside.exists() || aside.renameTo(dest)
+      if (restored)
+        sys.error(s"failed to publish $tmp at $dest (old artifact restored)")
+      else
+        sys.error(s"failed to publish $tmp at $dest AND the old artifact " +
+          s"could not be renamed back — recover it manually from $aside " +
+          "before the orphan sweep's TTL elapses")
     }
     if (aside.exists()) deleteRecursively(aside)
     sweepOrphans(dest, keep = dest)

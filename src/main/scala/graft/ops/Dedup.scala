@@ -965,6 +965,14 @@ object Dedup {
     * targets (nav bars and license lines repeat across a source's pages;
     * body lines don't). Pure in-row projection; the DuckDB twin
     * reconstructs the identical lines from the same arithmetic.
+    *
+    * NULL-text rows are dropped HERE, not left to downstream: Spark's
+    * array_join would silently skip the null chunk element (a 2-line
+    * nav+footer doc) while the SQL twin would emit a NULL chunk line that
+    * string_agg drops but count(*) still counts — a latent hash mismatch
+    * if a regenerated corpus ever carries NULL text. Filtering at the
+    * source (and mirroring the predicate in the twin's base CTE) makes
+    * both sides agree by construction.
     */
   private[graft] def lineStructured(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
@@ -974,13 +982,14 @@ object Dedup {
       i => array_join(
         slice(toks, (i * LineChunkTokens + 1).cast(IntegerType),
           lit(LineChunkTokens)), " "))
-    docs.select(col("doc_id"),
-      array_join(
-        concat(
-          array(concat(lit("nav "), col("source"), lit(" home login"))),
-          chunks,
-          array(concat(lit("copyright footer "), col("lang")))),
-        "\n").as("text"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(
+          concat(
+            array(concat(lit("nav "), col("source"), lit(" home login"))),
+            chunks,
+            array(concat(lit("copyright footer "), col("lang")))),
+          "\n").as("text"))
   }
 
   /** LINE-LEVEL BOILERPLATE DEDUP — the single most common curation op in
@@ -1259,7 +1268,7 @@ object Dedup {
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
         |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
         |      AS BIGINT), 1) AS nc
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |lines AS (
         |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
         |    'nav ' || source || ' home login' AS line FROM d

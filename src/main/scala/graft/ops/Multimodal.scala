@@ -580,7 +580,21 @@ object Multimodal {
     * documented cache-lifetime contract (Bench/Verify do this per key).
     */
   def dedupImagesIncremental(corpus: DataFrame, batch: DataFrame,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int): DataFrame =
+    dedupImagesIncrementalImpl(corpus, batch, maxHamming, _.persist())
+
+  /** Shared body; `mat` is the batch-band materialization policy. The
+    * public API form persists (caller releases via clearCache — the
+    * engine's documented cache contract); the checked-key wrapper, whose
+    * result lifetime is locally known, passes a lazy localCheckpoint so
+    * the blocks release with the frame's GC and an embedding caller that
+    * misses the scaladoc cannot leak a session-lifetime cache (round-12
+    * advisory). localCheckpoint's cluster caveat — lineage truncated, so
+    * executor loss fails the job instead of recomputing — is the same
+    * trade `dedupClusters` documents for its loop checkpoints.
+    */
+  private def dedupImagesIncrementalImpl(corpus: DataFrame, batch: DataFrame,
+      maxHamming: Int, mat: DataFrame => DataFrame): DataFrame = {
     def banded(df: DataFrame) =
       withDhashBands(dHashImages(df, "img_id", "payload"))
         .select(col("img_id"), col("dhash"),
@@ -588,7 +602,7 @@ object Multimodal {
             col("band3"))).as(Seq("band_idx", "band_val")))
     val corpusB = banded(corpus).select(col("band_idx"), col("band_val"),
       col("dhash").as("dh_c"))
-    val batchB = banded(batch).persist()
+    val batchB = mat(banded(batch))
     val corpusDup = batchB
       .join(corpusB, Seq("band_idx", "band_val"))
       .filter(bit_count(col("dhash").bitwiseXOR(col("dh_c"))) <= maxHamming)
@@ -637,7 +651,8 @@ object Multimodal {
             .when(col("role") === "batch_new", 1L)
             .otherwise(2L)).as("img_id"),
         col("payload"))
-    dedupImagesIncremental(corpus, batch, maxHamming = 3)
+    dedupImagesIncrementalImpl(corpus, batch, maxHamming = 3,
+        _.localCheckpoint(false))
       .select(
         expr("img_id div 4").as("doc_id"),
         when(col("img_id") % 4 === 0, "twin_jpeg")

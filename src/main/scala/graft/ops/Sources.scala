@@ -235,9 +235,12 @@ object Sources {
     // pairs, silently breaking the dense-copy_idx contract the packing
     // composition's instance ids depend on. The Map form can't hit this;
     // the config-table form can, so fail fast (the copy_idx-collision
-    // discipline). The config frame is broadcast-sized by contract, so the
-    // two count actions are negligible.
-    require(w.count() == w.select(sourceCol).distinct().count(),
+    // discipline). The config frame is broadcast-sized by contract, so ONE
+    // driver-side collect of the key column checks it — the frame's
+    // lineage (which may be a non-trivial or side-effecting query) is
+    // evaluated once here, not twice as two separate count actions.
+    val srcKeys = w.select(col(sourceCol)).collect().map(_.get(0))
+    require(srcKeys.length == srcKeys.distinct.length,
       s"mixSample weights frame has duplicate `$sourceCol` rows; " +
         "deduplicate the mixture config first (each source must map to " +
         "exactly one weight)")
