@@ -121,6 +121,9 @@ object SparkEntry {
     // span-level duplicate statistics (Lee et al. exact-substring signal:
     // per doc, the token share covered by cross-document repeated runs)
     "dedup_spans" -> (Dedup.dedupSpans _),
+    // span excision (the ACT step of Lee et al. exact-substring dedup:
+    // covered token runs removed, min-doc_id holder keeps the canonical copy)
+    "dedup_spans_strip" -> (Dedup.dedupSpansStrip _),
     "dedup_near" -> (Dedup.dedupNear _),
     "dedup_simhash" -> (Dedup.dedupSimhash _),
     "dedup_simhash_pairs" -> (Dedup.dedupSimhashPairs _),

@@ -1108,20 +1108,8 @@ object Dedup {
     */
   def dedupSpansOn(docs: DataFrame, n: Int): DataFrame = {
     require(n >= 2, s"span gram length must be >= 2, got $n")
-    val base = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("n_toks", size(col("w")).cast(LongType))
-    // in-row gram hashes with start positions: 60-bit md5 of the joined
-    // gram (engine-exact), one struct per window
-    val grams = base.filter(col("n_toks") >= n)
-      .select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0L, n_toks - $n),
-             |  i -> struct(i AS pos,
-             |    cast(conv(substring(md5(array_join(
-             |      slice(w, cast(i + 1 AS INT), $n), ' ')), 1, 15), 16, 10)
-             |      AS BIGINT) AS gh))""".stripMargin)).as("g"))
-      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val base = spanBase(docs)
+    val grams = spanGrams(base, n)
     val census = grams.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
@@ -1153,6 +1141,116 @@ object Dedup {
         round(col("covered_tokens").cast(DoubleType) / col("n_toks"), 6)
           .as("dup_frac"))
   }
+
+  /** Tokenized base frame shared by the span family: `(doc_id, w, n_toks)`
+    * with NULL-text rows dropped (the family convention).
+    */
+  private def spanBase(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n_toks", size(col("w")).cast(LongType))
+
+  /** In-row gram hashes with start positions — 60-bit md5 of the joined
+    * n-token window (engine-exact), one `(doc_id, pos, gh)` row per
+    * window. The gram is formed IN-ROW (the ngram-dedup discipline: text
+    * never crosses the wire to build a gram); only hash-sized rows
+    * explode.
+    */
+  private def spanGrams(base: DataFrame, n: Int): DataFrame =
+    base.filter(col("n_toks") >= n)
+      .select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0L, n_toks - $n),
+             |  i -> struct(i AS pos,
+             |    cast(conv(substring(md5(array_join(
+             |      slice(w, cast(i + 1 AS INT), $n), ' ')), 1, 15), 16, 10)
+             |      AS BIGINT) AS gh))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+
+  /** SPAN EXCISION — `dedup_spans` measures cross-document verbatim
+    * overlap; this ACTS on it, the remove step of Lee et al. 2022's
+    * exact-substring dedup (arXiv:2107.06499 §4.2: delete duplicated
+    * substrings, keep one canonical copy in the corpus). Every n-token
+    * gram occurring in ≥ 2 distinct documents is duplicated; the MINIMUM
+    * doc_id holding it is the canonical keeper (the `dedup_exact`
+    * keep-min discipline) and keeps its text intact; every OTHER
+    * holder's occurrences are excised — the doc's covered token
+    * positions (interval union of the strip starts) are removed and the
+    * text is rebuilt from the surviving tokens in original order.
+    *
+    * Output per input document: (doc_id, n_toks, stripped_tokens,
+    * kept_tokens, clean_text). Documents shorter than n tokens carry no
+    * grams and pass through intact; a document whose every token is
+    * covered survives with clean_text '' (dropping empties is a quality
+    * gate, not dedup — the `dedup_lines` convention). Unordered.
+    *
+    * Scale shape: identical to [[dedupSpansOn]] up to the census — grams
+    * hash in-row, the shuffle carries (doc_id, pos, 60-bit hash) rows,
+    * the census adds a min(doc_id) alongside the distinct-doc count with
+    * map-side partials — then ONE inner join of gram rows against the
+    * duplicated-gram census (its cardinality is the duplicated grams
+    * only, tiny by construction at real thresholds) and one doc_id
+    * shuffle to collect strip starts. The rebuild is in-row: a linear
+    * fold merges the sorted starts into excision intervals, and the kept
+    * filter probes those MERGED intervals (bounded count, typically a
+    * handful) rather than the raw starts — never a per-position
+    * per-start scan. The per-position formulation exists only as the
+    * DuckDB oracle twin, which is exactly right.
+    */
+  def dedupSpansStripOn(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2, got $n")
+    val base = spanBase(docs)
+    val grams = spanGrams(base, n)
+    val census = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nd"),
+        min(col("doc_id")).as("keeper"))
+      .filter(col("nd") >= 2)
+      .select(col("gh"), col("keeper"))
+    val strips = grams.join(census, Seq("gh"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    // merged excision intervals [lo, hi] from the sorted starts — one
+    // linear fold; adjacent-or-overlapping windows coalesce, so the kept
+    // filter below probes a bounded interval list, not every start. The
+    // nested CASE keeps element_at off the empty accumulator (ANSI mode
+    // raises on out-of-bounds; CASE branches evaluate lazily).
+    val ivs = expr(
+      s"""aggregate(coalesce(starts, array()),
+         |  cast(array() AS array<struct<lo: bigint, hi: bigint>>),
+         |  (acc, s) -> CASE
+         |    WHEN size(acc) = 0 THEN array(struct(s AS lo, s + ${n - 1}L AS hi))
+         |    WHEN s <= element_at(acc, -1).hi + 1L THEN concat(
+         |      slice(acc, 1, size(acc) - 1),
+         |      array(struct(element_at(acc, -1).lo AS lo,
+         |        greatest(element_at(acc, -1).hi, s + ${n - 1}L) AS hi)))
+         |    ELSE concat(acc, array(struct(s AS lo, s + ${n - 1}L AS hi)))
+         |  END)""".stripMargin)
+    base.join(strips, Seq("doc_id"), "left")
+      .withColumn("ivs", ivs)
+      .withColumn("kept", expr(
+        """filter(
+          |  transform(w, (t, i) -> struct(t AS t, cast(i AS BIGINT) AS p)),
+          |  x -> NOT exists(ivs, iv -> x.p >= iv.lo AND x.p <= iv.hi))"""
+          .stripMargin))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).cast(LongType)
+          .as("stripped_tokens"),
+        size(col("kept")).cast(LongType).as("kept_tokens"),
+        array_join(expr("transform(kept, x -> x.t)"), " ").as("clean_text"))
+  }
+
+  /** `dedup_spans_strip` checked key: [[dedupSpansStripOn]] over the
+    * documents corpus at [[SpanGram]]. The DuckDB twin recomputes the
+    * census + keeper and rebuilds each document's text the INDEPENDENT
+    * way — a per-token-position EXISTS scan over the strip starts and a
+    * `string_agg(… ORDER BY pos)` reassembly (the Spark side folds
+    * merged intervals and filters in-row; both must excise exactly the
+    * positions lying under ≥ 1 non-canonical duplicated gram).
+    */
+  def dedupSpansStrip(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSpansStripOn(table(spark, sfDir, "documents"), SpanGram)
+      .orderBy(col("doc_id"))
 
   /** Shared CTE chain recomputing `simhashFingerprints` in DuckDB SQL:
     * same token split + length floor, same md5-derived 60-bit token hash
@@ -1256,6 +1354,44 @@ object Dedup {
         |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n_toks, 6)
         |    AS dup_frac
         |FROM d LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // independent recompute of the excision: same gram hashes, census +
+    // min-doc keeper, then the rebuild done the ORTHOGONAL way — covered
+    // flags from a per-position EXISTS over the raw strip starts (the
+    // Spark side folds merged intervals and filters in-row) and
+    // string_agg reassembly in position order
+    "dedup_spans_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |    CAST(concat('0x', substring(md5(
+        |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
+        |  FROM d, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS u(i)
+        |  WHERE len(w) >= 8),
+        |c AS (
+        |  SELECT gh, min(doc_id) AS keeper FROM g GROUP BY gh
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |s AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN c USING (gh)
+        |  WHERE g.doc_id != c.keeper),
+        |pos AS (
+        |  SELECT d.doc_id, t.p, w[t.p + 1] AS tok,
+        |    EXISTS (SELECT 1 FROM s WHERE s.doc_id = d.doc_id
+        |            AND s.pos <= t.p AND t.p <= s.pos + 7) AS covered
+        |  FROM d CROSS JOIN UNNEST(range(0, d.n_toks)) AS t(p)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (WHERE covered) AS stripped_tokens,
+        |    count(*) FILTER (WHERE NOT covered) AS kept_tokens,
+        |    coalesce(string_agg(tok, ' ' ORDER BY p)
+        |      FILTER (WHERE NOT covered), '') AS clean_text
+        |  FROM pos GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_toks, agg.stripped_tokens, agg.kept_tokens,
+        |  agg.clean_text
+        |FROM d JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     // exact independent formulation of the whole line-dedup chain: rebuild
     // the planted line structure (header / 10-token chunks / footer — the

@@ -218,6 +218,28 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(pairs == Seq((0L, 0L, "png_jpeg")), pairs.toString)
   }
 
+  test("dedup_spans_strip survives nulls, empties, and total excision") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // doc 0/1: verbatim twins — the min-id doc keeps ALL its text, the
+    // other is fully excised to ''; doc 2: shorter than the gram, passes
+    // through intact; doc 3: empty text (one empty token, no grams);
+    // doc 4: null text, dropped by the documented filter
+    val twin = (1 to 9).map(i => s"w$i").mkString(" ")
+    val out = Dedup.dedupSpansStripOn(
+      Seq((0L, twin), (1L, twin), (2L, "just a few words"), (3L, ""),
+        (4L, null.asInstanceOf[String])).toDF("doc_id", "text"), n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("n_toks"),
+        r.getAs[Long]("stripped_tokens"), r.getAs[Long]("kept_tokens"),
+        r.getAs[String]("clean_text")))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out(0L) == ((9L, 0L, 9L, twin)))          // canonical keeper
+    assert(out(1L) == ((9L, 9L, 0L, "")))            // fully excised
+    assert(out(2L) == ((4L, 0L, 4L, "just a few words")))
+    assert(out(3L) == ((1L, 0L, 1L, "")))            // [''] round-trips
+  }
+
   test("corr_matrix emits null for zero-variance pairs instead of aborting") {
     import spark.implicits._
     import graft.ops.Lifecycle

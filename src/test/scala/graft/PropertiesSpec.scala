@@ -185,6 +185,48 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_spans_strip equals brute-force keeper-rule excision for" +
+      " arbitrary corpora") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // same tiny-vocab shape as the dedup_spans pin (organic cross-doc
+    // runs) plus a forced duplicate of the first doc; the fold-merged
+    // interval excision must equal an independent per-position scan under
+    // the min-doc_id canonical-keeper rule
+    val n = 4
+    val docGen = Gen.choose(3, 14)
+      .flatMap(len => Gen.listOfN(len, Gen.oneOf("a", "b", "c")))
+    samples(Gen.listOfN(12, docGen), 6).foreach { raw =>
+      val docs = (raw :+ raw.head).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val got = Dedup.dedupSpansStripOn(docs.toDF("doc_id", "text"), n)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_toks"), r.getAs[Long]("stripped_tokens"),
+            r.getAs[Long]("kept_tokens"), r.getAs[String]("clean_text"))))
+        .toMap
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+      val gramsOf = toks.view.mapValues(w =>
+        if (w.size < n) Seq.empty
+        else (0 to w.size - n).map(i => i -> w.slice(i, i + n).mkString(" "))
+      ).toMap
+      val holders = gramsOf.toSeq
+        .flatMap { case (id, gs) => gs.map { case (_, g) => (g, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+      docs.foreach { case (id, _) =>
+        val w = toks(id)
+        val strips = gramsOf(id).collect {
+          case (p, g) if holders(g).size >= 2 && holders(g).min != id => p
+        }
+        val keptIdx = (0 until w.size).filterNot(p =>
+          strips.exists(s => s <= p && p <= s + n - 1))
+        val expect = (w.size.toLong, (w.size - keptIdx.size).toLong,
+          keptIdx.size.toLong, keptIdx.map(w).mkString(" "))
+        assert(got(id) == expect, s"doc $id: got ${got(id)}, want $expect")
+      }
+    }
+  }
+
   test("dedup_lines equals brute-force census+rebuild for arbitrary corpora") {
     import spark.implicits._
     import graft.ops.Dedup
