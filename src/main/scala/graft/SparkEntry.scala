@@ -118,6 +118,9 @@ object SparkEntry {
     // line-level boilerplate removal (C4/RefinedWeb-style: lines repeated
     // across >= K documents stripped, text rebuilt in original order)
     "dedup_lines" -> (Dedup.dedupLines _),
+    // crawl-batch line dedup: a new batch censused against the maintained
+    // corpus line census (additive sketch; merge-by-sum = recompute)
+    "dedup_lines_incremental" -> (Dedup.dedupLinesIncremental _),
     // span-level duplicate statistics (Lee et al. exact-substring signal:
     // per doc, the token share covered by cross-document repeated runs)
     "dedup_spans" -> (Dedup.dedupSpans _),

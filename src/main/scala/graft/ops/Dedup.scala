@@ -1022,21 +1022,34 @@ object Dedup {
     */
   def dedupLinesOn(docs: DataFrame, minDocs: Long): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    // NULL-text rows are dropped explicitly (the tfidfTopK convention):
-    // posexplode over a null array would silently drop them anyway, so
-    // the filter makes the contract visible rather than incidental.
-    // Empty text is a real (single empty line) document and flows
-    // through: it survives with clean_text '' if that line is corpus
-    // boilerplate, intact otherwise.
-    val lines = docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("lh", md5(col("line")))
+    val lines = docLines(docs)
     val boiler = lines
       .groupBy(col("lh"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .select(col("lh"), lit(true).as("__graft_bp"))
+    rebuildLines(lines, boiler)
+  }
+
+  /** Exploded line view shared by the line-dedup family: one
+    * `(doc_id, pos, line, lh)` row per line, `lh` the line's 128-bit md5.
+    * NULL-text rows are dropped explicitly (the tfidfTopK convention):
+    * posexplode over a null array would silently drop them anyway, so the
+    * filter makes the contract visible rather than incidental. Empty text
+    * is a real (single empty line) document and flows through.
+    */
+  private def docLines(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+
+  /** Shared rebuild: anti-lookup the boilerplate set (`(lh, __graft_bp)`,
+    * tiny by construction → AQE broadcasts it), then ONE doc_id shuffle
+    * reuniting each document's surviving lines with the per-doc order
+    * restored by sorting the collected (pos, line) structs in-row.
+    */
+  private def rebuildLines(lines: DataFrame, boiler: DataFrame): DataFrame =
     lines
       .join(boiler, Seq("lh"), "left")
       .withColumn("keep", col("__graft_bp").isNull)
@@ -1052,6 +1065,72 @@ object Dedup {
               x => x.getField("keep")),
             x => x.getField("line")),
           "\n").as("clean_text"))
+
+  /** LINE CENSUS — the maintained corpus-side state of incremental line
+    * dedup: `(lh, n_docs)`, the number of DISTINCT documents each line
+    * hash occurs in. This is an ADDITIVE sketch: two censuses over
+    * disjoint document sets merge by summing `n_docs` per `lh` (each
+    * document is counted in exactly one input), so a production pipeline
+    * maintains it as a running table — append each crawl batch's census,
+    * compact by sum — without ever re-reading the corpus. Hash-sized rows
+    * only; the corpus text never enters the state.
+    */
+  def lineCensus(docs: DataFrame): DataFrame =
+    docLines(docs).groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** INCREMENTAL LINE DEDUP — the crawl-batch shape at line granularity
+    * (completing the incremental family: documents `dedupIncremental`,
+    * embeddings `dedupEmbedIncremental`, images `dedupImagesIncremental`):
+    * a NEW batch of documents is line-deduped against a MAINTAINED corpus
+    * line census ([[lineCensus]]) plus its own lines, without touching
+    * the corpus text. A batch line is boilerplate when its distinct-doc
+    * count across corpus + batch reaches `minDocs` — by the census'
+    * additivity this is EXACTLY the recompute-over-union rule (suite-
+    * pinned), restricted to the batch's documents.
+    *
+    * Scale shape: the batch census aggregates map-side over batch-sized
+    * volume; the corpus census is a static hash-keyed table probed with
+    * batch-census-sized volume (at 100 TB: bucket the census table by
+    * `lh` once, every batch joins shuffle-free); the merged boilerplate
+    * set stays tiny, so the removal lookup broadcasts; the rebuild
+    * shuffles batch lines only. Corpus cost per batch: census-table
+    * probe, never a corpus scan.
+    *
+    * `corpusCensus` must be a `(lh, n_docs)` frame (any source: a
+    * [[lineCensus]] call, or the maintained running table). Output per
+    * batch document: the [[dedupLinesOn]] shape. Unordered.
+    */
+  def dedupLinesIncrementalOn(corpusCensus: DataFrame, batch: DataFrame,
+      minDocs: Long): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = docLines(batch)
+    val batchCensus = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("n_batch"))
+    val boiler = batchCensus
+      .join(corpusCensus.select(col("lh"), col("n_docs").as("n_corpus")),
+        Seq("lh"), "left")
+      .filter(col("n_batch") + coalesce(col("n_corpus"), lit(0L)) >= minDocs)
+      .select(col("lh"), lit(true).as("__graft_bp"))
+    rebuildLines(lines, boiler)
+  }
+
+  /** `dedup_lines_incremental` checked key: the parity split (even doc_id
+    * = existing corpus, odd = incoming batch — the `dedup_incremental`
+    * convention) over the line-structured corpus; the batch is deduped
+    * against the corpus' [[lineCensus]]. By census additivity the result
+    * equals [[dedupLines]] restricted to odd documents — which is exactly
+    * what the DuckDB twin computes (full-union census, odd-doc rebuild).
+    */
+  def dedupLinesIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = lineStructured(table(spark, sfDir, "documents"))
+    dedupLinesIncrementalOn(
+      lineCensus(all.filter(col("doc_id") % 2 === 0)),
+      all.filter(col("doc_id") % 2 === 1),
+      LineMinDocs)
+      .select(col("doc_id"), col("n_lines_in"), col("n_lines_kept"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
   }
 
   /** `dedup_lines` checked key: [[dedupLinesOn]] over the line-structured
@@ -1283,6 +1362,33 @@ object Dedup {
        |  FROM v)""".stripMargin
   }
 
+  /** Shared CTE chain rebuilding the planted line structure, censusing
+    * lines by md5 with the distinct-doc threshold, and flagging keeps —
+    * the common prefix of the `dedup_lines` and `dedup_lines_incremental`
+    * twins (which differ only in which documents they reassemble).
+    */
+  private val lineSqlCtes: String =
+    """d AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+      |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+      |      AS BIGINT), 1) AS nc
+      |  FROM documents WHERE text IS NOT NULL),
+      |lines AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+      |    'nav ' || source || ' home login' AS line FROM d
+      |  UNION ALL
+      |  SELECT doc_id, i + 1,
+      |    array_to_string(t[(i*10+1) : (i*10+10)], ' ')
+      |  FROM d, UNNEST(range(0, nc)) AS u(i)
+      |  UNION ALL
+      |  SELECT doc_id, nc + 1, 'copyright footer ' || lang FROM d),
+      |bp AS (
+      |  SELECT md5(line) AS lh FROM lines
+      |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
+      |k AS (
+      |  SELECT l.doc_id, l.pos, l.line, bp.lh IS NULL AS keep
+      |  FROM lines l LEFT JOIN bp ON md5(l.line) = bp.lh)""".stripMargin
+
   /** Shared CTE chain (used inside a `WITH RECURSIVE`) computing the
     * near-dup transitive closure in DuckDB: exact all-pairs 3-gram Jaccard
     * edges at ≥ 0.5, symmetric closure by recursive reachability, and the
@@ -1400,32 +1506,27 @@ object Dedup {
     // with a distinct-doc threshold, and reassemble surviving lines with
     // string_agg ORDER BY pos (Spark: in-row array_sort of (pos, line))
     "dedup_lines" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
-        |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
-        |      AS BIGINT), 1) AS nc
-        |  FROM documents WHERE text IS NOT NULL),
-        |lines AS (
-        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
-        |    'nav ' || source || ' home login' AS line FROM d
-        |  UNION ALL
-        |  SELECT doc_id, i + 1,
-        |    array_to_string(t[(i*10+1) : (i*10+10)], ' ')
-        |  FROM d, UNNEST(range(0, nc)) AS u(i)
-        |  UNION ALL
-        |  SELECT doc_id, nc + 1, 'copyright footer ' || lang FROM d),
-        |bp AS (
-        |  SELECT md5(line) AS lh FROM lines
-        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 5),
-        |k AS (
-        |  SELECT l.doc_id, l.pos, l.line, bp.lh IS NULL AS keep
-        |  FROM lines l LEFT JOIN bp ON md5(l.line) = bp.lh)
+      s"""WITH $lineSqlCtes
         |SELECT doc_id,
         |  count(*) AS n_lines_in,
         |  count(*) FILTER (WHERE keep) AS n_lines_kept,
         |  coalesce(string_agg(line, chr(10) ORDER BY pos)
         |    FILTER (WHERE keep), '') AS clean_text
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the incremental form's contract IS recompute-over-union restricted
+    // to the batch (census additivity), so the twin runs the identical
+    // full-corpus census and rebuilds only the odd (batch) documents —
+    // an independent proof that the corpus-census + batch-census merge
+    // path changes nothing about the decision rule
+    "dedup_lines_incremental" ->
+      s"""WITH $lineSqlCtes
+        |SELECT doc_id,
+        |  count(*) AS n_lines_in,
+        |  count(*) FILTER (WHERE keep) AS n_lines_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k WHERE doc_id % 2 = 1
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // recall certificate — see Similarity.recallCertificate's scaladoc
     "dedup_embed" ->
       """SELECT count(*) AS n_probes, 1 AS k,

@@ -257,6 +257,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lines_incremental: census merges additively and equals the" +
+      " recompute over the union") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    val lineGen = Gen.oneOf("nav bar", "footer", "body x", "body y",
+      "body z", "unique spice")
+    val docGen = Gen.choose(1, 6).flatMap(k => Gen.listOfN(k, lineGen))
+    val minDocs = 3L
+    samples(Gen.listOfN(10, docGen), 5).foreach { raw =>
+      val docs = raw.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n"))
+      }
+      val all = docs.toDF("doc_id", "text")
+      val corpus = all.filter(col("doc_id") % 2 === 0)
+      val batch = all.filter(col("doc_id") % 2 === 1)
+      // census-merge law: census(corpus ∪ batch) = census(corpus) ⊎
+      // census(batch) with n_docs summed per lh (disjoint doc sets)
+      val full = Dedup.lineCensus(all).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val merged = (Dedup.lineCensus(corpus).collect() ++
+        Dedup.lineCensus(batch).collect())
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(merged == full, "census additivity broken")
+      // incremental == recompute-over-union restricted to the batch
+      val inc = Dedup.dedupLinesIncrementalOn(
+        Dedup.lineCensus(corpus), batch, minDocs).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+      val rec = Dedup.dedupLinesOn(all, minDocs)
+        .filter(col("doc_id") % 2 === 1).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+      assert(inc == rec, "incremental diverges from recompute")
+    }
+  }
+
   test("randomSplit partitions any input: disjoint, exhaustive") {
     import spark.implicits._
     samples(Gen.zip(Gen.choose(10, 60), Gen.choose(1L, 9999L)), 10)
