@@ -159,6 +159,9 @@ object SparkEntry {
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),
+    // the same frozen scorer with the weight vector shipped as a
+    // broadcast (bucket, weight) table — the 2M-bucket serving shape
+    "quality_score_lm_table" -> (TextAnalysis.qualityScoreLmTable _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)

@@ -571,40 +571,111 @@ object TextAnalysis {
           .as("quality_lm"),
         (col("w_sum_milli") >= 0L).as("keep_lm"))
 
+  /** The frozen harness weight vector as a `(bucket, weight_milli)` config
+    * frame — the artifact shape a REAL model ships in (a fastText bucket
+    * table is a dataset, not source code).
+    */
+  def qualityLmWeightsFrame(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    QualityLmWeights.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) }
+      .toDF("bucket", "weight_milli")
+  }
+
+  /** WEIGHT-TABLE form of the frozen quality scorer — the serving shape
+    * for a REAL hashed-feature model: the 1024-entry plan-literal array
+    * of [[qualityLmSumMilli]] cannot hold a production fastText vector
+    * (2M buckets would blow codegen constant-pool and expression-tree
+    * limits — the exact failure mode `mix_sample`'s frame-weights
+    * overload already solved for source weights), so the weights arrive
+    * as a `(bucket, weight_milli)` frame: tokens hash to buckets IN-ROW,
+    * the weight attaches via a BROADCAST join (hinted — the weight table
+    * is serving-artifact-sized, megabytes even at 2M buckets), and the
+    * per-doc milli sum re-aggregates. Buckets absent from the table carry
+    * weight 0 (a sparse vector's implicit zeros).
+    *
+    * Scale shape vs the literal form: the explode + re-aggregate is NOT
+    * free — but the map-side partial aggregation collapses each
+    * document's tokens back to one row before the exchange (a document's
+    * tokens are row-local), so the doc_id shuffle carries one row per
+    * document, not per token; the weight join itself is broadcast, never
+    * a shuffle. That is the right trade once the vector outgrows a plan
+    * literal. Output is row-identical to [[qualityScoreLm]] on the same
+    * weights (suite-pinned; PlanSpec guards the broadcast).
+    */
+  def qualityScoreLmWeighted(docs: DataFrame, weights: DataFrame,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType),
+          lit(nBuckets.toLong)))
+    val w = weights.select(col("bucket").cast(LongType).as("bucket"),
+      col("weight_milli").cast(LongType).as("weight_milli"))
+    toks.join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight_milli"), lit(0L))).as("w_sum_milli"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("w_sum_milli"),
+        qualityLmScoreFromSum(col("w_sum_milli"), col("n_tokens"))
+          .as("quality_lm"),
+        (col("w_sum_milli") >= 0L).as("keep_lm"))
+  }
+
+  /** `quality_score_lm_table` checked key: [[qualityScoreLmWeighted]]
+    * over the documents corpus with the frozen harness weights shipped
+    * as a frame — graded against the SAME oracle as `quality_score_lm`
+    * (the two forms are contractually row-identical), so the hash gate
+    * proves the explode → broadcast-lookup → re-aggregate path changes
+    * nothing about the model.
+    */
+  def qualityScoreLmTable(spark: SparkSession, sfDir: String): DataFrame =
+    qualityScoreLmWeighted(table(spark, sfDir, "documents"),
+      qualityLmWeightsFrame(spark), QualityLmBuckets)
+      .orderBy(col("doc_id"))
+
+  // independent recompute of the frozen scorer: the oracle re-derives
+  // bucket membership from the generating rule (md5 60-bit bucket of
+  // each stopword feature) instead of reading the shipped weight array,
+  // so a drifted vector or a wrong lookup index fails the hash; sums
+  // are exact BIGINT milli-units, the division is rounded to 9 dp
+  // before exp on both engines (the ngram_lm_score libm discipline)
+  private val qualityLmSql: String =
+    """WITH sb AS (
+      |  SELECT DISTINCT
+      |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 1024
+      |      AS b
+      |  FROM (VALUES ('the'), ('a'), ('of'), ('and'), ('to'), ('in'),
+      |               ('is')) AS v(s)),
+      |tok AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |    unnest(string_split(text, ' ')) AS tk
+      |  FROM documents WHERE text IS NOT NULL),
+      |tw AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN (CAST(concat('0x', substring(md5(tk), 1, 15))
+      |                 AS BIGINT) % 1024) IN (SELECT b FROM sb)
+      |         THEN 1000 ELSE -200 END AS wt
+      |  FROM tok),
+      |s AS (
+      |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |    CAST(SUM(wt) AS BIGINT) AS w_sum_milli
+      |  FROM tw GROUP BY doc_id, n_tokens)
+      |SELECT doc_id, n_tokens, w_sum_milli,
+      |  ROUND(1.0 / (1.0 + EXP(-ROUND(
+      |    CAST(w_sum_milli AS DOUBLE) * 4.0 / (n_tokens * 1000.0), 9))),
+      |    6) AS quality_lm,
+      |  w_sum_milli >= 0 AS keep_lm
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // independent recompute of the frozen scorer: the oracle re-derives
-    // bucket membership from the generating rule (md5 60-bit bucket of
-    // each stopword feature) instead of reading the shipped weight array,
-    // so a drifted vector or a wrong lookup index fails the hash; sums
-    // are exact BIGINT milli-units, the division is rounded to 9 dp
-    // before exp on both engines (the ngram_lm_score libm discipline)
-    "quality_score_lm" ->
-      """WITH sb AS (
-        |  SELECT DISTINCT
-        |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 1024
-        |      AS b
-        |  FROM (VALUES ('the'), ('a'), ('of'), ('and'), ('to'), ('in'),
-        |               ('is')) AS v(s)),
-        |tok AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |    unnest(string_split(text, ' ')) AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |tw AS (
-        |  SELECT doc_id, n_tokens,
-        |    CASE WHEN (CAST(concat('0x', substring(md5(tk), 1, 15))
-        |                 AS BIGINT) % 1024) IN (SELECT b FROM sb)
-        |         THEN 1000 ELSE -200 END AS wt
-        |  FROM tok),
-        |s AS (
-        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |    CAST(SUM(wt) AS BIGINT) AS w_sum_milli
-        |  FROM tw GROUP BY doc_id, n_tokens)
-        |SELECT doc_id, n_tokens, w_sum_milli,
-        |  ROUND(1.0 / (1.0 + EXP(-ROUND(
-        |    CAST(w_sum_milli AS DOUBLE) * 4.0 / (n_tokens * 1000.0), 9))),
-        |    6) AS quality_lm,
-        |  w_sum_milli >= 0 AS keep_lm
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "quality_score_lm" -> qualityLmSql,
+    // the weight-table form is contractually row-identical to the
+    // literal form, so it is graded against the IDENTICAL independent
+    // recompute — a hash mismatch isolates the lookup-join path
+    "quality_score_lm_table" -> qualityLmSql,
     // identical in-row n-gram construction and counting (DuckDB lists are
     // 1-based; range(1, n) is exclusive-stop, so bigram i pairs w[i] with
     // w[i+1] exactly like the Spark side's sequence over 0-based offsets)

@@ -120,6 +120,28 @@ class ExtensionsSpec extends SparkSpec {
     assert(composed.nonEmpty)
   }
 
+  test("quality_score_lm_table: weight-table form is row-identical to" +
+      " the plan-literal form, and sparse tables default to weight 0") {
+    import spark.implicits._
+    val literal = TextAnalysis.qualityScoreLm(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    val table = TextAnalysis.qualityScoreLmTable(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(table == literal)
+    // sparse-vector semantics: buckets absent from the table carry
+    // weight 0 — an empty table scores every doc sum 0 / sigmoid 0.5
+    val docs = Seq((1L, "any words here")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("bucket", "weight_milli")
+    val out = TextAnalysis.qualityScoreLmWeighted(docs, empty, 1024)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("w_sum_milli") == 0L)
+    assert(out(0).getAs[Double]("quality_lm") == 0.5)
+    assert(out(0).getAs[Boolean]("keep_lm"))
+  }
+
   test("mm_phash: jpeg re-encode twins hash within hamming 3 of their png") {
     import spark.implicits._
     val assets = Multimodal.noiseAssets(spark, sf)

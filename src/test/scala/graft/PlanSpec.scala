@@ -34,6 +34,17 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("quality_score_lm_table broadcasts the weight table and shuffles" +
+      " one row per document") {
+    // the weight lookup must be a BroadcastHashJoin (never a sort-merge
+    // over corpus tokens) and the doc re-aggregate must plan a map-side
+    // partial HashAggregate before its exchange
+    val p = plan("quality_score_lm_table")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("filter_eq pushes its predicate into the parquet scan") {
     val p = plan("filter_eq")
     assert(p.contains("PushedFilters: ["), p)
