@@ -156,6 +156,9 @@ object SparkEntry {
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
+    // main-content extraction from markup (the trafilatura/jusText slot:
+    // title + paragraph text kept, nav/footer/script dropped, tags stripped)
+    "extract_main_text" -> (TextAnalysis.extractMainText _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

@@ -571,6 +571,79 @@ object TextAnalysis {
           .as("quality_lm"),
         (col("w_sum_milli") >= 0L).as("keep_lm"))
 
+  /** HTML-structured view of the documents corpus for `extract_main_text`
+    * — the deterministic markup planting (the `lineStructured` pattern):
+    * head with `<title>` (the doc's first 3 tokens) and a `<script>`
+    * block, `<nav>` boilerplate, the doc's tokens chunked into
+    * 10-token `<p>` paragraphs, `<footer>` boilerplate. Two degenerate
+    * shapes are planted BY RULE so the extractor is exercised on them at
+    * every scale: docs with `doc_id % 13 = 0` carry an EMPTY body (no
+    * paragraphs at all — nav straight into footer), and docs with
+    * `doc_id % 7 = 0` carry NESTED inline markup (`<b>…</b>` wrapping
+    * their first paragraph's text). Pure in-row projection; NULL text
+    * drops here (the family convention).
+    */
+  private[graft] def htmlStructured(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = greatest(ceil(size(toks) / lit(10.0)), lit(1L))
+    val paras = when(col("doc_id") % 13 === 0,
+        array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(0L), nChunks - 1), i => {
+        val c = array_join(slice(toks, (i * 10 + 1).cast(IntegerType),
+          lit(10)), " ")
+        concat(lit("<p>"),
+          when(col("doc_id") % 7 === 0 && i === 0,
+            concat(lit("<b>"), c, lit("</b>"))).otherwise(c),
+          lit("</p>"))
+      }))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(
+          lit("<html><head><title>"),
+          array_join(slice(toks, 1, 3), " "),
+          lit("</title><script>var t = 1;</script></head><body><nav>"),
+          col("source"), lit(" home login</nav>"),
+          array_join(paras, ""),
+          lit("<footer>copyright "), col("lang"),
+          lit("</footer></body></html>")).as("html"))
+  }
+
+  /** MAIN-CONTENT EXTRACTION from markup — the trafilatura/jusText slot
+    * of a crawl pipeline, the one text op every web-scale corpus build
+    * runs before any quality or dedup stage: keep the `<title>` and the
+    * `<p>` paragraph text (inline tags stripped), drop everything else —
+    * nav, footers, scripts — by construction rather than by blocklist.
+    * Output per page: (doc_id, title, n_paragraphs, main_text) with
+    * paragraphs joined by newline in document order, '' when the body
+    * carries none. Unordered.
+    *
+    * Scale shape: three codegen'd regex expressions inside the scan
+    * stage — zero shuffle, no DOM parse, no UDF. A production variant
+    * swaps richer patterns (block-level tag classes, text-density
+    * scoring) into the same plan shape.
+    */
+  def extractMainTextOn(pages: DataFrame): DataFrame = {
+    val paras = regexp_extract_all(col("html"), lit("<p>(.*?)</p>"), lit(1))
+    pages.select(
+      col("doc_id"),
+      regexp_extract(col("html"), "<title>(.*?)</title>", 1).as("title"),
+      size(paras).cast(LongType).as("n_paragraphs"),
+      array_join(
+        transform(paras, p => regexp_replace(p, lit("<[^>]*>"), lit(""))),
+        "\n").as("main_text"))
+  }
+
+  /** `extract_main_text` checked key: [[extractMainTextOn]] over the
+    * HTML-structured corpus. The DuckDB twin never touches markup at
+    * all — it recomputes the EXPECTED title/paragraphs straight from the
+    * planting rule (first-3-token title, 10-token chunks, the %13 empty
+    * bodies, nested tags stripped), so the hash gate proves the regex
+    * extraction inverts the generation exactly.
+    */
+  def extractMainText(spark: SparkSession, sfDir: String): DataFrame =
+    extractMainTextOn(htmlStructured(table(spark, sfDir, "documents")))
+      .orderBy(col("doc_id"))
+
   /** The frozen harness weight vector as a `(bucket, weight_milli)` config
     * frame — the artifact shape a REAL model ships in (a fastText bucket
     * table is a dataset, not source code).
@@ -676,6 +749,33 @@ object TextAnalysis {
     // literal form, so it is graded against the IDENTICAL independent
     // recompute — a hash mismatch isolates the lookup-join path
     "quality_score_lm_table" -> qualityLmSql,
+    // generation-rule twin: no regex, no markup — the expected output is
+    // rebuilt directly from the planting arithmetic (first-3-token
+    // title, 10-token paragraph chunks, %13 empty bodies; the %7 nested
+    // <b> wrap strips back to the plain chunk, so it never appears
+    // here), proving the Spark side's regex extraction inverts the
+    // generation exactly
+    "extract_main_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+        |      AS BIGINT), 1) AS nc
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[(i*10+1) : (i*10+10)], ' ') AS para
+        |  FROM d, UNNEST(range(0, nc)) AS u(i)
+        |  WHERE doc_id % 13 != 0),
+        |a AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+        |    string_agg(para, chr(10) ORDER BY i) AS main_text
+        |  FROM p GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  array_to_string(t[1:3], ' ') AS title,
+        |  coalesce(a.n_paragraphs, 0) AS n_paragraphs,
+        |  coalesce(a.main_text, '') AS main_text
+        |FROM d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // identical in-row n-gram construction and counting (DuckDB lists are
     // 1-based; range(1, n) is exclusive-stop, so bigram i pairs w[i] with
     // w[i+1] exactly like the Spark side's sequence over 0-based offsets)

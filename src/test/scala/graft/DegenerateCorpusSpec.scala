@@ -240,6 +240,36 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(out(3L) == ((1L, 0L, 1L, "")))            // [''] round-trips
   }
 
+  test("extract_main_text handles empty bodies, nested tags, empty and" +
+      " null text") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    // doc 0: %13 AND %7 — empty body wins (no paragraphs to nest in);
+    // doc 7: nested <b> in its first paragraph, stripped on extraction;
+    // doc 13: empty body; doc 1: ordinary; doc 2: empty text (one empty
+    // paragraph); doc 3: null text (dropped)
+    val docs = Seq(
+      (0L, "zero doc body text"), (7L, "seven doc has nested bold tags"),
+      (13L, "thirteen doc body"), (1L, "one plain body"), (2L, ""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val html = TextAnalysis.htmlStructured(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(html(7L).contains("<p><b>seven doc has nested bold tags</b></p>"))
+    assert(!html(0L).contains("<p>") && !html(13L).contains("<p>"))
+    val out = TextAnalysis.extractMainTextOn(
+      TextAnalysis.htmlStructured(docs)).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+        r.getString(3)))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 7L, 13L))
+    assert(out(0L) == (("zero doc body", 0L, "")))
+    assert(out(13L) == (("thirteen doc body", 0L, "")))
+    assert(out(7L) == (("seven doc has", 1L, "seven doc has nested bold tags")))
+    assert(out(1L) == (("one plain body", 1L, "one plain body")))
+    assert(out(2L) == (("", 1L, "")))
+  }
+
   test("corr_matrix emits null for zero-variance pairs instead of aborting") {
     import spark.implicits._
     import graft.ops.Lifecycle

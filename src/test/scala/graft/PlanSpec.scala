@@ -27,7 +27,9 @@ class PlanSpec extends SparkSpec {
       "docFingerprint" -> TextAnalysis.docFingerprint(docs),
       "repetitionStats" -> TextAnalysis.repetitionStats(docs),
       "textRedact" -> TextAnalysis.textRedact(
-        graft.Tables.table(spark, sf, "events"), "event_id", "props"))
+        graft.Tables.table(spark, sf, "events"), "event_id", "props"),
+      "extractMainText" -> TextAnalysis.extractMainTextOn(
+        TextAnalysis.htmlStructured(docs)))
       .foreach { case (name, df) =>
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
