@@ -153,6 +153,8 @@ object SparkEntry {
     "lang_id" -> (TextAnalysis.langId _),
     "token_count" -> (TextAnalysis.tokenCount _),
     "token_count_bpe" -> (TextAnalysis.tokenCountBpe _),
+    // the TRUE frozen-BPE encoder: merge-table walk emitting token ids
+    "tokenize_bpe" -> (TextAnalysis.tokenizeBpe _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),

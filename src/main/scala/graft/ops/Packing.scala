@@ -117,6 +117,20 @@ object Packing {
     packSequences(counts, budget, nShards)
   }
 
+  /** TRUE-tokenizer budget mode: counts from the frozen-BPE ENCODER
+    * ([[TextAnalysis.tokenizeBpe]]'s `n_tokens` — an actual merge-table
+    * walk, not the ⌈len/4⌉ approximation), so the packed sequences'
+    * budgets are faithful to the id streams a trainer loads. Same span
+    * arithmetic, same laws (PackingSpec pins conservation and the fixed
+    * budget under this mode too); only the count column differs.
+    */
+  def packDocumentsTokenized(spark: SparkSession, sfDir: String, budget: Int,
+      nShards: Int = 32): DataFrame =
+    packSequences(
+      TextAnalysis.tokenizeBpe(table(spark, sfDir, "documents"))
+        .select(col("doc_id"), col("n_tokens")),
+      budget, nShards)
+
   /** Graded budget/shard count: 1024-token sequences over 8 streams gives
     * every shard multiple full sequences plus a ragged tail at sf0.01 —
     * both laws (fixed budget, token conservation) are exercised.

@@ -369,6 +369,32 @@ object TextAnalysis {
           p => array_contains(array(SubwordVocab.map(lit(_)): _*), lower(p))))
         ).as("n_fallback_tokens"))
 
+  /** `tokenize_bpe` checked key: the TRUE frozen-BPE encoder
+    * ([[graft.functions.BpeTokenizer]] — a real merge-table walk emitting
+    * token IDS) over the documents corpus. Where `token_count_bpe` prices
+    * OOV with a closed-form ⌈len/4⌉, here the cost structure emerges
+    * from the merge rules themselves, and the output is what a trainer's
+    * loader actually consumes: per document, piece count, token count,
+    * `<unk>` count, and the id sequence (space-joined — hash-stable).
+    * Scale shape: a native codegen'd scan-stage projection, zero shuffle
+    * (plan-guarded with the rest of the per-document family).
+    */
+  def tokenizeBpe(spark: SparkSession, sfDir: String): DataFrame =
+    tokenizeBpe(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: frozen-BPE encoding over any `(doc_id, text)` frame —
+    * unordered; NULL-text rows drop (the family convention).
+    */
+  def tokenizeBpe(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .withColumn("enc",
+        graft.functions.BpeTokenizer.bpeEncode(col("text")))
+      .select(col("doc_id"),
+        col("enc.n_pieces").as("n_pieces"),
+        col("enc.n_tokens").as("n_tokens"),
+        col("enc.n_unk").as("n_unk"),
+        col("enc.token_ids").as("token_ids"))
+
   /** Per-document top-3 TF-IDF terms — the standard distinctive-term
     * scorer a curation pipeline uses for topic tagging and boilerplate
     * detection.
@@ -744,6 +770,11 @@ object TextAnalysis {
       |FROM s ORDER BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the full merge-walk recompute, GENERATED from the same frozen
+    // merge table and vocabulary as the Spark expression (one list_reduce
+    // scan per rule — see BpeTokenizer.oracleSqlFor)
+    "tokenize_bpe" ->
+      graft.functions.BpeTokenizer.oracleSqlFor("documents"),
     "quality_score_lm" -> qualityLmSql,
     // the weight-table form is contractually row-identical to the
     // literal form, so it is graded against the IDENTICAL independent

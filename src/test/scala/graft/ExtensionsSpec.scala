@@ -142,6 +142,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(out(0).getAs[Boolean]("keep_lm"))
   }
 
+  test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
+      " exactly") {
+    import spark.implicits._
+    import graft.functions.BpeTokenizer.{BaseSymbols, Merges, Vocab}
+    // BPE training invariant: every rule's operands are base symbols or
+    // outputs of STRICTLY earlier rules (this is what makes sequential
+    // rank-order application equal the lowest-rank-present algorithm)
+    Merges.zipWithIndex.foreach { case ((a, b), r) =>
+      val earlier = BaseSymbols.toSet ++
+        Merges.take(r).map { case (x, y) => x + y }
+      assert(earlier.contains(a), s"rule $r left '$a' not yet created")
+      assert(earlier.contains(b), s"rule $r right '$b' not yet created")
+      // the oracle's simultaneous-replacement formulation requires it
+      assert(a != b, s"rule $r has equal operands")
+    }
+    // unique ids: outputs pairwise distinct and disjoint from the base
+    assert(Vocab.distinct.length == Vocab.length)
+    // hand-checked encodings (ids are vocab indices)
+    val idOf = Vocab.zipWithIndex.toMap
+    val out = graft.ops.TextAnalysis.tokenizeBpe(
+      Seq((1L, "The TABLE value"), (2L, "köln!"), (3L, ""))
+        .toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(out(1L) == ((3L, 3L, 0L,
+      Seq("the", "table", "value").map(idOf).mkString(" "))))
+    // 'ö' and '!' fall outside the base alphabet → <unk> (id 0)
+    assert(out(2L) == ((2L, 5L, 2L,
+      Seq(idOf("k"), 0, idOf("l"), idOf("n"), 0).mkString(" "))))
+    // empty text: zero pieces, empty id string
+    assert(out(3L) == ((0L, 0L, 0L, "")))
+  }
+
   test("mm_phash: jpeg re-encode twins hash within hamming 3 of their png") {
     import spark.implicits._
     val assets = Multimodal.noiseAssets(spark, sf)

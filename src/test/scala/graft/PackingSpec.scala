@@ -80,6 +80,41 @@ class PackingSpec extends SparkSpec {
     } finally packed.unpersist()
   }
 
+  test("true-BPE-mode packing conserves the ENCODER's token budget") {
+    // the tokenize_bpe pairing: budgets driven by the real merge-walk
+    // counts, so span sums must equal the encoder's n_tokens per doc and
+    // every non-tail sequence must cut at exactly the budget
+    val budget = 256
+    val packed = Packing.packDocumentsTokenized(spark, sf, budget,
+      nShards = 4).cache()
+    try {
+      val tc = graft.ops.TextAnalysis
+        .tokenizeBpe(Tables.table(spark, sf, "documents"))
+        .select(col("doc_id"), col("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val perDoc = packed.groupBy("doc_id").agg(sum("span_len").as("s"))
+        .join(tc, Seq("doc_id"), "full")
+      assert(perDoc.filter(col("s").isNull || col("n_tokens").isNull ||
+        col("s") =!= col("n_tokens")).count() == 0)
+      val seqLen = packed.groupBy("shard", "seq_id")
+        .agg(sum("span_len").as("len"))
+      val lastSeq = seqLen.groupBy("shard").agg(max("seq_id").as("last"))
+      assert(seqLen.join(lastSeq, "shard")
+        .filter(col("seq_id") =!= col("last") && col("len") =!= budget)
+        .count() == 0, "non-tail sequence not at full budget")
+      // the encoder's counts genuinely differ from the ⌈len/4⌉ subword
+      // approximation on this corpus (the mode switch is real)
+      val approx = graft.ops.TextAnalysis
+        .tokenCountBpe(Tables.table(spark, sf, "documents"))
+        .select(col("doc_id"), col("n_subword_tokens"))
+      val exact = graft.ops.TextAnalysis
+        .tokenizeBpe(Tables.table(spark, sf, "documents"))
+        .select(col("doc_id"), col("n_tokens"))
+      assert(approx.join(exact, "doc_id")
+        .filter(col("n_subword_tokens") =!= col("n_tokens")).count() > 0)
+    } finally packed.unpersist()
+  }
+
   test("packing equals the sequential per-shard fold on a random corpus") {
     val rnd = new scala.util.Random(9L)
     // includes zero-token documents (must be dropped) and budget-straddling

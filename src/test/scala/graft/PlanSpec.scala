@@ -29,7 +29,8 @@ class PlanSpec extends SparkSpec {
       "textRedact" -> TextAnalysis.textRedact(
         graft.Tables.table(spark, sf, "events"), "event_id", "props"),
       "extractMainText" -> TextAnalysis.extractMainTextOn(
-        TextAnalysis.htmlStructured(docs)))
+        TextAnalysis.htmlStructured(docs)),
+      "tokenizeBpe" -> TextAnalysis.tokenizeBpe(docs))
       .foreach { case (name, df) =>
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("Exchange"), s"$name shuffles:\n$p")

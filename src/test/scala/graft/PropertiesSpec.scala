@@ -185,6 +185,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_bpe: sequential merge walk equals the iterative" +
+      " lowest-rank-present reference on arbitrary strings") {
+    import spark.implicits._
+    import graft.functions.BpeTokenizer.{Merges, Vocab}
+    // independent reference: the GPT-2-shaped algorithm — repeatedly
+    // merge ALL occurrences of the lowest-rank pair PRESENT (index-skip
+    // scan, structurally different from the expression's pend-scan),
+    // until no rule applies
+    def ref(piece: String): Seq[String] = {
+      var syms = piece.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        Merges.find { case (a, b) =>
+          (0 until syms.length - 1).exists(i =>
+            syms(i) == a && syms(i + 1) == b)
+        } match {
+          case None => done = true
+          case Some((a, b)) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += a + b; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            syms = out.result()
+        }
+      }
+      syms
+    }
+    val vocabIdx = Vocab.zipWithIndex.toMap
+    // chars drawn from the merge rules' own alphabet so deep merge
+    // chains (tab+le, val+ue) occur organically
+    val pieceGen = Gen.choose(1, 12).flatMap(k => Gen.listOfN(k,
+      Gen.oneOf("t", "h", "e", "a", "b", "l", "v", "u", "s", "c", "n",
+        "x")).map(_.mkString))
+    samples(Gen.listOfN(8, pieceGen), 8).foreach { pieces =>
+      val docs = pieces.zipWithIndex
+        .map { case (p, i) => (i.toLong, p) }.toDF("doc_id", "text")
+      val got = graft.ops.TextAnalysis.tokenizeBpe(docs).collect()
+        .map(r => r.getLong(0) -> r.getString(4)).toMap
+      pieces.zipWithIndex.foreach { case (p, i) =>
+        val want = ref(p).map(s => vocabIdx.getOrElse(s, 0)).mkString(" ")
+        assert(got(i.toLong) == want, s"piece '$p'")
+      }
+    }
+  }
+
   test("dedup_spans_strip equals brute-force keeper-rule excision for" +
       " arbitrary corpora") {
     import spark.implicits._
