@@ -138,6 +138,9 @@ object SparkEntry {
     // the full ANN stack composed end-to-end (IVF candidates → int8
     // prescan → exact rerank → keep rule), certified against the exact rule
     "dedup_embed_ivf" -> (Dedup.dedupEmbedIvfChecked _),
+    // SemDeDup: frozen sign-cells → cell-mean centroid → within-cell
+    // τ-pairs → keep the low-centroid-similarity representative
+    "dedup_semantic" -> (Dedup.dedupSemantic _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
     // eval-set decontamination (benchmark n-gram overlap gate)

@@ -947,6 +947,120 @@ object Dedup {
       .crossJoin(agree)
   }
 
+  /** Number of sign-bit cells for [[dedupSemanticOn]]: 5 frozen
+    * hyperplanes → 32 cells (the IvfClusters scale at harness size; at
+    * 100 TB raise bits so per-cell membership stays bounded — the cell
+    * count is the quadratic-cost dial).
+    */
+  private[graft] val SemBits = 5
+
+  /** Frozen ±1 hyperplanes (SemBits × dim), derived from md5 parity of
+    * `"sem:<plane>:<dim>"` — data-independent source-frozen geometry
+    * (the QualityLmWeights discipline), interpolated into BOTH engines'
+    * plans from this one constant so they cannot drift.
+    */
+  private[graft] def semHyperplanes(dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until SemBits).map(j => (0 until dim).map { d =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sem:$j:$d".getBytes("UTF-8"))
+      if ((hex(0) & 1) == 0) 1.0 else -1.0
+    })
+
+  /** SEMANTIC CLUSTER-REPRESENTATIVE DEDUP — the SemDeDup shape (Abbas
+    * et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): partition the
+    * embedding space into cells, compare ONLY within a cell (the cell
+    * bound is what makes web-scale semantic dedup tractable — the
+    * quadratic cost is per cell, never corpus-wide), and among each
+    * τ-neighborhood of semantic duplicates keep ONE representative —
+    * following the paper's low-centroid-similarity preference: the
+    * member with the MINIMUM (centroid_similarity, vec_id) in its
+    * one-hop τ-neighborhood keeps (the family's deterministic one-hop
+    * discipline, as in `dedup_embed_incremental`; singletons keep).
+    *
+    * Cells here are frozen-hyperplane sign cells rather than a fitted
+    * k-means coarse quantizer: the geometry is source-frozen
+    * ([[semHyperplanes]]), so the WHOLE decision — cells, cell-mean
+    * centroids, similarities, keep bits — is exactly recomputable by the
+    * DuckDB twin, giving this key a full hash oracle where a fitted
+    * quantizer could only certify. (The IVF-layout composition with a
+    * fitted quantizer is `dedup_embed_ivf`'s territory.)
+    *
+    * Determinism: sign bits and pair cosines compare on 6-dp-rounded
+    * dots (both engines' sequential folds agree far inside the grid);
+    * the cell-mean components are rounded to 9 dp BEFORE the centroid
+    * similarity (cross-row float summation is order-sensitive; the 9-dp
+    * grid absorbs it — the ngram_lm_score discipline. At extreme
+    * per-cell member counts a deployment would switch the mean to
+    * compensated accumulation before the rounding).
+    *
+    * Scale shape: cell assignment is a scan-stage projection (SemBits
+    * in-row dots); the cell means are one map-side-partial aggregate
+    * (dim columns per cell, cells-count rows) broadcast back; the pair
+    * step is a cell-keyed equi-join — the shuffle carries (cell, unit)
+    * rows hashed by cell, and within-cell pairing is bounded by the cell
+    * size dial. One-hop keep needs no iteration.
+    *
+    * Output per embedding: (vec_id, cell, c_sim, n_dup_nbrs, keep).
+    * Unordered; zero-norm vectors are excluded by the family's prep
+    * contract.
+    */
+  def dedupSemanticOn(raw: DataFrame, dim: Int, tau: Double): DataFrame = {
+    import graft.functions.VectorMath
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val planes = semHyperplanes(dim)
+    val v = Similarity.prepped(raw)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+    val cell = (0 until SemBits).map { j =>
+      val h = array(planes(j).map(lit(_)): _*)
+      when(round(VectorMath.dot(col("unit"), h), 6) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val assigned = v.select(col("vec_id"), col("unit"))
+      .withColumn("cell", cell)
+    val meanAggs = (0 until dim).map(d =>
+      round(avg(element_at(col("unit"), d + 1)), 9).as(s"m$d"))
+    val means = assigned.groupBy(col("cell"))
+      .agg(meanAggs.head, meanAggs.tail: _*)
+      .select(col("cell"),
+        array((0 until dim).map(d => col(s"m$d")): _*).as("mean"))
+      .withColumn("mnrm", sqrt(VectorMath.dot(col("mean"), col("mean"))))
+    val withSim = assigned.join(broadcast(means), Seq("cell"))
+      .withColumn("c_sim", when(col("mnrm") > 0.0,
+        round(VectorMath.dot(col("unit"), col("mean")) / col("mnrm"), 6))
+        .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("cell"), col("unit"), col("c_sim"))
+    val a = withSim.select(col("cell"), col("vec_id").as("id_a"),
+      col("unit").as("u_a"), col("c_sim").as("cs_a"))
+    val b = withSim.select(col("cell"), col("vec_id").as("id_b"),
+      col("unit").as("u_b"), col("c_sim").as("cs_b"))
+    val nbrs = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(VectorMath.dot(col("u_a"), col("u_b")), 6) >= tau)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_dup_nbrs"),
+        max(col("cs_b") < col("cs_a") ||
+          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
+          .as("has_better"))
+    withSim.select(col("vec_id"), col("cell"), col("c_sim"))
+      .join(nbrs.select(col("id_a").as("vec_id"), col("n_dup_nbrs"),
+        col("has_better")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("c_sim"),
+        coalesce(col("n_dup_nbrs"), lit(0L)).as("n_dup_nbrs"),
+        coalesce(!col("has_better"), lit(true)).as("keep"))
+  }
+
+  /** `dedup_semantic` checked key: [[dedupSemanticOn]] over the
+    * embeddings table (64-dim) at the embed family's τ. Full hash oracle
+    * — the DuckDB twin recomputes cells, rounded cell means, centroid
+    * similarities, within-cell pairs, and the keep rule from the same
+    * frozen hyperplane constants.
+    */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
+    dedupSemanticOn(table(spark, sfDir, "embeddings"), 64,
+      IncrementalEmbedTau)
+      .orderBy(col("vec_id"))
+
   /** Boilerplate threshold for the `dedup_lines` demo key: a line is
     * boilerplate when it occurs in at least this many DISTINCT documents.
     * Sized between the planted content lines (unique-ish) and the planted
@@ -1420,7 +1534,71 @@ object Dedup {
       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id
       |  FROM reach GROUP BY u)""".stripMargin
 
+  /** Full recompute twin of `dedup_semantic`, generated from the same
+    * frozen hyperplane constants (cells → 9-dp-rounded cell means →
+    * centroid similarity → within-cell τ-pairs → one-hop keep rule).
+    */
+  private def semanticSql: String = {
+    val dim = 64
+    val planes = semHyperplanes(dim)
+    val cellExpr = (0 until SemBits).map { j =>
+      val h = planes(j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN ROUND(list_sum(list_transform(list_zip(unit,
+         |      $h),
+         |      p -> p[1] * p[2])), 6) > 0
+         |      THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    SQRT(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS unit
+       |  FROM v WHERE nrm > 0),
+       |cells AS (
+       |  SELECT vec_id, unit,
+       |    CAST($cellExpr AS BIGINT) AS cell
+       |  FROM u),
+       |dims AS (
+       |  SELECT cell, i AS d, ROUND(avg(unit[i]), 9) AS m
+       |  FROM cells, UNNEST(range(1, $dim + 1)) AS t(i)
+       |  GROUP BY cell, i),
+       |mn AS (
+       |  SELECT cell, list(m ORDER BY d) AS mean FROM dims GROUP BY cell),
+       |mm AS (
+       |  SELECT cell, mean,
+       |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
+       |  FROM mn),
+       |cs AS (
+       |  SELECT c.vec_id, c.cell, c.unit,
+       |    CASE WHEN m.mnrm > 0 THEN
+       |      ROUND(list_sum(list_transform(list_zip(c.unit, m.mean),
+       |        p -> p[1] * p[2])) / m.mnrm, 6)
+       |    ELSE 0.0 END AS c_sim
+       |  FROM cells c JOIN mm m USING (cell)),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, a.c_sim AS cs_a,
+       |    b.vec_id AS id_b, b.c_sim AS cs_b
+       |  FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    p -> p[1] * p[2])), 6) >= $IncrementalEmbedTau),
+       |nb AS (
+       |  SELECT id_a, CAST(count(*) AS BIGINT) AS n_dup_nbrs,
+       |    bool_or(cs_b < cs_a OR (cs_b = cs_a AND id_b < id_a))
+       |      AS has_better
+       |  FROM pairs GROUP BY id_a)
+       |SELECT cs.vec_id, cs.cell, cs.c_sim,
+       |  coalesce(nb.n_dup_nbrs, 0) AS n_dup_nbrs,
+       |  coalesce(NOT nb.has_better, true) AS keep
+       |FROM cs LEFT JOIN nb ON nb.id_a = cs.vec_id
+       |ORDER BY cs.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_semantic" -> semanticSql,
     // exact independent formulation of the span statistics: same in-row
     // 8-gram md5 hashes and >= 2-distinct-docs census; coverage is
     // recomputed the INDEPENDENT way — a per-token-position EXISTS scan
