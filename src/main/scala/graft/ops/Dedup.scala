@@ -1005,19 +1005,29 @@ object Dedup {
     * Unordered; zero-norm vectors are excluded by the family's prep
     * contract.
     */
+  /** Frozen sign-cell id for a unit-vector column: SemBits in-row dots
+    * against [[semHyperplanes]], 6-dp-rounded before the sign test (both
+    * engines' folds agree far inside the grid). Shared by the batch and
+    * incremental semantic keys so the two cannot disagree on geometry.
+    */
+  private[graft] def semCellOf(unit: org.apache.spark.sql.Column,
+      dim: Int): org.apache.spark.sql.Column = {
+    import graft.functions.VectorMath
+    val planes = semHyperplanes(dim)
+    (0 until SemBits).map { j =>
+      val h = array(planes(j).map(lit(_)): _*)
+      when(round(VectorMath.dot(unit, h), 6) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   def dedupSemanticOn(raw: DataFrame, dim: Int, tau: Double): DataFrame = {
     import graft.functions.VectorMath
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val planes = semHyperplanes(dim)
     val v = Similarity.prepped(raw)
       .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
-    val cell = (0 until SemBits).map { j =>
-      val h = array(planes(j).map(lit(_)): _*)
-      when(round(VectorMath.dot(col("unit"), h), 6) > 0.0, lit(1L << j))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
     val assigned = v.select(col("vec_id"), col("unit"))
-      .withColumn("cell", cell)
+      .withColumn("cell", semCellOf(col("unit"), dim))
     val meanAggs = (0 until dim).map(d =>
       round(avg(element_at(col("unit"), d + 1)), 9).as(s"m$d"))
     val means = assigned.groupBy(col("cell"))
@@ -1059,6 +1069,145 @@ object Dedup {
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame =
     dedupSemanticOn(table(spark, sfDir, "embeddings"), 64,
       IncrementalEmbedTau)
+      .orderBy(col("vec_id"))
+
+  /** ADDITIVE per-cell state for the semantic dedup family — the
+    * maintained table a production pipeline keeps between crawl batches:
+    * one row per occupied sign-cell with the member count and the
+    * per-component UNIT-VECTOR SUM. Like the line census
+    * ([[lineCensus]]), this is an additive sketch: the states of two
+    * DISJOINT corpora merge by per-cell `n_members` sum and component-wise
+    * `sums` addition (suite-proven law), so appending a batch never
+    * re-reads the corpus. The serving centroid is
+    * `round(sums / n_members, 9)` — rounded at SERVE time from the exact
+    * running sums, so merge order cannot move the served value off the
+    * 9-dp grid's absorption band.
+    *
+    * Input contract: any (vec_id, embedding) frame; zero-norm vectors are
+    * excluded at the family's shared prep chokepoint.
+    */
+  def semanticCellState(vectors: DataFrame, dim: Int): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    semanticCellStateFrom(
+      Similarity.prepped(vectors)
+        .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+        .select(col("vec_id"), col("unit"))
+        .withColumn("cell", semCellOf(col("unit"), dim)),
+      dim)
+  }
+
+  /** INCREMENTAL SEMANTIC DEDUP — [[dedupSemanticOn]] in the crawl-batch
+    * shape (the family discipline proven for documents, lines,
+    * embeddings, and images): a NEW batch of vectors is screened against
+    * the MAINTAINED corpus cell state ([[semanticCellState]]) and against
+    * itself, entirely within frozen sign-cells. Per batch vector:
+    *
+    *  - `c_sim` — cosine to the CORPUS centroid of its cell (served from
+    *    the state table's running sums; 0.0 when the cell has no corpus
+    *    members — the deterministic cold-cell fallback);
+    *  - `is_dup_corpus` — some corpus member of the cell has cosine ≥ τ
+    *    (the corpus already kept its representatives, so a corpus hit
+    *    always dominates);
+    *  - `is_dup_batch` — not a corpus dup, but some same-cell batch
+    *    τ-neighbor is a BETTER representative under SemDeDup's
+    *    low-centroid-similarity preference (strictly lower `c_sim`, ties
+    *    to the lower vec_id) — the same one-hop rule as the batch key,
+    *    so the two forms cannot drift;
+    *  - `keep` — neither.
+    *
+    * Scale shape: cell assignment is a scan-stage projection for both
+    * sides; the state is one map-side-partial aggregate the pipeline
+    * maintains incrementally (per-batch cost = the BATCH's census plus a
+    * sum-merge against the state table — corpus text volume is never
+    * re-read); the centroid serve is a broadcast of the occupied-cell
+    * means; both pair steps are cell-keyed equi-joins whose shuffles
+    * carry (cell, unit) rows — the per-cell bound (raise SemBits as the
+    * corpus grows) is the quadratic-cost dial, exactly as in the batch
+    * key.
+    *
+    * Output per batch vector: (vec_id, cell, c_sim, n_nbr_corpus,
+    * n_nbr_batch, is_dup_corpus, is_dup_batch, keep). Unordered.
+    */
+  def dedupSemanticIncrementalOn(vectors: DataFrame,
+      isNew: org.apache.spark.sql.Column, dim: Int,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorMath
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val v = Similarity.prepped(vectors)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .withColumn("is_new", isNew)
+      .select(col("vec_id"), col("unit"), col("is_new"))
+      .withColumn("cell", semCellOf(col("unit"), dim))
+    val corpus = v.filter(!col("is_new"))
+    val means = semanticCellStateFrom(corpus, dim)
+      .select(col("cell"),
+        expr("transform(sums, s -> round(s / n_members, 9))").as("mean"))
+      .withColumn("mnrm", sqrt(VectorMath.dot(col("mean"), col("mean"))))
+    val cs = v.filter(col("is_new"))
+      .join(broadcast(means), Seq("cell"), "left")
+      .withColumn("c_sim", when(col("mnrm") > 0.0,
+        round(VectorMath.dot(col("unit"), col("mean")) / col("mnrm"), 6))
+        .otherwise(lit(0.0)))
+      .select(col("vec_id"), col("cell"), col("unit"), col("c_sim"))
+    val nbrCorpus = cs
+      .select(col("cell"), col("vec_id").as("id_a"), col("unit").as("u_a"))
+      .join(corpus.select(col("cell"), col("unit").as("u_b")), Seq("cell"))
+      .filter(round(VectorMath.dot(col("u_a"), col("u_b")), 6) >= tau)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_nbr_corpus"))
+    val a = cs.select(col("cell"), col("vec_id").as("id_a"),
+      col("unit").as("u_a"), col("c_sim").as("cs_a"))
+    val b = cs.select(col("cell"), col("vec_id").as("id_b"),
+      col("unit").as("u_b"), col("c_sim").as("cs_b"))
+    val nbrBatch = a.join(b, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(VectorMath.dot(col("u_a"), col("u_b")), 6) >= tau)
+      .groupBy(col("id_a"))
+      .agg(count(lit(1)).as("n_nbr_batch"),
+        max(col("cs_b") < col("cs_a") ||
+          (col("cs_b") === col("cs_a") && col("id_b") < col("id_a")))
+          .as("has_better"))
+    cs.select(col("vec_id"), col("cell"), col("c_sim"))
+      .join(nbrCorpus.withColumnRenamed("id_a", "vec_id"),
+        Seq("vec_id"), "left")
+      .join(nbrBatch.withColumnRenamed("id_a", "vec_id"),
+        Seq("vec_id"), "left")
+      .withColumn("n_nbr_corpus", coalesce(col("n_nbr_corpus"), lit(0L)))
+      .withColumn("n_nbr_batch", coalesce(col("n_nbr_batch"), lit(0L)))
+      .withColumn("is_dup_corpus", col("n_nbr_corpus") > 0)
+      .withColumn("is_dup_batch",
+        !col("is_dup_corpus") && coalesce(col("has_better"), lit(false)))
+      .select(col("vec_id"), col("cell"), col("c_sim"),
+        col("n_nbr_corpus"), col("n_nbr_batch"), col("is_dup_corpus"),
+        col("is_dup_batch"),
+        (!col("is_dup_corpus") && !col("is_dup_batch")).as("keep"))
+  }
+
+  /** [[semanticCellState]] over an already-prepped (vec_id, unit, cell)
+    * frame — the internal serve path, so the incremental key assigns
+    * cells exactly once per row.
+    */
+  private def semanticCellStateFrom(assigned: DataFrame,
+      dim: Int): DataFrame = {
+    val sumAggs = (0 until dim).map(d =>
+      sum(element_at(col("unit"), d + 1)).as(s"s$d"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"), sumAggs: _*)
+      .select(col("cell"), col("n_members"),
+        array((0 until dim).map(d => col(s"s$d")): _*).as("sums"))
+  }
+
+  /** `dedup_semantic_incremental` checked key: odd vec_ids are the new
+    * batch, even the corpus (the embed family's parity split), dim 64, τ
+    * at the family's harness threshold. Full hash oracle — the DuckDB
+    * twin recomputes cells, the corpus-only state means, centroid
+    * similarities, both neighbor joins, and the keep rule from the same
+    * frozen constants.
+    */
+  def dedupSemanticIncremental(spark: SparkSession,
+      sfDir: String): DataFrame =
+    dedupSemanticIncrementalOn(table(spark, sfDir, "embeddings"),
+      col("vec_id") % 2 === 1, 64, IncrementalEmbedTau)
       .orderBy(col("vec_id"))
 
   /** Boilerplate threshold for the `dedup_lines` demo key: a line is
@@ -1597,8 +1746,85 @@ object Dedup {
        |ORDER BY cs.vec_id""".stripMargin
   }
 
+  /** Full recompute twin of `dedup_semantic_incremental`: same frozen
+    * cells, corpus-only state means served as round(sum/n, 9), centroid
+    * similarity with the cold-cell 0.0 fallback, the corpus and batch
+    * neighbor joins, and the one-hop keep rule.
+    */
+  private def semanticIncrementalSql: String = {
+    val dim = 64
+    val planes = semHyperplanes(dim)
+    val cellExpr = (0 until SemBits).map { j =>
+      val h = planes(j).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ", ", "]")
+      s"""(CASE WHEN ROUND(list_sum(list_transform(list_zip(unit,
+         |      $h),
+         |      p -> p[1] * p[2])), 6) > 0
+         |      THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString(" +\n    ")
+    s"""WITH v AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    SQRT(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS unit
+       |  FROM v WHERE nrm > 0),
+       |cells AS (
+       |  SELECT vec_id, unit,
+       |    CAST($cellExpr AS BIGINT) AS cell,
+       |    (vec_id % 2 = 1) AS is_new
+       |  FROM u),
+       |st AS (
+       |  SELECT cell, i AS d,
+       |    ROUND(sum(unit[i]) / count(*), 9) AS m
+       |  FROM cells, UNNEST(range(1, $dim + 1)) AS t(i)
+       |  WHERE NOT is_new GROUP BY cell, i),
+       |mn AS (
+       |  SELECT cell, list(m ORDER BY d) AS mean FROM st GROUP BY cell),
+       |mm AS (
+       |  SELECT cell, mean,
+       |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
+       |  FROM mn),
+       |cs AS (
+       |  SELECT c.vec_id, c.cell, c.unit,
+       |    CASE WHEN m.mnrm > 0 THEN
+       |      ROUND(list_sum(list_transform(list_zip(c.unit, m.mean),
+       |        p -> p[1] * p[2])) / m.mnrm, 6)
+       |    ELSE 0.0 END AS c_sim
+       |  FROM cells c LEFT JOIN mm m USING (cell)
+       |  WHERE c.is_new),
+       |pc AS (
+       |  SELECT a.vec_id AS id_a, CAST(count(*) AS BIGINT) AS n
+       |  FROM cs a JOIN cells b ON a.cell = b.cell AND NOT b.is_new
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    p -> p[1] * p[2])), 6) >= $IncrementalEmbedTau
+       |  GROUP BY a.vec_id),
+       |pb AS (
+       |  SELECT a.vec_id AS id_a, CAST(count(*) AS BIGINT) AS n,
+       |    bool_or(b.c_sim < a.c_sim OR
+       |      (b.c_sim = a.c_sim AND b.vec_id < a.vec_id)) AS has_better
+       |  FROM cs a JOIN cs b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    p -> p[1] * p[2])), 6) >= $IncrementalEmbedTau
+       |  GROUP BY a.vec_id)
+       |SELECT cs.vec_id, cs.cell, cs.c_sim,
+       |  coalesce(pc.n, 0) AS n_nbr_corpus,
+       |  coalesce(pb.n, 0) AS n_nbr_batch,
+       |  coalesce(pc.n, 0) > 0 AS is_dup_corpus,
+       |  (coalesce(pc.n, 0) = 0 AND coalesce(pb.has_better, false))
+       |    AS is_dup_batch,
+       |  (coalesce(pc.n, 0) = 0 AND NOT coalesce(pb.has_better, false))
+       |    AS keep
+       |FROM cs LEFT JOIN pc ON pc.id_a = cs.vec_id
+       |LEFT JOIN pb ON pb.id_a = cs.vec_id
+       |ORDER BY cs.vec_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "dedup_semantic" -> semanticSql,
+    "dedup_semantic_incremental" -> semanticIncrementalSql,
     // exact independent formulation of the span statistics: same in-row
     // 8-gram md5 hashes and >= 2-distinct-docs census; coverage is
     // recomputed the INDEPENDENT way — a per-token-position EXISTS scan
