@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
 import graft.ops.{Curation, Dedup, Lifecycle, MLOps, Multimodal, Packing,
-  Relational, Similarity, Sketches, Sources, Temporal, TextAnalysis}
+  Relational, Similarity, Sketches, Sources, Temporal, TextAnalysis, Web}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -141,6 +141,7 @@ object SparkEntry {
     // SemDeDup: frozen sign-cells → cell-mean centroid → within-cell
     // τ-pairs → keep the low-centroid-similarity representative
     "dedup_semantic" -> (Dedup.dedupSemantic _),
+    "dedup_semantic_incremental" -> (Dedup.dedupSemanticIncremental _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
     // eval-set decontamination (benchmark n-gram overlap gate)
@@ -164,6 +165,8 @@ object SparkEntry {
     // main-content extraction from markup (the trafilatura/jusText slot:
     // title + paragraph text kept, nav/footer/script dropped, tags stripped)
     "extract_main_text" -> (TextAnalysis.extractMainText _),
+    "url_normalize" -> (Web.urlNormalize _),
+    "dedup_url" -> (Web.dedupUrl _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),
@@ -224,6 +227,7 @@ object SparkEntry {
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
-      Curation.oracleSql ++ Temporal.oracleSql ++ Sketches.oracleSql ++
+      Curation.oracleSql ++ Web.oracleSql ++ Temporal.oracleSql ++
+      Sketches.oracleSql ++
       Lifecycle.oracleSql ++ Packing.oracleSql
 }

@@ -1,0 +1,219 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables.table
+
+/** §2j web-crawl URL surface — the stage-0 operators of a crawl corpus
+  * build, upstream even of `extract_main_text`: URL canonicalization and
+  * URL-level deduplication. A web-scale pipeline dedups its frontier and
+  * its fetched corpus BY URL before any content op runs (the same page
+  * fetched via `HTTP://WWW.x.com:80/a/?utm_source=feed#top` and
+  * `http://www.x.com/a` must collapse), so the canonicalizer is the most
+  * executed string op in the whole system and must be a pure scan-stage
+  * projection.
+  *
+  * The demo keys plant a deterministic URL per document (doc-id
+  * arithmetic, the `htmlStructured` discipline) with every variance the
+  * normalizer undoes — scheme/host case, default ports, tracking params,
+  * unsorted query params, trailing slashes, fragments — and with
+  * RULE-PLANTED duplicate pairs (two raw URLs per decade canonicalize to
+  * the same page), so both the normalization arithmetic and the dedup
+  * keep-rule are exercised at every scale and fully hash-checked.
+  */
+object Web {
+
+  /** Deterministic raw-URL planting over the documents corpus. Page
+    * identity is `page_n`: docs with `doc_id % 10 <= 1` share their
+    * decade's page (the planted duplicate pairs); all others get their
+    * own. Everything CANONICAL derives from `page_n` (host label, path,
+    * kept query params), everything the normalizer strips derives from
+    * `doc_id` (case variance, `:443`, `utm_*` params, trailing slash,
+    * fragment) — so a pair's raw URLs differ in every noisy dimension
+    * but canonicalize identically. Pure in-row projection.
+    */
+  private[graft] def urlStructured(docs: DataFrame): DataFrame = {
+    val pageN = when(col("doc_id") % 10 <= 1,
+      col("doc_id") - col("doc_id") % 10).otherwise(col("doc_id"))
+    docs.select(col("doc_id"), pageN.as("page_n"))
+      .select(col("doc_id"), concat(
+        when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("www.")),
+        lit("s"), (col("page_n") % 7).cast(StringType),
+        lit(".example.com"),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/page"), col("page_n").cast(StringType),
+        when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+        {
+          val params = concat_ws("&",
+            when(col("doc_id") % 3 === 0, lit("utm_source=feed"))
+              .otherwise(lit(null).cast(StringType)),
+            when(col("page_n") % 4 === 0,
+              concat(lit("b="), (col("page_n") % 9).cast(StringType)))
+              .otherwise(lit(null).cast(StringType)),
+            when(col("page_n") % 4 === 0, lit("a=1"))
+              .otherwise(lit(null).cast(StringType)),
+            when(col("doc_id") % 3 === 0, lit("utm_medium=rss"))
+              .otherwise(lit(null).cast(StringType)))
+          when(params === "", lit("")).otherwise(concat(lit("?"), params))
+        },
+        when(col("doc_id") % 4 === 1, lit("#sec2")).otherwise(lit("")))
+        .as("url"))
+  }
+
+  /** URL CANONICALIZATION — in-row over any (…, url) frame: lowercase
+    * scheme and host, strip the fragment, strip scheme-default ports
+    * (`:80` http, `:443` https; explicit non-default ports survive),
+    * drop tracking parameters (`utm_*`, `fbclid`, `gclid` — the
+    * standard crawl blocklist), SORT the surviving query params (param
+    * order is transport noise, not page identity), and strip a trailing
+    * slash from non-root paths (an empty path serves as `/`). The path
+    * itself keeps its case — URL paths are case-sensitive by spec.
+    *
+    * Scale shape: regex/string expressions plus one bounded in-row
+    * param-list filter+sort — a zero-shuffle scan-stage projection
+    * (PlanSpec-pinned), which is what lets a crawler run it on every
+    * frontier URL.
+    */
+  def urlNormalizeOn(urls: DataFrame): DataFrame = {
+    val noFrag = regexp_replace(col("url"), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostPort = regexp_extract(rest, "^([^/?]+)", 1)
+    val host = lower(regexp_replace(hostPort, ":[0-9]+$", ""))
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portKept = when(port === "" ||
+        (scheme === "https" && port === "443") ||
+        (scheme === "http" && port === "80"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val pathQ = regexp_replace(rest, "^[^/?]+", "")
+    val path0 = regexp_extract(pathQ, "^([^?]*)", 1)
+    val path = when(length(path0) > 1, regexp_replace(path0, "/$", ""))
+      .otherwise(when(path0 === "", lit("/")).otherwise(path0))
+    val query = regexp_extract(pathQ, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)=")))
+    val qNorm = array_join(kept, "&")
+    urls.withColumn("url_norm", concat(
+      scheme, lit("://"), host, portKept, path,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
+  }
+
+  /** URL-LEVEL DEDUP — the family keep-min rule on the canonical URL:
+    * one survivor per `url_norm` (lowest doc_id), with the variant count
+    * kept as the census signal a frontier scheduler reads. One shuffle
+    * keyed on the canonical string; survivors only.
+    */
+  def dedupUrlOn(urls: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("url_norm"))
+    val n = urlNormalizeOn(urls)
+      .withColumn("n_variants", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+    n.filter(col("rn") === 1)
+      .select(col("doc_id"), col("url_norm"), col("n_variants"))
+  }
+
+  /** `url_normalize` checked key: the canonicalizer over the planted
+    * corpus — (doc_id, url, url_norm), fully hash-checked (the twin
+    * replants the same URLs and normalizes them with independent SQL
+    * string arithmetic).
+    */
+  def urlNormalize(spark: SparkSession, sfDir: String): DataFrame =
+    urlNormalizeOn(urlStructured(table(spark, sfDir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** `dedup_url` checked key: keep-min per canonical URL over the same
+    * planted corpus. The planted pairs make the keep rule non-vacuous at
+    * every scale: each decade's `{10k, 10k+1}` docs canonicalize to one
+    * page (n_variants 2, the even doc survives), everything else is a
+    * singleton.
+    */
+  def dedupUrl(spark: SparkSession, sfDir: String): DataFrame =
+    dedupUrlOn(urlStructured(table(spark, sfDir, "documents")))
+      .orderBy(col("doc_id"))
+
+  /** Shared planting CTE for the twins — page identity + the raw URL,
+    * mirrored from [[urlStructured]]'s arithmetic.
+    */
+  private def plantSql: String =
+    """p AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 <= 1 THEN doc_id - doc_id % 10
+      |         ELSE doc_id END AS page_n
+      |  FROM documents),
+      |u AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END) ||
+      |    's' || CAST(page_n % 7 AS VARCHAR) || '.example.com' ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+      |    '/docs/page' || CAST(page_n AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN q = '' THEN '' ELSE '?' || q END) ||
+      |    (CASE WHEN doc_id % 4 = 1 THEN '#sec2' ELSE '' END) AS url
+      |  FROM (
+      |    SELECT doc_id, page_n,
+      |      concat_ws('&',
+      |        CASE WHEN doc_id % 3 = 0 THEN 'utm_source=feed' END,
+      |        CASE WHEN page_n % 4 = 0
+      |             THEN 'b=' || CAST(page_n % 9 AS VARCHAR) END,
+      |        CASE WHEN page_n % 4 = 0 THEN 'a=1' END,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'utm_medium=rss' END) AS q
+      |    FROM p)),
+      |norm AS (
+      |  SELECT doc_id, url,
+      |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_replace(regexp_extract(rest, '^([^/?]+)', 1),
+      |      ':[0-9]+$', '')) AS host,
+      |    regexp_extract(regexp_extract(rest, '^([^/?]+)', 1),
+      |      ':([0-9]+)$', 1) AS port,
+      |    regexp_extract(regexp_replace(rest, '^[^/?]+', ''),
+      |      '^([^?]*)', 1) AS path0,
+      |    regexp_extract(regexp_replace(rest, '^[^/?]+', ''),
+      |      '\?(.*)$', 1) AS query
+      |  FROM (
+      |    SELECT doc_id, url, nf,
+      |      regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+      |    FROM (SELECT doc_id, url,
+      |            regexp_replace(url, '#.*$', '') AS nf FROM u))),
+      |canon AS (
+      |  SELECT doc_id, url,
+      |    scheme || '://' || host ||
+      |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |               OR (scheme = 'http' AND port = '80')
+      |          THEN '' ELSE ':' || port END) ||
+      |    (CASE WHEN length(path0) > 1
+      |          THEN regexp_replace(path0, '/$', '')
+      |          WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |    (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm
+      |  FROM (
+      |    SELECT doc_id, url, scheme, host, port, path0,
+      |      coalesce(array_to_string(list_sort(list_filter(
+      |        string_split(query, '&'),
+      |        x -> x <> '' AND NOT regexp_matches(x,
+      |          '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS qn
+      |    FROM norm))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "url_normalize" ->
+      s"""WITH $plantSql
+         |SELECT doc_id, url, url_norm FROM canon
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_url" ->
+      s"""WITH $plantSql
+         |SELECT doc_id, url_norm, n_variants FROM (
+         |  SELECT doc_id, url_norm,
+         |    CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT)
+         |      AS n_variants,
+         |    row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+         |      AS rn
+         |  FROM canon)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin)
+}

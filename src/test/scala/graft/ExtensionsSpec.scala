@@ -177,6 +177,126 @@ class ExtensionsSpec extends SparkSpec {
     assert(k.values.exists(identity))
   }
 
+  test("dedup_semantic_incremental: cell state is additive, the fixture" +
+      " populates all three branches, and cold cells serve c_sim 0") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // additive-state law on the harness corpus: the states of the two
+    // parity halves merge (n_members by sum, sums componentwise) into the
+    // whole-corpus state
+    val emb = Tables.table(spark, sf, "embeddings")
+    val whole = Dedup.semanticCellState(emb, 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getSeq[Double](2)))).toMap
+    val even = Dedup.semanticCellState(
+      emb.filter(col("vec_id") % 2 === 0), 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getSeq[Double](2)))).toMap
+    val odd = Dedup.semanticCellState(
+      emb.filter(col("vec_id") % 2 === 1), 64).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getSeq[Double](2)))).toMap
+    assert(whole.keySet == (even.keySet ++ odd.keySet))
+    whole.foreach { case (cell, (n, sums)) =>
+      val (ne, se) = even.getOrElse(cell, (0L, Seq.fill(64)(0.0)))
+      val (no, so) = odd.getOrElse(cell, (0L, Seq.fill(64)(0.0)))
+      assert(n == ne + no, s"cell $cell member count not additive")
+      sums.indices.foreach { d =>
+        assert(math.abs(sums(d) - (se(d) + so(d))) < 1e-9,
+          s"cell $cell sum component $d not additive")
+      }
+    }
+    // planted fixture (dim 4, τ=0.95): corpus = even ids, batch = odd.
+    // id1 ∥ id2 (corpus dup), id3 ∥ id4 (corpus dup), id5 ∥ id7 with no
+    // corpus vector within τ (batch pair — exactly one keeps), id9 near
+    // nothing (keep), id11 zero (dropped by the prep contract)
+    val out = Dedup.dedupSemanticIncrementalOn(Seq(
+      (1L, Seq(2.0f, 0.4f, 0.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.2f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 2.0f, -0.6f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f, -0.3f)),
+      (5L, Seq(0.0f, 0.5f, 1.5f, 0.0f)),
+      (7L, Seq(0.0f, 1.0f, 3.0f, 0.0f)),
+      (9L, Seq(1.0f, -1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"),
+      col("vec_id") % 2 === 1, dim = 4, tau = 0.95).collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("is_dup_corpus"),
+        r.getAs[Boolean]("is_dup_batch"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L, 9L),
+      "batch = odd non-zero ids only")
+    assert(out(1L)._1 && out(3L)._1, "corpus twins must flag dup_corpus")
+    assert(!out(5L)._1 && !out(7L)._1, "5/7 must not be corpus dups")
+    assert(out(5L)._3 ^ out(7L)._3, "exactly one of the batch pair keeps")
+    assert(out(5L)._2 ^ out(7L)._2, "the other is the batch dup")
+    assert(out(9L) == ((false, false, true)), "isolated vector keeps")
+    // cold-cell serve: with an empty corpus every batch vector reads
+    // c_sim 0.0 and the rule degrades to the pure within-batch form
+    val cold = Dedup.dedupSemanticIncrementalOn(Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), lit(true), dim = 4, tau = 0.95)
+      .collect()
+    assert(cold.length == 2)
+    assert(cold.forall(_.getAs[Double]("c_sim") == 0.0))
+    assert(cold.forall(_.getAs[Boolean]("keep")))
+    // harness key: batch-side rows only, and every dropped row has a
+    // neighbor on the side that dropped it
+    val rows = Dedup.dedupSemanticIncremental(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) % 2 == 1))
+    rows.foreach { r =>
+      if (r.getAs[Boolean]("is_dup_corpus"))
+        assert(r.getAs[Long]("n_nbr_corpus") > 0)
+      if (r.getAs[Boolean]("is_dup_batch"))
+        assert(r.getAs[Long]("n_nbr_batch") > 0)
+      assert(r.getAs[Boolean]("keep") ==
+        (!r.getAs[Boolean]("is_dup_corpus") &&
+          !r.getAs[Boolean]("is_dup_batch")))
+    }
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+  }
+
+  test("url_normalize: each canonicalization rule verified on hand URLs;" +
+      " dedup_url keeps the planted pairs' min doc") {
+    import spark.implicits._
+    import graft.ops.Web
+    def norm(u: String): String =
+      Web.urlNormalizeOn(Seq((1L, u)).toDF("doc_id", "url"))
+        .select("url_norm").as[String].head()
+    // case + default port + tracking params + trailing slash + fragment
+    assert(norm("HTTP://WWW.X.com:80/a/?utm_source=x#top") ==
+      "http://www.x.com/a")
+    // param sort; https default port
+    assert(norm("https://h.com:443/p?b=2&a=1") == "https://h.com/p?a=1&b=2")
+    // explicit non-default port survives
+    assert(norm("https://h.com:8443/p") == "https://h.com:8443/p")
+    // empty path serves as root; root slash is kept, not stripped
+    assert(norm("https://h.com") == "https://h.com/")
+    assert(norm("https://h.com/") == "https://h.com/")
+    assert(norm("https://h.com/?utm_medium=m") == "https://h.com/")
+    // full tracking blocklist; path case is preserved
+    assert(norm("https://h.com/P?fbclid=z&gclid=q") == "https://h.com/P")
+    // dedup keep-rule on a hand pair
+    val kept = Web.dedupUrlOn(Seq(
+      (7L, "HTTPS://A.com/x/"), (3L, "https://a.com:443/x#f"),
+      (5L, "https://a.com/y")).toDF("doc_id", "url")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(kept.keySet == Set(3L, 5L))
+    assert(kept(3L) == (("https://a.com/x", 2L)))
+    assert(kept(5L) == (("https://a.com/y", 1L)))
+    // harness-scale planted-pair laws: groups are exactly the decade
+    // pairs (n_variants 2, decade-even survivor) plus singletons, and
+    // the survivors' variant counts conserve the corpus
+    val all = Web.urlNormalize(spark, sf).count()
+    val surv = Web.dedupUrl(spark, sf).collect()
+    assert(surv.map(_.getLong(2)).sum == all)
+    assert(surv.forall(_.getLong(2) <= 2))
+    assert(surv.filter(_.getLong(2) == 2).forall(_.getLong(0) % 10 == 0))
+    assert(surv.exists(_.getLong(2) == 2), "planted pairs must exist")
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._

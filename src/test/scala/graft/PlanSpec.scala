@@ -30,7 +30,9 @@ class PlanSpec extends SparkSpec {
         graft.Tables.table(spark, sf, "events"), "event_id", "props"),
       "extractMainText" -> TextAnalysis.extractMainTextOn(
         TextAnalysis.htmlStructured(docs)),
-      "tokenizeBpe" -> TextAnalysis.tokenizeBpe(docs))
+      "tokenizeBpe" -> TextAnalysis.tokenizeBpe(docs),
+      "urlNormalize" -> graft.ops.Web.urlNormalizeOn(
+        graft.ops.Web.urlStructured(docs)))
       .foreach { case (name, df) =>
         val p = df.queryExecution.executedPlan.toString
         assert(!p.contains("Exchange"), s"$name shuffles:\n$p")
@@ -403,6 +405,22 @@ class PlanSpec extends SparkSpec {
     val p = graft.ops.TextAnalysis.qualityScoreLm(docs)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
+  }
+
+  test("semantic dedup keys: centroids broadcast back, pairs are" +
+      " cell-keyed, never cartesian") {
+    // both semantic forms: cell assignment is a scan-stage projection,
+    // the (rounded) cell means come back via a BROADCAST hash join
+    // (explicit hint — the means frame is cells-count rows), and the
+    // pair/neighbor steps are equi-joins keyed on the cell id in
+    // whatever regime the stats pick — never a cartesian/nested-loop
+    // over vectors
+    Seq("dedup_semantic", "dedup_semantic_incremental").foreach { k =>
+      val p = plan(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k:\n$p")
+    }
   }
 
   test("image hash keys: decode is scan-stage; the pair join is banded") {
