@@ -167,6 +167,8 @@ object SparkEntry {
     "extract_main_text" -> (TextAnalysis.extractMainText _),
     "url_normalize" -> (Web.urlNormalize _),
     "dedup_url" -> (Web.dedupUrl _),
+    // frontier screen: batch URLs vs the maintained canonical census
+    "dedup_url_incremental" -> (Web.dedupUrlIncremental _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

@@ -27,17 +27,23 @@ import graft.Tables.table
 object Web {
 
   /** Deterministic raw-URL planting over the documents corpus. Page
-    * identity is `page_n`: docs with `doc_id % 10 <= 1` share their
-    * decade's page (the planted duplicate pairs); all others get their
-    * own. Everything CANONICAL derives from `page_n` (host label, path,
-    * kept query params), everything the normalizer strips derives from
-    * `doc_id` (case variance, `:443`, `utm_*` params, trailing slash,
-    * fragment) — so a pair's raw URLs differ in every noisy dimension
-    * but canonicalize identically. Pure in-row projection.
+    * identity is `page_n`, with two planted duplicate-pair kinds per
+    * score of docs: `{20k, 20k+1}` share page `20k` (an even/odd
+    * STRADDLING pair — under the incremental key's parity split the odd
+    * doc is a corpus dup) and `{20k+11, 20k+13}` share page `20k+11`
+    * (an odd-only pair — a within-BATCH dup under the same split); all
+    * other docs get their own page. Everything CANONICAL derives from
+    * `page_n` (host label, path, kept query params), everything the
+    * normalizer strips derives from `doc_id` (case variance, `:443`,
+    * `utm_*` params, trailing slash, fragment) — so a pair's raw URLs
+    * differ in every noisy dimension but canonicalize identically. Pure
+    * in-row projection.
     */
   private[graft] def urlStructured(docs: DataFrame): DataFrame = {
-    val pageN = when(col("doc_id") % 10 <= 1,
-      col("doc_id") - col("doc_id") % 10).otherwise(col("doc_id"))
+    val pageN = when(col("doc_id") % 20 <= 1,
+      col("doc_id") - col("doc_id") % 20)
+      .when(col("doc_id") % 20 === 13, col("doc_id") - 2)
+      .otherwise(col("doc_id"))
     docs.select(col("doc_id"), pageN.as("page_n"))
       .select(col("doc_id"), concat(
         when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
@@ -128,13 +134,77 @@ object Web {
 
   /** `dedup_url` checked key: keep-min per canonical URL over the same
     * planted corpus. The planted pairs make the keep rule non-vacuous at
-    * every scale: each decade's `{10k, 10k+1}` docs canonicalize to one
-    * page (n_variants 2, the even doc survives), everything else is a
-    * singleton.
+    * every scale: each score's `{20k, 20k+1}` and `{20k+11, 20k+13}`
+    * docs canonicalize pairwise to one page (n_variants 2, the lower doc
+    * survives), everything else is a singleton.
     */
   def dedupUrl(spark: SparkSession, sfDir: String): DataFrame =
     dedupUrlOn(urlStructured(table(spark, sfDir, "documents")))
       .orderBy(col("doc_id"))
+
+  /** CANONICAL-URL CENSUS — the maintained corpus-side state of
+    * incremental URL dedup: `(url_norm, n_variants, min_doc)`. An
+    * ADDITIVE sketch: censuses over disjoint document sets merge by
+    * summing `n_variants` and taking the min of `min_doc` per
+    * `url_norm` (suite-pinned law), so a production frontier maintains
+    * it as a running table — append each crawl batch's census, compact
+    * by sum/min — without ever re-reading the corpus. Canonical-string
+    * rows only; no payloads.
+    */
+  def urlCensus(urls: DataFrame): DataFrame =
+    urlNormalizeOn(urls).groupBy(col("url_norm"))
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("min_doc"))
+
+  /** INCREMENTAL URL DEDUP — the crawl-batch shape at URL granularity
+    * (the frontier screen: completing the incremental family alongside
+    * documents/lines/embeddings/images/semantic): a NEW batch of raw
+    * URLs is canonicalized and screened against a MAINTAINED corpus
+    * census ([[urlCensus]]) plus itself. A batch URL seen in the corpus
+    * at all is `is_dup_corpus`; an unseen canonical URL keeps exactly
+    * its min-doc batch variant, the rest are `is_dup_batch`. Because
+    * corpus docs always predate the batch in the keep-min order, the
+    * keep set is EXACTLY [[dedupUrlOn]]'s survivors over corpus ∪ batch
+    * restricted to the batch (suite-pinned), computed without touching
+    * corpus rows.
+    *
+    * Scale shape: the census table is canonical-string-sized and probed
+    * with batch-census volume (at 100 TB: bucket it by `url_norm` once,
+    * every batch probes shuffle-free); the within-batch window shuffles
+    * batch rows only. Corpus cost per batch: a census probe, never a
+    * corpus scan.
+    */
+  def dedupUrlIncrementalOn(corpusCensus: DataFrame, batch: DataFrame)
+      : DataFrame = {
+    val w = Window.partitionBy(col("url_norm"))
+    val n = urlNormalizeOn(batch)
+      .withColumn("n_batch", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(w.orderBy(col("doc_id"))))
+    n.join(corpusCensus
+        .select(col("url_norm"), col("n_variants").as("n_corpus")),
+        Seq("url_norm"), "left")
+      .withColumn("n_corpus", coalesce(col("n_corpus"), lit(0L)))
+      .withColumn("is_dup_corpus", col("n_corpus") > 0)
+      .withColumn("is_dup_batch", !col("is_dup_corpus") && col("rn") > 1)
+      .withColumn("keep", !col("is_dup_corpus") && col("rn") === 1)
+      .select(col("doc_id"), col("url_norm"), col("n_corpus"),
+        col("n_batch"), col("is_dup_corpus"), col("is_dup_batch"),
+        col("keep"))
+  }
+
+  /** `dedup_url_incremental` checked key: the parity split (even doc_id
+    * = existing corpus, odd = incoming batch — the `dedup_incremental`
+    * convention). The planted pair kinds populate both dup branches at
+    * every scale: straddling `{20k, 20k+1}` pairs make `20k+1` a corpus
+    * dup; odd-only `{20k+11, 20k+13}` pairs keep `20k+11` and flag
+    * `20k+13` as the batch dup.
+    */
+  def dedupUrlIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = urlStructured(table(spark, sfDir, "documents"))
+    dedupUrlIncrementalOn(
+      urlCensus(all.filter(col("doc_id") % 2 === 0)),
+      all.filter(col("doc_id") % 2 === 1))
+      .orderBy(col("doc_id"))
+  }
 
   /** Shared planting CTE for the twins — page identity + the raw URL,
     * mirrored from [[urlStructured]]'s arithmetic.
@@ -142,7 +212,8 @@ object Web {
   private def plantSql: String =
     """p AS (
       |  SELECT doc_id,
-      |    CASE WHEN doc_id % 10 <= 1 THEN doc_id - doc_id % 10
+      |    CASE WHEN doc_id % 20 <= 1 THEN doc_id - doc_id % 20
+      |         WHEN doc_id % 20 = 13 THEN doc_id - 2
       |         ELSE doc_id END AS page_n
       |  FROM documents),
       |u AS (
@@ -215,5 +286,24 @@ object Web {
          |      AS rn
          |  FROM canon)
          |WHERE rn = 1
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "dedup_url_incremental" ->
+      s"""WITH $plantSql,
+         |corpus AS (
+         |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_corpus
+         |  FROM canon WHERE doc_id % 2 = 0 GROUP BY url_norm),
+         |batch AS (
+         |  SELECT doc_id, url_norm,
+         |    CAST(count(*) OVER (PARTITION BY url_norm) AS BIGINT)
+         |      AS n_batch,
+         |    row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+         |      AS rn
+         |  FROM canon WHERE doc_id % 2 = 1)
+         |SELECT b.doc_id, b.url_norm,
+         |  coalesce(c.n_corpus, 0) AS n_corpus, b.n_batch,
+         |  (coalesce(c.n_corpus, 0) > 0) AS is_dup_corpus,
+         |  (coalesce(c.n_corpus, 0) = 0 AND b.rn > 1) AS is_dup_batch,
+         |  (coalesce(c.n_corpus, 0) = 0 AND b.rn = 1) AS keep
+         |FROM batch b LEFT JOIN corpus c ON b.url_norm = c.url_norm
+         |ORDER BY b.doc_id""".stripMargin)
 }

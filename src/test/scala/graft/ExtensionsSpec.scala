@@ -286,15 +286,61 @@ class ExtensionsSpec extends SparkSpec {
     assert(kept.keySet == Set(3L, 5L))
     assert(kept(3L) == (("https://a.com/x", 2L)))
     assert(kept(5L) == (("https://a.com/y", 1L)))
-    // harness-scale planted-pair laws: groups are exactly the decade
-    // pairs (n_variants 2, decade-even survivor) plus singletons, and
-    // the survivors' variant counts conserve the corpus
+    // harness-scale planted-pair laws: groups are exactly the two
+    // planted pair kinds ({20k,20k+1} and {20k+11,20k+13}, n_variants 2,
+    // lower doc survives) plus singletons, and the survivors' variant
+    // counts conserve the corpus
     val all = Web.urlNormalize(spark, sf).count()
     val surv = Web.dedupUrl(spark, sf).collect()
     assert(surv.map(_.getLong(2)).sum == all)
     assert(surv.forall(_.getLong(2) <= 2))
-    assert(surv.filter(_.getLong(2) == 2).forall(_.getLong(0) % 10 == 0))
-    assert(surv.exists(_.getLong(2) == 2), "planted pairs must exist")
+    assert(surv.filter(_.getLong(2) == 2)
+      .forall(r => r.getLong(0) % 20 == 0 || r.getLong(0) % 20 == 11))
+    assert(surv.count(_.getLong(2) == 2) >= 2, "both pair kinds must exist")
+  }
+
+  test("dedup_url_incremental: census is additive, the screen equals the" +
+      " recompute-over-union, and both dup branches populate") {
+    import graft.ops.Web
+    val all = Web.urlStructured(Tables.table(spark, sf, "documents"))
+    // additive-census law: the parity halves' censuses merge (n_variants
+    // by sum, min_doc by min) into the whole-corpus census
+    def censusMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    val whole = censusMap(Web.urlCensus(all))
+    val even = censusMap(Web.urlCensus(all.filter(col("doc_id") % 2 === 0)))
+    val odd = censusMap(Web.urlCensus(all.filter(col("doc_id") % 2 === 1)))
+    assert(whole.keySet == (even.keySet ++ odd.keySet))
+    whole.foreach { case (u, (n, m)) =>
+      val (ne, me) = even.getOrElse(u, (0L, Long.MaxValue))
+      val (no, mo) = odd.getOrElse(u, (0L, Long.MaxValue))
+      assert(n == ne + no, s"$u count not additive")
+      assert(m == math.min(me, mo), s"$u min_doc not a min-merge")
+    }
+    // the frontier screen's keep set == dedup_url's survivors over the
+    // union restricted to the batch (corpus docs predate batch docs in
+    // the keep-min order, so the laws coincide)
+    val inc = Web.dedupUrlIncremental(spark, sf).collect()
+    val unionSurv = Web.dedupUrlOn(all).collect().map(_.getLong(0)).toSet
+    inc.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == unionSurv.contains(r.getLong(0)),
+        s"doc ${r.getLong(0)} keep disagrees with recompute-over-union")
+      assert(r.getAs[Boolean]("keep") ==
+        (!r.getAs[Boolean]("is_dup_corpus") &&
+          !r.getAs[Boolean]("is_dup_batch")))
+    }
+    // planted branches: straddling pairs make 20k+1 a corpus dup;
+    // odd-only pairs keep 20k+11 and flag 20k+13 as the batch dup
+    val byId = inc.map(r => r.getLong(0) -> r).toMap
+    val corpusDups = inc.filter(_.getAs[Boolean]("is_dup_corpus"))
+    val batchDups = inc.filter(_.getAs[Boolean]("is_dup_batch"))
+    assert(corpusDups.nonEmpty && corpusDups.forall(_.getLong(0) % 20 == 1))
+    assert(batchDups.nonEmpty && batchDups.forall(_.getLong(0) % 20 == 13))
+    batchDups.foreach { r =>
+      assert(byId(r.getLong(0) - 2).getAs[Boolean]("keep"),
+        "the batch pair's min doc must keep")
+    }
   }
 
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
