@@ -169,6 +169,10 @@ object SparkEntry {
     "dedup_url" -> (Web.dedupUrl _),
     // frontier screen: batch URLs vs the maintained canonical census
     "dedup_url_incremental" -> (Web.dedupUrlIncremental _),
+    // C4/RefinedWeb anti-domination rule: hash-uniform per-host cap
+    "cap_per_host" -> (Web.capPerHost _),
+    // per-domain crawl-scheduler table (docs/pages/dup-fetch/volume)
+    "host_stats" -> (Web.hostStats _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

@@ -206,6 +206,85 @@ object Web {
       .orderBy(col("doc_id"))
   }
 
+  /** Registrable host of a canonical URL — the per-domain key every
+    * crawl-politeness and cap rule groups by. In-row regex over
+    * `url_norm` (scheme-lowercased by the normalizer, so the pattern
+    * anchors on the canonical shape).
+    */
+  private def hostOf(c: org.apache.spark.sql.Column) =
+    regexp_extract(c, "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+
+  /** Frozen per-host cap for the checked key — the C4/RefinedWeb
+    * "max pages per domain" dial. 40 < docs-per-planted-host at every
+    * harness sf (≥ ~64 at sf0.001's 500-doc floor ÷ 7 hosts), so the
+    * cut is non-vacuous at every scale.
+    */
+  val HostCap = 40
+
+  /** PER-HOST CAP — the C4/RefinedWeb anti-domination rule: keep at most
+    * `k` documents per registrable host, chosen as a UNIFORM sample of
+    * the host's pages rather than crawl order — rank within host by
+    * `md5(host:doc_id)` (deterministic, engine-reproducible; doc_id
+    * tiebreak), keep `host_rank <= k`. Ranking by hash is what makes the
+    * cap a sample instead of a recency/discovery-order bias, and it
+    * makes re-runs and backfills reproducible.
+    *
+    * Scale shape: one shuffle keyed on host; the rank-≤-k filter is a
+    * group-limit Spark's InferWindowGroupLimit turns into MAP-SIDE
+    * partial limiting (PlanSpec-pinned WindowGroupLimit), so a skewed
+    * giant host never materializes more than k+ rows per map partition
+    * before the exchange — the skew story is handled by the optimizer's
+    * own partial top-k, the same physical shape as `window_top1`.
+    */
+  def capPerHostOn(urls: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"cap must be >= 1, got $k")
+    val w = Window.partitionBy(col("host"))
+    urlNormalizeOn(urls)
+      .withColumn("host", hostOf(col("url_norm")))
+      .withColumn("ord",
+        md5(concat(col("host"), lit(":"), col("doc_id").cast(StringType))))
+      .withColumn("host_rank",
+        row_number().over(w.orderBy(col("ord"), col("doc_id"))))
+      .filter(col("host_rank") <= k)
+      .select(col("doc_id"), col("host"), col("host_rank"))
+  }
+
+  /** `cap_per_host` checked key: [[capPerHostOn]] at [[HostCap]] over the
+    * planted corpus (7 hosts ⇒ every host is over-cap at every sf).
+    */
+  def capPerHost(spark: SparkSession, sfDir: String): DataFrame =
+    capPerHostOn(urlStructured(table(spark, sfDir, "documents")), HostCap)
+      .orderBy(col("doc_id"))
+
+  /** HOST STATS — the per-domain prioritization table a crawl scheduler
+    * reads: document count, distinct canonical pages, duplicate-fetch
+    * count (docs minus pages — wasted fetches), total and mean text
+    * volume. One groupBy(host) with map-side partials; text volume
+    * arrives via the documents join keyed on doc_id (at 100 TB both
+    * sides are doc_id-bucketed, co-located). Mean is the exact BIGINT
+    * total divided once as DOUBLE — one IEEE division of identical
+    * operands, bit-stable across engines (the repo's avg discipline).
+    */
+  def hostStatsOn(urls: DataFrame, docs: DataFrame): DataFrame =
+    urlNormalizeOn(urls)
+      .withColumn("host", hostOf(col("url_norm")))
+      .join(docs.select(col("doc_id"), length(col("text")).as("chars")),
+        Seq("doc_id"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url_norm")).as("n_pages"),
+        (count(lit(1)) - countDistinct(col("url_norm")))
+          .as("n_dup_fetches"),
+        sum(col("chars").cast(LongType)).as("total_chars"),
+        (sum(col("chars").cast(LongType)).cast(DoubleType) /
+          count(lit(1))).as("mean_chars"))
+
+  /** `host_stats` checked key over the planted corpus (7 hosts). */
+  def hostStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    hostStatsOn(urlStructured(docs), docs).orderBy(col("host"))
+  }
+
   /** Shared planting CTE for the twins — page identity + the raw URL,
     * mirrored from [[urlStructured]]'s arithmetic.
     */
@@ -305,5 +384,39 @@ object Web {
          |  (coalesce(c.n_corpus, 0) = 0 AND b.rn > 1) AS is_dup_batch,
          |  (coalesce(c.n_corpus, 0) = 0 AND b.rn = 1) AS keep
          |FROM batch b LEFT JOIN corpus c ON b.url_norm = c.url_norm
-         |ORDER BY b.doc_id""".stripMargin)
+         |ORDER BY b.doc_id""".stripMargin,
+    "cap_per_host" ->
+      s"""WITH $plantSql,
+         |hosted AS (
+         |  SELECT doc_id,
+         |    regexp_extract(url_norm,
+         |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host,
+         |    url_norm
+         |  FROM canon)
+         |SELECT doc_id, host, host_rank FROM (
+         |  SELECT doc_id, host,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY md5(host || ':' || CAST(doc_id AS VARCHAR)),
+         |        doc_id) AS INTEGER) AS host_rank
+         |  FROM hosted)
+         |WHERE host_rank <= $HostCap
+         |ORDER BY doc_id""".stripMargin,
+    "host_stats" ->
+      s"""WITH $plantSql,
+         |hosted AS (
+         |  SELECT c.doc_id,
+         |    regexp_extract(c.url_norm,
+         |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host,
+         |    c.url_norm, length(d.text) AS chars
+         |  FROM canon c JOIN documents d ON c.doc_id = d.doc_id)
+         |SELECT host,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT url_norm) AS BIGINT) AS n_pages,
+         |  CAST(count(*) - count(DISTINCT url_norm) AS BIGINT)
+         |    AS n_dup_fetches,
+         |  CAST(sum(chars) AS BIGINT) AS total_chars,
+         |  CAST(CAST(sum(chars) AS BIGINT) AS DOUBLE) / count(*)
+         |    AS mean_chars
+         |FROM hosted GROUP BY host
+         |ORDER BY host""".stripMargin)
 }

@@ -343,6 +343,58 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("cap_per_host samples by hash to exactly the cap; host_stats" +
+      " conserves the corpus") {
+    import spark.implicits._
+    import graft.ops.Web
+    // hand fixture: 3 docs on one host, cap 2 — the kept pair and the
+    // rank order must match an independently computed md5 ordering
+    val urls = Seq(
+      (1L, "https://a.com/x"), (2L, "https://a.com/y"),
+      (3L, "https://a.com/z"), (9L, "https://b.com/w"))
+      .toDF("doc_id", "url")
+    val kept = Web.capPerHostOn(urls, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val expect = Seq(1L, 2L, 3L)
+      .sortBy(id => (md5hex(s"a.com:$id"), id)).take(2)
+    assert(kept.keySet == (expect.toSet + 9L))
+    expect.zipWithIndex.foreach { case (id, i) =>
+      assert(kept(id) == (("a.com", i + 1)))
+    }
+    assert(kept(9L) == (("b.com", 1)))
+    // harness laws: per-host kept count == min(cap, host size); the cut
+    // is non-vacuous on every planted host
+    val all = Web.urlNormalize(spark, sf)
+      .withColumn("host", regexp_extract(col("url_norm"),
+        "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1))
+      .groupBy("host").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perHost = Web.capPerHost(spark, sf).groupBy("host").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perHost.keySet == all.keySet)
+    perHost.foreach { case (h, n) =>
+      assert(n == math.min(Web.HostCap.toLong, all(h)))
+    }
+    assert(all.values.forall(_ > Web.HostCap),
+      "every planted host must be over-cap for the key to be non-vacuous")
+    // host_stats conservation: docs sum to the corpus, dup fetches are
+    // docs minus pages (the planted duplicate pairs make them nonzero
+    // somewhere), and the mean is exactly total/n
+    val stats = Web.hostStats(spark, sf).collect()
+    val corpus = Tables.table(spark, sf, "documents").count()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == corpus)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_dup_fetches") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_pages"))
+      assert(r.getAs[Double]("mean_chars") ==
+        r.getAs[Long]("total_chars").toDouble / r.getAs[Long]("n_docs"))
+    }
+    assert(stats.exists(_.getAs[Long]("n_dup_fetches") > 0))
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._

@@ -407,6 +407,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("cap_per_host cuts to the cap with map-side group-limit before" +
+      " its one host exchange") {
+    // the C4 per-domain cap must be the window_top1 physical shape:
+    // InferWindowGroupLimit's partial top-k runs map-side so a skewed
+    // giant host never ships more than ~k rows per map partition, and
+    // the whole plan carries exactly one shuffle (the host window)
+    val p = plan("cap_per_host")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("semantic dedup keys: centroids broadcast back, pairs are" +
       " cell-keyed, never cartesian") {
     // both semantic forms: cell assignment is a scan-stage projection,
