@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Curation, Dedup, Lifecycle, MLOps, Multimodal, Packing,
-  Relational, Similarity, Sketches, Sources, Temporal, TextAnalysis, Web}
+import graft.ops.{Curation, Dedup, Graph, Lifecycle, MLOps, Multimodal,
+  Packing, Relational, Similarity, Sketches, Sources, Temporal,
+  TextAnalysis, Web}
 import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,6 +174,8 @@ object SparkEntry {
     "cap_per_host" -> (Web.capPerHost _),
     // per-domain crawl-scheduler table (docs/pages/dup-fetch/volume)
     "host_stats" -> (Web.hostStats _),
+    // exact-integer PageRank over the planted link graph (5 iterations)
+    "page_rank" -> (Graph.pageRank _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),
@@ -233,7 +236,8 @@ object SparkEntry {
     Sources.oracleSql ++ Relational.oracleSql ++ Scalars.oracleSql ++
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
-      Curation.oracleSql ++ Web.oracleSql ++ Temporal.oracleSql ++
+      Curation.oracleSql ++ Web.oracleSql ++ Graph.oracleSql ++
+      Temporal.oracleSql ++
       Sketches.oracleSql ++
       Lifecycle.oracleSql ++ Packing.oracleSql
 }

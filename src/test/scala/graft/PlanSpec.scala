@@ -418,6 +418,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("page_rank: stats broadcast back, iterations are hash joins," +
+      " never cartesian") {
+    // the 1-row max-id stats frame rides a broadcast (the zorder
+    // discipline); the per-iteration rank joins and the degree joins
+    // are equi-joins — a cartesian anywhere would be quadratic in the
+    // corpus
+    val p = plan("page_rank")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // 1-row stats cross
+    spark.catalog.clearCache() // release the persisted edge frame
+  }
+
   test("semantic dedup keys: centroids broadcast back, pairs are" +
       " cell-keyed, never cartesian") {
     // both semantic forms: cell assignment is a scan-stage projection,
