@@ -176,6 +176,10 @@ object SparkEntry {
     "host_stats" -> (Web.hostStats _),
     // exact-integer PageRank over the planted link graph (5 iterations)
     "page_rank" -> (Graph.pageRank _),
+    // inverted-index stats + capped posting heads (search-side artifact)
+    "build_postings" -> (TextAnalysis.buildPostingsQuery _),
+    // epoch-order primitive: two-phase distributed deterministic shuffle
+    "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

@@ -145,10 +145,61 @@ object Packing {
     packDocuments(spark, sfDir, GradedBudget, GradedShards)
       .orderBy(col("shard"), col("seq_id"), col("seq_offset"))
 
+  /** Frozen salt for the graded epoch-0 global shuffle. */
+  val ShuffleSalt = "graft-epoch-0"
+
+  /** GLOBAL DETERMINISTIC SHUFFLE — the training-order primitive: every
+    * epoch the corpus is visited in a reproducible pseudo-random order,
+    * `ord = md5(salt:doc_id)` (change the salt, change the epoch). The
+    * hard part at scale is assigning the global POSITION without a
+    * global single-partition window: rows bucket by their first two ord
+    * hex chars (256 ranges — md5 is uniform, so buckets balance), a
+    * 256-row histogram prefix-sums into exclusive bucket offsets (the
+    * only single-partition window, over 256 rows), offsets broadcast
+    * back, and `pos = offset + rank-within-bucket − 1` — the classic
+    * two-phase distributed ranking. The corpus-sized data sees one hash
+    * shuffle (by bucket) and per-bucket local sorts; nothing
+    * corpus-sized ever funnels through one partition (PlanSpec-pinned:
+    * exactly one SinglePartition exchange, the 256-row histogram).
+    */
+  def shuffleDeterministicOn(docs: DataFrame, salt: String): DataFrame = {
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("ord", md5(concat(lit(salt), lit(":"),
+        col("doc_id").cast(StringType))))
+      .withColumn("bucket", substring(col("ord"), 1, 2))
+    val offsets = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(sum(col("n")).over(
+        Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    keyed
+      .join(broadcast(offsets.select(col("bucket"), col("offset"))),
+        Seq("bucket"))
+      .withColumn("pos", col("offset") +
+        row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("ord"), col("doc_id"))).cast(LongType) - 1)
+      .select(col("pos"), col("doc_id"))
+  }
+
+  /** `shuffle_deterministic` checked key: the epoch-0 order of the
+    * documents corpus. The twin is the direct global formulation — one
+    * row_number over the whole corpus — so the hash match proves the
+    * two-phase bucket ranking IS the global rank.
+    */
+  def shuffleDeterministic(spark: SparkSession, sfDir: String): DataFrame =
+    shuffleDeterministicOn(table(spark, sfDir, "documents"), ShuffleSalt)
+      .orderBy(col("pos"))
+
   /** DuckDB twin of `packSequencesQuery`: same BPE-ish token count, same
     * md5 shard hash, running sum + integer floor-division span derivation.
     */
   val oracleSql: Map[String, String] = Map(
+    "shuffle_deterministic" ->
+      s"""SELECT
+         |  CAST(row_number() OVER (
+         |    ORDER BY md5('$ShuffleSalt:' || CAST(doc_id AS VARCHAR)),
+         |      doc_id) - 1 AS BIGINT) AS pos,
+         |  doc_id
+         |FROM documents ORDER BY pos""".stripMargin,
     "pack_sequences" ->
       s"""WITH tc AS (
         |  SELECT doc_id,

@@ -769,7 +769,70 @@ object TextAnalysis {
       |  w_sum_milli >= 0 AS keep_lm
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Posting-head cap for [[buildPostings]]' graded key. */
+  val PostingsCap = 8
+
+  /** INVERTED INDEX (posting stats + capped heads) — the search-side
+    * artifact of a corpus: per whitespace token (the `vocab_topk`
+    * tokenization), document frequency, total term frequency, and the
+    * first `cap` doc ids as the posting HEAD (comma-joined for hash
+    * stability). The head cut runs BEFORE any per-token list
+    * materializes: a row_number window over (token → doc_id) that
+    * InferWindowGroupLimit executes as map-side partial top-k, so a
+    * stopword appearing in every document ships ~cap rows per map
+    * partition, never its full posting list — the same skew discipline
+    * as `cap_per_host`. Stats aggregate separately with map-side
+    * partials and join the heads on token. A full positional index
+    * would sink per-token segments instead of heads; the graded surface
+    * is the stats + head shape those segments are built from.
+    */
+  def buildPostings(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val stats = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val heads = tok.select(col("token"), col("doc_id")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("token"))
+      .agg(array_join(sort_array(collect_list(col("doc_id"))), ",")
+        .as("posting_head"))
+    stats.join(heads, Seq("token"))
+  }
+
+  /** `build_postings` checked key: [[buildPostings]] at [[PostingsCap]]
+    * over the documents corpus.
+    */
+  def buildPostingsQuery(spark: SparkSession, sfDir: String): DataFrame =
+    buildPostings(table(spark, sfDir, "documents"), PostingsCap)
+      .orderBy(col("token"))
+
   val oracleSql: Map[String, String] = Map(
+    "build_postings" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |stats AS (
+         |  SELECT token,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY token),
+         |h AS (
+         |  SELECT token, doc_id FROM (SELECT DISTINCT token, doc_id
+         |                             FROM tok) t
+         |  QUALIFY row_number() OVER (PARTITION BY token
+         |                             ORDER BY doc_id) <= $PostingsCap),
+         |heads AS (
+         |  SELECT token,
+         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |      AS posting_head
+         |  FROM h GROUP BY token)
+         |SELECT s.token, s.n_docs, s.tf, h.posting_head
+         |FROM stats s JOIN heads h USING (token)
+         |ORDER BY s.token""".stripMargin,
     // the full merge-walk recompute, GENERATED from the same frozen
     // merge table and vocabulary as the Spark expression (one list_reduce
     // scan per rule — see BpeTokenizer.oracleSqlFor)

@@ -395,6 +395,26 @@ class ExtensionsSpec extends SparkSpec {
     assert(stats.exists(_.getAs[Long]("n_dup_fetches") > 0))
   }
 
+  test("build_postings equals the brute-force index with capped heads") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).map(_ -> id) }
+    val want = toks.groupBy(_._1).map { case (tok, occ) =>
+      val ids = occ.map(_._2)
+      tok -> ((ids.distinct.length.toLong, ids.length.toLong,
+        ids.distinct.sorted.take(TextAnalysis.PostingsCap).mkString(",")))
+    }
+    val got = TextAnalysis.buildPostingsQuery(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._1 > TextAnalysis.PostingsCap),
+      "some posting must overflow the cap for the cut to be non-vacuous")
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._

@@ -205,4 +205,28 @@ class PackingSpec extends SparkSpec {
       Seq((1L, 0), (2L, -3)).toDF("doc_id", "n_tokens"), 16)
     assert(out.count() == 0)
   }
+
+  test("deterministic shuffle is a permutation equal to the sequential" +
+      " md5 sort; the salt is the epoch dial") {
+    import graft.ops.Packing
+    val docs = Tables.table(spark, sf, "documents")
+    val out = Packing.shuffleDeterministic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // permutation law: positions are exactly 0..N-1
+    assert(out.map(_._1).sorted.toSeq == (0L until out.length.toLong))
+    // two-phase bucket ranking == the sequential global md5 sort
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+        .map("%02x".format(_)).mkString
+    val ids = docs.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val want = ids
+      .sortBy(id => (md5hex(s"${Packing.ShuffleSalt}:$id"), id))
+    assert(out.sortBy(_._1).map(_._2).toSeq == want)
+    // a different salt is a genuinely different epoch order
+    val other = Packing
+      .shuffleDeterministicOn(docs, "graft-epoch-1").collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    assert(other.toSet == ids.toSet)
+    assert(other != out.sortBy(_._1).map(_._2).toSeq)
+  }
 }

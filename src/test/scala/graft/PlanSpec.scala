@@ -418,6 +418,19 @@ class PlanSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("build_postings cuts posting heads map-side; shuffle_deterministic" +
+      " never funnels the corpus through one partition") {
+    // the posting-head cut must be the group-limit shape (a stopword's
+    // full posting list must never ship), and the global shuffle's only
+    // SinglePartition exchange must be the 256-row bucket histogram —
+    // the corpus side sees hash exchanges only
+    val pp = plan("build_postings")
+    assert(pp.contains("WindowGroupLimit"), pp)
+    val ps = plan("shuffle_deterministic")
+    assert("Exchange SinglePartition".r.findAllIn(ps).size == 1, ps)
+    assert(ps.contains("BroadcastHashJoin"), ps) // offsets ride broadcast
+  }
+
   test("page_rank: stats broadcast back, iterations are hash joins," +
       " never cartesian") {
     // the 1-row max-id stats frame rides a broadcast (the zorder
