@@ -180,6 +180,8 @@ object SparkEntry {
     "build_postings" -> (TextAnalysis.buildPostingsQuery _),
     // epoch-order primitive: two-phase distributed deterministic shuffle
     "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
+    // streaming ingest throttle: per-(user, day) min-k sketch state
+    "stream_rate_cap" -> (Streams.rateCapQuery _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

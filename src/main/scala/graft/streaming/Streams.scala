@@ -1102,7 +1102,109 @@ object Streams {
         round(col("total_value"), 6).as("total_value"))
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** Per-(user, day) cap for the graded rate-cap key. */
+  val RateCapK = 3
+
+  case class RateCapState(kept: List[(Long, Long)], nSeen: Long)
+
+  case class RateCapOut(user_id: Long, day_n: Long, n_seen: Long,
+    n_kept: Int, kept_head: String)
+
+  /** STREAMING RATE CAP — the ingest-politeness / whale-capping throttle:
+    * per (user, event-time day), keep the first `k` events and count the
+    * rest — the streaming analog of `cap_per_host` for an event firehose
+    * (a training pipeline caps a runaway producer's contribution at
+    * ingest, before anything downstream pays for it).
+    *
+    * The state design is what makes this replay-safe: per key the state
+    * is the k SMALLEST (ts_µs, event_id) pairs seen plus a total count —
+    * a min-k sketch, whose merge is commutative and idempotent-by-
+    * construction, so the FINAL state is the same under any micro-batch
+    * interleaving or arrival order (no in-batch sort needed, no
+    * event-time ordering assumption). Emissions carry the key's current
+    * sketch with `n_seen` as the strictly-growing version; the snapshot
+    * compaction keeps the max-version emission per key — the
+    * `cdc_snapshot` latest-wins discipline.
+    *
+    * Day identity is pure integer arithmetic (`µs div 86400e6`), never a
+    * timezone conversion; the graded projection renders it as a DATE
+    * with `date_add` from the epoch, TZ-free in both engines. State is
+    * bounded by (active users × day horizon) × k pairs; an unbounded
+    * deployment adds EventTimeTimeout eviction exactly as
+    * `cdc_snapshot_ttl` does — a day key silent past the watermark can
+    * never change again, so eviction is lossless there.
+    */
+  def rateCapStream(events: DataFrame, k: Int): Dataset[RateCapOut] = {
+    import events.sparkSession.implicits._
+    def us(t: Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    def update(key: (Long, Long), rows: Iterator[Event],
+        state: GroupState[RateCapState]): Iterator[RateCapOut] = {
+      val batch = rows.map(e => (us(e.ts), e.event_id)).toSeq
+      val prev = state.getOption.getOrElse(RateCapState(Nil, 0L))
+      val kept = (prev.kept ++ batch).sorted.take(k)
+      val next = RateCapState(kept, prev.nSeen + batch.size)
+      state.update(next)
+      Iterator.single(RateCapOut(key._1, key._2, next.nSeen,
+        kept.size, kept.map { case (t, id) => s"$t:$id" }.mkString(",")))
+    }
+    events.as[Event]
+      .groupByKey(e => (e.user_id, us(e.ts) / 86400000000L))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** `stream_rate_cap` checked key: the rate-cap replayed over the
+    * harness change log to completion, compacted latest-wins on
+    * `n_seen`, day rendered as an epoch-arithmetic DATE. Oracle-safe
+    * because the min-k sketch converges to the batch first-k under any
+    * interleaving (ties impossible: event_id is unique); the twin is the
+    * direct batch formulation — count + QUALIFY first-k per (user, day).
+    */
+  def rateCapQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val feed = replayToFeed(spark,
+      rateCapStream(readEvents(spark, landedEvents(spark, sfDir)),
+        RateCapK))
+    feed.groupBy(col("user_id"), col("day_n"))
+      .agg(max_by(struct(col("n_seen"), col("n_kept"), col("kept_head")),
+        col("n_seen")).as("cur"))
+      .select(col("user_id"),
+        date_add(to_date(lit("1970-01-01")), col("day_n").cast("int"))
+          .as("day"),
+        col("cur.n_seen").as("n_seen"),
+        col("cur.n_kept").as("n_kept"),
+        col("cur.kept_head").as("kept_head"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the rate-cap twin: the direct batch first-k per (user, event-time
+    // day) — the replayed sketch must land on exactly this
+    "stream_rate_cap" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    epoch_us(ts) // 86400000000 AS day_n
+         |  FROM events),
+         |agg AS (
+         |  SELECT user_id, day_n, CAST(count(*) AS BIGINT) AS n_seen
+         |  FROM e GROUP BY user_id, day_n),
+         |h AS (
+         |  SELECT user_id, day_n, ts_us, event_id FROM e
+         |  QUALIFY row_number() OVER (PARTITION BY user_id, day_n
+         |    ORDER BY ts_us, event_id) <= $RateCapK),
+         |heads AS (
+         |  SELECT user_id, day_n,
+         |    CAST(count(*) AS INTEGER) AS n_kept,
+         |    string_agg(CAST(ts_us AS VARCHAR) || ':' ||
+         |      CAST(event_id AS VARCHAR), ',' ORDER BY ts_us, event_id)
+         |      AS kept_head
+         |  FROM h GROUP BY user_id, day_n)
+         |SELECT a.user_id,
+         |  DATE '1970-01-01' + CAST(a.day_n AS INTEGER) AS day,
+         |  a.n_seen, h.n_kept, h.kept_head
+         |FROM agg a JOIN heads h
+         |  ON a.user_id = h.user_id AND a.day_n = h.day_n
+         |ORDER BY a.user_id, day""".stripMargin,
     // pinned BY REFERENCE to the batch twins' oracles: each streaming
     // replay must land on exactly the rows its batch operator computes
     "cdc_snapshot" -> graft.ops.Lifecycle.oracleSql("upsert_latest"),

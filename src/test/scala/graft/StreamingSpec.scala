@@ -391,6 +391,80 @@ class StreamingSpec extends SparkSpec {
       "post-restart snapshot diverges from the batch compaction")
   }
 
+  test("rate-cap sketch is arrival-order invariant: reversed-time halves" +
+      " land on the batch first-k") {
+    // adversarial replay: the LATE half of the corpus lands first, the
+    // EARLY half second — every kept pair of a spanning key must be
+    // DISPLACED out of state by older arrivals in run 2. The min-k
+    // sketch's commutative merge makes the final snapshot equal the
+    // batch first-k anyway; a naive "first k ARRIVALS" implementation
+    // fails this test by construction.
+    import org.apache.spark.sql.functions._
+    val all = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val mid = all.selectExpr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)")
+      .head().getLong(0)
+    val dir = Files.createTempDirectory("graft_ratecap_in").toString
+    val ck = Files.createTempDirectory("graft_ratecap_ck").toString
+    val feed = Files.createTempDirectory("graft_ratecap_feed").toString
+    def runToCompletion(): Unit = {
+      val q = Streams.rateCapStream(Streams.readEvents(spark, dir),
+        Streams.RateCapK)
+        .writeStream.format("parquet").option("path", feed)
+        .option("checkpointLocation", ck)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    all.filter(unix_micros(col("ts")) >= mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    runToCompletion()
+    all.filter(unix_micros(col("ts")) < mid)
+      .coalesce(1).write.mode("append").parquet(dir)
+    runToCompletion()
+    val snap = spark.read.parquet(feed)
+      .groupBy(col("user_id"), col("day_n"))
+      .agg(max_by(struct(col("n_seen"), col("n_kept"), col("kept_head")),
+        col("n_seen")).as("cur"))
+      .select(col("user_id"), col("day_n"), col("cur.n_seen"),
+        col("cur.n_kept"), col("cur.kept_head"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getString(4)))).toMap
+    // batch first-k twin computed independently
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("day_n"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val e = all.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+        .as("day_n"))
+    // numeric struct sort (a string sort would misorder tied-µs ids)
+    val heads = e.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Streams.RateCapK)
+      .groupBy(col("user_id"), col("day_n"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("ts_us"), col("event_id")))),
+          p => concat(p("ts_us").cast("string"), lit(":"),
+            p("event_id").cast("string"))), ",").as("kept_head"))
+    val want = e.groupBy(col("user_id"), col("day_n"))
+      .agg(count(lit(1)).as("n_seen"))
+      .join(heads, Seq("user_id", "day_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getInt(3), r.getString(4)))).toMap
+    assert(snap == want, "reversed-arrival snapshot diverges from batch")
+    assert(want.values.exists(_._1 > Streams.RateCapK),
+      "no key over the cap — the throttle graded nothing")
+    // displacement genuinely happened: some spanning key emitted two
+    // different kept heads across the runs
+    val multi = spark.read.parquet(feed)
+      .groupBy(col("user_id"), col("day_n"))
+      .agg(countDistinct(col("kept_head")).as("n"))
+      .filter(col("n") >= 2).count()
+    assert(multi > 0, "no key's head was displaced — the reversal was vacuous")
+  }
+
   test("streaming upsert under the RocksDB state store equals the batch compaction") {
     // the 100 TB state story says "state is bounded per key and the
     // backend is pluggable" — this pins the half the other tests don't
