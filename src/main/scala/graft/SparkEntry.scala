@@ -176,6 +176,8 @@ object SparkEntry {
     "host_stats" -> (Web.hostStats _),
     // exact-integer PageRank over the planted link graph (5 iterations)
     "page_rank" -> (Graph.pageRank _),
+    // in-link anchor aggregation (the web-search relevance signal)
+    "anchor_text" -> (Graph.anchorText _),
     // inverted-index stats + capped posting heads (search-side artifact)
     "build_postings" -> (TextAnalysis.buildPostingsQuery _),
     // epoch-order primitive: two-phase distributed deterministic shuffle

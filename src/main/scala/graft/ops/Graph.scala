@@ -133,6 +133,57 @@ object Graph {
       .orderBy(col("doc_id"))
   }
 
+  /** Anchor-head cap for the graded key. */
+  val AnchorCap = 3
+
+  /** ANCHOR-TEXT AGGREGATION — the classic web-search relevance signal:
+    * for each page, what the pages LINKING TO IT call it. Takes an
+    * (src, dst, anchor) frame; per target emits the in-link count, the
+    * distinct-anchor count, and the first `cap` distinct anchors
+    * (lexicographic — engine-neutral) as a `|`-joined head. The head cut
+    * is the same map-side group-limit discipline as `build_postings`:
+    * a page every site links to (the hub skew) never ships its full
+    * anchor multiset — distinct anchors cut to `cap` per map partition
+    * before the exchange.
+    */
+  def anchorTextOn(edges: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val stats = edges.groupBy(col("dst"))
+      .agg(count(lit(1)).as("n_inlinks"),
+        countDistinct(col("anchor")).as("n_anchor_variants"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("anchor"))
+    val heads = edges.select(col("dst"), col("anchor")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("dst"))
+      .agg(array_join(sort_array(collect_list(col("anchor"))), "|")
+        .as("anchor_head"))
+    stats.join(heads, Seq("dst"))
+      .select(col("dst").as("doc_id"), col("n_inlinks"),
+        col("n_anchor_variants"), col("anchor_head"))
+  }
+
+  /** Deterministic anchors over the planted graph: the linking page
+    * describes the target by its page number, prefixed with the
+    * SOURCE's host label — so a multi-host in-link set yields genuine
+    * anchor variants ("s3: page 42" vs "s5: page 42") while same-host
+    * in-links collapse, exercising both count columns.
+    */
+  private def plantedAnchors(edges: DataFrame): DataFrame =
+    edges.withColumn("anchor",
+      concat(lit("s"), (col("src") % 7).cast("string"),
+        lit(": page "), col("dst").cast("string")))
+
+  /** `anchor_text` checked key: [[anchorTextOn]] at [[AnchorCap]] over
+    * the planted graph with planted anchors.
+    */
+  def anchorText(spark: SparkSession, sfDir: String): DataFrame = {
+    val nodes = table(spark, sfDir, "documents").select(col("doc_id"))
+    anchorTextOn(plantedAnchors(plantedEdges(nodes)), AnchorCap)
+      .orderBy(col("doc_id"))
+  }
+
   /** The twin's planted-graph CTEs, mirrored from [[plantedEdges]]. */
   private def graphSql: String =
     s"""nodes AS (SELECT doc_id FROM documents),
@@ -167,7 +218,31 @@ object Graph {
     val iters = (1 to PrIters)
       .map(i => iterSql(if (i == 1) "r0" else s"r${i - 1}", s"r$i"))
       .mkString(",\n")
-    Map("page_rank" ->
+    Map(
+      "anchor_text" ->
+        s"""WITH $graphSql,
+           |a AS (
+           |  SELECT src, dst,
+           |    's' || CAST(src % 7 AS VARCHAR) || ': page ' ||
+           |      CAST(dst AS VARCHAR) AS anchor
+           |  FROM edges),
+           |astats AS (
+           |  SELECT dst, CAST(count(*) AS BIGINT) AS n_inlinks,
+           |    CAST(count(DISTINCT anchor) AS BIGINT) AS n_anchor_variants
+           |  FROM a GROUP BY dst),
+           |ah AS (
+           |  SELECT dst, anchor FROM (SELECT DISTINCT dst, anchor FROM a) t
+           |  QUALIFY row_number() OVER (PARTITION BY dst
+           |                             ORDER BY anchor) <= $AnchorCap),
+           |aheads AS (
+           |  SELECT dst, string_agg(anchor, '|' ORDER BY anchor)
+           |    AS anchor_head
+           |  FROM ah GROUP BY dst)
+           |SELECT s.dst AS doc_id, s.n_inlinks, s.n_anchor_variants,
+           |  h.anchor_head
+           |FROM astats s JOIN aheads h ON s.dst = h.dst
+           |ORDER BY doc_id""".stripMargin,
+      "page_rank" ->
       s"""WITH $graphSql,
          |r0 AS (SELECT doc_id, CAST($RankUnit AS BIGINT) AS rank
          |       FROM nodes),

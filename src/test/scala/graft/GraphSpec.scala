@@ -63,6 +63,43 @@ class GraphSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("anchor_text equals an independent fold, hand graph included") {
+    import spark.implicits._
+    // hub 9 collects four in-links across three anchor variants — the
+    // cap (2 here) must cut the lexicographic head, not the multiset
+    val edges = Seq(
+      (1L, 9L, "home"), (2L, 9L, "start"), (3L, 9L, "home"),
+      (4L, 9L, "about us"), (9L, 1L, "back")).toDF("src", "dst", "anchor")
+    val got = Graph.anchorTextOn(edges, 2).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(9L) == ((4L, 3L, "about us|home")))
+    assert(got(1L) == ((1L, 1L, "back")))
+    assert(got.keySet == Set(1L, 9L)) // unlinked targets emit no row
+    // harness-scale: distributed result equals the sequential fold over
+    // the same planted edges + anchor rule
+    val nodesH = Tables.table(spark, sf, "documents").select(col("doc_id"))
+    val es = Graph.plantedEdges(nodesH).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val withAnchor = es.map { case (s, d) => (s, d, s"s${s % 7}: page $d") }
+    val want = withAnchor.groupBy(_._2).map { case (d, g) =>
+      val anchors = g.map(_._3).distinct.sorted
+      d -> ((g.size.toLong, anchors.size.toLong,
+        anchors.take(Graph.AnchorCap).mkString("|")))
+    }
+    val gotH = Graph.anchorText(spark, sf).collect()
+    assert(gotH.length == want.size)
+    gotH.foreach { r =>
+      assert(want(r.getLong(0)) ==
+        ((r.getLong(1), r.getLong(2), r.getString(3))),
+        s"target ${r.getLong(0)} diverges from the sequential fold")
+    }
+    // the planted anchor rule must produce a multi-variant target —
+    // otherwise n_anchor_variants grades nothing
+    assert(gotH.exists(_.getLong(2) >= 2), "no multi-variant target")
+    spark.catalog.clearCache()
+  }
+
   test("planted graph: bounded fan-out, ragged in-degrees, no self-loops") {
     val nodes = Tables.table(spark, sf, "documents").select(col("doc_id"))
     val edges = Graph.plantedEdges(nodes).collect()

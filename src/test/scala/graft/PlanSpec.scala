@@ -431,6 +431,16 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("BroadcastHashJoin"), ps) // offsets ride broadcast
   }
 
+  test("anchor_text cuts anchor heads map-side, never cartesian") {
+    // the head cut must be the group-limit shape — a hub page every
+    // site links to ships ~cap distinct anchors per map partition, not
+    // its full in-link anchor multiset; the only cross joins are the
+    // planted graph's 1-row stats broadcasts
+    val p = plan("anchor_text")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("page_rank: stats broadcast back, iterations are hash joins," +
       " never cartesian") {
     // the 1-row max-id stats frame rides a broadcast (the zorder
