@@ -184,6 +184,8 @@ object SparkEntry {
     "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
     // streaming ingest throttle: per-(user, day) min-k sketch state
     "stream_rate_cap" -> (Streams.rateCapQuery _),
+    // watermarked tumbling-window aggregate flushed via the sentinel batch
+    "stream_window_agg" -> (Streams.streamWindowAggQuery _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

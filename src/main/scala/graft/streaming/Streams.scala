@@ -103,6 +103,26 @@ object Streams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** EXACT-INTEGER form of [[windowedCounts]] for the graded key: the
+    * value aggregate is a per-row milli-floor (`floor(value*1000)` —
+    * IEEE multiply and floor are bit-identical in any engine) summed as
+    * BIGINT, so the window rows hash-match a batch twin regardless of
+    * summation order; min/max event id bound the window's membership
+    * (a dropped or duplicated row moves one of the four columns). Same
+    * watermark/state contract as [[windowedCounts]].
+    */
+  def windowedAggExact(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000)).as("value_milli"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n_events"), col("value_milli"),
+        col("min_event_id"), col("max_event_id"))
+
   /** Streaming re-delivery dedup: at-least-once sources re-deliver the
     * same RECORD, so the dedup key is the record identity (`event_id`) —
     * two distinct events that happen to carry identical payloads are both
@@ -1102,6 +1122,51 @@ object Streams {
         round(col("total_value"), 6).as("total_value"))
       .orderBy(col("user_id"), col("start_ms"))
 
+  /** Paced replay of [[windowedAggExact]] with the query progress exposed
+    * — the probe the checked key and StreamingSpec share.
+    */
+  private[graft] def streamWindowAggPaced(spark: SparkSession, sfDir: String,
+      onProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]
+        => Unit): DataFrame =
+    replayToFeed(spark,
+      windowedAggExact(
+        readEventsPaced(spark, landedEventsFlush(spark, sfDir))),
+      check = q => onProgress(q.recentProgress))
+      .filter(col("event_type") =!= "sentinel")
+      .select(unix_millis(col("ws")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("value_milli"),
+        col("min_event_id"), col("max_event_id"))
+      .orderBy(col("window_start_ms"), col("event_type"))
+
+  /** `stream_window_agg` checked key: the watermarked tumbling-window
+    * aggregate ([[windowedAggExact]] — the streaming form of
+    * `groupby_agg`, the one core Structured-Streaming shape that had no
+    * graded entry) replayed paced over the flush landing to completion.
+    * The corpus batch aggregates with the initial watermark at −∞ (no
+    * row is late, so the emission set is complete); the far-future
+    * sentinel batch then advances the watermark past every real
+    * window's end, so append mode FLUSHES every window through the
+    * state-eviction path — the sentinel's own window stays open and is
+    * filtered by type. The feed therefore equals the batch hourly
+    * aggregate exactly, which is the DuckDB twin.
+    *
+    * The in-key `require`s certify the claimed regime ran: two
+    * data-carrying micro-batches (pacing held), and state rows genuinely
+    * REMOVED (the sentinel's watermark advance evicted the closed
+    * windows — the O(open windows × types) state bound that makes this
+    * runnable forever, the whole 100 TB point of the watermark).
+    */
+  def streamWindowAggQuery(spark: SparkSession, sfDir: String): DataFrame =
+    streamWindowAggPaced(spark, sfDir, progress => {
+      val dataBatches = progress.count(_.numInputRows > 0)
+      require(dataBatches >= 2,
+        s"flush replay ran $dataBatches data micro-batches — pacing collapsed")
+      val removed = progress.flatMap(_.stateOperators)
+        .map(_.numRowsRemoved).sum
+      require(removed > 0,
+        "watermark advance never evicted a closed window from state")
+    })
+
   /** Per-(user, day) cap for the graded rate-cap key. */
   val RateCapK = 3
 
@@ -1178,6 +1243,23 @@ object Streams {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // the windowed-aggregate twin: the direct batch hourly rollup — the
+    // flush replay must land on exactly this (epoch-hour flooring
+    // mirrors Spark's epoch-aligned window(); the per-row milli-floor
+    // before the BIGINT sum is what makes the hash order-independent)
+    "stream_window_agg" ->
+      """WITH e AS (
+        |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+        |    event_type, event_id,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events)
+        |SELECT window_start_ms, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(v_milli) AS BIGINT) AS value_milli,
+        |  min(event_id) AS min_event_id,
+        |  max(event_id) AS max_event_id
+        |FROM e GROUP BY window_start_ms, event_type
+        |ORDER BY window_start_ms, event_type""".stripMargin,
     // the rate-cap twin: the direct batch first-k per (user, event-time
     // day) — the replayed sketch must land on exactly this
     "stream_rate_cap" ->

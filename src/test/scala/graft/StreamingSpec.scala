@@ -582,6 +582,32 @@ class StreamingSpec extends SparkSpec {
       "streaming session set drifted from the batch twin")
   }
 
+  test("stream_window_agg key equals the batch hourly rollup exactly") {
+    import org.apache.spark.sql.functions._
+    // the flush replay's emission set must be the COMPLETE batch rollup
+    // bit-for-bit (integer milli sums — no float-order tolerance), the
+    // sentinel's open window filtered; the key's own requires certify
+    // the paced two-batch + eviction regime ran
+    def six(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val streamed = six(Streams.streamWindowAggQuery(spark, sf))
+    val batch = six(graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 1000)).as("value_milli"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"), col("value_milli"),
+        col("min_event_id"), col("max_event_id"))
+      .orderBy(col("window_start_ms"), col("event_type")))
+    assert(streamed.nonEmpty)
+    assert(!streamed.exists(_._2 == "sentinel"), "sentinel window leaked")
+    assert(streamed == batch,
+      "flushed window set drifted from the batch hourly rollup")
+  }
+
   test("stream_range_join paced replay bounds join state below the corpus") {
     // the state-horizon certificate, quantitatively: replay the interval
     // join as event-time-ordered micro-batches and read the state arc off
