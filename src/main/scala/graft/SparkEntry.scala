@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.functions.Scalars
-import graft.ops.{Curation, Dedup, Graph, Lifecycle, MLOps, Multimodal,
+import graft.ops.{Clustering, Curation, Dedup, Graph, Lifecycle, MLOps, Multimodal,
   Packing, Relational, Similarity, Sketches, Sources, Temporal,
   TextAnalysis, Web}
 import graft.streaming.Streams
@@ -153,6 +153,8 @@ object SparkEntry {
     "sim_search_ivf" -> (Similarity.simSearchIvfChecked _),
     "sim_search_quant" -> (Similarity.simSearchQuantChecked _),
     "knn_classify" -> (Similarity.knnClassify _),
+    // §2j corpus clustering: exact-integer Lloyd's k-means (learned centroids)
+    "cluster_kmeans_int" -> (Clustering.clusterKmeansInt _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),
@@ -247,6 +249,7 @@ object SparkEntry {
       MLOps.oracleSql ++ Dedup.oracleSql ++ Similarity.oracleSql ++
       TextAnalysis.oracleSql ++ Multimodal.oracleSql ++ Streams.oracleSql ++
       Curation.oracleSql ++ Web.oracleSql ++ Graph.oracleSql ++
+      Clustering.oracleSql ++
       Temporal.oracleSql ++
       Sketches.oracleSql ++
       Lifecycle.oracleSql ++ Packing.oracleSql

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.table
+
+/** §2j corpus clustering — EXACT-INTEGER Lloyd's k-means over the
+  * embedding column. Clustering is the organizing substrate of modern
+  * corpus curation: SemDeDup (Abbas et al. 2023) dedups within k-means
+  * cells, cluster-balanced sampling reweights a crawl by semantic
+  * density, and IVF ANN indexes (`sim_search_ivf`) are built on exactly
+  * this artifact. The library's other keys consume FROZEN geometry
+  * (sign-cells, planted centroids); this one LEARNS the centroids from
+  * the data — the missing train step.
+  *
+  * The design decision is the page_rank discipline applied to Lloyd's:
+  * NO floating-point mass anywhere, so the iterations are bit-exact in
+  * any engine and the oracle can unroll them as CTEs. Vectors quantize
+  * once per row (clamp to ±[[KmClamp]], scale by [[KmScale]], floor,
+  * shift non-negative — saturating fixed-point, the int8-prescan idea at
+  * int14 precision), assignment is exact BIGINT squared-L2 argmin with
+  * ties to the smallest cluster id, and the centroid update is
+  * `sum div n` per dimension — truncating division on non-negative
+  * sums, identical in Spark (`div`) and DuckDB (`//`). An empty cluster
+  * keeps its previous centroid (the standard restart-free rule, and the
+  * one that keeps the unrolled twin total).
+  *
+  * Scale shape: ASSIGNMENT is zero-shuffle — the k centroids ride a
+  * broadcast 1-row array frame and the argmin is one in-row codegen'd
+  * fold (`array_min` over a struct array puts the (dist², cluster)
+  * tie-break inside the comparator); the UPDATE is one (cluster, pos)
+  * hash aggregate over the posexploded vectors — n×d narrow rows with
+  * map-side partials, the tree-aggregate shape spark.ml's own KMeans
+  * uses. Per iteration that is ONE shuffle of integer triples; at 100 TB
+  * the quantized vectors are the only big frame and they stream through
+  * scan → fold → partial-agg without ever carrying payloads. Iteration
+  * count is fixed and small ([[KmIters]]), so lineage stays bounded —
+  * the pageRankOn argument.
+  */
+object Clustering {
+
+  /** Frozen graded-key geometry: k centroids, Lloyd iterations, and the
+    * saturating fixed-point quantizer (clamp ±8.0, 3 decimal digits —
+    * q ∈ [0, 16000], so a 64-dim squared distance is ≤ 1.6e10 and a
+    * centroid sum at any cluster size stays far from Long overflow).
+    */
+  val KmK = 8
+  val KmIters = 3
+  val KmClamp = 8.0
+  val KmScale = 1000L
+
+  private val KmShift: Long = (KmClamp * KmScale).toLong
+
+  /** Per-row saturating fixed-point quantization of the embedding column
+    * to non-negative BIGINTs. Float→double widening is exact and the
+    * single double multiply rounds identically under IEEE in any engine,
+    * so the quantized vector is engine-neutral by construction.
+    */
+  def quantizeVecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), expr(
+      s"""transform(embedding, x ->
+         |  CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
+         |    -$KmClamp) * $KmScale) AS BIGINT) + $KmShift)""".stripMargin)
+      .as("qv"))
+
+  /** In-row argmin over the broadcast centroid array: `array_min` on
+    * (dist², cluster) structs — struct comparison is field-order
+    * lexicographic, so the tie rule (smallest cluster id) is inside the
+    * comparator, not a separate pass.
+    */
+  private val bestCentroid: Column = expr(
+    """array_min(transform(cents, c -> named_struct(
+      |  'd2', aggregate(zip_with(qv, c.cv, (a, b) -> (a - b) * (a - b)),
+      |          CAST(0 AS BIGINT), (s, x) -> s + x),
+      |  'cl', c.cluster)))""".stripMargin)
+
+  /** Centroids collapsed to ONE row carrying the sorted (cluster, cv)
+    * array — the broadcast-stats discipline: k×d integers, never a
+    * driver collect.
+    */
+  private def centroidArray(cent: DataFrame): DataFrame =
+    cent.agg(sort_array(collect_list(struct(col("cluster"), col("cv"))))
+      .as("cents"))
+
+  /** Zero-shuffle assignment of every vector to its nearest centroid. */
+  private def assign(qvecs: DataFrame, cent: DataFrame): DataFrame =
+    qvecs.crossJoin(broadcast(centroidArray(cent)))
+      .withColumn("best", bestCentroid)
+      .select(col("vec_id"), col("qv"),
+        col("best.cl").as("cluster"), col("best.d2").as("dist2"))
+
+  /** One Lloyd update: per-(cluster, dimension) truncated integer means
+    * over the assigned vectors, empty clusters keeping their previous
+    * centroid.
+    */
+  private def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "qd")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("qd")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(expr("transform(sort_array(collect_list(" +
+        "named_struct('pos', pos, 'c', s div n))), x -> x.c)").as("cvn"))
+    prev.join(sums, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("cvn"), col("cv")).as("cv"))
+  }
+
+  /** Deterministic seeding: the k smallest vec_ids, cluster id = rank.
+    * (A k-row frame; the global window is over k rows, not the corpus.)
+    */
+  private def initCentroids(qvecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    qvecs.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).as("cluster"), col("qv").as("cv"))
+  }
+
+  /** EXACT-INTEGER k-means over any (vec_id, embedding) frame: `iters`
+    * Lloyd rounds from the deterministic seed, then a final assignment
+    * against the learned centroids. Returns one row per vector:
+    * (vec_id, cluster, dist2) — dist2 the exact quantized squared L2 to
+    * the winning centroid.
+    */
+  def kmeansIntOn(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // quantized once, reused by every iteration's assign + update (the
+    // pageRankOn persist; released by the caller-clearCache contract)
+    val qvecs = quantizeVecs(vecs).persist()
+    var cent = initCentroids(qvecs, k)
+    (1 to iters).foreach(_ => cent = update(assign(qvecs, cent), cent))
+    assign(qvecs, cent).select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** `cluster_kmeans_int` checked key: [[KmIters]] exact-integer Lloyd
+    * rounds at k=[[KmK]] over the harness embeddings, fully hash-checked
+    * (the twin unrolls the same integer rounds as CTEs).
+    */
+  def clusterKmeansInt(spark: SparkSession, sfDir: String): DataFrame =
+    kmeansIntOn(table(spark, sfDir, "embeddings"), KmK, KmIters)
+      .orderBy(col("vec_id"))
+
+  /** One unrolled Lloyd round for the twin: assignment argmin with the
+    * (dist², cluster) tie order, truncated-mean update, empty-cluster
+    * carry via the LEFT JOIN + coalesce.
+    */
+  private def roundSql(prev: String, i: Int): String =
+    s"""a$i AS (
+       |  SELECT v.vec_id, c.cluster,
+       |    CAST(sum((v.qd - c.c) * (v.qd - c.c)) AS BIGINT) AS dist2
+       |  FROM v JOIN $prev c ON v.pos = c.pos
+       |  GROUP BY v.vec_id, c.cluster),
+       |b$i AS (
+       |  SELECT vec_id, cluster, dist2 FROM a$i
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY dist2, cluster) = 1),
+       |s$i AS (
+       |  SELECT b.cluster, v.pos,
+       |    CAST(sum(v.qd) // count(*) AS BIGINT) AS c
+       |  FROM b$i b JOIN v ON b.vec_id = v.vec_id
+       |  GROUP BY b.cluster, v.pos),
+       |c$i AS (
+       |  SELECT p.cluster, p.pos, coalesce(s.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN s$i s
+       |    ON p.cluster = s.cluster AND p.pos = s.pos)""".stripMargin
+
+  val oracleSql: Map[String, String] = {
+    val rounds = (1 to KmIters)
+      .map(i => roundSql(if (i == 1) "c0" else s"c${i - 1}", i))
+      .mkString(",\n")
+    val fin = KmIters + 1
+    Map("cluster_kmeans_int" ->
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding, x ->
+         |    CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
+         |      -$KmClamp) * $KmScale) AS BIGINT) + $KmShift) AS qv
+         |  FROM embeddings),
+         |v AS (
+         |  SELECT vec_id, u.pos AS pos, u.qd AS qd FROM (
+         |    SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+         |      i -> {'pos': i, 'qd': qv[i + 1]})) AS u
+         |    FROM qz) t),
+         |sel AS (
+         |  SELECT vec_id,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |      AS cluster
+         |  FROM qz ORDER BY vec_id LIMIT $KmK),
+         |c0 AS (
+         |  SELECT s.cluster, v.pos, v.qd AS c
+         |  FROM sel s JOIN v ON s.vec_id = v.vec_id),
+         |$rounds,
+         |a$fin AS (
+         |  SELECT v.vec_id, c.cluster,
+         |    CAST(sum((v.qd - c.c) * (v.qd - c.c)) AS BIGINT) AS dist2
+         |  FROM v JOIN c$KmIters c ON v.pos = c.pos
+         |  GROUP BY v.vec_id, c.cluster)
+         |SELECT vec_id, cluster, dist2 FROM a$fin
+         |QUALIFY row_number() OVER (PARTITION BY vec_id
+         |                           ORDER BY dist2, cluster) = 1
+         |ORDER BY vec_id""".stripMargin)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Clustering
+
+/** Exact-integer k-means: the distributed Lloyd rounds must equal an
+  * independent sequential fold bit-for-bit (the whole point of the
+  * integer discipline), including the empty-cluster carry rule.
+  */
+class ClusteringSpec extends SparkSpec {
+
+  /** Independent sequential Lloyd twin of [[Clustering.kmeansIntOn]]:
+    * same quantizer, same (dist², cluster) tie order, same truncated
+    * integer means, same empty-cluster carry.
+    */
+  private def seqKmeans(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): Map[Long, (Int, Long)] = {
+    def quant(x: Float): Long =
+      math.floor(math.max(-Clustering.KmClamp,
+        math.min(Clustering.KmClamp, x.toDouble)) *
+        Clustering.KmScale).toLong + (Clustering.KmClamp *
+        Clustering.KmScale).toLong
+    val q = vecs.map { case (id, a) => id -> a.map(quant) }.sortBy(_._1)
+    var cent: Array[Array[Long]] = q.take(k).map(_._2.map(identity)).toArray
+    def d2(a: Array[Long], c: Array[Long]): Long =
+      a.indices.map(i => (a(i) - c(i)) * (a(i) - c(i))).sum
+    def best(v: Array[Long]): (Int, Long) = {
+      var bc = 0
+      var bd = Long.MaxValue
+      cent.indices.foreach { c =>
+        val d = d2(v, cent(c))
+        if (d < bd) { bd = d; bc = c }
+      }
+      (bc, bd)
+    }
+    (1 to iters).foreach { _ =>
+      val asg = q.map { case (_, v) => (best(v)._1, v) }
+      cent = cent.indices.map { c =>
+        val members = asg.filter(_._1 == c).map(_._2)
+        if (members.isEmpty) cent(c)
+        else Array.tabulate(cent(c).length)(p =>
+          members.map(_(p)).sum / members.size)
+      }.toArray
+    }
+    q.map { case (id, v) => id -> best(v) }.toMap
+  }
+
+  test("cluster_kmeans_int equals the sequential Lloyd fold on the corpus") {
+    val raw = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val want = seqKmeans(raw, Clustering.KmK, Clustering.KmIters)
+    val got = Clustering.clusterKmeansInt(spark, sf).collect()
+    assert(got.length == raw.size, "a vector was dropped or duplicated")
+    got.foreach { r =>
+      assert(want(r.getLong(0)) == ((r.getInt(1), r.getLong(2))),
+        s"vec ${r.getLong(0)} diverges from the sequential fold")
+    }
+    // non-vacuous: the learned clustering actually separates the corpus
+    val used = got.map(_.getInt(1)).distinct
+    assert(used.length >= 2, "all mass collapsed into one cluster")
+    assert(used.forall(c => c >= 0 && c < Clustering.KmK))
+    spark.catalog.clearCache()
+  }
+
+  test("empty-cluster carry: a deserted seed keeps its centroid and can win") {
+    import spark.implicits._
+    // seeds are vecs 1 and 2 (both quantize to 8000), so after the first
+    // assignment cluster 1 is EMPTY (ties go to cluster 0) and must carry
+    // its seed centroid — which then wins both near vectors in the final
+    // assignment while the far vector flips to the dragged mean
+    val vecs = Seq(
+      (1L, Array(0.0f)), (2L, Array(0.0004f)), (3L, Array(0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Clustering.kmeansIntOn(vecs, 2, 1).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // hand arithmetic: q = (8000, 8000, 8500); c0 after update = 8166
+    // (truncated mean), c1 carried at 8000
+    assert(got(1L) == ((1, 0L)))
+    assert(got(2L) == ((1, 0L)))
+    assert(got(3L) == ((0, 111556L)))
+    // and the same three vectors through the sequential twin agree
+    val want = seqKmeans(
+      Seq((1L, Array(0.0f)), (2L, Array(0.0004f)), (3L, Array(0.5f))), 2, 1)
+    assert(got == want.map { case (id, v) => id -> v })
+    spark.catalog.clearCache()
+  }
+
+  test("quantizer saturates: out-of-range components clamp, not overflow") {
+    import spark.implicits._
+    val vecs = Seq((1L, Array(100.0f, -100.0f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val qv = Clustering.quantizeVecs(vecs).collect()(0).getSeq[Long](1)
+    assert(qv == Seq(16000L, 0L, 8250L))
+  }
+}

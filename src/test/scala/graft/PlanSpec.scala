@@ -441,6 +441,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cluster_kmeans_int assigns via broadcast centroids, never cartesian") {
+    // every assignment is the in-row argmin against the broadcast 1-row
+    // centroid array (BroadcastNestedLoopJoin on a single row — the
+    // broadcast-stats shape), and the only shuffles are the per-iteration
+    // (cluster, pos) update aggregates; the corpus never cross-joins
+    val p = plan("cluster_kmeans_int")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("page_rank: stats broadcast back, iterations are hash joins," +
       " never cartesian") {
     // the 1-row max-id stats frame rides a broadcast (the zorder
