@@ -155,6 +155,8 @@ object SparkEntry {
     "knn_classify" -> (Similarity.knnClassify _),
     // §2j corpus clustering: exact-integer Lloyd's k-means (learned centroids)
     "cluster_kmeans_int" -> (Clustering.clusterKmeansInt _),
+    // density rebalancing over the learned cells: hash-uniform per-cluster cap
+    "sample_cluster_balanced" -> (Clustering.sampleClusterBalanced _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),

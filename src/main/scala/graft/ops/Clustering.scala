@@ -141,6 +141,44 @@ object Clustering {
     kmeansIntOn(table(spark, sfDir, "embeddings"), KmK, KmIters)
       .orderBy(col("vec_id"))
 
+  /** Per-cluster keep cap for the graded balanced-sampling key. */
+  val CbCap = 40
+
+  /** CLUSTER-BALANCED SUBSAMPLING — the density-rebalancing rule a
+    * curation pipeline applies after clustering (cf. SemDeDup §5 /
+    * DataComp-style cluster reweighting): keep at most `cap` vectors per
+    * cluster, chosen by `md5("cbal:" || vec_id)` order so the cut is a
+    * UNIFORM deterministic sample of the cluster, not a vec_id-order
+    * (i.e. crawl-order) bias — the `cap_per_host` discipline applied to
+    * LEARNED cells. The rank≤cap filter is the map-side group-limit
+    * shape: a mega-cluster (the dense head a balancer exists to tame)
+    * ships ~cap rows per map partition, never its membership.
+    *
+    * Takes any (vec_id, cluster) assignment frame; emits
+    * (vec_id, cluster, pick_rank) for the kept rows.
+    */
+  def clusterBalancedOn(assigned: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("pick"), col("vec_id"))
+    assigned
+      .withColumn("pick",
+        md5(concat(lit("cbal:"), col("vec_id").cast("string"))))
+      .withColumn("pick_rank", row_number().over(w))
+      .filter(col("pick_rank") <= cap)
+      .select(col("vec_id"), col("cluster"), col("pick_rank"))
+  }
+
+  /** `sample_cluster_balanced` checked key: [[clusterBalancedOn]] at
+    * [[CbCap]] over the learned [[KmK]]-means assignment — the composed
+    * cluster→rebalance pipeline, hash-checked end-to-end (the twin
+    * re-runs the unrolled k-means CTEs and the identical md5 window).
+    */
+  def sampleClusterBalanced(spark: SparkSession, sfDir: String): DataFrame =
+    clusterBalancedOn(
+      kmeansIntOn(table(spark, sfDir, "embeddings"), KmK, KmIters), CbCap)
+      .orderBy(col("vec_id"))
+
   /** One unrolled Lloyd round for the twin: assignment argmin with the
     * (dist², cluster) tie order, truncated-mean update, empty-cluster
     * carry via the LEFT JOIN + coalesce.
@@ -165,39 +203,61 @@ object Clustering {
        |  FROM $prev p LEFT JOIN s$i s
        |    ON p.cluster = s.cluster AND p.pos = s.pos)""".stripMargin
 
-  val oracleSql: Map[String, String] = {
+  /** The full unrolled k-means CTE chain for the twins, ending in
+    * `b$fin` = the final (vec_id, cluster, dist2) assignment.
+    */
+  private def kmeansCtes: String = {
     val rounds = (1 to KmIters)
       .map(i => roundSql(if (i == 1) "c0" else s"c${i - 1}", i))
       .mkString(",\n")
     val fin = KmIters + 1
-    Map("cluster_kmeans_int" ->
-      s"""WITH qz AS (
-         |  SELECT vec_id, list_transform(embedding, x ->
-         |    CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
-         |      -$KmClamp) * $KmScale) AS BIGINT) + $KmShift) AS qv
-         |  FROM embeddings),
-         |v AS (
-         |  SELECT vec_id, u.pos AS pos, u.qd AS qd FROM (
-         |    SELECT vec_id, unnest(list_transform(range(0, len(qv)),
-         |      i -> {'pos': i, 'qd': qv[i + 1]})) AS u
-         |    FROM qz) t),
-         |sel AS (
-         |  SELECT vec_id,
-         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
-         |      AS cluster
-         |  FROM qz ORDER BY vec_id LIMIT $KmK),
-         |c0 AS (
-         |  SELECT s.cluster, v.pos, v.qd AS c
-         |  FROM sel s JOIN v ON s.vec_id = v.vec_id),
-         |$rounds,
-         |a$fin AS (
-         |  SELECT v.vec_id, c.cluster,
-         |    CAST(sum((v.qd - c.c) * (v.qd - c.c)) AS BIGINT) AS dist2
-         |  FROM v JOIN c$KmIters c ON v.pos = c.pos
-         |  GROUP BY v.vec_id, c.cluster)
-         |SELECT vec_id, cluster, dist2 FROM a$fin
-         |QUALIFY row_number() OVER (PARTITION BY vec_id
-         |                           ORDER BY dist2, cluster) = 1
-         |ORDER BY vec_id""".stripMargin)
+    s"""qz AS (
+       |  SELECT vec_id, list_transform(embedding, x ->
+       |    CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
+       |      -$KmClamp) * $KmScale) AS BIGINT) + $KmShift) AS qv
+       |  FROM embeddings),
+       |v AS (
+       |  SELECT vec_id, u.pos AS pos, u.qd AS qd FROM (
+       |    SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+       |      i -> {'pos': i, 'qd': qv[i + 1]})) AS u
+       |    FROM qz) t),
+       |sel AS (
+       |  SELECT vec_id,
+       |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+       |      AS cluster
+       |  FROM qz ORDER BY vec_id LIMIT $KmK),
+       |c0 AS (
+       |  SELECT s.cluster, v.pos, v.qd AS c
+       |  FROM sel s JOIN v ON s.vec_id = v.vec_id),
+       |$rounds,
+       |a$fin AS (
+       |  SELECT v.vec_id, c.cluster,
+       |    CAST(sum((v.qd - c.c) * (v.qd - c.c)) AS BIGINT) AS dist2
+       |  FROM v JOIN c$KmIters c ON v.pos = c.pos
+       |  GROUP BY v.vec_id, c.cluster),
+       |b$fin AS (
+       |  SELECT vec_id, cluster, dist2 FROM a$fin
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY dist2, cluster) = 1)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = {
+    val fin = KmIters + 1
+    Map(
+      "cluster_kmeans_int" ->
+        s"""WITH $kmeansCtes
+           |SELECT vec_id, cluster, dist2 FROM b$fin
+           |ORDER BY vec_id""".stripMargin,
+      "sample_cluster_balanced" ->
+        s"""WITH $kmeansCtes,
+           |r AS (
+           |  SELECT vec_id, cluster,
+           |    CAST(row_number() OVER (PARTITION BY cluster
+           |      ORDER BY md5('cbal:' || CAST(vec_id AS VARCHAR)), vec_id)
+           |      AS INTEGER) AS pick_rank
+           |  FROM b$fin)
+           |SELECT vec_id, cluster, pick_rank FROM r
+           |WHERE pick_rank <= $CbCap
+           |ORDER BY vec_id""".stripMargin)
   }
 }

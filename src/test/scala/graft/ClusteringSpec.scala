@@ -87,6 +87,37 @@ class ClusteringSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("cluster-balanced subsample: cap respected, uniform pick, no invention") {
+    import spark.implicits._
+    val assigned = (1L to 200L).map(i => (i, (i % 3).toInt))
+      .toDF("vec_id", "cluster")
+    val cap = 10
+    val got = Clustering.clusterBalancedOn(assigned, cap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // cap respected and ranks contiguous from 1 within each cluster
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.length <= cap)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+    // each cluster with >= cap members keeps exactly cap
+    assert(got.groupBy(_._2).forall(_._2.length == cap))
+    // the kept set is EXACTLY the brute-force md5-order prefix per cluster
+    def pick(id: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cbal:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = (1L to 200L).groupBy(i => (i % 3).toInt).flatMap {
+      case (c, ids) =>
+        ids.sortBy(i => (pick(i), i)).take(cap).zipWithIndex
+          .map { case (i, r) => (i, c, r + 1) }
+    }.toSet
+    assert(got.toSet == want, "kept set diverges from the md5-order prefix")
+    // a small cluster (< cap) survives whole
+    val small = Seq((1L, 0), (2L, 0), (3L, 1)).toDF("vec_id", "cluster")
+    assert(Clustering.clusterBalancedOn(small, cap).count() == 3)
+    spark.catalog.clearCache()
+  }
+
   test("quantizer saturates: out-of-range components clamp, not overflow") {
     import spark.implicits._
     val vecs = Seq((1L, Array(100.0f, -100.0f, 0.25f)))

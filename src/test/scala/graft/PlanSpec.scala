@@ -452,6 +452,17 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("sample_cluster_balanced cuts clusters map-side (group-limit)") {
+    // the rank≤cap filter must plan as WindowGroupLimit so a
+    // mega-cluster ships ~cap rows per map partition into the window
+    // exchange, never its membership; and the composed clustering
+    // keeps its never-cartesian discipline
+    val p = plan("sample_cluster_balanced")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("page_rank: stats broadcast back, iterations are hash joins," +
       " never cartesian") {
     // the 1-row max-id stats frame rides a broadcast (the zorder
