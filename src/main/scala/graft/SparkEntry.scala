@@ -165,6 +165,8 @@ object SparkEntry {
     // the TRUE frozen-BPE encoder: merge-table walk emitting token ids
     "tokenize_bpe" -> (TextAnalysis.tokenizeBpe _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
+    // query-side consumer of the postings substrate: integer-idf top-k
+    "search_lexical" -> (TextAnalysis.searchLexical _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
     // main-content extraction from markup (the trafilatura/jusText slot:

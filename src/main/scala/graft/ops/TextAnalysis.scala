@@ -810,6 +810,69 @@ object TextAnalysis {
     buildPostings(table(spark, sfDir, "documents"), PostingsCap)
       .orderBy(col("token"))
 
+  /** Query count / result depth for [[searchLexical]]'s graded key. */
+  val SearchQueries = 16
+  val SearchTopK = 5
+
+  /** LEXICAL TOP-K RETRIEVAL — the query-side consumer of the
+    * `build_postings` substrate: rank documents for a query by summed
+    * term weights, rarer terms weighing more. Queries are
+    * query-by-example (the first 3 whitespace tokens of the `qn`
+    * lowest doc_ids — deterministic and data-derived, so the twin
+    * regenerates them); the weight is the EXACT-INTEGER idf surrogate
+    * `1000000 div df` (truncating division on non-negative BIGINTs —
+    * identical in Spark `div` and DuckDB `//`; the page_rank
+    * fixed-point discipline applied to the BM25 slot, trading the
+    * transcendental log for cross-engine bit-stability), and
+    * score(q, d) = Σ over matched token OCCURRENCES of wt(token)
+    * = Σ_t tf(d,t)·wt(t). Ties break to the smaller doc_id; the query
+    * document itself may rank (and usually tops) its own result — the
+    * query-by-example convention, kept deliberately.
+    *
+    * Scale shape: the query frame is ≤ qn×3 rows and RIDES A BROADCAST
+    * both times it is used — df is computed only for query terms (the
+    * full-corpus token aggregate never runs), and the scoring join
+    * filters the token stream map-side before the single
+    * (query_id, doc_id) score aggregate. The top-k cut is a
+    * row_number window over ≤ qn partitions of already-aggregated
+    * scores. Nothing driver-side exceeds qn×k rows.
+    */
+  def searchLexicalOn(docs: DataFrame, qn: Int, k: Int): DataFrame = {
+    require(qn >= 1 && k >= 1, s"qn/k must be >= 1, got $qn/$k")
+    val d = docs.filter(col("text").isNotNull)
+    val qtok = d.orderBy(col("doc_id")).limit(qn)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("token"))
+      .distinct()
+    val tok = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    // df restricted to query terms: the broadcast semi-filter keeps the
+    // aggregate's key space at <= qn*3 tokens
+    val qdf = tok.join(broadcast(qtok.select(col("token")).distinct()),
+        Seq("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val qwt = qtok.join(qdf, Seq("token"))
+      .withColumn("wt", expr("CAST(1000000 AS BIGINT) div n_docs"))
+      .select(col("query_id"), col("token"), col("wt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tok.join(broadcast(qwt), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("wt")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** `search_lexical` checked key: [[searchLexicalOn]] at
+    * [[SearchQueries]]×[[SearchTopK]] over the documents corpus.
+    */
+  def searchLexical(spark: SparkSession, sfDir: String): DataFrame =
+    searchLexicalOn(table(spark, sfDir, "documents"), SearchQueries,
+      SearchTopK)
+      .orderBy(col("query_id"), col("rnk"))
+
   val oracleSql: Map[String, String] = Map(
     "build_postings" ->
       s"""WITH tok AS (
@@ -833,6 +896,39 @@ object TextAnalysis {
          |SELECT s.token, s.n_docs, s.tf, h.posting_head
          |FROM stats s JOIN heads h USING (token)
          |ORDER BY s.token""".stripMargin,
+    // full twin: query regeneration, query-term-only df, the identical
+    // truncating idf surrogate (`//` == `div` on non-negative BIGINTs),
+    // occurrence-summed scores, (score DESC, doc_id) top-k
+    "search_lexical" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |qt AS (
+         |  SELECT DISTINCT query_id, token FROM (
+         |    SELECT doc_id AS query_id,
+         |      unnest(string_split(text, ' ')[1:3]) AS token
+         |    FROM (SELECT doc_id, text FROM d
+         |          ORDER BY doc_id LIMIT $SearchQueries) q0) q1),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM d),
+         |df AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
+         |  GROUP BY token),
+         |w AS (SELECT token, 1000000 // n_docs AS wt FROM df),
+         |s AS (
+         |  SELECT qt.query_id, tok.doc_id,
+         |    CAST(sum(w.wt) AS BIGINT) AS score
+         |  FROM tok JOIN qt USING (token) JOIN w USING (token)
+         |  GROUP BY qt.query_id, tok.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM s)
+         |SELECT query_id, doc_id, score, rnk FROM r
+         |WHERE rnk <= $SearchTopK
+         |ORDER BY query_id, rnk""".stripMargin,
     // the full merge-walk recompute, GENERATED from the same frozen
     // merge table and vocabulary as the Spark expression (one list_reduce
     // scan per rule — see BpeTokenizer.oracleSqlFor)

@@ -415,6 +415,39 @@ class ExtensionsSpec extends SparkSpec {
       "some posting must overflow the cap for the cut to be non-vacuous")
   }
 
+  test("search_lexical equals the brute-force integer-idf ranking") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val queries = docs.take(TextAnalysis.SearchQueries).map {
+      case (id, t) => id -> t.split(" ", -1).take(3).distinct.toSet
+    }
+    val qterms = queries.flatMap(_._2).distinct
+    val wt = qterms.map { tk =>
+      val df = docs.count(_._2.split(" ", -1).contains(tk)).toLong
+      tk -> 1000000L / df
+    }.toMap
+    val want = queries.flatMap { case (qid, terms) =>
+      docs.map { case (did, t) =>
+        (qid, did,
+          t.split(" ", -1).filter(terms.contains).map(wt).sum)
+      }.filter(_._3 > 0L)
+        .sortBy { case (_, did, s) => (-s, did) }
+        .take(TextAnalysis.SearchTopK).zipWithIndex
+        .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+    }.toSet
+    val got = TextAnalysis.searchLexical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == want)
+    // non-vacuous: every query found a full page of results, and at
+    // least one score aggregates more than a single occurrence
+    assert(got.length ==
+      TextAnalysis.SearchQueries * TextAnalysis.SearchTopK)
+    assert(got.exists { case (_, _, s, _) => s > wt.values.max })
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._

@@ -431,6 +431,17 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("BroadcastHashJoin"), ps) // offsets ride broadcast
   }
 
+  test("search_lexical scores via broadcast query joins, cuts top-k" +
+      " map-side, never cartesian") {
+    // the <= qn*3-row query/weight frames must ride broadcasts into the
+    // token stream (the full-corpus token aggregate never runs), and
+    // the per-query page cut must be the group-limit shape
+    val p = plan("search_lexical")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("anchor_text cuts anchor heads map-side, never cartesian") {
     // the head cut must be the group-limit shape — a hub page every
     // site links to ships ~cap distinct anchors per map partition, not
