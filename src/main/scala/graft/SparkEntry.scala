@@ -157,6 +157,8 @@ object SparkEntry {
     "cluster_kmeans_int" -> (Clustering.clusterKmeansInt _),
     // density rebalancing over the learned cells: hash-uniform per-cluster cap
     "sample_cluster_balanced" -> (Clustering.sampleClusterBalanced _),
+    // crawl-batch serving path: frozen corpus-learned centroids, batch assigns
+    "cluster_assign_batch" -> (Clustering.clusterAssignBatch _),
     // §2j text analysis
     "text_stats" -> (TextAnalysis.textStats _),
     "lang_id" -> (TextAnalysis.langId _),

@@ -179,6 +179,41 @@ object Clustering {
       kmeansIntOn(table(spark, sfDir, "embeddings"), KmK, KmIters), CbCap)
       .orderBy(col("vec_id"))
 
+  /** FROZEN-CENTROID BATCH ASSIGNMENT — the crawl-batch form of the
+    * clustering family (the `dedup_*_incremental` convention: odd
+    * vec_ids are the NEW batch, even the maintained corpus): centroids
+    * are learned from the CORPUS ONLY by the same exact-integer Lloyd
+    * rounds, then the batch assigns against them frozen — the serving
+    * path of a production curation pipeline, where the model trains on
+    * a reservoir and each incoming crawl slice routes to cells without
+    * re-clustering (re-train is a scheduled job, not a per-batch cost).
+    * Assignment is the zero-shuffle broadcast-argmin shape: k×d
+    * integers ride one broadcast row and the batch never shuffles at
+    * all — the ONLY stage that scales with batch size is the scan.
+    *
+    * Emits (vec_id, cluster, dist2) for batch rows only.
+    */
+  def clusterAssignBatchOn(vecs: DataFrame, isBatch: Column, k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val qcorpus = quantizeVecs(vecs.filter(!isBatch)).persist()
+    var cent = initCentroids(qcorpus, k)
+    (1 to iters).foreach(_ => cent = update(assign(qcorpus, cent), cent))
+    assign(quantizeVecs(vecs.filter(isBatch)), cent)
+      .select(col("vec_id"), col("cluster"), col("dist2"))
+  }
+
+  /** `cluster_assign_batch` checked key: [[clusterAssignBatchOn]] with
+    * the family's parity split at [[KmK]]×[[KmIters]], fully
+    * hash-checked (the twin unrolls the corpus-only rounds and the
+    * frozen batch assignment).
+    */
+  def clusterAssignBatch(spark: SparkSession, sfDir: String): DataFrame =
+    clusterAssignBatchOn(table(spark, sfDir, "embeddings"),
+      col("vec_id") % 2 === 1, KmK, KmIters)
+      .orderBy(col("vec_id"))
+
   /** One unrolled Lloyd round for the twin: assignment argmin with the
     * (dist², cluster) tie order, truncated-mean update, empty-cluster
     * carry via the LEFT JOIN + coalesce.
@@ -203,19 +238,25 @@ object Clustering {
        |  FROM $prev p LEFT JOIN s$i s
        |    ON p.cluster = s.cluster AND p.pos = s.pos)""".stripMargin
 
+  /** The fixed-point quantizer as a DuckDB list expression. */
+  private def quantSql: String =
+    s"""list_transform(embedding, x ->
+       |    CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
+       |      -$KmClamp) * $KmScale) AS BIGINT) + $KmShift)""".stripMargin
+
   /** The full unrolled k-means CTE chain for the twins, ending in
-    * `b$fin` = the final (vec_id, cluster, dist2) assignment.
+    * `b$fin` = the final (vec_id, cluster, dist2) assignment; `pred`
+    * restricts the TRAINING rows (the batch-assign twin trains on the
+    * even corpus only).
     */
-  private def kmeansCtes: String = {
+  private def kmeansCtes(pred: String = "TRUE"): String = {
     val rounds = (1 to KmIters)
       .map(i => roundSql(if (i == 1) "c0" else s"c${i - 1}", i))
       .mkString(",\n")
     val fin = KmIters + 1
     s"""qz AS (
-       |  SELECT vec_id, list_transform(embedding, x ->
-       |    CAST(floor(greatest(least(CAST(x AS DOUBLE), $KmClamp),
-       |      -$KmClamp) * $KmScale) AS BIGINT) + $KmShift) AS qv
-       |  FROM embeddings),
+       |  SELECT vec_id, $quantSql AS qv
+       |  FROM embeddings WHERE $pred),
        |v AS (
        |  SELECT vec_id, u.pos AS pos, u.qd AS qd FROM (
        |    SELECT vec_id, unnest(list_transform(range(0, len(qv)),
@@ -245,11 +286,31 @@ object Clustering {
     val fin = KmIters + 1
     Map(
       "cluster_kmeans_int" ->
-        s"""WITH $kmeansCtes
+        s"""WITH ${kmeansCtes()}
            |SELECT vec_id, cluster, dist2 FROM b$fin
            |ORDER BY vec_id""".stripMargin,
+      // corpus-only training (even vec_ids), frozen batch assignment
+      // (odd) — b$fin goes unreferenced, so DuckDB never runs the
+      // corpus's own final assignment, mirroring the Spark plan
+      "cluster_assign_batch" ->
+        s"""WITH ${kmeansCtes("vec_id % 2 = 0")},
+           |vb AS (
+           |  SELECT vec_id, u.pos AS pos, u.qd AS qd FROM (
+           |    SELECT vec_id, unnest(list_transform(range(0, len(qv)),
+           |      i -> {'pos': i, 'qd': qv[i + 1]})) AS u
+           |    FROM (SELECT vec_id, $quantSql AS qv
+           |          FROM embeddings WHERE vec_id % 2 = 1) qb) t),
+           |ab AS (
+           |  SELECT vb.vec_id, c.cluster,
+           |    CAST(sum((vb.qd - c.c) * (vb.qd - c.c)) AS BIGINT) AS dist2
+           |  FROM vb JOIN c$KmIters c ON vb.pos = c.pos
+           |  GROUP BY vb.vec_id, c.cluster)
+           |SELECT vec_id, cluster, dist2 FROM ab
+           |QUALIFY row_number() OVER (PARTITION BY vec_id
+           |                           ORDER BY dist2, cluster) = 1
+           |ORDER BY vec_id""".stripMargin,
       "sample_cluster_balanced" ->
-        s"""WITH $kmeansCtes,
+        s"""WITH ${kmeansCtes()},
            |r AS (
            |  SELECT vec_id, cluster,
            |    CAST(row_number() OVER (PARTITION BY cluster

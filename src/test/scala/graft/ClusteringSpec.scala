@@ -14,28 +14,33 @@ class ClusteringSpec extends SparkSpec {
     * same quantizer, same (dist², cluster) tie order, same truncated
     * integer means, same empty-cluster carry.
     */
-  private def seqKmeans(vecs: Seq[(Long, Array[Float])], k: Int,
-      iters: Int): Map[Long, (Int, Long)] = {
-    def quant(x: Float): Long =
-      math.floor(math.max(-Clustering.KmClamp,
-        math.min(Clustering.KmClamp, x.toDouble)) *
-        Clustering.KmScale).toLong + (Clustering.KmClamp *
-        Clustering.KmScale).toLong
+  private def quant(x: Float): Long =
+    math.floor(math.max(-Clustering.KmClamp,
+      math.min(Clustering.KmClamp, x.toDouble)) *
+      Clustering.KmScale).toLong + (Clustering.KmClamp *
+      Clustering.KmScale).toLong
+
+  private def d2(a: Array[Long], c: Array[Long]): Long =
+    a.indices.map(i => (a(i) - c(i)) * (a(i) - c(i))).sum
+
+  private def bestOf(cent: Array[Array[Long]])(
+      v: Array[Long]): (Int, Long) = {
+    var bc = 0
+    var bd = Long.MaxValue
+    cent.indices.foreach { c =>
+      val d = d2(v, cent(c))
+      if (d < bd) { bd = d; bc = c }
+    }
+    (bc, bd)
+  }
+
+  /** The learned centroids of the sequential Lloyd twin. */
+  private def seqCentroids(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): Array[Array[Long]] = {
     val q = vecs.map { case (id, a) => id -> a.map(quant) }.sortBy(_._1)
     var cent: Array[Array[Long]] = q.take(k).map(_._2.map(identity)).toArray
-    def d2(a: Array[Long], c: Array[Long]): Long =
-      a.indices.map(i => (a(i) - c(i)) * (a(i) - c(i))).sum
-    def best(v: Array[Long]): (Int, Long) = {
-      var bc = 0
-      var bd = Long.MaxValue
-      cent.indices.foreach { c =>
-        val d = d2(v, cent(c))
-        if (d < bd) { bd = d; bc = c }
-      }
-      (bc, bd)
-    }
     (1 to iters).foreach { _ =>
-      val asg = q.map { case (_, v) => (best(v)._1, v) }
+      val asg = q.map { case (_, v) => (bestOf(cent)(v)._1, v) }
       cent = cent.indices.map { c =>
         val members = asg.filter(_._1 == c).map(_._2)
         if (members.isEmpty) cent(c)
@@ -43,7 +48,13 @@ class ClusteringSpec extends SparkSpec {
           members.map(_(p)).sum / members.size)
       }.toArray
     }
-    q.map { case (id, v) => id -> best(v) }.toMap
+    cent
+  }
+
+  private def seqKmeans(vecs: Seq[(Long, Array[Float])], k: Int,
+      iters: Int): Map[Long, (Int, Long)] = {
+    val cent = seqCentroids(vecs, k, iters)
+    vecs.map { case (id, a) => id -> bestOf(cent)(a.map(quant)) }.toMap
   }
 
   test("cluster_kmeans_int equals the sequential Lloyd fold on the corpus") {
@@ -84,6 +95,32 @@ class ClusteringSpec extends SparkSpec {
     val want = seqKmeans(
       Seq((1L, Array(0.0f)), (2L, Array(0.0004f)), (3L, Array(0.5f))), 2, 1)
     assert(got == want.map { case (id, v) => id -> v })
+    spark.catalog.clearCache()
+  }
+
+  test("cluster_assign_batch: odd batch assigns to centroids learned" +
+      " on the even corpus only") {
+    val raw = Tables.table(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val cent = seqCentroids(raw.filter(_._1 % 2 == 0),
+      Clustering.KmK, Clustering.KmIters)
+    val want = raw.filter(_._1 % 2 == 1).map { case (id, a) =>
+      id -> bestOf(cent)(a.map(quant)) }.toMap
+    val got = Clustering.clusterAssignBatch(spark, sf).collect()
+    assert(got.length == want.size, "batch rows dropped or duplicated")
+    got.foreach { r =>
+      assert(r.getLong(0) % 2 == 1, "a corpus row leaked into the batch")
+      assert(want(r.getLong(0)) == ((r.getInt(1), r.getLong(2))),
+        s"vec ${r.getLong(0)} diverges from the frozen-centroid fold")
+    }
+    // non-vacuous: frozen corpus centroids differ from what full-corpus
+    // training would learn, so the split actually matters
+    val full = seqKmeans(raw, Clustering.KmK, Clustering.KmIters)
+    assert(raw.filter(_._1 % 2 == 1).exists { case (id, a) =>
+      full(id) != bestOf(cent)(a.map(quant)) },
+      "corpus-only and full-corpus centroids agree everywhere — the" +
+        " frozen-centroid path is untested by this corpus")
     spark.catalog.clearCache()
   }
 

@@ -460,6 +460,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("cluster_kmeans_int")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // the frozen-centroid batch form keeps the same serve shape: the
+    // batch side's only join is the 1-row centroid broadcast
+    val pb = plan("cluster_assign_batch")
+    assert(pb.contains("BroadcastNestedLoopJoin"), pb)
+    assert(!pb.contains("CartesianProduct"), pb)
     spark.catalog.clearCache()
   }
 
