@@ -119,6 +119,8 @@ object SparkEntry {
     // line-level boilerplate removal (C4/RefinedWeb-style: lines repeated
     // across >= K documents stripped, text rebuilt in original order)
     "dedup_lines" -> (Dedup.dedupLines _),
+    // Gopher duplicate-line signal turned acting: in-row keep-first per doc
+    "dedup_lines_intra" -> (Dedup.dedupLinesIntra _),
     // crawl-batch line dedup: a new batch censused against the maintained
     // corpus line census (additive sketch; merge-by-sum = recompute)
     "dedup_lines_incremental" -> (Dedup.dedupLinesIncremental _),

@@ -1409,6 +1409,76 @@ object Dedup {
         col("clean_text"))
       .orderBy(col("doc_id"))
 
+  /** Scraped-page view for `dedup_lines_intra`: the [[lineStructured]]
+    * plant EXTENDED with the two intra-document repetitions real crawled
+    * pages carry — the nav menu rendered twice (top header + bottom
+    * menu, the classic scraper artifact) and, for doc_id % 3 == 0, the
+    * first paragraph duplicated (the double-render glitch). Pure in-row
+    * projection; the twin rebuilds the identical lines from the same
+    * arithmetic.
+    */
+  private[graft] def lineStructuredIntra(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nChunks = greatest(
+      ceil(size(toks) / lit(LineChunkTokens.toDouble)), lit(1L))
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => array_join(
+        slice(toks, (i * LineChunkTokens + 1).cast(IntegerType),
+          lit(LineChunkTokens)), " "))
+    val nav = concat(lit("nav "), col("source"), lit(" home login"))
+    val dupPara = when(col("doc_id") % 3 === 0,
+      array(array_join(slice(toks, 1, LineChunkTokens), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_join(
+          concat(
+            array(nav), chunks, dupPara, array(nav),
+            array(concat(lit("copyright footer "), col("lang")))),
+          "\n").as("text"))
+  }
+
+  /** INTRA-DOCUMENT LINE DEDUP — the Gopher/Dolma `duplicate_line_
+    * fraction` signal turned into an acting operator: within EACH
+    * document, every line identical to an earlier line of the SAME
+    * document is removed (keep-first), and the text is rebuilt from the
+    * survivors in original order. This is the granularity neither
+    * `dedup_lines` (cross-document census) nor `repetition_stats`
+    * (measures, doesn't act) covers: the duplicated nav menu and
+    * double-rendered paragraph INSIDE a scraped page, which no
+    * cross-document threshold can touch without collateral damage.
+    *
+    * Scale shape: ZERO shuffle — the keep-first rule is a per-row
+    * `filter(lines, (x, i) -> array_position(lines, x) == i + 1)` fold
+    * (first-occurrence index equals own index), entirely inside the
+    * scan's codegen stage. A document's line count bounds the in-row
+    * quadratic; crawl pages are hundreds of lines, never millions —
+    * the right side of the row-vs-corpus asymmetry.
+    *
+    * Output per document: (doc_id, n_lines_in, n_lines_kept,
+    * clean_text). Takes any (doc_id, text) frame with \n-separated
+    * lines.
+    */
+  def dedupLinesIntraOn(docs: DataFrame): DataFrame = {
+    val la = split(col("text"), "\n")
+    docs
+      .withColumn("kept",
+        filter(la, (x, i) => array_position(la, x) === i.cast("long") + 1))
+      .select(col("doc_id"),
+        size(la).cast("long").as("n_lines_in"),
+        size(col("kept")).cast("long").as("n_lines_kept"),
+        array_join(col("kept"), "\n").as("clean_text"))
+  }
+
+  /** `dedup_lines_intra` checked key: [[dedupLinesIntraOn]] over the
+    * planted scraped-page view (double nav + %3 duplicated paragraph).
+    * The DuckDB twin rebuilds the same lines with positions and applies
+    * the identical keep-first rule as a (doc_id, line) window.
+    */
+  def dedupLinesIntra(spark: SparkSession, sfDir: String): DataFrame =
+    dedupLinesIntraOn(lineStructuredIntra(table(spark, sfDir, "documents")))
+      .orderBy(col("doc_id"))
+
   /** Span gram length for `dedup_spans` — 8 tokens. (The literature's
     * exact-substring dedup uses ~50-token thresholds against web-scale
     * corpora; the harness documents run 30–60 tokens, so 8 keeps the
@@ -1911,6 +1981,43 @@ object Dedup {
     // string_agg ORDER BY pos (Spark: in-row array_sort of (pos, line))
     "dedup_lines" ->
       s"""WITH $lineSqlCtes
+        |SELECT doc_id,
+        |  count(*) AS n_lines_in,
+        |  count(*) FILTER (WHERE keep) AS n_lines_kept,
+        |  coalesce(string_agg(line, chr(10) ORDER BY pos)
+        |    FILTER (WHERE keep), '') AS clean_text
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // scraped-page plant rebuilt with explicit positions; keep-first is
+    // the (doc_id, line) first-pos window — an independent formulation
+    // of the Spark side's in-row first-occurrence-index rule
+    "dedup_lines_intra" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
+        |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+        |      AS BIGINT), 1) AS nc,
+        |    CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS dup
+        |  FROM documents WHERE text IS NOT NULL),
+        |lines AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |    'nav ' || source || ' home login' AS line FROM d
+        |  UNION ALL
+        |  SELECT doc_id, i + 1,
+        |    array_to_string(t[(i*10+1) : (i*10+10)], ' ')
+        |  FROM d, UNNEST(range(0, nc)) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, nc + 1, array_to_string(t[1 : 10], ' ')
+        |  FROM d WHERE dup = 1
+        |  UNION ALL
+        |  SELECT doc_id, nc + 1 + dup,
+        |    'nav ' || source || ' home login' FROM d
+        |  UNION ALL
+        |  SELECT doc_id, nc + 2 + dup, 'copyright footer ' || lang
+        |  FROM d),
+        |k AS (
+        |  SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY doc_id, line
+        |                       ORDER BY pos) = 1 AS keep
+        |  FROM lines)
         |SELECT doc_id,
         |  count(*) AS n_lines_in,
         |  count(*) FILTER (WHERE keep) AS n_lines_kept,

@@ -305,6 +305,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_lines_intra equals in-document keep-first for arbitrary" +
+      " line stacks") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // stacks from a tiny vocab so intra-doc repeats occur organically
+    val lineGen = Gen.oneOf("nav bar", "footer", "body x", "body y",
+      "unique spice")
+    val docGen = Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, lineGen))
+    samples(Gen.listOfN(10, docGen), 6).foreach { raw =>
+      val docs = raw.zipWithIndex.map { case (ls, i) =>
+        (i.toLong, ls.mkString("\n"))
+      }
+      val got = Dedup.dedupLinesIntraOn(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_lines_in"), r.getAs[Long]("n_lines_kept"),
+            r.getAs[String]("clean_text")))).toMap
+      docs.foreach { case (id, t) =>
+        val lines = t.split("\n", -1).toSeq
+        val kept = lines.zipWithIndex
+          .filter { case (l, i) => lines.indexOf(l) == i }.map(_._1)
+        assert(got(id) == ((lines.size.toLong, kept.size.toLong,
+          kept.mkString("\n"))), s"doc $id: got ${got(id)}")
+      }
+    }
+    // the graded plant is non-vacuous everywhere: the bottom nav always
+    // repeats the top nav, and %3 docs lose the doubled paragraph too
+    val planted = Dedup.dedupLinesIntra(spark, sf).collect()
+    assert(planted.forall(r =>
+      r.getAs[Long]("n_lines_kept") < r.getAs[Long]("n_lines_in")))
+    assert(planted.exists(r => r.getAs[Long]("doc_id") % 3 == 0 &&
+      r.getAs[Long]("n_lines_in") - r.getAs[Long]("n_lines_kept") >= 2))
+  }
+
   test("dedup_lines_incremental: census merges additively and equals the" +
       " recompute over the union") {
     import spark.implicits._
