@@ -149,6 +149,8 @@ object SparkEntry {
     "corpus_clean" -> (Curation.corpusClean _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
+    // its acting form: drop flagged docs, survivors' text intact
+    "contamination_strip" -> (Curation.contaminationStrip _),
     // §2j similarity search
     "sim_search" -> (Similarity.simSearch _),
     "sim_search_lsh" -> (Similarity.simSearchLshChecked _),

@@ -184,26 +184,60 @@ object Curation {
           .as("is_contaminated"))
   }
 
+  // identical gram layout: DuckDB lists are 1-based with inclusive
+  // slice bounds, so w[i : i + n − 1] is the n-gram Spark builds with
+  // slice(w, i + 1, n) over its 0-based sequence
+  private val contamSqlCtes: String =
+    """d AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+      |  WHERE text IS NOT NULL),
+      |bg AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+      |    i -> array_to_string(w[i : i + 4], ' '))) AS gram
+      |  FROM d WHERE doc_id < 20 AND len(w) >= 5),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(w) - 3),
+      |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
+      |  FROM d WHERE doc_id >= 20 AND len(w) >= 5),
+      |h AS (
+      |  SELECT doc_id, count(*) AS n_hits
+      |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)""".stripMargin
+
+  /** EVAL-SET DECONTAMINATION, acting form: drop every corpus document
+    * sharing an `n`-gram with the benchmark, emit survivors with their
+    * text INTACT (the hash-graded contract: stripping must never rewrite
+    * what it keeps — unlike span excision, contamination is a per-DOC
+    * verdict, the GPT-3 appendix-C discipline). The contaminated set is
+    * tiny by construction (leaks are the exception), so the final
+    * anti-join is AQE-broadcast; everything upstream is
+    * [[contaminationCheck]]'s broadcast-gram shape.
+    */
+  def contaminationStripOn(docs: DataFrame, benchmark: DataFrame,
+      n: Int): DataFrame = {
+    val flagged = contaminationCheck(docs, benchmark, n)
+      .filter(col("is_contaminated") === 1)
+      .select(col("doc_id"))
+    docs.filter(col("text").isNotNull)
+      .join(flagged, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** `contamination_strip` checked key: [[contaminationStripOn]] under
+    * `contamination_check`'s demo split (benchmark = doc_id < 20,
+    * 5-grams).
+    */
+  def contaminationStrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    contaminationStripOn(
+      docs.filter(col("doc_id") >= ContamBenchDocs),
+      docs.filter(col("doc_id") < ContamBenchDocs), ContamGramN)
+      .orderBy(col("doc_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
-    // identical gram layout: DuckDB lists are 1-based with inclusive
-    // slice bounds, so w[i : i + n − 1] is the n-gram Spark builds with
-    // slice(w, i + 1, n) over its 0-based sequence
     "contamination_check" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE text IS NOT NULL),
-        |bg AS (
-        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
-        |    i -> array_to_string(w[i : i + 4], ' '))) AS gram
-        |  FROM d WHERE doc_id < 20 AND len(w) >= 5),
-        |dg AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    list_transform(range(1, len(w) - 3),
-        |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
-        |  FROM d WHERE doc_id >= 20 AND len(w) >= 5),
-        |h AS (
-        |  SELECT doc_id, count(*) AS n_hits
-        |  FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+      s"""WITH $contamSqlCtes
         |SELECT d.doc_id,
         |  CAST(greatest(len(w) - 4, 0) AS BIGINT) AS n_grams,
         |  coalesce(h.n_hits, 0) AS n_hits,
@@ -211,6 +245,14 @@ object Curation {
         |    AS is_contaminated
         |FROM d LEFT JOIN h USING (doc_id)
         |WHERE d.doc_id >= 20 ORDER BY d.doc_id""".stripMargin,
+    // the acting form survives with its TEXT intact — the hash proves
+    // both the kept set and that stripping never rewrites survivors
+    "contamination_strip" ->
+      s"""WITH $contamSqlCtes
+        |SELECT doc_id, text FROM d
+        |WHERE doc_id >= 20
+        |  AND doc_id NOT IN (SELECT doc_id FROM h)
+        |ORDER BY doc_id""".stripMargin,
     // the full pipeline in one statement: scoring + thresholds, QUALIFY
     // keep-min exact dedup among survivors, exact all-pairs Jaccard edges
     // among survivors closed transitively (recursive CTE), keep docs with

@@ -1221,6 +1221,31 @@ class ExtensionsSpec extends SparkSpec {
         .filter(col("doc_id") >= 20).count())
   }
 
+  test("contamination_strip keeps exactly the clean docs, text intact") {
+    import spark.implicits._
+    import graft.ops.Curation
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "x b c d e f y"), (2L, "p q r s t u v"), (3L, "a b c"),
+      (4L, "b c d e f z b c d e f")
+    ).toDF("doc_id", "text")
+    val got = Curation.contaminationStripOn(docs, bench, n = 5).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "p q r s t u v", 3L -> "a b c"))
+    // corpus law: strip == check's clean set, with the original text
+    val check = Curation.contaminationCheck(spark, sf)
+    val cleanIds = check.filter(col("is_contaminated") === 0)
+      .select("doc_id")
+    val all = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text")
+    val want = all.join(cleanIds, "doc_id")
+    val strip = Curation.contaminationStrip(spark, sf)
+    assert(strip.exceptAll(want).count() == 0 &&
+      want.exceptAll(strip).count() == 0)
+    assert(strip.count() < all.filter(col("doc_id") >= 20).count(),
+      "nothing stripped — the gate is vacuous on this corpus")
+  }
+
   test("lang_id lexicon scoring on hand-built sentences") {
     import spark.implicits._
     // run the same column logic via a temp view shape: reuse op on corpus,
