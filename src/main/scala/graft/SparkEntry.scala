@@ -194,6 +194,8 @@ object SparkEntry {
     "build_postings" -> (TextAnalysis.buildPostingsQuery _),
     // epoch-order primitive: two-phase distributed deterministic shuffle
     "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
+    // the loader contract: epoch-0 shard plan with order-proving digests
+    "shard_manifest" -> (Packing.shardManifest _),
     // streaming ingest throttle: per-(user, day) min-k sketch state
     "stream_rate_cap" -> (Streams.rateCapQuery _),
     // watermarked tumbling-window aggregate flushed via the sentinel batch

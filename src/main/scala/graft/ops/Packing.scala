@@ -189,10 +189,87 @@ object Packing {
     shuffleDeterministicOn(table(spark, sfDir, "documents"), ShuffleSalt)
       .orderBy(col("pos"))
 
+  /** Docs per training shard for the graded manifest. */
+  val ManifestDocsPerShard = 100L
+
+  /** TRAINING-SHARD MANIFEST — the data-loader contract artifact: the
+    * epoch-0 deterministic order cut into fixed-size shards
+    * (`shard_id = pos div docsPerShard`), one manifest row per shard
+    * carrying the loader's integrity surface — doc count, position
+    * range, whitespace-token total, and a CONTENT DIGEST (md5 of the
+    * comma-joined doc_ids in position order), so a re-materialized
+    * shard can be checked for both membership AND order without
+    * re-reading payloads. This is what an `orderBy(pos)` +
+    * `partitionBy(shard_id)` parquet sink would write alongside the
+    * data; the graded surface is the manifest those files are checked
+    * against.
+    *
+    * Scale shape: the position assignment is [[shuffleDeterministicOn]]
+    * (two-phase bucket ranking — nothing corpus-sized funnels through
+    * one partition); the token counts join back on doc_id (one hash
+    * join of narrow rows — ids, positions, counts; text never moves);
+    * the manifest aggregate is one shuffle keyed by shard_id whose
+    * output is |corpus|/docsPerShard rows, and the in-row digest sort
+    * is bounded by docsPerShard.
+    */
+  def shardManifestOn(docs: DataFrame, salt: String,
+      docsPerShard: Long): DataFrame = {
+    require(docsPerShard >= 1,
+      s"docsPerShard must be >= 1, got $docsPerShard")
+    val nt = docs.select(col("doc_id"),
+      when(col("text").isNull, lit(0L))
+        .otherwise(size(split(col("text"), " ")).cast(LongType))
+        .as("nt"))
+    shuffleDeterministicOn(docs, salt)
+      .join(nt, Seq("doc_id"))
+      .withColumn("shard_id", expr(s"pos div $docsPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        sum(col("nt")).as("n_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast(StringType)),
+          ",")).as("shard_digest"))
+  }
+
+  /** `shard_manifest` checked key: the epoch-0 shard plan of the
+    * documents corpus at [[ManifestDocsPerShard]] docs/shard. The twin
+    * recomputes the global order directly and digests with
+    * `string_agg(… ORDER BY pos)` — an independent proof that the
+    * two-phase ranking, the shard cut, and the in-row digest ordering
+    * all agree.
+    */
+  def shardManifest(spark: SparkSession, sfDir: String): DataFrame =
+    shardManifestOn(table(spark, sfDir, "documents"), ShuffleSalt,
+      ManifestDocsPerShard)
+      .orderBy(col("shard_id"))
+
   /** DuckDB twin of `packSequencesQuery`: same BPE-ish token count, same
     * md5 shard hash, running sum + integer floor-division span derivation.
     */
   val oracleSql: Map[String, String] = Map(
+    "shard_manifest" ->
+      s"""WITH o AS (
+         |  SELECT
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5('$ShuffleSalt:' || CAST(doc_id AS VARCHAR)),
+         |        doc_id) - 1 AS BIGINT) AS pos,
+         |    doc_id,
+         |    CAST(coalesce(len(string_split(text, ' ')), 0) AS BIGINT)
+         |      AS nt
+         |  FROM documents)
+         |SELECT pos // $ManifestDocsPerShard AS shard_id,
+         |  count(*) AS n_docs,
+         |  min(pos) AS first_pos,
+         |  max(pos) AS last_pos,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY pos))
+         |    AS shard_digest
+         |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin,
     "shuffle_deterministic" ->
       s"""SELECT
          |  CAST(row_number() OVER (

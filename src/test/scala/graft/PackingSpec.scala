@@ -229,4 +229,40 @@ class PackingSpec extends SparkSpec {
     assert(other.toSet == ids.toSet)
     assert(other != out.sortBy(_._1).map(_._2).toSeq)
   }
+
+  test("shard manifest: contiguous full shards, conserved tokens," +
+      " order-faithful digests") {
+    val docs = Tables.table(spark, sf, "documents")
+    val s = Packing.ManifestDocsPerShard
+    val got = Packing.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    val n = docs.count()
+    // coverage laws: every doc in exactly one shard, shards contiguous,
+    // all but the last exactly docsPerShard
+    assert(got.map(_._2).sum == n)
+    got.foreach { case (sid, nd, fp, lp, _, _) =>
+      assert(fp == sid * s && lp == fp + nd - 1, s"shard $sid ragged")
+      assert(nd == s || sid == got.map(_._1).max, s"short mid-shard $sid")
+    }
+    // digest law: brute-force epoch order, cut, md5 of joined ids
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(x.getBytes)
+        .map("%02x".format(_)).mkString
+    val ordered = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+      .sortBy { case (id, _) =>
+        (md5hex(s"${Packing.ShuffleSalt}:$id"), id) }
+    val want = ordered.zipWithIndex
+      .groupBy { case (_, p) => p / s }
+      .map { case (sid, rows) =>
+        sid.toLong -> ((
+          md5hex(rows.map(_._1._1).mkString(",")),
+          rows.map { case ((_, t), _) =>
+            t.map(_.split(" ", -1).length.toLong).getOrElse(0L) }.sum))
+      }
+    got.foreach { case (sid, _, _, _, nt, dg) =>
+      assert(want(sid) == ((dg, nt)), s"shard $sid digest/tokens diverge")
+    }
+  }
 }
