@@ -239,6 +239,8 @@ object SparkEntry {
     "dedup_image" -> (Multimodal.dedupImage _),
     // new image batch vs corpus + within-batch, one-hop keep rule
     "dedup_image_incremental" -> (Multimodal.dedupImageIncremental _),
+    // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
+    "mm_audio_features" -> (Multimodal.audioFeatures _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),

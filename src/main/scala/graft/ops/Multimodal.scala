@@ -811,7 +811,104 @@ object Multimodal {
         .cast(IntegerType).as("n_frames"))
   }
 
+  /** Audio window geometry for the graded key: 64-sample windows at
+    * hop 32 (50% overlap — the canonical STFT frontend stride).
+    */
+  val AudioWin = 64
+  val AudioHop = 32
+
+  /** AUDIO-WINDOW FEATURE EXTRACTION — the mel-frontend slot of the
+    * multimodal surface, and the semantics [[frameSample]]'s disjoint
+    * byte chunks cannot express: OVERLAPPING windows. Payload bytes
+    * decode as PCM16-LE samples with a DC offset removed
+    * (`s = lo + 256·hi − 16384` — the stand-in for a real codec; the
+    * container ships no audio libs, so decode is a deterministic fake
+    * with REAL plumbing, per the multimodal contract), then each
+    * window of [[AudioWin]] samples at hop [[AudioHop]] emits the
+    * three classic pre-neural features as exact integers: energy
+    * (Σ s², BIGINT), zero-crossing count, and peak |s|.
+    *
+    * The split is the architecture statement: DECODE is the justified
+    * imperative step (a `mapPartitions` batch loop — no Catalyst
+    * expression parses a codec), WINDOWING + FEATURES are declarative
+    * in-row HOFs over the sample array (explode of window offsets,
+    * slice, integer folds — all inside the scan stage's codegen
+    * pipeline, zero shuffle). A real mel frontend keeps exactly this
+    * split: codec in the batch loop, framing/FFT on columns.
+    *
+    * Documents shorter than one window emit no rows (both twins agree
+    * by construction). Output: (doc_id, win_idx, energy, zcr, peak).
+    */
+  def audioFeaturesOn(assets: DataFrame, win: Int, hop: Int): DataFrame = {
+    require(win >= 2 && hop >= 1, s"win/hop must be >= 2/1, got $win/$hop")
+    val spark2 = assets.sparkSession
+    import spark2.implicits._
+    val samples = assets.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val n = payload.length / 2
+          val sm = Array.tabulate(n)(i =>
+            (payload(2 * i) & 0xff) + 256 * (payload(2 * i + 1) & 0xff) -
+              16384)
+          (docId, sm)
+        }
+      }
+      .toDF("doc_id", "sm")
+    samples
+      .withColumn("win_idx",
+        explode(when(size(col("sm")) >= win,
+          sequence(lit(0),
+            ((size(col("sm")) - win) / hop).cast("int")))
+          .otherwise(array().cast("array<int>"))))
+      .withColumn("w",
+        slice(col("sm"), col("win_idx") * hop + 1, lit(win)))
+      .select(col("doc_id"), col("win_idx"),
+        aggregate(col("w"), lit(0L),
+          (acc, x) => acc + x.cast("long") * x.cast("long"))
+          .as("energy"),
+        size(filter(
+          transform(sequence(lit(1), lit(win - 1)),
+            k => element_at(col("w"), k) * element_at(col("w"), k + 1)),
+          p => p < 0)).cast("long").as("zcr"),
+        array_max(transform(col("w"), x => abs(x))).as("peak"))
+  }
+
+  /** `mm_audio_features` checked key: [[audioFeaturesOn]] at
+    * [[AudioWin]]×[[AudioHop]] over the UTF-8 payload stand-in.
+    */
+  def audioFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    audioFeaturesOn(table(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      AudioWin, AudioHop)
+      .orderBy(col("doc_id"), col("win_idx"))
+
   val oracleSql: Map[String, String] = Map(
+    // byte-exact PCM16-LE stand-in twin: samples from character pairs
+    // (the mm_frame_sample ascii/substr byte alignment), the identical
+    // window/hop arithmetic, integer folds for all three features
+    "mm_audio_features" ->
+      s"""WITH s AS (
+         |  SELECT doc_id, list_transform(range(0, length(text) // 2),
+         |    i -> ascii(substr(text, 2*i + 1, 1)) +
+         |         256 * ascii(substr(text, 2*i + 2, 1)) - 16384) AS sm
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (
+         |  SELECT doc_id, CAST(j AS INTEGER) AS win_idx,
+         |    sm[j*$AudioHop + 1 : j*$AudioHop + $AudioWin] AS win
+         |  FROM s, unnest(range(0,
+         |    CASE WHEN len(sm) >= $AudioWin
+         |         THEN (len(sm) - $AudioWin) // $AudioHop + 1
+         |         ELSE 0 END)) AS t(j))
+         |SELECT doc_id, win_idx,
+         |  CAST(list_sum(list_transform(win,
+         |    x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS energy,
+         |  CAST(len(list_filter(range(1, $AudioWin),
+         |    k -> win[k] * win[k + 1] < 0)) AS BIGINT) AS zcr,
+         |  CAST(list_max(list_transform(win, x -> abs(x)))
+         |    AS INTEGER) AS peak
+         |FROM w ORDER BY doc_id, win_idx""".stripMargin,
     // the planted-pixel twin: per document the same (w, h) arithmetic and
     // the per-channel sums enumerated pixel-by-pixel — values only a real
     // decode of the PNG bytes can reproduce on the Spark side

@@ -1367,6 +1367,39 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == 5) // ab, 1, cd, ",", x
   }
 
+  test("mm_audio_features equals the brute-force PCM window fold") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // brute force on a deterministic pseudo-random payload long enough
+    // for several overlapping windows (win 8, hop 4 on the API form)
+    val bytes = Array.tabulate(70)(i => ((i * 37 + 11) % 251).toByte)
+    val assets = Seq((9L, bytes)).toDF("doc_id", "payload")
+    val got = Multimodal.audioFeaturesOn(assets, win = 8, hop = 4)
+      .orderBy(col("win_idx")).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val sm = Array.tabulate(bytes.length / 2)(i =>
+      (bytes(2 * i) & 0xff) + 256 * (bytes(2 * i + 1) & 0xff) - 16384)
+    val want = (0 to (sm.length - 8) / 4).map { j =>
+      val w = sm.slice(j * 4, j * 4 + 8)
+      (j, w.map(x => x.toLong * x).sum,
+        w.sliding(2).count(p => p(0) * p(1) < 0).toLong,
+        w.map(math.abs).max)
+    }
+    assert(got.toSeq == want,
+      s"got ${got.toSeq.take(3)}... want ${want.take(3)}...")
+    // overlap law: consecutive windows share win − hop samples, so a
+    // payload of n samples yields (n − win)/hop + 1 windows, not n/win
+    assert(got.length == (sm.length - 8) / 4 + 1 &&
+      got.length > sm.length / 8)
+    // short payloads emit nothing, on the exact boundary
+    val short = Seq((1L, Array.fill[Byte](15)(40))).toDF("doc_id", "payload")
+    assert(Multimodal.audioFeaturesOn(short, win = 8, hop = 4).count() == 0)
+    // corpus non-vacuity: zero crossings actually occur (the DC offset
+    // removal is what makes signs flip on ASCII payloads)
+    val corpus = Multimodal.audioFeatures(spark, sf)
+    assert(corpus.filter(col("zcr") > 0).count() > 0)
+  }
+
   test("multimodal and sketch API forms honor caller parameters") {
     import spark.implicits._
     // frame size is caller policy: a 20-byte payload at frameBytes = 8
