@@ -200,6 +200,8 @@ object SparkEntry {
     "stream_rate_cap" -> (Streams.rateCapQuery _),
     // watermarked tumbling-window aggregate flushed via the sentinel batch
     "stream_window_agg" -> (Streams.streamWindowAggQuery _),
+    // windowed leaderboard: mergeable counts in-stream, rank over the feed
+    "stream_topk" -> (Streams.streamTopkQuery _),
     "repetition_stats" -> (TextAnalysis.repetitionStats _),
     // frozen hashed-feature linear quality scorer (fastText serving shape)
     "quality_score_lm" -> (TextAnalysis.qualityScoreLm _),

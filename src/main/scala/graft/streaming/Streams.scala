@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
   OutputMode, Trigger}
@@ -1167,6 +1168,65 @@ object Streams {
         "watermark advance never evicted a closed window from state")
     })
 
+  /** Leaderboard depth for the graded streaming top-k key. */
+  val StreamTopK = 3
+
+  /** Watermarked per-(window, user) counts — the per-ENTITY form of
+    * [[windowedAggExact]] (event_type has 5 values; user_id has the
+    * stream's real key cardinality, so this is the state shape a
+    * leaderboard actually carries: O(open windows × active users),
+    * bounded by the same watermark eviction). `min_event_id` is the
+    * membership tripwire — a dropped or duplicated row moves it.
+    */
+  def windowedUserCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"))
+      .select(col("window.start").as("ws"), col("user_id"),
+        col("n_events"), col("min_event_id"))
+
+  /** `stream_topk` checked key — the WINDOWED LEADERBOARD: per closed
+    * hourly window, the top-[[StreamTopK]] users by event count (ties to
+    * the smaller user_id). The split is the operator's design point:
+    * the STREAM maintains only the per-(window, user) counts — mergeable
+    * state the watermark evicts, emitted once per window on close — and
+    * the top-k cut is a BATCH rank over the closed-window feed (the
+    * serving read). Ranking inside the stream would need either a
+    * per-window all-user sort in state or a non-mergeable bounded heap
+    * whose emissions churn per batch; counts-then-rank keeps state
+    * mergeable, emissions append-only, and the cut replayable — at any
+    * scale the feed is already |windows × users| ≪ |events|.
+    *
+    * Same replay pacing + eviction certificates as `stream_window_agg`
+    * (two data micro-batches; state rows genuinely removed).
+    */
+  def streamTopkQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    val feed = replayToFeed(spark,
+      windowedUserCounts(
+        readEventsPaced(spark, landedEventsFlush(spark, sfDir))),
+      check = q => {
+        val progress = q.recentProgress
+        val dataBatches = progress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"flush replay ran $dataBatches data micro-batches — pacing" +
+            " collapsed")
+        val removed = progress.flatMap(_.stateOperators)
+          .map(_.numRowsRemoved).sum
+        require(removed > 0,
+          "watermark advance never evicted a closed window from state")
+      })
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    feed.filter(col("user_id") >= 0)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= StreamTopK)
+      .select(unix_millis(col("ws")).as("window_start_ms"),
+        col("user_id"), col("n_events"), col("min_event_id"), col("rnk"))
+      .orderBy(col("window_start_ms"), col("rnk"))
+  }
+
   /** Per-(user, day) cap for the graded rate-cap key. */
   val RateCapK = 3
 
@@ -1260,6 +1320,27 @@ object Streams {
         |  max(event_id) AS max_event_id
         |FROM e GROUP BY window_start_ms, event_type
         |ORDER BY window_start_ms, event_type""".stripMargin,
+    // the leaderboard twin: batch hourly per-user counts + the same
+    // (n_events DESC, user_id) rank cut — the closed-window feed must
+    // land on exactly this
+    "stream_topk" ->
+      s"""WITH e AS (
+         |  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_start_ms,
+         |    user_id, event_id
+         |  FROM events),
+         |a AS (
+         |  SELECT window_start_ms, user_id,
+         |    CAST(count(*) AS BIGINT) AS n_events,
+         |    min(event_id) AS min_event_id
+         |  FROM e GROUP BY window_start_ms, user_id),
+         |r AS (
+         |  SELECT window_start_ms, user_id, n_events, min_event_id,
+         |    CAST(row_number() OVER (PARTITION BY window_start_ms
+         |      ORDER BY n_events DESC, user_id) AS INTEGER) AS rnk
+         |  FROM a)
+         |SELECT window_start_ms, user_id, n_events, min_event_id, rnk
+         |FROM r WHERE rnk <= $StreamTopK
+         |ORDER BY window_start_ms, rnk""".stripMargin,
     // the rate-cap twin: the direct batch first-k per (user, event-time
     // day) — the replayed sketch must land on exactly this
     "stream_rate_cap" ->

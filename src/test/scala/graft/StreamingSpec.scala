@@ -608,6 +608,39 @@ class StreamingSpec extends SparkSpec {
       "flushed window set drifted from the batch hourly rollup")
   }
 
+  test("stream_topk leaderboard equals the batch per-user rank cut") {
+    import org.apache.spark.sql.functions._
+    // the closed-window feed ranked batch-side must equal ranking the
+    // batch hourly per-user counts directly: full pages of StreamTopK
+    // per window, rank contiguous, ties to the smaller user_id
+    def five(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    val streamed = five(Streams.streamTopkQuery(spark, sf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start_ms"))
+      .orderBy(col("n_events").desc, col("user_id"))
+    val batch = five(graft.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_id")).as("min_event_id"))
+      .select(unix_millis(col("window.start")).as("window_start_ms"),
+        col("user_id"), col("n_events"), col("min_event_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= Streams.StreamTopK)
+      .orderBy(col("window_start_ms"), col("rnk")))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "leaderboard drifted from the batch rank cut")
+    // rank law per window: 1..k contiguous, counts non-increasing
+    streamed.groupBy(_._1).foreach { case (ws, rows) =>
+      assert(rows.map(_._5).toSeq == (1 to rows.length),
+        s"window $ws ranks not contiguous")
+      assert(rows.sortBy(_._5).map(_._3).sliding(2).forall(p =>
+        p.length < 2 || p(0) >= p(1)), s"window $ws counts increase")
+    }
+  }
+
   test("stream_range_join paced replay bounds join state below the corpus") {
     // the state-horizon certificate, quantitatively: replay the interval
     // join as event-time-ordered micro-batches and read the state arc off
