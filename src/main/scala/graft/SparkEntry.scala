@@ -49,10 +49,16 @@ object SparkEntry {
     "join_left" -> (Relational.joinLeft _),
     "join_semi" -> (Relational.joinSemi _),
     "join_anti" -> (Relational.joinAnti _),
+    // full outer as it is actually used: period-over-period reconciliation
+    "join_full_outer" -> (Relational.joinFullOuter _),
     "join_salted" -> (Relational.joinSalted _),
     "join_bloom" -> (Relational.joinBloom _),
     // §2c temporal joins (as-of / bounded range — event attribution)
     "join_asof" -> (Temporal.joinAsof _),
+    // merge_asof(tolerance=24h): stale attributions nulled, not a new join
+    "join_asof_tol" -> (Temporal.joinAsofTolQuery _),
+    // the lag surface: per-user inter-arrival gap stats (burst screening)
+    "user_cadence" -> (Temporal.userCadenceQuery _),
     "join_range" -> (Temporal.joinRange _),
     // §2d aggregation
     "agg_count" -> (Relational.aggCount _),
@@ -247,7 +253,10 @@ object SparkEntry {
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),
     // flagship as a checked query
-    "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _)
+    "flagship_nation_top_supplier" -> (Relational.flagshipNationTopSupplier _),
+    // Q10 shape: fact⋈fact⋈dims, selective date cut, exact-decimal top-10
+    "flagship_revenue_top_customers" ->
+      (Relational.flagshipRevenueTopCustomers _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -161,6 +161,37 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Period split for the full-outer reconciliation key. */
+  private val FullOuterSplit = "1998-01-01"
+
+  /** FULL OUTER join — the reconciliation shape (SURVEY §2c), exercised
+    * the way it is actually used: a period-over-period churn table. Per
+    * customer, order counts before vs since [[FullOuterSplit]]; the
+    * full outer keeps customers active in only one period, so BOTH
+    * null sides are populated at harness scale (20 new-only, 8
+    * churned-only at sf0.01) and the status column reads the three
+    * outcomes off the null pattern. Both inputs are aggregates of the
+    * same fact table — at scale this is two map-side-combined passes
+    * and one key-shuffled full join, never a row-level fact×fact join.
+    */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+    val a = o.filter(col("o_orderdate") < lit(FullOuterSplit).cast(TimestampType))
+      .groupBy(col("o_custkey").as("k_a"))
+      .agg(count(lit(1)).as("n_before"))
+    val b = o.filter(col("o_orderdate") >= lit(FullOuterSplit).cast(TimestampType))
+      .groupBy(col("o_custkey").as("k_b"))
+      .agg(count(lit(1)).as("n_since"))
+    a.join(b, col("k_a") === col("k_b"), "full_outer")
+      .select(
+        coalesce(col("k_a"), col("k_b")).as("custkey"),
+        col("n_before"), col("n_since"),
+        when(col("k_a").isNull, "new")
+          .when(col("k_b").isNull, "churned")
+          .otherwise("retained").as("status"))
+      .orderBy(col("custkey"))
+  }
+
   /** Left-anti join = SQL NOT EXISTS. */
   def joinAnti(spark: SparkSession, sfDir: String): DataFrame = {
     val c = table(spark, sfDir, "customer")
@@ -613,6 +644,36 @@ object Relational {
 
   // ------------------------------------------------------------ flagship ----
 
+  /** Second composed flagship: top-10 customers by discounted revenue in
+    * one order-year — the TPC-H Q10 shape (fact ⋈ fact ⋈ dims with a
+    * selective date predicate, group, global top-k). The plan is the
+    * statement: the ORDER-side date filter pushes to the orders scan
+    * and the join PRUNES lineitem through it (orders is the smaller
+    * fact after the cut); customer and nation broadcast; revenue sums
+    * exact decimals per the money discipline; the top-10 is a
+    * TakeOrderedAndProject, never a global sort. At 100 TB: two fact
+    * scans, one key shuffle, k rows to the driver.
+    */
+  def flagshipRevenueTopCustomers(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+        && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+    val li = table(spark, sfDir, "lineitem")
+    val c = table(spark, sfDir, "customer")
+    val n = table(spark, sfDir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n),
+        c("c_nationkey").cast(LongType) === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(10)
+  }
+
   /** Flagship: top revenue supplier per nation — the reference's EP2
     * winner-per-group shape (join → group → window rank → rank=1 filter;
     * `/root/reference/RandomeForestAnalysisOnUSElectionPrediction.txt:55-99`)
@@ -760,6 +821,21 @@ object Relational {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k_a, CAST(count(*) AS BIGINT) AS n_before
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey),
+        |b AS (
+        |  SELECT o_custkey AS k_b, CAST(count(*) AS BIGINT) AS n_since
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(k_a, k_b) AS custkey, n_before, n_since,
+        |  CASE WHEN k_a IS NULL THEN 'new'
+        |       WHEN k_b IS NULL THEN 'churned'
+        |       ELSE 'retained' END AS status
+        |FROM a FULL JOIN b ON k_a = k_b
+        |ORDER BY custkey""".stripMargin,
     "agg_count" ->
       "SELECT COUNT(*) AS n_rows FROM lineitem",
     "groupby_agg" ->
@@ -834,6 +910,20 @@ object Relational {
         |SELECT n_name, s_name, revenue FROM rev
         |QUALIFY RANK() OVER (PARTITION BY n_name
         |                     ORDER BY revenue DESC, s_suppkey) = 1
-        |ORDER BY n_name""".stripMargin
+        |ORDER BY n_name""".stripMargin,
+    "flagship_revenue_top_customers" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 10""".stripMargin
   )
 }

@@ -81,6 +81,36 @@ object Temporal {
         (col("ts_ns") - col("ref_ts_ns")).as("gap_ns"))
   }
 
+  /** AS-OF JOIN WITH TOLERANCE — the pandas `merge_asof(tolerance=…)` /
+    * kdb `wj` refinement: an attribution only counts if the reference
+    * event is RECENT enough (a click last month doesn't explain today's
+    * purchase). Same one-pass union-tag window as [[joinAsof]] — the
+    * tolerance is a post-window null-out, not a different join, so the
+    * scale shape is unchanged (one user_id shuffle, one long of state);
+    * probes keep their row with NULL ref/gap when the match is stale or
+    * absent, and `matched` surfaces the three-way outcome as 1/0.
+    */
+  def joinAsofTol(events: DataFrame, probeType: String, refType: String,
+      tolNs: Long): DataFrame = {
+    require(tolNs > 0, s"tolNs must be positive, got $tolNs")
+    val ok = col("gap_ns").isNotNull && col("gap_ns") <= tolNs
+    joinAsof(events, probeType, refType)
+      .select(col("event_id"), col("user_id"), col("ts_ns"),
+        when(ok, col("ref_ts_ns")).as("ref_ts_ns"),
+        when(ok, col("gap_ns")).as("gap_ns"),
+        when(ok, 1).otherwise(0).as("matched"))
+  }
+
+  /** `join_asof_tol` checked key: purchase→click attribution at a 24h
+    * tolerance — 683 attributed / 1155 stale / 143 clickless at sf0.01,
+    * all three outcomes populated.
+    */
+  def joinAsofTolQuery(spark: SparkSession, sfDir: String): DataFrame =
+    joinAsofTol(eventsNs(spark, sfDir), probeType = "purchase",
+      refType = "click", tolNs = DayNs)
+      .withColumnRenamed("ref_ts_ns", "click_ts_ns")
+      .orderBy(col("event_id"))
+
   /** RANGE JOIN: for each purchase, the count and summed value of the same
     * user's clicks in the preceding 24h window `(ts−24h, ts]`.
     *
@@ -136,6 +166,42 @@ object Temporal {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("ref_value"), lit(0.0)).as("ref_value"))
   }
+
+  /** Burst threshold for the cadence key: gaps ≤ 60s count as bursty. */
+  private val BurstNs = 60000000000L
+
+  /** PER-USER CADENCE — the `lag` window surface (the one window
+    * function family with no graded representative) put to its canonical
+    * use: inter-arrival gap statistics per user, the signal behind rate
+    * anomaly detection and bot screening. One hash shuffle on user_id +
+    * an in-partition sort, O(1) state per row (the previous timestamp);
+    * the per-user aggregate rides the SAME partitioning, so Catalyst
+    * plans window + groupBy over one exchange. All-integer outputs: gap
+    * extremes, activity span, and the bursty-gap count at [[BurstNs]].
+    * Ties (equal ts) break on event_id; the gap MULTISET is invariant to
+    * the tie order (equal timestamps yield the same zero gaps either
+    * way), so every aggregate is deterministic cross-engine.
+    */
+  def userCadence(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts_ns"), col("event_id"))
+      .withColumn("gap_ns", col("ts_ns") - lag(col("ts_ns"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(col("gap_ns")).as("n_gaps"),
+        min(col("gap_ns")).as("min_gap_ns"),
+        max(col("gap_ns")).as("max_gap_ns"),
+        count(when(col("gap_ns") <= BurstNs, 1)).as("n_bursty"),
+        (max(col("ts_ns")) - min(col("ts_ns"))).as("span_ns"))
+  }
+
+  /** `user_cadence` checked key over the harness events. */
+  def userCadenceQuery(spark: SparkSession, sfDir: String): DataFrame =
+    userCadence(eventsNs(spark, sfDir))
+      .orderBy(col("user_id"))
 
   /** Rolling mean over the last 7 events per user (ROWS frame, ordered by
     * event time with the unique event_id as tie-break — a frame over a
@@ -282,6 +348,44 @@ object Temporal {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts_ns
         |ORDER BY p.event_id""".stripMargin,
+    "user_cadence" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+         |           FROM events),
+         |g AS (
+         |  SELECT user_id, ts_ns,
+         |    ts_ns - lag(ts_ns, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts_ns, event_id) AS gap_ns
+         |  FROM e)
+         |SELECT user_id,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(gap_ns) AS BIGINT) AS n_gaps,
+         |  min(gap_ns) AS min_gap_ns,
+         |  max(gap_ns) AS max_gap_ns,
+         |  CAST(count(*) FILTER (WHERE gap_ns <= ${BurstNs})
+         |    AS BIGINT) AS n_bursty,
+         |  max(ts_ns) - min(ts_ns) AS span_ns
+         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // same ASOF twin with the tolerance applied as the identical
+    // post-join null-out — DuckDB's ASOF has no tolerance clause, so
+    // the twin proves the refinement IS join-then-gate
+    "join_asof_tol" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+         |                  event_type FROM events),
+         |p AS (SELECT event_id, user_id, ts_ns FROM e
+         |      WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts_ns AS click_ts_ns FROM e
+         |      WHERE event_type = 'click'),
+         |j AS (
+         |  SELECT p.event_id, p.user_id, p.ts_ns, c.click_ts_ns,
+         |         p.ts_ns - c.click_ts_ns AS gap_ns
+         |  FROM p ASOF LEFT JOIN c
+         |    ON p.user_id = c.user_id AND p.ts_ns >= c.click_ts_ns)
+         |SELECT event_id, user_id, ts_ns,
+         |  CASE WHEN gap_ns <= ${DayNs} THEN click_ts_ns END
+         |    AS click_ts_ns,
+         |  CASE WHEN gap_ns <= ${DayNs} THEN gap_ns END AS gap_ns,
+         |  CASE WHEN gap_ns <= ${DayNs} THEN 1 ELSE 0 END AS matched
+         |FROM j ORDER BY event_id""".stripMargin,
     // the twin is the UNBINNED inequality join — equality proves the
     // bin-and-filter decomposition loses and double-counts nothing
     "join_range" ->

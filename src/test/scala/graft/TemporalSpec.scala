@@ -34,6 +34,55 @@ class TemporalSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(_.isDefined))
   }
 
+  test("join_asof_tol gates the asof match at the tolerance, keeps probes") {
+    import spark.implicits._
+    val ev = eventRows
+    val clicksByUser = ev.filter(_._3 == "click")
+      .groupBy(_._2).map { case (u, rs) => u -> rs.map(_._4).sorted }
+    val expected = ev.filter(_._3 == "purchase").map { case (id, u, _, ts) =>
+      val last = clicksByUser.getOrElse(u, Nil).takeWhile(_ <= ts).lastOption
+      val kept = last.filter(c => ts - c <= Temporal.DayNs)
+      (id, (kept, if (kept.isDefined) 1 else 0))
+    }.toMap
+    val got = Temporal.joinAsofTolQuery(spark, sf)
+      .select(col("event_id"), col("click_ts_ns"), col("matched"))
+      .as[(Long, Option[Long], Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == expected)
+    // all three outcomes populated: attributed, stale-nulled, clickless
+    assert(got.values.exists(_._2 == 1))
+    assert(got.values.exists(_._2 == 0))
+    val asof = Temporal.joinAsof(spark, sf)
+      .select(col("event_id"), col("click_ts_ns"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got.exists { case (id, (k, _)) =>
+      k.isEmpty && asof(id).isDefined },
+      "no STALE match was nulled — the tolerance gate is vacuous here")
+    assert(got.size == asof.size, "the gate dropped probes")
+  }
+
+  test("user_cadence equals brute-force per-user gap statistics") {
+    import spark.implicits._
+    val ev = eventRows
+    val expected = ev.groupBy(_._2).map { case (u, rs) =>
+      val ts = rs.sortBy(r => (r._4, r._1)).map(_._4)
+      val gaps = ts.zip(ts.drop(1)).map { case (a, b) => b - a }
+      u -> ((ts.size.toLong, gaps.size.toLong,
+        gaps.minOption, gaps.maxOption,
+        gaps.count(_ <= 60000000000L).toLong, ts.max - ts.min))
+    }
+    val got = Temporal.userCadenceQuery(spark, sf)
+      .as[(Long, Long, Long, Option[Long], Option[Long], Long, Long)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    assert(got == expected)
+    // laws: gaps are events−1; bursty bounded by gaps; spans non-negative
+    got.values.foreach { case (n, g, _, _, b, s) =>
+      assert(g == n - 1 && b <= g && s >= 0)
+    }
+    assert(got.values.exists(_._5 > 0), "no bursty gap in the corpus")
+  }
+
   test("join_range equals brute-force 24h-window click counts") {
     import spark.implicits._
     val ev = eventRows
