@@ -104,6 +104,8 @@ object SparkEntry {
     "histogram" -> (Lifecycle.histogram _),
     "corr_matrix" -> (Lifecycle.corrMatrix _),
     "minmax_scale" -> (Lifecycle.minmaxScale _),
+    // robust sibling: per-group exact-percentile clipping at p01/p99
+    "winsorize_clip" -> (Lifecycle.winsorizeClip _),
     // §2h scalars
     "str_normalize" -> (Scalars.strNormalize _),
     "json_extract" -> (Scalars.jsonExtract _),

@@ -463,6 +463,65 @@ object Lifecycle {
       .drop("v_min", "v_max")
   }
 
+  /** Winsorization percentiles (per mille): clip below the 1st and above
+    * the 99th percentile — the standard outlier fence.
+    */
+  private val WinsorLoPm = 10L
+  private val WinsorHiPm = 990L
+
+  /** WINSORIZE — per-group exact-percentile outlier clipping, the
+    * numeric-feature curation op (`minmax_scale`'s robust sibling: a
+    * single fat-finger price would stretch a min-max range to
+    * uselessness; clipping at p01/p99 bounds the damage before
+    * scaling). Percentile semantics are DISCRETE and engine-neutral by
+    * construction: the bound is the value at rank `ceil(p·n)` of the
+    * group's sorted multiset (integer arithmetic — `(n·pm + 999) div
+    * 1000` — never a float percentile interpolation, which engines
+    * round differently). Reading the VALUE at a rank is tie-safe: equal
+    * values make the rank choice arbitrary but the value identical.
+    *
+    * One shuffle on the group key; rank + count ride one in-partition
+    * sort, and the clip summary aggregates on the same partitioning —
+    * Catalyst plans window + groupBy over a single exchange. Output per
+    * group: n, the two bounds, clip counts each side, and the exact
+    * decimal sum of the CLIPPED column (proving the clip was applied
+    * row-by-row, not just the bounds found).
+    */
+  def winsorizeStats(o: DataFrame, group: String, value: String): DataFrame = {
+    val w = Window.partitionBy(col(group)).orderBy(col(value))
+    val ranked = o
+      .withColumn("r", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(group))))
+      .withColumn("r_lo", expr(s"(n * $WinsorLoPm + 999) div 1000"))
+      .withColumn("r_hi", expr(s"(n * $WinsorHiPm + 999) div 1000"))
+    val bounds = ranked
+      .groupBy(col(group))
+      .agg(
+        max(when(col("r") === col("r_lo"), col(value))).as("lo"),
+        max(when(col("r") === col("r_hi"), col(value))).as("hi"))
+    ranked.join(broadcast(bounds), group)
+      .groupBy(col(group))
+      .agg(
+        count(lit(1)).as("n"),
+        first(col("lo")).as("lo"),
+        first(col("hi")).as("hi"),
+        count(when(col(value) < col("lo"), 1)).as("n_clipped_lo"),
+        count(when(col(value) > col("hi"), 1)).as("n_clipped_hi"),
+        sum(greatest(least(col(value), col("hi")), col("lo"))
+          .cast(DecimalType(18, 4))).cast(DoubleType).as("clipped_sum"))
+  }
+
+  /** `winsorize_clip` checked key: lineitem extended prices winsorized
+    * at p01/p99 within each (returnflag, linestatus) group.
+    */
+  def winsorizeClip(spark: SparkSession, sfDir: String): DataFrame =
+    winsorizeStats(
+      table(spark, sfDir, "lineitem")
+        .withColumn("grp",
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus"))),
+      group = "grp", value = "l_extendedprice")
+      .orderBy(col("grp"))
+
   /** PAIRWISE PEARSON CORRELATIONS of lineitem's numeric columns in ONE
     * pass — the feature-screening matrix an ML pipeline computes before
     * training (drop one of any highly-correlated pair).
@@ -551,6 +610,33 @@ object Lifecycle {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // identical discrete-rank formulation: value at rank ceil(p·n) via
+    // integer per-mille arithmetic (`//` == `div`), tie-safe because the
+    // VALUE at a rank is invariant to equal-value order
+    "winsorize_clip" ->
+      s"""WITH l AS (
+         |  SELECT l_returnflag || '/' || l_linestatus AS grp,
+         |    l_extendedprice AS v
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v) AS r,
+         |    count(*) OVER (PARTITION BY grp) AS n
+         |  FROM l),
+         |b AS (
+         |  SELECT grp,
+         |    max(CASE WHEN r = (n * $WinsorLoPm + 999) // 1000 THEN v END)
+         |      AS lo,
+         |    max(CASE WHEN r = (n * $WinsorHiPm + 999) // 1000 THEN v END)
+         |      AS hi
+         |  FROM r GROUP BY grp)
+         |SELECT l.grp, CAST(count(*) AS BIGINT) AS n, b.lo, b.hi,
+         |  CAST(count(*) FILTER (WHERE v < lo) AS BIGINT) AS n_clipped_lo,
+         |  CAST(count(*) FILTER (WHERE v > hi) AS BIGINT) AS n_clipped_hi,
+         |  CAST(sum(CAST(greatest(least(v, hi), lo) AS DECIMAL(18,4)))
+         |    AS DOUBLE) AS clipped_sum
+         |FROM l JOIN b ON l.grp = b.grp
+         |GROUP BY l.grp, b.lo, b.hi ORDER BY l.grp""".stripMargin,
     "minmax_scale" ->
       """WITH s AS (SELECT o_orderpriority, min(o_totalprice) AS v_min,
         |                  max(o_totalprice) AS v_max

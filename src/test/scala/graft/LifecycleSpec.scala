@@ -244,6 +244,39 @@ class LifecycleSpec extends SparkSpec {
     } finally m.unpersist()
   }
 
+  test("winsorize_clip equals the brute-force discrete-percentile clip") {
+    import spark.implicits._
+    // brute force on a fixture with ties at the bound and obvious outliers
+    val vals = Seq.fill(40)(10.0) ++ Seq(0.5, 1.0, 500.0, 900.0) ++
+      (1 to 56).map(_.toDouble + 20)
+    val fx = vals.zipWithIndex.map { case (v, i) => (i.toLong, "g", v) }
+      .toDF("id", "grp", "v")
+    val got = Lifecycle.winsorizeStats(fx, "grp", "v").collect()(0)
+    val sorted = vals.sorted
+    val n = vals.length
+    def bound(pm: Long) = sorted(((n * pm + 999) / 1000 - 1).toInt)
+    val lo = bound(10L); val hi = bound(990L)
+    assert(got.getAs[Double]("lo") == lo && got.getAs[Double]("hi") == hi)
+    assert(got.getAs[Long]("n_clipped_lo") == vals.count(_ < lo))
+    assert(got.getAs[Long]("n_clipped_hi") == vals.count(_ > hi))
+    val cs = vals.map(v => math.max(math.min(v, hi), lo)).map(BigDecimal(_))
+      .sum.toDouble
+    assert(math.abs(got.getAs[Double]("clipped_sum") - cs) < 1e-6)
+    // corpus laws: every group clips something on each side at p01/p99,
+    // bounds sit inside the raw extremes, clipped sum inside [n·lo, n·hi]
+    val rows = Lifecycle.winsorizeClip(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nn, l, h) = (r.getAs[Long]("n"), r.getAs[Double]("lo"),
+        r.getAs[Double]("hi"))
+      assert(l <= h)
+      assert(r.getAs[Long]("n_clipped_lo") > 0 &&
+        r.getAs[Long]("n_clipped_hi") > 0)
+      val s = r.getAs[Double]("clipped_sum")
+      assert(s >= nn * l - 1e-6 && s <= nn * h + 1e-6)
+    }
+  }
+
   test("corr_matrix matches Spark's own corr in one scan") {
     // plan check FIRST: once the result is cached below, a re-invocation
     // plan-matches the InMemoryRelation and the scan count is meaningless
