@@ -187,6 +187,8 @@ object SparkEntry {
     // title + paragraph text kept, nav/footer/script dropped, tags stripped)
     "extract_main_text" -> (TextAnalysis.extractMainText _),
     "url_normalize" -> (Web.urlNormalize _),
+    // stage-0 deny-list gate: domain (exact|subdomain) + URL-prefix rules
+    "url_blocklist" -> (Web.urlBlocklist _),
     "dedup_url" -> (Web.dedupUrl _),
     // frontier screen: batch URLs vs the maintained canonical census
     "dedup_url_incremental" -> (Web.dedupUrlIncremental _),

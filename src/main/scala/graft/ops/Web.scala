@@ -132,6 +132,56 @@ object Web {
     urlNormalizeOn(urlStructured(table(spark, sfDir, "documents")))
       .orderBy(col("doc_id"))
 
+  /** Graded blocklist: domain rules (exact host OR any subdomain — the
+    * adblock/C4 semantics; `s3`/`s5` fire the SUBDOMAIN branch against
+    * the planted `www.`-hosts, `www.s6.example.com` the EXACT branch)
+    * and one canonical-URL prefix rule.
+    */
+  val BlockedDomains = Seq("s3.example.com", "s5.example.com",
+    "www.s6.example.com")
+  val BlockedPrefixes = Seq("https://www.s4.example.com/docs/page11")
+
+  /** URL BLOCKLIST — the stage-0 crawl deny-list gate (C4/CCNet drop
+    * entire domains before fetching a byte; RefinedWeb's URL filtering
+    * stage): canonicalize, then match DOMAIN rules (exact host or any
+    * subdomain, first match wins in list order) and canonical-URL
+    * PREFIX rules (domain rules take priority). Emits every URL with
+    * its verdict and the firing rule — the measuring+acting pair in one
+    * frame; callers filter `blocked = 0` to act.
+    *
+    * Scale shape: zero shuffle — normalization and both rule kinds are
+    * scan-stage expressions; a seed-list-sized blocklist (thousands of
+    * rules) compiles into the plan exactly like this literal fold, and
+    * a mega-blocklist (millions of domains) switches the DOMAIN branch
+    * to a broadcast join on the host's registrable suffix — the
+    * `mix_sample` literal→frame graduation, documented not built.
+    */
+  def urlBlocklistOn(urls: DataFrame, domains: Seq[String],
+      prefixes: Seq[String]): DataFrame = {
+    require(domains.nonEmpty || prefixes.nonEmpty, "empty blocklist")
+    val norm = urlNormalizeOn(urls)
+    val host = regexp_extract(col("url_norm"),
+      "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
+    val hits =
+      domains.map(d => when(host === d || host.endsWith("." + d),
+        lit(s"domain:$d"))) ++
+      prefixes.map(p => when(col("url_norm").startsWith(p),
+        lit(s"prefix:$p")))
+    norm
+      .withColumn("rule", coalesce(hits: _*))
+      .select(col("doc_id"), col("url_norm"),
+        when(col("rule").isNotNull, 1).otherwise(0).as("blocked"),
+        col("rule"))
+  }
+
+  /** `url_blocklist` checked key: [[urlBlocklistOn]] with the graded
+    * rules over the planted corpus.
+    */
+  def urlBlocklist(spark: SparkSession, sfDir: String): DataFrame =
+    urlBlocklistOn(urlStructured(table(spark, sfDir, "documents")),
+      BlockedDomains, BlockedPrefixes)
+      .orderBy(col("doc_id"))
+
   /** `dedup_url` checked key: keep-min per canonical URL over the same
     * planted corpus. The planted pairs make the keep rule non-vacuous at
     * every scale: each score's `{20k, 20k+1}` and `{20k+11, 20k+13}`
@@ -355,6 +405,31 @@ object Web {
       s"""WITH $plantSql
          |SELECT doc_id, url, url_norm FROM canon
          |ORDER BY doc_id""".stripMargin,
+    // rules GENERATED from the same frozen lists as the Spark fold, so
+    // the two sides cannot drift; coalesce order == list order priority
+    "url_blocklist" -> {
+      val cases =
+        BlockedDomains.map(d =>
+          s"""CASE WHEN host = '$d' OR host LIKE '%.$d'
+             |      THEN 'domain:$d' END""".stripMargin) ++
+        BlockedPrefixes.map(p =>
+          s"""CASE WHEN url_norm LIKE '$p%'
+             |      THEN 'prefix:$p' END""".stripMargin)
+      s"""WITH $plantSql,
+         |h AS (
+         |  SELECT doc_id, url_norm,
+         |    regexp_extract(url_norm,
+         |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+         |  FROM canon),
+         |v AS (
+         |  SELECT doc_id, url_norm,
+         |    coalesce(
+         |${cases.mkString(",\n")}) AS rule
+         |  FROM h)
+         |SELECT doc_id, url_norm,
+         |  CASE WHEN rule IS NOT NULL THEN 1 ELSE 0 END AS blocked, rule
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     "dedup_url" ->
       s"""WITH $plantSql
          |SELECT doc_id, url_norm, n_variants FROM (

@@ -299,6 +299,42 @@ class ExtensionsSpec extends SparkSpec {
     assert(surv.count(_.getLong(2) == 2) >= 2, "both pair kinds must exist")
   }
 
+  test("url_blocklist: rule kinds, priority and verdicts on hand URLs;" +
+      " planted corpus exercises every rule branch") {
+    import spark.implicits._
+    import graft.ops.Web
+    val fx = Seq(
+      (1L, "https://bad.com/x"),            // exact domain hit
+      (2L, "https://sub.bad.com/x"),        // subdomain hit, same rule
+      (3L, "https://notbad.com/x"),         // suffix must NOT match mid-label
+      (4L, "https://ok.com/deny/p"),        // prefix hit
+      (5L, "https://OK.com:443/deny/p"),    // prefix hit AFTER normalization
+      (6L, "https://ok.com/fine"),          // clean
+      (7L, "https://bad.com/deny/p")        // both match -> domain wins
+    ).toDF("doc_id", "url")
+    val got = Web.urlBlocklistOn(fx, Seq("bad.com"),
+      Seq("https://ok.com/deny")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), Option(r.getString(3)))))
+      .toMap
+    assert(got(1L) == ((1, Some("domain:bad.com"))))
+    assert(got(2L) == ((1, Some("domain:bad.com"))))
+    assert(got(3L) == ((0, None)), "mid-label suffix false positive")
+    assert(got(4L) == ((1, Some("prefix:https://ok.com/deny"))))
+    assert(got(5L) == ((1, Some("prefix:https://ok.com/deny"))),
+      "prefix must apply to the NORMALIZED url")
+    assert(got(6L) == ((0, None)))
+    assert(got(7L) == ((1, Some("domain:bad.com"))), "domain priority")
+    // corpus: every graded rule fires somewhere, and survivors remain
+    val rules = Web.urlBlocklist(spark, sf).collect()
+      .flatMap(r => Option(r.getString(3)))
+    (Web.BlockedDomains.map("domain:" + _) ++
+      Web.BlockedPrefixes.map("prefix:" + _)).foreach { r =>
+      assert(rules.contains(r), s"rule $r never fires on the plant")
+    }
+    assert(Web.urlBlocklist(spark, sf)
+      .filter(col("blocked") === 0).count() > 0)
+  }
+
   test("dedup_url_incremental: census is additive, the screen equals the" +
       " recompute-over-union, and both dup branches populate") {
     import graft.ops.Web
