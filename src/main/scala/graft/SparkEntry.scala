@@ -132,6 +132,8 @@ object SparkEntry {
     // crawl-batch line dedup: a new batch censused against the maintained
     // corpus line census (additive sketch; merge-by-sum = recompute)
     "dedup_lines_incremental" -> (Dedup.dedupLinesIncremental _),
+    // crawl-batch span stats vs the maintained additive span census
+    "dedup_spans_incremental" -> (Dedup.dedupSpansIncremental _),
     // span-level duplicate statistics (Lee et al. exact-substring signal:
     // per doc, the token share covered by cross-document repeated runs)
     "dedup_spans" -> (Dedup.dedupSpans _),

@@ -1526,15 +1526,23 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gh"), lit(true).as("__graft_dup"))
-    val perDoc = grams.join(census, Seq("gh"), "left")
+    spanCoverage(base, grams, census, n)
+  }
+
+  /** Shared span-family tail: dup-flag the grams against `dupSet`
+    * (`(gh, __graft_dup)`), reduce per doc to counts + sorted dup start
+    * positions, and take the interval-union length of [s, s+n−1] as one
+    * in-row linear fold — never a per-position scan.
+    */
+  private def spanCoverage(base: DataFrame, grams: DataFrame,
+      dupSet: DataFrame, n: Int): DataFrame = {
+    val perDoc = grams.join(dupSet, Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
         count(when(col("__graft_dup"), lit(1))).as("n_dup_grams"),
         sort_array(collect_list(when(col("__graft_dup"), col("pos"))))
           .as("starts"))
-    // interval-union length of [s, s+n-1] over the sorted dup starts —
-    // one linear fold, never a per-position scan
     val covered = expr(
       s"""aggregate(starts,
          |  struct(0L AS cov, -${n}L AS fin),
@@ -1552,6 +1560,56 @@ object Dedup {
         col("covered_tokens"),
         round(col("covered_tokens").cast(DoubleType) / col("n_toks"), 6)
           .as("dup_frac"))
+  }
+
+  /** SPAN CENSUS — the maintained corpus-side state of incremental span
+    * dedup: `(gh, n_docs)`, distinct documents per 60-bit gram hash. An
+    * ADDITIVE sketch exactly like [[lineCensus]]: censuses over disjoint
+    * document sets merge by summing `n_docs` per `gh`, so a production
+    * pipeline appends each crawl batch's census and compacts by sum —
+    * the corpus text is never re-read. Hash-sized rows only.
+    */
+  def spanCensus(docs: DataFrame, n: Int): DataFrame =
+    spanGrams(spanBase(docs), n).groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+
+  /** INCREMENTAL SPAN DEDUP — the crawl-batch shape at the LAST
+    * granularity missing it (documents, lines, embeddings, images, URLs
+    * and semantic cells all have incremental forms): a NEW batch's span
+    * statistics against the maintained corpus [[spanCensus]]. A gram is
+    * duplicated for a batch doc iff its distinct-doc count over the
+    * UNION is ≥ 2 — `corpus_census(gh) + batch_census(gh)` (disjoint doc
+    * sets, so the sum IS the union count); the contract is therefore
+    * recompute-over-union restricted to the batch, which is exactly what
+    * the twin and the suite pin. Batch-sized work only: the corpus
+    * contributes its census rows (hash-sized), never its text.
+    */
+  def dedupSpansIncrementalOn(corpusCensus: DataFrame, batch: DataFrame,
+      n: Int): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2, got $n")
+    val base = spanBase(batch)
+    val grams = spanGrams(base, n)
+    val dupSet = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nb"))
+      .join(corpusCensus.select(col("gh"), col("n_docs").as("nc")),
+        Seq("gh"), "left")
+      .filter(col("nb") + coalesce(col("nc"), lit(0L)) >= 2)
+      .select(col("gh"), lit(true).as("__graft_dup"))
+    spanCoverage(base, grams, dupSet, n)
+  }
+
+  /** `dedup_spans_incremental` checked key: the family parity split
+    * (odd = new batch, even = maintained corpus) at [[SpanGram]]. The
+    * DuckDB twin runs the identical full-union census and restricts the
+    * output to the batch — an independent proof of the census-merge
+    * decision rule.
+    */
+  def dedupSpansIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    dedupSpansIncrementalOn(
+      spanCensus(docs.filter(col("doc_id") % 2 === 0), SpanGram),
+      docs.filter(col("doc_id") % 2 === 1), SpanGram)
+      .orderBy(col("doc_id"))
   }
 
   /** Tokenized base frame shared by the span family: `(doc_id, w, n_toks)`
@@ -1700,6 +1758,39 @@ object Dedup {
     * the common prefix of the `dedup_lines` and `dedup_lines_incremental`
     * twins (which differ only in which documents they reassemble).
     */
+  /** Shared span-family CTE chain for the twins: full-corpus 8-gram
+    * hashes, ≥2-distinct-doc census, dup flags, per-doc counts, and the
+    * per-position coverage count (the ORTHOGONAL formulation of the
+    * Spark side's interval-union fold).
+    */
+  private val spanSqlCtes: String =
+    """d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |g AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    CAST(concat('0x', substring(md5(
+      |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
+      |  FROM d, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS u(i)
+      |  WHERE len(w) >= 8),
+      |c AS (
+      |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+      |h AS (
+      |  SELECT g.doc_id, g.pos, c.gh IS NOT NULL AS dup
+      |  FROM g LEFT JOIN c USING (gh)),
+      |per AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |    count(*) FILTER (WHERE dup) AS n_dup_grams
+      |  FROM h GROUP BY doc_id),
+      |cov AS (
+      |  SELECT d.doc_id, count(DISTINCT t.p) AS covered
+      |  FROM d
+      |  CROSS JOIN UNNEST(range(0, d.n_toks)) AS t(p)
+      |  JOIN h ON h.doc_id = d.doc_id AND h.dup
+      |        AND h.pos <= t.p AND t.p <= h.pos + 7
+      |  GROUP BY d.doc_id)""".stripMargin
+
   private val lineSqlCtes: String =
     """d AS (
       |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
@@ -1901,32 +1992,7 @@ object Dedup {
     // over the dup starts (the Spark side folds an interval union; both
     // count exactly the positions lying under >= 1 duplicated gram)
     "dedup_spans" ->
-      """WITH d AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |g AS (
-        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-        |    CAST(concat('0x', substring(md5(
-        |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
-        |  FROM d, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS u(i)
-        |  WHERE len(w) >= 8),
-        |c AS (
-        |  SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
-        |h AS (
-        |  SELECT g.doc_id, g.pos, c.gh IS NOT NULL AS dup
-        |  FROM g LEFT JOIN c USING (gh)),
-        |per AS (
-        |  SELECT doc_id, count(*) AS n_grams,
-        |    count(*) FILTER (WHERE dup) AS n_dup_grams
-        |  FROM h GROUP BY doc_id),
-        |cov AS (
-        |  SELECT d.doc_id, count(DISTINCT t.p) AS covered
-        |  FROM d
-        |  CROSS JOIN UNNEST(range(0, d.n_toks)) AS t(p)
-        |  JOIN h ON h.doc_id = d.doc_id AND h.dup
-        |        AND h.pos <= t.p AND t.p <= h.pos + 7
-        |  GROUP BY d.doc_id)
+      s"""WITH $spanSqlCtes
         |SELECT d.doc_id, d.n_toks,
         |  coalesce(per.n_grams, 0) AS n_grams,
         |  coalesce(per.n_dup_grams, 0) AS n_dup_grams,
@@ -1934,6 +2000,21 @@ object Dedup {
         |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n_toks, 6)
         |    AS dup_frac
         |FROM d LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // the incremental contract IS recompute-over-union restricted to the
+    // batch (span-census additivity over disjoint doc sets), so the twin
+    // runs the identical full-corpus census and keeps only odd docs —
+    // an independent proof of the corpus+batch census-merge rule
+    "dedup_spans_incremental" ->
+      s"""WITH $spanSqlCtes
+        |SELECT d.doc_id, d.n_toks,
+        |  coalesce(per.n_grams, 0) AS n_grams,
+        |  coalesce(per.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(cov.covered, 0) AS covered_tokens,
+        |  round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / d.n_toks, 6)
+        |    AS dup_frac
+        |FROM d LEFT JOIN per USING (doc_id) LEFT JOIN cov USING (doc_id)
+        |WHERE d.doc_id % 2 = 1
         |ORDER BY d.doc_id""".stripMargin,
     // independent recompute of the excision: same gram hashes, census +
     // min-doc keeper, then the rebuild done the ORTHOGONAL way — covered

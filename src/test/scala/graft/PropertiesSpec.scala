@@ -339,6 +339,40 @@ class PropertiesSpec extends SparkSpec {
       r.getAs[Long]("n_lines_in") - r.getAs[Long]("n_lines_kept") >= 2))
   }
 
+  test("dedup_spans_incremental: census merges additively and equals" +
+      " the recompute over the union") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    // short token vocab at gram n=3 so cross-doc span overlap occurs
+    val tokGen = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(3, 12).flatMap(k => Gen.listOfN(k, tokGen))
+    samples(Gen.listOfN(12, docGen), 5).foreach { raw =>
+      val docs = raw.zipWithIndex.map { case (ts, i) =>
+        (i.toLong, ts.mkString(" "))
+      }
+      val all = docs.toDF("doc_id", "text")
+      val corpus = all.filter(col("doc_id") % 2 === 0)
+      val batch = all.filter(col("doc_id") % 2 === 1)
+      // census-merge law: disjoint doc sets sum per gh
+      val full = Dedup.spanCensus(all, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val merged = (Dedup.spanCensus(corpus, 3).collect() ++
+        Dedup.spanCensus(batch, 3).collect())
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      assert(full == merged, "span census is not additive")
+      // the incremental key == recompute over the union, batch rows only
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      val inc = rows(Dedup.dedupSpansIncrementalOn(
+        Dedup.spanCensus(corpus, 3), batch, 3))
+      val rec = rows(Dedup.dedupSpansOn(all, 3)
+        .filter(col("doc_id") % 2 === 1))
+      assert(inc == rec, "incremental drifted from recompute-over-union")
+    }
+  }
+
   test("dedup_lines_incremental: census merges additively and equals the" +
       " recompute over the union") {
     import spark.implicits._
