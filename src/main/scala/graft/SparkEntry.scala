@@ -255,6 +255,8 @@ object SparkEntry {
     "dedup_image_incremental" -> (Multimodal.dedupImageIncremental _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
+    // video keyframe slot: per-frame feature deltas, cut list in-row
+    "mm_scene_cuts" -> (Multimodal.sceneCuts _),
     "mm_frame_sample" -> (Multimodal.frameSample _),
     "mm_frame_layout" -> (Multimodal.frameLayout _),
     "mm_resize" -> (Multimodal.mmResize _),

@@ -884,7 +884,116 @@ object Multimodal {
       AudioWin, AudioHop)
       .orderBy(col("doc_id"), col("win_idx"))
 
+  /** Scene-cut geometry: 64-byte frames, cut when consecutive frame
+    * milli-means differ by more than this (p90 of the harness deltas —
+    * a ~10% keyframe rate, the sampling density a training pipeline
+    * actually keeps).
+    */
+  val CutFrameBytes = 64
+  val CutThresholdMilli = 4000L
+
+  /** SCENE-CUT DETECTION — the video keyframe-selection slot: per
+    * asset, a per-frame feature (exact integer milli-mean of the
+    * frame's bytes — the luma-mean stand-in; a real decoder drops its
+    * per-frame luma into the same column) and a cut wherever
+    * consecutive features jump by more than [[CutThresholdMilli]].
+    * Keyframe selection is how a video corpus becomes a trainable
+    * image corpus (sample at cuts, not uniformly — uniform sampling
+    * over-represents static shots).
+    *
+    * The family split, zero shuffle end-to-end: the per-frame FEATURE
+    * is extracted in the `mapPartitions` decode loop (byte work is
+    * codec territory — the `ascii(substring(…))` expression form of
+    * the same fold measured 4× slower, the `repetition_stats`
+    * interpreted-lambda lesson), while the deltas and the cut list are
+    * declarative in-row expressions over the feature array. Output per
+    * asset: (doc_id, n_frames, n_cuts, cut_idxs, max_delta) — the cut
+    * list comma-joined for hash stability, max_delta the signal's
+    * dynamic range.
+    */
+  def sceneCutsOn(docs: DataFrame, frameBytes: Int,
+      thresholdMilli: Long): DataFrame = {
+    require(frameBytes >= 1 && thresholdMilli >= 0,
+      s"bad geometry: $frameBytes/$thresholdMilli")
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val feats = docs.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val mm = payload.grouped(frameBytes).map { f =>
+            f.map(b => (b & 0xff).toLong).sum * 1000L / f.length
+          }.toArray
+          (docId, mm)
+        }
+      }
+      .toDF("doc_id", "mm")
+    feats
+      // Spark's sequence(1, 0) steps BACKWARD, so the single-frame case
+      // must short-circuit to an empty delta list explicitly
+      .withColumn("deltas", expr(
+        """CASE WHEN size(mm) >= 2 THEN
+          |  transform(sequence(1, size(mm) - 1),
+          |    j -> struct(j AS idx,
+          |      abs(element_at(mm, j + 1) - element_at(mm, j)) AS d))
+          |ELSE CAST(array() AS ARRAY<STRUCT<idx: INT, d: BIGINT>>) END"""
+          .stripMargin))
+      .withColumn("cuts",
+        expr(s"filter(deltas, x -> x.d > ${thresholdMilli}L)"))
+      .select(col("doc_id"),
+        size(col("mm")).cast(LongType).as("n_frames"),
+        size(col("cuts")).cast(LongType).as("n_cuts"),
+        array_join(expr("transform(cuts, x -> CAST(x.idx AS STRING))"),
+          ",").as("cut_idxs"),
+        coalesce(expr("array_max(transform(deltas, x -> x.d))"), lit(0L))
+          .as("max_delta"))
+  }
+
+  /** `mm_scene_cuts` checked key: [[sceneCutsOn]] at the graded
+    * geometry over the UTF-8 payload stand-in.
+    */
+  def sceneCuts(spark: SparkSession, sfDir: String): DataFrame =
+    sceneCutsOn(table(spark, sfDir, "documents"), CutFrameBytes,
+      CutThresholdMilli)
+      .orderBy(col("doc_id"))
+
   val oracleSql: Map[String, String] = Map(
+    // the identical frame/mean/delta arithmetic over character bytes;
+    // `//` == `div` on the non-negative sums
+    "mm_scene_cuts" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, length(text) AS n FROM documents
+         |  WHERE text IS NOT NULL AND length(text) >= 1),
+         |m AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, CAST(ceil(n / $CutFrameBytes.0)
+         |        AS BIGINT)),
+         |      j -> list_sum(list_transform(
+         |          range(1, least($CutFrameBytes, n - j*$CutFrameBytes)
+         |            + 1),
+         |          k -> ascii(substr(text,
+         |            CAST(j*$CutFrameBytes + k AS INTEGER), 1))))
+         |        * 1000 // least($CutFrameBytes, n - j*$CutFrameBytes))
+         |      AS mm
+         |  FROM d),
+         |x AS (
+         |  SELECT doc_id, mm,
+         |    list_transform(range(1, len(mm)),
+         |      j -> {'idx': j, 'd': abs(mm[j + 1] - mm[j])}) AS deltas
+         |  FROM m),
+         |y AS (
+         |  SELECT doc_id, mm, deltas,
+         |    list_filter(deltas, e -> e.d > $CutThresholdMilli) AS cuts
+         |  FROM x)
+         |SELECT doc_id,
+         |  CAST(len(mm) AS BIGINT) AS n_frames,
+         |  CAST(len(cuts) AS BIGINT) AS n_cuts,
+         |  coalesce(array_to_string(list_transform(cuts,
+         |    e -> CAST(e.idx AS VARCHAR)), ','), '') AS cut_idxs,
+         |  CAST(coalesce(list_max(list_transform(deltas, e -> e.d)), 0)
+         |    AS BIGINT) AS max_delta
+         |FROM y ORDER BY doc_id""".stripMargin,
     // byte-exact PCM16-LE stand-in twin: samples from character pairs
     // (the mm_frame_sample ascii/substr byte alignment), the identical
     // window/hop arithmetic, integer folds for all three features

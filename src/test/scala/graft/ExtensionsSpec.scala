@@ -1436,6 +1436,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(corpus.filter(col("zcr") > 0).count() > 0)
   }
 
+  test("mm_scene_cuts equals the brute-force frame-delta fold") {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    // three 8-byte frames with a planted jump between frames 2 and 3
+    val text = "aaaaaaaa" + "aaaabbbb" + "zzzzzzzz" // means 97k, 97.5k, 122k
+    val fx = Seq((1L, text), (2L, "short")).toDF("doc_id", "text")
+    val got = Multimodal.sceneCutsOn(fx, frameBytes = 8,
+      thresholdMilli = 10000L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))).toMap
+    // brute force: means in milli, deltas |m2-m1|=500, |m3-m2|=24500
+    assert(got(1L) == ((3L, 1L, "2", 24500L)), s"got ${got(1L)}")
+    // single-frame boundary: no deltas, no cuts, max_delta 0
+    assert(got(2L) == ((1L, 0L, "", 0L)), s"got ${got(2L)}")
+    // corpus non-vacuity at the graded threshold: cuts exist, but the
+    // detector is selective (not every frame boundary is a cut)
+    val corpus = Multimodal.sceneCuts(spark, sf).collect()
+    val cuts = corpus.map(_.getLong(2)).sum
+    val boundaries = corpus.map(_.getLong(1) - 1).sum
+    assert(cuts > 0 && cuts < boundaries / 2,
+      s"cut rate $cuts/$boundaries is vacuous or indiscriminate")
+  }
+
   test("multimodal and sketch API forms honor caller parameters") {
     import spark.implicits._
     // frame size is caller policy: a 20-byte payload at frameBytes = 8
