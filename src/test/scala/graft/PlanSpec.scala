@@ -429,6 +429,11 @@ class PlanSpec extends SparkSpec {
     val ps = plan("shuffle_deterministic")
     assert("Exchange SinglePartition".r.findAllIn(ps).size == 1, ps)
     assert(ps.contains("BroadcastHashJoin"), ps) // offsets ride broadcast
+    // the manifest inherits the same two-phase ranking: its ONLY
+    // SinglePartition step is still the 256-row bucket histogram
+    val pm = plan("shard_manifest")
+    assert("SinglePartition".r.findAllIn(pm).size == 1, pm)
+    assert(!pm.contains("CartesianProduct"), pm)
   }
 
   test("search_lexical scores via broadcast query joins, cuts top-k" +
