@@ -952,6 +952,14 @@ object Multimodal {
 
   /** `mm_scene_cuts` checked key: [[sceneCutsOn]] at the graded
     * geometry over the UTF-8 payload stand-in.
+    *
+    * ASCII-corpus contract (shared with `mm_audio_features`): the Spark
+    * side measures UTF-8 payload BYTES (a codec sees bytes — the
+    * intended semantics, DegenerateCorpusSpec pins it on a non-ASCII
+    * doc), while the per-key DuckDB twin uses character arithmetic —
+    * equivalent exactly while the harness generator emits ASCII. A
+    * non-ASCII regeneration would fail the pinned contract test loudly,
+    * not silently hash-diverge.
     */
   def sceneCuts(spark: SparkSession, sfDir: String): DataFrame =
     sceneCutsOn(table(spark, sfDir, "documents"), CutFrameBytes,

