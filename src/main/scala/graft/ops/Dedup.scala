@@ -871,7 +871,7 @@ object Dedup {
       .orderBy(col("q_id"))
   }
 
-  private val IncrementalEmbedTau = 0.42
+  private[graft] val IncrementalEmbedTau = 0.42
 
   /** `dedup_embed_incremental` checked key: ONE row aggregating the EXACT
     * keep rule — (n_new, n_dup_corpus, n_dup_batch, n_keep, tau), every
@@ -1676,38 +1676,61 @@ object Dedup {
         min(col("doc_id")).as("keeper"))
       .filter(col("nd") >= 2)
       .select(col("gh"), col("keeper"))
+    // merged excision intervals [lo, hi] from the sorted starts — one
+    // linear fold, run BEFORE the rebuild join so the join ships one
+    // bounded interval list per duplicated doc (never per-start rows).
+    // The nested CASE keeps element_at off the empty accumulator (ANSI
+    // mode raises on out-of-bounds; CASE branches evaluate lazily).
     val strips = grams.join(census, Seq("gh"))
       .filter(col("doc_id") =!= col("keeper"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("starts"))
-    // merged excision intervals [lo, hi] from the sorted starts — one
-    // linear fold; adjacent-or-overlapping windows coalesce, so the kept
-    // filter below probes a bounded interval list, not every start. The
-    // nested CASE keeps element_at off the empty accumulator (ANSI mode
-    // raises on out-of-bounds; CASE branches evaluate lazily).
-    val ivs = expr(
-      s"""aggregate(coalesce(starts, array()),
-         |  cast(array() AS array<struct<lo: bigint, hi: bigint>>),
-         |  (acc, s) -> CASE
-         |    WHEN size(acc) = 0 THEN array(struct(s AS lo, s + ${n - 1}L AS hi))
-         |    WHEN s <= element_at(acc, -1).hi + 1L THEN concat(
-         |      slice(acc, 1, size(acc) - 1),
-         |      array(struct(element_at(acc, -1).lo AS lo,
-         |        greatest(element_at(acc, -1).hi, s + ${n - 1}L) AS hi)))
-         |    ELSE concat(acc, array(struct(s AS lo, s + ${n - 1}L AS hi)))
-         |  END)""".stripMargin)
+      .select(col("doc_id"), expr(
+        s"""aggregate(starts,
+           |  cast(array() AS array<struct<lo: bigint, hi: bigint>>),
+           |  (acc, s) -> CASE
+           |    WHEN size(acc) = 0 THEN array(struct(s AS lo, s + ${n - 1}L AS hi))
+           |    WHEN s <= element_at(acc, -1).hi + 1L THEN concat(
+           |      slice(acc, 1, size(acc) - 1),
+           |      array(struct(element_at(acc, -1).lo AS lo,
+           |        greatest(element_at(acc, -1).hi, s + ${n - 1}L) AS hi)))
+           |    ELSE concat(acc, array(struct(s AS lo, s + ${n - 1}L AS hi)))
+           |  END)""".stripMargin).as("ivs"))
+    // COMPLEMENT rebuild (the r14 re-shape — the old form probed every
+    // token position with an interpreted exists() lambda, an
+    // O(n_toks · |ivs|) closure pass; the repetition_stats lesson applied
+    // to the rebuild): the kept text is the gaps BETWEEN the merged
+    // excision intervals, so derive the keep intervals in O(|ivs|) and
+    // rebuild with slice/flatten/array_join — builtin array ops over
+    // whole slices, not per-token lambda work. Merged intervals are
+    // disjoint with gaps ≥ 1, so every in-between candidate is emitted
+    // exactly once and the degenerate filter only drops the empty head
+    // (first interval at 0) and tail (last interval at n_toks − n).
     base.join(strips, Seq("doc_id"), "left")
-      .withColumn("ivs", ivs)
-      .withColumn("kept", expr(
+      .withColumn("ivs", coalesce(col("ivs"),
+        expr("cast(array() AS array<struct<lo: bigint, hi: bigint>>)")))
+      .withColumn("stripped", expr(
+        "aggregate(ivs, 0L, (a, iv) -> a + iv.hi - iv.lo + 1L)"))
+      .withColumn("keep_ivs", expr(
         """filter(
-          |  transform(w, (t, i) -> struct(t AS t, cast(i AS BIGINT) AS p)),
-          |  x -> NOT exists(ivs, iv -> x.p >= iv.lo AND x.p <= iv.hi))"""
-          .stripMargin))
+          |  concat(
+          |    transform(ivs, (iv, i) -> struct(
+          |      CASE WHEN i = 0 THEN 0L
+          |           ELSE element_at(ivs, i).hi + 1L END AS lo,
+          |      iv.lo - 1L AS hi)),
+          |    array(struct(
+          |      CASE WHEN size(ivs) = 0 THEN 0L
+          |           ELSE element_at(ivs, -1).hi + 1L END AS lo,
+          |      n_toks - 1L AS hi))),
+          |  k -> k.hi >= k.lo)""".stripMargin))
       .select(col("doc_id"), col("n_toks"),
-        (col("n_toks") - size(col("kept"))).cast(LongType)
-          .as("stripped_tokens"),
-        size(col("kept")).cast(LongType).as("kept_tokens"),
-        array_join(expr("transform(kept, x -> x.t)"), " ").as("clean_text"))
+        col("stripped").cast(LongType).as("stripped_tokens"),
+        (col("n_toks") - col("stripped")).cast(LongType).as("kept_tokens"),
+        array_join(expr(
+          """flatten(transform(keep_ivs, k ->
+            |  slice(w, cast(k.lo + 1 AS INT),
+            |    cast(k.hi - k.lo + 1 AS INT))))""".stripMargin),
+          " ").as("clean_text"))
   }
 
   /** `dedup_spans_strip` checked key: [[dedupSpansStripOn]] over the
@@ -1753,11 +1776,6 @@ object Dedup {
        |  FROM v)""".stripMargin
   }
 
-  /** Shared CTE chain rebuilding the planted line structure, censusing
-    * lines by md5 with the distinct-doc threshold, and flagging keeps —
-    * the common prefix of the `dedup_lines` and `dedup_lines_incremental`
-    * twins (which differ only in which documents they reassemble).
-    */
   /** Shared span-family CTE chain for the twins: full-corpus 8-gram
     * hashes, ≥2-distinct-doc census, dup flags, per-doc counts, and the
     * per-position coverage count (the ORTHOGONAL formulation of the
@@ -1791,6 +1809,11 @@ object Dedup {
       |        AND h.pos <= t.p AND t.p <= h.pos + 7
       |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared CTE chain rebuilding the planted line structure, censusing
+    * lines by md5 with the distinct-doc threshold, and flagging keeps —
+    * the common prefix of the `dedup_lines` and `dedup_lines_incremental`
+    * twins (which differ only in which documents they reassemble).
+    */
   private val lineSqlCtes: String =
     """d AS (
       |  SELECT doc_id, lang, source, string_split(text, ' ') AS t,
@@ -1848,10 +1871,13 @@ object Dedup {
     * frozen hyperplane constants (cells → 9-dp-rounded cell means →
     * centroid similarity → within-cell τ-pairs → one-hop keep rule).
     */
-  private def semanticSql: String = {
-    val dim = 64
+  /** DuckDB sign-cell expression over a list column named `unit` —
+    * generated from the same frozen hyperplanes as [[semCellOf]]; shared
+    * by both semantic twins and `corpus_pipeline`'s composed twin.
+    */
+  private[graft] def semCellSqlExpr(dim: Int): String = {
     val planes = semHyperplanes(dim)
-    val cellExpr = (0 until SemBits).map { j =>
+    (0 until SemBits).map { j =>
       val h = planes(j).map(x => if (x > 0) "1.0" else "-1.0")
         .mkString("[", ", ", "]")
       s"""(CASE WHEN ROUND(list_sum(list_transform(list_zip(unit,
@@ -1859,6 +1885,11 @@ object Dedup {
          |      p -> p[1] * p[2])), 6) > 0
          |      THEN ${1L << j} ELSE 0 END)""".stripMargin
     }.mkString(" +\n    ")
+  }
+
+  private def semanticSql: String = {
+    val dim = 64
+    val cellExpr = semCellSqlExpr(dim)
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
@@ -1914,15 +1945,7 @@ object Dedup {
     */
   private def semanticIncrementalSql: String = {
     val dim = 64
-    val planes = semHyperplanes(dim)
-    val cellExpr = (0 until SemBits).map { j =>
-      val h = planes(j).map(x => if (x > 0) "1.0" else "-1.0")
-        .mkString("[", ", ", "]")
-      s"""(CASE WHEN ROUND(list_sum(list_transform(list_zip(unit,
-         |      $h),
-         |      p -> p[1] * p[2])), 6) > 0
-         |      THEN ${1L << j} ELSE 0 END)""".stripMargin
-    }.mkString(" +\n    ")
+    val cellExpr = semCellSqlExpr(dim)
     s"""WITH v AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
