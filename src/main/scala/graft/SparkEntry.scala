@@ -157,6 +157,10 @@ object SparkEntry {
     "dedup_semantic_incremental" -> (Dedup.dedupSemanticIncremental _),
     // composed curation pipeline (quality → lang → exact → cluster-keep)
     "corpus_clean" -> (Curation.corpusClean _),
+    // the end-to-end crawl→training flagship: url gate → extract → line
+    // dedup → gopher gate → span excision → semantic keep → decontam →
+    // tokenize → epoch order → loader manifest, graded as ONE key
+    "corpus_pipeline" -> (Curation.corpusPipeline _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact
@@ -183,6 +187,12 @@ object SparkEntry {
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     // query-side consumer of the postings substrate: integer-idf top-k
     "search_lexical" -> (TextAnalysis.searchLexical _),
+    // BM25 over the same substrate: exact-integer tf saturation +
+    // doc-length normalization (k1=1.2, b=0.75 cleared to fixed point)
+    "search_bm25" -> (TextAnalysis.searchBm25 _),
+    // the complete Gopher document-level quality gate (word bounds, mean
+    // word length, symbol/bullet/ellipsis ratios, stopword presence)
+    "gopher_rules" -> (TextAnalysis.gopherRules _),
     "doc_fingerprint" -> (TextAnalysis.docFingerprint _),
     "text_redact" -> (TextAnalysis.textRedact _),
     // main-content extraction from markup (the trafilatura/jusText slot:
@@ -208,6 +218,12 @@ object SparkEntry {
     "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
     // the loader contract: epoch-0 shard plan with order-proving digests
     "shard_manifest" -> (Packing.shardManifest _),
+    // the loader artifact itself: per-sequence token-id arrays gathered
+    // from the frozen-BPE id streams through the span table
+    "pack_gather_ids" -> (Packing.packGatherIds _),
+    // epoch composition: mix_sample instances ordered per-epoch by
+    // salted deterministic shuffle (reproducible, distinct epochs)
+    "epoch_order" -> (Packing.epochOrder _),
     // streaming ingest throttle: per-(user, day) min-k sketch state
     "stream_rate_cap" -> (Streams.rateCapQuery _),
     // watermarked tumbling-window aggregate flushed via the sentinel batch

@@ -235,7 +235,361 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** `corpus_pipeline` frozen dials: any extracted paragraph repeated
+    * across ≥ 2 documents is boilerplate (the post-extraction corpus has
+    * no planted nav/footer left, so cross-document chunk repeats — the
+    * planted near-duplicates' aligned runs — are the lines this stage
+    * bites on); 25 docs per training shard (the final corpus is cap_per_
+    * host-bounded, so shards stay plural at every sf); 1024-token
+    * sequences for the per-shard packing arithmetic.
+    */
+  private[graft] val PipelineLineMinDocs = 2L
+  private[graft] val PipelineDocsPerShard = 25L
+  private[graft] val PipelineSeqBudget = 1024
+
+  /** THE COMPOSED CRAWL→TRAINING FLAGSHIP — the full stage-0→shards chain
+    * graded as ONE key, so cross-operator contract drift fails a single
+    * hash gate. Every stage IS the checked single-operator implementation
+    * (nothing re-derived), chained over the harness corpus:
+    *
+    *   1. hold out the benchmark (doc_id < [[ContamBenchDocs]]) — eval
+    *      data never trains; it returns at the decontamination gate
+    *   2. URL surface ([[Web]]): plant raw URLs → deny-list gate →
+    *      keep-min per canonical URL → hash-uniform per-host cap
+    *   3. [[TextAnalysis.extractMainTextOn]] over the planted HTML; empty
+    *      extractions (the %13 bodies) drop — the quality floor
+    *   4. [[Dedup.dedupLinesOn]] over the extracted paragraphs at
+    *      [[PipelineLineMinDocs]]; texts flatten back to token space
+    *      (newline → space) and all-boilerplate docs drop
+    *   5. the Gopher gate ([[TextAnalysis.gopherKeep]]) — word bounds,
+    *      mean word length, symbol/bullet/ellipsis ratios, stop-hits
+    *   6. [[Dedup.dedupSpansStripOn]] at [[Dedup.SpanGram]] — cross-doc
+    *      verbatim runs excised, keep-one-canonical; fully-excised docs
+    *      drop
+    *   7. [[Dedup.dedupSemanticOn]] keep-set over the survivors'
+    *      embeddings (vec_id = doc_id — the harness corpus pairing)
+    *   8. [[contaminationStripOn]] vs the held-out benchmark (5-grams,
+    *      over the FINAL text — the GPT-3 appendix-C discipline)
+    *   9. [[TextAnalysis.tokenizeBpe]] for true token budgets +
+    *      [[Packing.shuffleDeterministicOn]] epoch-0 order → the
+    *      [[Packing.shardManifestOn]]-shaped loader manifest, extended
+    *      with the BPE token totals and the per-shard sequence count at
+    *      [[PipelineSeqBudget]].
+    *
+    * Output per training shard: (shard_id, n_docs, first_pos, last_pos,
+    * n_ws_tokens, n_bpe_tokens, n_seqs, shard_digest).
+    *
+    * Scale shape: composes the per-stage shapes unchanged — scan-stage
+    * gates cut the corpus BEFORE the expensive census/pair stages (the
+    * corpusClean ordering), every keep-set join is an AQE-broadcast
+    * semi-join of id rows, and the manifest tail is the two-phase-ranking
+    * shape (nothing corpus-sized through one partition).
+    */
+  def corpusPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    corpusPipelineOn(
+      table(spark, sfDir, "documents"),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
+
+  /** API form over any (doc_id, text, lang, source) corpus and
+    * (vec_id, embedding) table keyed by the same ids — unordered.
+    */
+  def corpusPipelineOn(docs0: DataFrame, embeddings: DataFrame): DataFrame = {
+    // 1. benchmark holdout
+    val corpus = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    val benchmark = docs0
+      .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
+    // 2. URL surface: deny-list → URL dedup → per-host cap.
+    // PERSISTED STAGE BOUNDARIES (urls / stripped / clean): each of these
+    // frames is consumed by several downstream stages, and without a
+    // LINEAGE-TRUNCATED STAGE BOUNDARIES: each macro-stage output is
+    // localCheckpoint'ed (eager), so every stage is planned over a flat
+    // LogicalRDD leaf instead of the whole upstream lineage. This is
+    // load-bearing twice over, both measured this round: (a) without ANY
+    // barrier, Catalyst inlines the producers' expression trees into
+    // every consumer and ConstantFolding alone runs minutes of driver
+    // CPU; (b) with plain persist(), the analyzed plans still CARRY the
+    // full lineage and the AQE/caching machinery re-walks those giant
+    // trees per stage — the composed key read ~65 s at sf0.1 where the
+    // checkpointed form reads ~17 s doing identical work. A real 100 TB
+    // pipeline materializes between macro-stages for the same reasons
+    // (re-deriving a stage per consumer = re-scanning the corpus); on a
+    // cluster the same boundaries become reliable checkpoints or
+    // intermediate tables (the clusterLabels reliable-mode discipline).
+    // Checkpoint blocks are NOT catalog-managed, so the operator runs
+    // EAGERLY, copies the (shards-sized) manifest into a catalog-managed
+    // cache, and releases every checkpoint before returning — the
+    // caller's clearCache contract then holds exactly as for corpusClean.
+    val chkRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def chk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = true)
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          chkRdds += lr.rdd
+      }
+      out
+    }
+    val urls = chk(Web.urlStructured(corpus))
+    val unblocked = urls.join(
+      Web.urlBlocklistOn(urls, Web.BlockedDomains, Web.BlockedPrefixes)
+        .filter(col("blocked") === 0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val urlDeduped = unblocked.join(
+      Web.dedupUrlOn(unblocked).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val docs1 = chk(corpus.join(
+      Web.capPerHostOn(urlDeduped, Web.HostCap).select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    // 3. main-content extraction (empty bodies drop)
+    val extracted = chk(TextAnalysis.extractMainTextOn(
+        TextAnalysis.htmlStructured(docs1))
+      .filter(col("n_paragraphs") > 0)
+      .select(col("doc_id"), col("main_text").as("text")))
+    // 4. cross-document line dedup over the extracted paragraphs
+    val flat = Dedup.dedupLinesOn(extracted, PipelineLineMinDocs)
+      .select(col("doc_id"),
+        regexp_replace(col("clean_text"), "\n", " ").as("text"))
+      .filter(col("text") =!= "")
+    // 5. Gopher quality gate
+    val gated = chk(flat.filter(TextAnalysis.gopherKeep))
+    // 6. span excision (fully-excised docs drop)
+    val stripped = chk(Dedup.dedupSpansStripOn(gated, Dedup.SpanGram)
+      .filter(col("kept_tokens") > 0)
+      .select(col("doc_id"), col("clean_text").as("text")))
+    // 7. semantic representative keep over the survivors' embeddings
+    val semKeep = Dedup.dedupSemanticOn(
+        embeddings.join(stripped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"),
+        64, Dedup.IncrementalEmbedTau)
+      .filter(col("keep"))
+      .select(col("vec_id").as("doc_id"))
+    val docs2 = chk(stripped.join(semKeep, Seq("doc_id"), "left_semi"))
+    // 8. decontamination against the held-out benchmark
+    val clean = chk(contaminationStripOn(docs2, benchmark, ContamGramN))
+    // 9. tokenize → epoch-0 order → loader manifest
+    val enc = TextAnalysis.tokenizeBpe(clean)
+      .select(col("doc_id"), col("n_tokens"))
+    val nt = clean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val manifest = Packing
+      .shuffleDeterministicOn(clean, Packing.ShuffleSalt)
+      .join(nt, Seq("doc_id"))
+      .join(enc, Seq("doc_id"))
+      .withColumn("shard_id", expr(s"pos div $PipelineDocsPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("pos")).as("first_pos"),
+        max(col("pos")).as("last_pos"),
+        sum(col("nt")).as("n_ws_tokens"),
+        sum(col("n_tokens")).as("n_bpe_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")),
+          ",")).as("shard_digest"))
+      .withColumn("n_seqs", expr(
+        s"(n_bpe_tokens + ${PipelineSeqBudget - 1}) div $PipelineSeqBudget"))
+      .select(col("shard_id"), col("n_docs"), col("first_pos"),
+        col("last_pos"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("n_seqs"), col("shard_digest"))
+      .persist()
+    // materialize the catalog-managed result BEFORE dropping the
+    // checkpoints it was computed from, then release every block this
+    // operator allocated outside the catalog (the clusterLabels
+    // discipline — clearCache alone cannot see checkpoint blocks)
+    manifest.queryExecution.toRdd.count()
+    chkRdds.foreach(_.unpersist(blocking = false))
+    manifest
+  }
+
+  /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
+    * chaining every stage's established oracle formulation (URL plant /
+    * blocklist rules / keep-min / host cap from [[Web]], the extract
+    * generation rule, the line census, the Gopher CTEs, the per-position
+    * span excision, the frozen-hyperplane semantic keep, the 5-gram
+    * decontamination, the generated BPE walk nested as a derived table,
+    * and the direct global row_number the two-phase ranking is pinned
+    * to). Hash equality of the final manifest proves the stages compose
+    * without contract drift.
+    */
+  private def pipelineSql: String = {
+    val blockCond =
+      (Web.BlockedDomains.map(d => s"host = '$d' OR host LIKE '%.$d'") ++
+        Web.BlockedPrefixes.map(p => s"url_norm LIKE '$p%'"))
+        .mkString("\n        OR ")
+    val bpe = graft.functions.BpeTokenizer.oracleSqlFor("clean")
+    s"""WITH pdocs AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE doc_id >= $ContamBenchDocs AND text IS NOT NULL),
+       |bench AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id < $ContamBenchDocs AND text IS NOT NULL),
+       |${Web.plantSqlFrom("pdocs")},
+       |hosts AS (
+       |  SELECT doc_id, url_norm,
+       |    regexp_extract(url_norm,
+       |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+       |  FROM canon),
+       |unb AS (
+       |  SELECT * FROM hosts
+       |  WHERE NOT ($blockCond)),
+       |ukeep AS MATERIALIZED (
+       |  SELECT doc_id, host FROM (
+       |    SELECT doc_id, host,
+       |      row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+       |        AS rn
+       |    FROM unb) u1
+       |  WHERE rn = 1),
+       |capped AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (PARTITION BY host
+       |        ORDER BY md5(host || ':' || CAST(doc_id AS VARCHAR)),
+       |          doc_id) AS hr
+       |    FROM ukeep) u2
+       |  WHERE hr <= ${Web.HostCap}),
+       |d1 AS (SELECT pdocs.* FROM pdocs JOIN capped USING (doc_id)),
+       |ed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+       |      AS BIGINT), 1) AS nc
+       |  FROM d1),
+       |ep AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    array_to_string(t[(i*10+1) : (i*10+10)], ' ') AS para
+       |  FROM ed, UNNEST(range(0, nc)) AS ue(i)
+       |  WHERE doc_id % 13 != 0),
+       |lbp AS (
+       |  SELECT md5(para) AS lh FROM ep
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $PipelineLineMinDocs),
+       |lkept AS (
+       |  SELECT ep.doc_id, ep.i, ep.para
+       |  FROM ep LEFT JOIN lbp ON md5(ep.para) = lbp.lh
+       |  WHERE lbp.lh IS NULL),
+       |flat AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(para, ' ' ORDER BY i) AS text
+       |  FROM lkept GROUP BY doc_id),
+       |${TextAnalysis.gopherSqlCtes("flat")},
+       |gated AS MATERIALIZED (
+       |  SELECT f.doc_id, f.text FROM flat f
+       |  JOIN gk ON gk.doc_id = f.doc_id AND gk.keep_gopher),
+       |sd AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM gated),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(concat('0x', substring(md5(
+       |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
+       |  FROM sd, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS us(i)
+       |  WHERE len(w) >= 8),
+       |sc AS (
+       |  SELECT gh, min(doc_id) AS keeper FROM sg GROUP BY gh
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |ss AS MATERIALIZED (
+       |  SELECT sg.doc_id, sg.pos FROM sg JOIN sc USING (gh)
+       |  WHERE sg.doc_id != sc.keeper),
+       |spos AS (
+       |  SELECT sd.doc_id, t.p, w[t.p + 1] AS tok,
+       |    EXISTS (SELECT 1 FROM ss WHERE ss.doc_id = sd.doc_id
+       |            AND ss.pos <= t.p AND t.p <= ss.pos + 7) AS covered
+       |  FROM sd CROSS JOIN UNNEST(range(0, sd.n_toks)) AS t(p)),
+       |sagg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    count(*) FILTER (WHERE NOT covered) AS kept_tokens,
+       |    coalesce(string_agg(tok, ' ' ORDER BY p)
+       |      FILTER (WHERE NOT covered), '') AS clean_text
+       |  FROM spos GROUP BY doc_id),
+       |sdocs AS MATERIALIZED (
+       |  SELECT doc_id, clean_text AS text FROM sagg
+       |  WHERE kept_tokens > 0),
+       |sv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    SQRT(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM sdocs)),
+       |su AS (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS unit
+       |  FROM sv WHERE nrm > 0),
+       |scell AS (
+       |  SELECT vec_id, unit,
+       |    CAST(${Dedup.semCellSqlExpr(64)} AS BIGINT) AS cell
+       |  FROM su),
+       |sdim AS (
+       |  SELECT cell, i AS dd, ROUND(avg(unit[i]), 9) AS m
+       |  FROM scell, UNNEST(range(1, 65)) AS td(i)
+       |  GROUP BY cell, i),
+       |smn AS (
+       |  SELECT cell, list(m ORDER BY dd) AS mean FROM sdim
+       |  GROUP BY cell),
+       |smm AS (
+       |  SELECT cell, mean,
+       |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
+       |  FROM smn),
+       |scs AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cell, c.unit,
+       |    CASE WHEN m.mnrm > 0 THEN
+       |      ROUND(list_sum(list_transform(list_zip(c.unit, m.mean),
+       |        pz -> pz[1] * pz[2])) / m.mnrm, 6)
+       |    ELSE 0.0 END AS c_sim
+       |  FROM scell c JOIN smm m USING (cell)),
+       |spr AS (
+       |  SELECT a.vec_id AS id_a,
+       |    bool_or(b.c_sim < a.c_sim OR
+       |      (b.c_sim = a.c_sim AND b.vec_id < a.vec_id)) AS has_better
+       |  FROM scs a JOIN scs b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
+       |  GROUP BY a.vec_id),
+       |skeep AS (
+       |  SELECT scs.vec_id AS doc_id
+       |  FROM scs LEFT JOIN spr ON spr.id_a = scs.vec_id
+       |  WHERE coalesce(NOT spr.has_better, true)),
+       |d2 AS MATERIALIZED (SELECT sdocs.* FROM sdocs JOIN skeep USING (doc_id)),
+       |cbg AS (
+       |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
+       |    i -> array_to_string(w[i : i + 4], ' '))) AS gram
+       |  FROM (SELECT string_split(text, ' ') AS w FROM bench) b1
+       |  WHERE len(w) >= 5),
+       |cdg AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(w) - 3),
+       |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM d2) b2
+       |  WHERE len(w) >= 5),
+       |cflag AS (SELECT DISTINCT doc_id FROM cdg JOIN cbg USING (gram)),
+       |clean AS MATERIALIZED (
+       |  SELECT d2.doc_id, d2.text FROM d2
+       |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM cflag)),
+       |bt AS (SELECT doc_id, n_tokens FROM ($bpe) bq),
+       |o AS (
+       |  SELECT
+       |    CAST(row_number() OVER (
+       |      ORDER BY md5('${Packing.ShuffleSalt}:'
+       |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+       |    doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM clean)
+       |SELECT pos // $PipelineDocsPerShard AS shard_id,
+       |  count(*) AS n_docs,
+       |  min(pos) AS first_pos,
+       |  max(pos) AS last_pos,
+       |  CAST(sum(o.nt) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum(bt.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  (CAST(sum(bt.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
+       |    // $PipelineSeqBudget AS n_seqs,
+       |  md5(string_agg(CAST(o.doc_id AS VARCHAR), ',' ORDER BY pos))
+       |    AS shard_digest
+       |FROM o JOIN bt USING (doc_id)
+       |GROUP BY 1 ORDER BY shard_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "corpus_pipeline" -> pipelineSql,
     "contamination_check" ->
       s"""WITH $contamSqlCtes
         |SELECT d.doc_id,

@@ -248,10 +248,198 @@ object Packing {
       ManifestDocsPerShard)
       .orderBy(col("shard_id"))
 
+  /** TOKEN-ID GATHER — materialize what the span table only describes:
+    * the per-(shard, seq_id) TOKEN-ID ARRAYS a trainer's data loader
+    * actually reads. [[packSequences]]' spans (budgeted by the TRUE
+    * frozen-BPE encoder's `n_tokens`, so the budget is faithful to the id
+    * streams) join back to [[TextAnalysis.tokenizeBpe]]'s id sequences,
+    * each document contributes its `[doc_offset, doc_offset + span_len)`
+    * slice IN-ROW, and one (shard, seq_id) shuffle reunites each
+    * sequence's pieces in `seq_offset` order (in-row struct sort — the
+    * `shard_manifest` digest discipline; a sequence holds ≤ budget
+    * tokens, so the collected list is bounded by construction).
+    *
+    * Scale shape: the ids frame ships ONCE through the doc_id hash join
+    * (the unavoidable corpus-token-volume movement — at 100 TB both
+    * sides are doc_id-bucketed and it is co-located); the slice runs
+    * in-row so the (shard, seq_id) exchange carries only the tokens each
+    * sequence actually keeps (≤ budget per output row). Output per
+    * sequence: (shard, seq_id, n_spans, seq_len, token_ids) with ids
+    * space-joined — hash-stable, and `seq_len` equal to the budget for
+    * every sequence but each shard's last (the law PackingSpec pins).
+    */
+  def packGatherIdsOn(docs: DataFrame, budget: Int,
+      nShards: Int): DataFrame = {
+    val enc = TextAnalysis.tokenizeBpe(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        split(col("token_ids"), " ").as("ids"))
+    val spans = packSequences(
+      enc.select(col("doc_id"), col("n_tokens")), budget, nShards)
+    spans
+      .join(enc.select(col("doc_id"), col("ids")), Seq("doc_id"))
+      .select(col("shard"), col("seq_id"), col("seq_offset"),
+        col("span_len"),
+        slice(col("ids"), (col("doc_offset") + 1).cast(IntegerType),
+          col("span_len")).as("piece"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len").cast(LongType)).as("seq_len"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("seq_offset"),
+              col("piece")))),
+            x => x.getField("piece"))),
+          " ").as("token_ids"))
+  }
+
+  /** `pack_gather_ids` checked key: the documents corpus gathered at the
+    * graded budget/shards. The DuckDB twin recomputes the id streams with
+    * the generated BPE merge-walk SQL, re-derives the spans, slices with
+    * 1-based list bounds and reassembles with `string_agg(… ORDER BY
+    * seq_offset)` — hash equality proves the gathered sequences ARE the
+    * tokenizer's output re-cut at sequence boundaries.
+    */
+  def packGatherIds(spark: SparkSession, sfDir: String): DataFrame =
+    packGatherIdsOn(table(spark, sfDir, "documents"), GradedBudget,
+      GradedShards)
+      .orderBy(col("shard"), col("seq_id"))
+
+  /** Per-epoch shuffle salts for the graded epoch-composition key. */
+  val EpochSalts = Seq("graft-epoch-0", "graft-epoch-1")
+
+  /** Max copies any source reaches under the graded `mix_sample` weights
+    * (⌈2.5⌉) — the instance-id stride. `doc_id · MixMaxCopies + copy_idx`
+    * is collision-free exactly because every copy_idx < MixMaxCopies
+    * (PackingSpec pins the density law).
+    */
+  val MixMaxCopies = 3L
+
+  /** EPOCH COMPOSITION — the training-order contract proven end-to-end:
+    * [[Sources.mixSample]]'s fractional-epoch mixture (one row per
+    * (document, copy)) composed with [[shuffleDeterministicOn]] under
+    * PER-EPOCH salts. Each copy becomes a dense instance id
+    * (`doc_id · MixMaxCopies + copy_idx` — the PackingSpec composition
+    * contract), and each epoch orders ALL instances by
+    * `md5(salt:instance_id)` through the two-phase bucket ranking. The
+    * result is every epoch's full, reproducible visit order — distinct
+    * across epochs (different salts), identical across re-runs/engines
+    * (the hash oracle is the proof), with (doc_id, copy_idx) recovered
+    * arithmetically from the instance id (no join back).
+    *
+    * Scale shape: the mixture is a zero-shuffle projection; each epoch's
+    * ranking is the `shuffle_deterministic` two-phase shape (nothing
+    * corpus-sized through one partition); the epochs union lazily — a
+    * pipeline materializes one epoch at a time, the union here is the
+    * graded two-epoch proof.
+    */
+  def epochOrderOn(docs: DataFrame): DataFrame = {
+    val inst = Sources.mixSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+      defaultWeight = 0.5, salt = "mix_v1")
+      .select((col("doc_id") * MixMaxCopies + col("copy_idx"))
+        .as("doc_id"))
+    EpochSalts.zipWithIndex.map { case (salt, e) =>
+      shuffleDeterministicOn(inst, salt)
+        .select(lit(e).as("epoch"), col("pos"),
+          expr(s"doc_id div $MixMaxCopies").as("doc_id"),
+          (col("doc_id") % MixMaxCopies).as("copy_idx"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** `epoch_order` checked key: two epochs of the mixture-replicated
+    * documents corpus. The twin replants the identical mixture draw and
+    * ranks each epoch with one direct global row_number — proving the
+    * per-epoch orders are exactly the prescribed permutations.
+    */
+  def epochOrder(spark: SparkSession, sfDir: String): DataFrame =
+    epochOrderOn(table(spark, sfDir, "documents"))
+      .orderBy(col("epoch"), col("pos"))
+
   /** DuckDB twin of `packSequencesQuery`: same BPE-ish token count, same
     * md5 shard hash, running sum + integer floor-division span derivation.
     */
   val oracleSql: Map[String, String] = Map(
+    // the generated BPE-walk twin nests as a derived table (its own WITH
+    // chain), the spans re-derive exactly as in pack_sequences but from
+    // the TRUE n_tokens, and the gather slices the id lists with DuckDB's
+    // 1-based inclusive bounds
+    "pack_gather_ids" -> {
+      val bpe = graft.functions.BpeTokenizer.oracleSqlFor("documents")
+      s"""WITH bpe AS (SELECT * FROM ($bpe) b),
+         |tc AS (
+         |  SELECT doc_id, n_tokens, string_split(token_ids, ' ') AS ids
+         |  FROM bpe WHERE n_tokens > 0),
+         |sh AS (
+         |  SELECT doc_id, n_tokens, ids,
+         |    CAST(CAST(concat('0x',
+         |      substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+         |      % $GradedShards AS INTEGER) AS shard
+         |  FROM tc),
+         |cum AS (
+         |  SELECT shard, doc_id, n_tokens, ids,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+         |      AS BIGINT) AS tok_end
+         |  FROM sh),
+         |spans AS (
+         |  SELECT shard, doc_id, ids, tok_end,
+         |    tok_end - n_tokens AS tok_start,
+         |    unnest(range((tok_end - n_tokens) // $GradedBudget,
+         |                 (tok_end - 1) // $GradedBudget + 1)) AS seq_id
+         |  FROM cum),
+         |pieces AS (
+         |  SELECT shard, seq_id,
+         |    CAST(greatest(tok_start, seq_id * $GradedBudget)
+         |      - seq_id * $GradedBudget AS INTEGER) AS seq_offset,
+         |    least(tok_end, (seq_id + 1) * $GradedBudget)
+         |      - greatest(tok_start, seq_id * $GradedBudget) AS span_len,
+         |    array_to_string(ids[
+         |      (greatest(tok_start, seq_id * $GradedBudget) - tok_start + 1)
+         |      : (greatest(tok_start, seq_id * $GradedBudget) - tok_start
+         |         + least(tok_end, (seq_id + 1) * $GradedBudget)
+         |         - greatest(tok_start, seq_id * $GradedBudget))], ' ')
+         |      AS piece
+         |  FROM spans)
+         |SELECT shard, seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(span_len) AS BIGINT) AS seq_len,
+         |  string_agg(piece, ' ' ORDER BY seq_offset) AS token_ids
+         |FROM pieces GROUP BY shard, seq_id
+         |ORDER BY shard, seq_id""".stripMargin
+    },
+    // identical mixture replant (the mix_sample twin's draw), dense
+    // instance ids, one direct global row_number per epoch salt
+    "epoch_order" -> {
+      val epochs = EpochSalts.zipWithIndex.map { case (salt, e) =>
+        s"""SELECT $e AS epoch,
+           |  CAST(row_number() OVER (
+           |    ORDER BY md5('$salt:' || CAST(inst AS VARCHAR)), inst) - 1
+           |    AS BIGINT) AS pos,
+           |  doc_id, copy_idx
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+         |                WHEN 'src2' THEN 0.25 ELSE 0.5 END AS w,
+         |    CAST(CAST(concat('0x', substring(md5(
+         |        CAST(doc_id AS VARCHAR) || ':mix_v1'), 1, 15)) AS BIGINT)
+         |      AS DOUBLE) / 1152921504606846976 AS u
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END
+         |      AS BIGINT) AS n
+         |  FROM w),
+         |m AS (
+         |  SELECT doc_id, CAST(j AS BIGINT) AS copy_idx,
+         |    doc_id * $MixMaxCopies + j AS inst
+         |  FROM c, unnest(range(0, n)) AS t(j)
+         |  WHERE n > 0)
+         |SELECT epoch, pos, doc_id, copy_idx FROM (
+         |$epochs)
+         |ORDER BY epoch, pos""".stripMargin
+    },
     "shard_manifest" ->
       s"""WITH o AS (
          |  SELECT

@@ -873,7 +873,274 @@ object TextAnalysis {
       SearchTopK)
       .orderBy(col("query_id"), col("rnk"))
 
+  /** BM25 RETRIEVAL — `search_lexical`'s idf surrogate completed with the
+    * two terms a search consumer actually wants: TF SATURATION and
+    * DOC-LENGTH NORMALIZATION (Robertson & Zaragoza 2009, the BM25
+    * ranking function), at the standard k1 = 1.2, b = 0.75. The whole
+    * formula runs in EXACT INTEGER fixed-point (the page_rank/
+    * search_lexical discipline — trading the transcendental idf for
+    * cross-engine bit-stability): with S = Σ doc lengths and N = doc
+    * count (so avgdl = S/N), multiplying numerator and denominator of
+    *
+    *   wt · tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl/avgdl)
+    *
+    * by 10·S clears every fractional constant exactly:
+    *
+    *   term_score = (wt·tf·22·S) div (10·S·tf + 3·S + 9·dl·N)
+    *
+    * — truncating BIGINT division, identical in Spark `div` and DuckDB
+    * `//`. wt is the family's integer idf surrogate `1000000 div df`.
+    * (Headroom: wt·tf·22·S stays under 2^63 up to ~10^9-token corpora
+    * per retrieval shard; a larger deployment rescales wt or buckets S —
+    * the page_rank truncation-discipline note.)
+    *
+    * Scale shape: identical to [[searchLexicalOn]] — the ≤ qn×3 query
+    * frame broadcasts into the token stream, df is computed for query
+    * terms only, and (S, N) is a ONE-ROW stats frame broadcast back
+    * (the anomaly_zscore pattern: the corpus never shuffles for a global
+    * scalar). The per-(query, doc, term) tf aggregate and the final
+    * score aggregate both combine map-side; the top-k cut is a
+    * row_number window over ≤ qn partitions of aggregated scores.
+    */
+  def searchBm25On(docs: DataFrame, qn: Int, k: Int): DataFrame = {
+    require(qn >= 1 && k >= 1, s"qn/k must be >= 1, got $qn/$k")
+    val d = docs.filter(col("text").isNotNull)
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("s_total"),
+      count(lit(1)).as("n_total"))
+    val qtok = d.orderBy(col("doc_id")).limit(qn)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("token"))
+      .distinct()
+    val tok = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val qdf = tok.join(broadcast(qtok.select(col("token")).distinct()),
+        Seq("token"))
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val qwt = qtok.join(qdf, Seq("token"))
+      .withColumn("wt", expr("CAST(1000000 AS BIGINT) div df"))
+      .select(col("query_id"), col("token"), col("wt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tok.join(broadcast(qwt), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"), col("token"), col("wt"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", expr(
+        "(wt * tf * 22 * s_total) div " +
+          "(10 * s_total * tf + 3 * s_total + 9 * dl * n_total)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** `search_bm25` checked key: [[searchBm25On]] at
+    * [[SearchQueries]]×[[SearchTopK]] over the documents corpus (the
+    * `search_lexical` query-by-example layout, re-ranked by BM25).
+    */
+  def searchBm25(spark: SparkSession, sfDir: String): DataFrame =
+    searchBm25On(table(spark, sfDir, "documents"), SearchQueries,
+      SearchTopK)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** Frozen thresholds of the GOPHER QUALITY GATE (Rae et al. 2021,
+    * "Scaling Language Models: Methods, Analysis & Insights from Training
+    * Gopher", table A1's document-level rules) — the complete rule set
+    * beside the repetition signals `repetition_stats` already carries:
+    * word-count bounds, mean-word-length band, symbol-to-word ratio,
+    * bullet/ellipsis line fractions, alphabetic-word share, and stop-word
+    * presence. Thresholds are the paper's, except the word floor (the
+    * paper's 50 sits inside this corpus's 30–60-word band, making the
+    * bound non-vacuous at every sf).
+    */
+  private[graft] val GopherMinWords = 50L
+  private[graft] val GopherMaxWords = 100000L
+  private[graft] val GopherMinMeanWordLen = 3.0
+  private[graft] val GopherMaxMeanWordLen = 10.0
+  private[graft] val GopherMinAlphaFrac = 0.8
+  private[graft] val GopherMaxSymbolRatio = 0.1
+  private[graft] val GopherMaxBulletFrac = 0.9
+  private[graft] val GopherMaxEllipsisFrac = 0.3
+  private[graft] val GopherMinStopHits = 2L
+
+  /** The gate verdict alone, over a `(…, text)` frame — the pluggable
+    * form [[Curation]]'s composed pipeline consumes (a filter column, so
+    * the gate stays a scan-stage predicate wherever it is applied).
+    */
+  private[graft] def gopherKeep: Column = {
+    val g = gopherSignals
+    g("n_words") >= GopherMinWords && g("n_words") <= GopherMaxWords &&
+      g("mean_word_len") >= GopherMinMeanWordLen &&
+      g("mean_word_len") <= GopherMaxMeanWordLen &&
+      g("alpha_word_frac") >= GopherMinAlphaFrac &&
+      g("symbol_ratio") <= GopherMaxSymbolRatio &&
+      g("bullet_line_frac") <= GopherMaxBulletFrac &&
+      g("ellipsis_line_frac") <= GopherMaxEllipsisFrac &&
+      g("stop_hits") >= GopherMinStopHits
+  }
+
+  /** The eight Gopher signal columns over `col("text")` — single source
+    * for the checked key and the gate predicate, so the two cannot
+    * drift. `mean_word_len` uses the corpus contract (single-space
+    * token separation within a line): word chars = total chars minus the
+    * n−1 separators, exact integer operands into one rounded division.
+    */
+  private def gopherSignals: Map[String, Column] = {
+    val w = split(col("text"), " ")
+    val lines = split(col("text"), "\n")
+    val nWords = size(w).cast(LongType)
+    val nSymbols =
+      (length(col("text")) - length(translate(col("text"), "#", "")) +
+        size(regexp_extract_all(col("text"), lit("\\.{3}|…"), lit(0))))
+        .cast(LongType)
+    Map(
+      "n_words" -> nWords,
+      "mean_word_len" -> round(
+        (length(col("text")) - (nWords - 1)).cast(DoubleType) / nWords, 6),
+      "alpha_word_frac" -> round(
+        size(filter(w, t => t.rlike("[A-Za-z]"))).cast(DoubleType) / nWords,
+        6),
+      "symbol_ratio" -> round(nSymbols.cast(DoubleType) / nWords, 6),
+      "bullet_line_frac" -> round(
+        size(filter(lines, l => l.startsWith("- ") || l.startsWith("* ") ||
+          l.startsWith("• "))).cast(DoubleType) / size(lines), 6),
+      "ellipsis_line_frac" -> round(
+        size(filter(lines, l => l.endsWith("...") || l.endsWith("…")))
+          .cast(DoubleType) / size(lines), 6),
+      "stop_hits" -> hits(w, Stopwords).cast(LongType))
+  }
+
+  /** GOPHER RULE SET — the full document-level quality gate as measured
+    * signals plus the composite verdict. Like the rest of the family the
+    * whole computation is in-row scan-stage expressions — zero shuffle at
+    * any corpus size (the newline-dependent line fractions are computed
+    * honestly and are 0 on this corpus's single-line documents; the
+    * pipeline applies the gate to multi-line extracted text). NULL-text
+    * rows drop (the family convention). `n_words` is never 0 — split('',
+    * ' ') is [''] in both engines — so the divisions need no zero gate.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame =
+    gopherRulesOn(table(spark, sfDir, "documents")).orderBy(col("doc_id"))
+
+  /** API form: the Gopher signals + verdict over any `(doc_id, text)`
+    * frame — unordered.
+    */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val g = gopherSignals
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), g("n_words").as("n_words"),
+        g("mean_word_len").as("mean_word_len"),
+        g("alpha_word_frac").as("alpha_word_frac"),
+        g("symbol_ratio").as("symbol_ratio"),
+        g("bullet_line_frac").as("bullet_line_frac"),
+        g("ellipsis_line_frac").as("ellipsis_line_frac"),
+        g("stop_hits").as("stop_hits"),
+        gopherKeep.as("keep_gopher"))
+  }
+
+  /** Shared Gopher-gate CTE chain (`gd`/`gs`/`gk`) over any source CTE or
+    * table exposing (doc_id, text) — the thresholds and the stopword list
+    * interpolate from the SAME frozen constants as the Spark gate, so the
+    * twins cannot drift; `corpus_pipeline`'s composed twin reuses it.
+    */
+  private[graft] def gopherSqlCtes(src: String): String = {
+    val stops = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""gd AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS gw,
+       |    string_split(text, chr(10)) AS gl
+       |  FROM $src WHERE text IS NOT NULL),
+       |gs AS (
+       |  SELECT doc_id,
+       |    CAST(len(gw) AS BIGINT) AS n_words,
+       |    round(CAST(length(text) - (len(gw) - 1) AS DOUBLE) / len(gw), 6)
+       |      AS mean_word_len,
+       |    round(CAST(len(list_filter(gw,
+       |        t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)
+       |      / len(gw), 6) AS alpha_word_frac,
+       |    round(CAST(length(text) - length(replace(text, '#', ''))
+       |        + len(regexp_extract_all(text, '\\.{3}|…')) AS DOUBLE)
+       |      / len(gw), 6) AS symbol_ratio,
+       |    round(CAST(len(list_filter(gl, l -> starts_with(l, '- ')
+       |        OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+       |      / len(gl), 6) AS bullet_line_frac,
+       |    round(CAST(len(list_filter(gl, l -> ends_with(l, '...')
+       |        OR ends_with(l, '…'))) AS DOUBLE) / len(gl), 6)
+       |      AS ellipsis_line_frac,
+       |    CAST(len(list_filter(gw, t -> t IN ($stops))) AS BIGINT)
+       |      AS stop_hits
+       |  FROM gd),
+       |gk AS (
+       |  SELECT *,
+       |    (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+       |     AND mean_word_len >= $GopherMinMeanWordLen
+       |     AND mean_word_len <= $GopherMaxMeanWordLen
+       |     AND alpha_word_frac >= $GopherMinAlphaFrac
+       |     AND symbol_ratio <= $GopherMaxSymbolRatio
+       |     AND bullet_line_frac <= $GopherMaxBulletFrac
+       |     AND ellipsis_line_frac <= $GopherMaxEllipsisFrac
+       |     AND stop_hits >= $GopherMinStopHits) AS keep_gopher
+       |  FROM gs)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "gopher_rules" ->
+      s"""WITH ${gopherSqlCtes("documents")}
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+         |  symbol_ratio, bullet_line_frac, ellipsis_line_frac, stop_hits,
+         |  keep_gopher
+         |FROM gk ORDER BY doc_id""".stripMargin,
+    // identical exact-integer fixed-point BM25: `//` == `div` on
+    // non-negative BIGINTs, so every term score is bit-identical
+    "search_bm25" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS dl FROM d),
+         |st AS (
+         |  SELECT CAST(sum(dl) AS BIGINT) AS s_total,
+         |    CAST(count(*) AS BIGINT) AS n_total FROM dl),
+         |qt AS (
+         |  SELECT DISTINCT query_id, token FROM (
+         |    SELECT doc_id AS query_id,
+         |      unnest(string_split(text, ' ')[1:3]) AS token
+         |    FROM (SELECT doc_id, text FROM d
+         |          ORDER BY doc_id LIMIT $SearchQueries) q0) q1),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM d),
+         |df AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
+         |  GROUP BY token),
+         |w AS (SELECT token, 1000000 // df AS wt FROM df),
+         |tf AS (
+         |  SELECT qt.query_id, tok.doc_id, qt.token,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok JOIN qt USING (token)
+         |  GROUP BY qt.query_id, tok.doc_id, qt.token),
+         |s AS (
+         |  SELECT tf.query_id, tf.doc_id,
+         |    CAST(sum((w.wt * tf.tf * 22 * st.s_total)
+         |      // (10 * st.s_total * tf.tf + 3 * st.s_total
+         |          + 9 * dl.dl * st.n_total)) AS BIGINT) AS score
+         |  FROM tf JOIN w USING (token)
+         |    JOIN dl ON tf.doc_id = dl.doc_id
+         |    CROSS JOIN st
+         |  GROUP BY tf.query_id, tf.doc_id),
+         |r AS (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM s)
+         |SELECT query_id, doc_id, score, rnk FROM r
+         |WHERE rnk <= $SearchTopK
+         |ORDER BY query_id, rnk""".stripMargin,
     "build_postings" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

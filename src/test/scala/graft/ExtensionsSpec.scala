@@ -484,6 +484,124 @@ class ExtensionsSpec extends SparkSpec {
     assert(got.exists { case (_, _, s, _) => s > wt.values.max })
   }
 
+  test("search_bm25 equals the brute-force fixed-point BM25 ranking") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val dl = docs.map { case (id, t) => id -> t.split(" ", -1).length.toLong }
+      .toMap
+    val sTotal = dl.values.sum
+    val nTotal = docs.length.toLong
+    val queries = docs.take(TextAnalysis.SearchQueries).map {
+      case (id, t) => id -> t.split(" ", -1).take(3).distinct.toSet
+    }
+    val qterms = queries.flatMap(_._2).distinct
+    val wt = qterms.map { tk =>
+      val df = docs.count(_._2.split(" ", -1).contains(tk)).toLong
+      tk -> 1000000L / df
+    }.toMap
+    // exact integer BM25: per (query, doc, term),
+    // (wt·tf·22·S) div (10·S·tf + 3·S + 9·dl·N)
+    val want = queries.flatMap { case (qid, terms) =>
+      docs.map { case (did, t) =>
+        val s = terms.toSeq.map { tk =>
+          val tf = t.split(" ", -1).count(_ == tk).toLong
+          if (tf == 0L) 0L
+          else (wt(tk) * tf * 22L * sTotal) /
+            (10L * sTotal * tf + 3L * sTotal + 9L * dl(did) * nTotal)
+        }.sum
+        (qid, did, s)
+      }.filter(_._3 > 0L)
+        .sortBy { case (_, did, s) => (-s, did) }
+        .take(TextAnalysis.SearchTopK).zipWithIndex
+        .map { case ((q, d, s), i) => (q, d, s, i + 1) }
+    }.toSet
+    val got = TextAnalysis.searchBm25(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length == got.toSet.size)
+    assert(got.toSet == want)
+    // the saturation must actually bite: BM25 and the idf-only ranking
+    // must disagree somewhere, else the key is a re-grade of
+    // search_lexical
+    val lex = TextAnalysis.searchLexical(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got.map(r => (r._1, r._2, r._4)).toSet != lex,
+      "BM25 ranking must differ from the idf-only ranking")
+  }
+
+  test("gopher_rules: every rule fires on its planted degenerate case") {
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val organic = (("the cat sat on the mat and looked at the dog " * 5) +
+      "the end").trim // 56 words, stopword-rich, alphabetic
+    val rows = Seq(
+      1L -> organic, // passes every rule
+      2L -> "short doc with the and of in it", // < 50 words
+      3L -> ("ab " * 59 + "ab").trim, // mean word len 2 < 3, no stopwords
+      4L -> (("the " * 50).trim + " " + ("1234 " * 20).trim +
+        " " + ("99 " * 20).trim), // digit words: alpha frac < 0.8
+      5L -> (organic + " " + ("#" * 30).split("").mkString(" ")).trim,
+      6L -> (0 until 60).map(i => s"- item $i the of and").mkString("\n"),
+      7L -> (0 until 60).map(i => s"line $i the of and so...").mkString("\n"),
+      8L -> organic.replace("the", "xqz")
+        .replace("and", "qnd") // no stopwords left
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRulesOn(rows).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(8), "organic doc must pass")
+    assert(!got(2L).getBoolean(8) && got(2L).getLong(1) < 50L)
+    assert(!got(3L).getBoolean(8) && got(3L).getDouble(2) < 3.0)
+    assert(!got(4L).getBoolean(8) && got(4L).getDouble(3) < 0.8)
+    assert(!got(5L).getBoolean(8) && got(5L).getDouble(4) > 0.1)
+    assert(!got(6L).getBoolean(8) && got(6L).getDouble(5) > 0.9)
+    assert(!got(7L).getBoolean(8) && got(7L).getDouble(6) > 0.3)
+    assert(!got(8L).getBoolean(8) && got(8L).getLong(7) < 2L)
+    // the graded corpus key: word floor and stop-hits both bite, nothing
+    // degenerate slips through as NaN/null
+    val corpus = TextAnalysis.gopherRules(spark, sf).collect()
+    assert(corpus.exists(_.getBoolean(8)))
+    assert(corpus.exists(r => !r.getBoolean(8) && r.getLong(1) < 50L))
+    assert(corpus.exists(r => !r.getBoolean(8) && r.getLong(7) < 2L))
+    assert(corpus.forall(r => !r.isNullAt(2) && !r.isNullAt(8)))
+  }
+
+  test("corpus_pipeline: stages compose, every content gate bites, and " +
+      "the manifest is loader-consistent") {
+    import graft.ops.{Curation, Web, TextAnalysis}
+    val docs = Tables.table(spark, sf, "documents")
+    val nCorpus = docs.filter(col("doc_id") >= 20).count()
+    val urls = Web.urlStructured(docs.filter(col("doc_id") >= 20))
+    val nUnblocked = Web
+      .urlBlocklistOn(urls, Web.BlockedDomains, Web.BlockedPrefixes)
+      .filter(col("blocked") === 0).count()
+    assert(nUnblocked < nCorpus, "blocklist must drop documents")
+    val manifest = Curation.corpusPipeline(spark, sf).collect()
+    assert(manifest.nonEmpty)
+    val nFinal = manifest.map(_.getLong(1)).sum
+    // the post-URL-surface ceiling: ≤ HostCap docs per planted host
+    assert(nFinal > 0 && nFinal < nUnblocked)
+    // manifest self-consistency: contiguous positions, plural docs,
+    // well-formed digests, sequence counts match the budget arithmetic
+    val positions = manifest.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(positions.head._1 == 0L)
+    assert(positions.sliding(2).forall {
+      case Array((_, hi), (lo2, _)) => lo2 == hi + 1
+      case _ => true
+    })
+    assert(manifest.forall(_.getString(7).matches("[0-9a-f]{32}")))
+    assert(manifest.forall(r =>
+      r.getLong(6) == (r.getLong(5) + 1023L) / 1024L))
+    // the content gates (extract/lines/gopher/spans/semantic/decontam)
+    // must collectively bite below the URL-stage ceiling
+    val capped = Web.capPerHostOn(
+      urls.join(Web.dedupUrlOn(urls).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      Web.HostCap).count()
+    assert(nFinal < capped,
+      s"content gates must cut below the URL-stage ceiling ($capped)")
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._

@@ -265,4 +265,82 @@ class PackingSpec extends SparkSpec {
       assert(want(sid) == ((dg, nt)), s"shard $sid digest/tokens diverge")
     }
   }
+
+  test("gathered id sequences re-concatenate to the per-shard id streams") {
+    import graft.ops.{Packing, TextAnalysis}
+    val budget = 256
+    val nShards = 4
+    val docs = Tables.table(spark, sf, "documents")
+    val gathered = Packing.packGatherIdsOn(docs, budget, nShards).cache()
+    try {
+      // every sequence's gathered id count IS its seq_len, and non-tail
+      // sequences are at full budget (the loader's fixed-shape contract)
+      val withN = gathered
+        .withColumn("n_ids", size(split(col("token_ids"), " ")))
+      assert(withN.filter(col("n_ids") =!= col("seq_len")).count() == 0,
+        "id count diverges from seq_len")
+      val last = gathered.groupBy("shard").agg(max("seq_id").as("last"))
+      assert(gathered.join(last, "shard")
+        .filter(col("seq_id") =!= col("last") && col("seq_len") =!= budget)
+        .count() == 0, "non-tail sequence not at full budget")
+      // stream equality: concatenating a shard's sequences in seq_id
+      // order reproduces concatenating its documents' id streams in
+      // doc_id order — the gather lost nothing and reordered nothing
+      val enc = TextAnalysis.tokenizeBpe(docs)
+        .filter(col("n_tokens") > 0)
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15),
+            16, 10).cast("long") % nShards).cast("int"))
+      def streamOf(df: org.apache.spark.sql.DataFrame, ord: String) =
+        df.groupBy("shard").agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col(ord), col("token_ids")))),
+            x => x.getField("token_ids")), " ").as("stream"))
+      val direct = streamOf(enc, "doc_id")
+      val fromSeqs = streamOf(gathered, "seq_id")
+        .withColumnRenamed("stream", "stream2")
+      val joined = direct.join(fromSeqs, "shard")
+      assert(joined.count() == nShards.toLong)
+      assert(joined.filter(col("stream") =!= col("stream2")).count() == 0,
+        "per-shard id stream diverges through the gather")
+    } finally { gathered.unpersist(); () }
+  }
+
+  test("epoch orders are distinct reproducible permutations of the " +
+      "mixture instances") {
+    import graft.ops.{Packing, Sources}
+    val eo = Packing.epochOrder(spark, sf).cache()
+    try {
+      // the instance set IS mix_sample's (doc_id, copy_idx) set, copies
+      // dense below the stride
+      val mix = Sources.mixSample(Tables.table(spark, sf, "documents"),
+        col("doc_id"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+        defaultWeight = 0.5, salt = "mix_v1")
+        .select(col("doc_id"), col("copy_idx"))
+      val n = mix.count()
+      assert(mix.filter(col("copy_idx") >= Packing.MixMaxCopies)
+        .count() == 0, "copy_idx must stay below the instance stride")
+      Seq(0, 1).foreach { e =>
+        val ep = eo.filter(col("epoch") === e)
+        assert(ep.count() == n, s"epoch $e instance count")
+        // dense permutation: positions are exactly 0..n-1
+        val agg = ep.agg(min("pos"), max("pos"),
+          countDistinct(col("pos"))).collect()(0)
+        assert(agg.getLong(0) == 0L && agg.getLong(1) == n - 1 &&
+          agg.getLong(2) == n, s"epoch $e positions not dense")
+        // instances recovered arithmetically == the mixture's
+        assert(ep.select("doc_id", "copy_idx").except(mix).count() == 0)
+        assert(mix.except(ep.select("doc_id", "copy_idx")).count() == 0)
+      }
+      // the two epochs are DIFFERENT orders (different salts)
+      val e0 = eo.filter(col("epoch") === 0)
+        .select(col("doc_id"), col("copy_idx"), col("pos").as("p0"))
+      val e1 = eo.filter(col("epoch") === 1)
+        .select(col("doc_id"), col("copy_idx"), col("pos").as("p1"))
+      assert(e0.join(e1, Seq("doc_id", "copy_idx"))
+        .filter(col("p0") =!= col("p1")).count() > 0,
+        "epoch salts must produce distinct orders")
+    } finally { eo.unpersist(); () }
+  }
 }

@@ -31,6 +31,7 @@ class PlanSpec extends SparkSpec {
       "extractMainText" -> TextAnalysis.extractMainTextOn(
         TextAnalysis.htmlStructured(docs)),
       "tokenizeBpe" -> TextAnalysis.tokenizeBpe(docs),
+      "gopherRules" -> TextAnalysis.gopherRulesOn(docs),
       "urlNormalize" -> graft.ops.Web.urlNormalizeOn(
         graft.ops.Web.urlStructured(docs)))
       .foreach { case (name, df) =>
@@ -444,6 +445,33 @@ class PlanSpec extends SparkSpec {
     val p = plan("search_lexical")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("search_bm25 keeps search_lexical's broadcast shape with the" +
+      " 1-row stats frame broadcast back") {
+    // the query/weight frames and the (S, N) scalar frame must all ride
+    // broadcasts — the corpus token stream never shuffles for them —
+    // and the top-k cut stays the group-limit shape
+    val p = plan("search_bm25")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p) // the 1-row stats
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("pack_gather_ids ships ids through one doc_id hash join — no" +
+      " cartesian, nothing corpus-sized through one partition") {
+    val p = plan("pack_gather_ids")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("epoch_order runs the two-phase ranking per epoch: exactly two" +
+      " SinglePartition exchanges, both 256-row histograms") {
+    val p = plan("epoch_order")
+    assert("Exchange SinglePartition".r.findAllIn(p).size == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p) // offsets ride broadcasts
     assert(!p.contains("CartesianProduct"), p)
   }
 
