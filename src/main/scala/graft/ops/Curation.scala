@@ -358,14 +358,19 @@ object Curation {
     val stripped = chk(Dedup.dedupSpansStripOn(gated, Dedup.SpanGram)
       .filter(col("kept_tokens") > 0)
       .select(col("doc_id"), col("clean_text").as("text")))
-    // 7. semantic representative keep over the survivors' embeddings
-    val semKeep = Dedup.dedupSemanticOn(
+    // 7. semantic representative keep over the survivors' embeddings.
+    // Framed as an ANTI-join against the DROP set (not a semi-join
+    // against the keep set): a survivor with no embedding row cannot be
+    // semantically judged and PASSES — the stage only ever removes docs
+    // it positively identified as non-representatives (the harness's
+    // sf0.1 tables make this branch real: 5000 docs, 2000 embeddings)
+    val semDrop = Dedup.dedupSemanticOn(
         embeddings.join(stripped.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi"),
         64, Dedup.IncrementalEmbedTau)
-      .filter(col("keep"))
+      .filter(!col("keep"))
       .select(col("vec_id").as("doc_id"))
-    val docs2 = chk(stripped.join(semKeep, Seq("doc_id"), "left_semi"))
+    val docs2 = chk(stripped.join(semDrop, Seq("doc_id"), "left_anti"))
     // 8. decontamination against the held-out benchmark
     val clean = chk(contaminationStripOn(docs2, benchmark, ContamGramN))
     // 9. tokenize → epoch-0 order → loader manifest
@@ -545,11 +550,11 @@ object Curation {
        |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
        |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
        |  GROUP BY a.vec_id),
-       |skeep AS (
-       |  SELECT scs.vec_id AS doc_id
-       |  FROM scs LEFT JOIN spr ON spr.id_a = scs.vec_id
-       |  WHERE coalesce(NOT spr.has_better, true)),
-       |d2 AS MATERIALIZED (SELECT sdocs.* FROM sdocs JOIN skeep USING (doc_id)),
+       |sdrop AS (
+       |  SELECT id_a AS doc_id FROM spr WHERE has_better),
+       |d2 AS MATERIALIZED (
+       |  SELECT sdocs.* FROM sdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM sdrop)),
        |cbg AS (
        |  SELECT DISTINCT unnest(list_transform(range(1, len(w) - 3),
        |    i -> array_to_string(w[i : i + 4], ' '))) AS gram
