@@ -184,6 +184,9 @@ object SparkEntry {
     "token_count_bpe" -> (TextAnalysis.tokenCountBpe _),
     // the TRUE frozen-BPE encoder: merge-table walk emitting token ids
     "tokenize_bpe" -> (TextAnalysis.tokenizeBpe _),
+    // the LEARN step a frozen merge table comes from: k rounds of
+    // weighted pair count -> argmax -> greedy merge over the word dict
+    "bpe_train" -> (TextAnalysis.bpeTrain _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     // query-side consumer of the postings substrate: integer-idf top-k
     "search_lexical" -> (TextAnalysis.searchLexical _),

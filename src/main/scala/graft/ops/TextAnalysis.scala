@@ -395,6 +395,136 @@ object TextAnalysis {
         col("enc.n_unk").as("n_unk"),
         col("enc.token_ids").as("token_ids"))
 
+  /** Merge rounds learned by the graded `bpe_train` key. */
+  private[graft] val BpeTrainRounds = 8
+
+  /** BPE TRAINING — the LEARN step the frozen encoder serves
+    * ([[graft.functions.BpeTokenizer]] ships a frozen merge table;
+    * `tokenize_bpe` is its serving walk — this operator is where such a
+    * table COMES FROM, completing the train+serve symmetry the
+    * clustering family has in `cluster_kmeans_int`/`cluster_assign_
+    * batch`): `rounds` iterations of count-all-adjacent-pairs → take
+    * the most frequent (ties to the lexicographically smallest pair —
+    * deterministic, engine-stable) → merge every greedy left-to-right
+    * occurrence (Sennrich et al. 2016, "Neural Machine Translation of
+    * Rare Words with Subword Units").
+    *
+    * Scale shape — the real trainer's layout: ONE corpus pass builds
+    * the weighted word dictionary (distinct lowercased pre-tokenizer
+    * pieces with occurrence counts — a map-side-combinable word count),
+    * and every training round then runs over the VOCABULARY, not the
+    * corpus: a weighted pair count (vocab-sized, map-combinable), a
+    * TakeOrdered(1) argmax, a ONE-ROW broadcast of the winning pair,
+    * and an in-row rewrite of each piece's symbol sequence. Rounds are
+    * lineage-truncated (the clusterLabels/corpus_pipeline checkpoint
+    * discipline — k rounds of rewrite expressions would otherwise nest
+    * into one exponential plan), and the operator runs eagerly,
+    * returning the k-row merge table as a catalog-managed cache with
+    * every checkpoint released (the cache contract).
+    *
+    * Greedy application is a CLOSED-FORM per-position rule, not a
+    * sequential fold: for left ≠ right a pair match can never chain
+    * (the consumed symbol would have to equal both operands), so every
+    * match merges; for left = right matches chain along same-symbol
+    * runs and a match merges iff its offset within the run is even —
+    * the exact greedy parity (suite-pinned against a sequential
+    * reference on hand cases including runs). The DuckDB twin
+    * recomputes all `rounds` iterations as generated CTE stages from
+    * the same closed form.
+    *
+    * Output: one row per learned rule — (round, left_sym, right_sym,
+    * pair_count), pair_count the weighted adjacent-occurrence count
+    * that won the round. (A degenerate corpus with no pairs at all
+    * yields fewer rows than `rounds` — the honest exhaustion
+    * behavior.)
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrainOn(table(spark, sfDir, "documents"), BpeTrainRounds)
+      .orderBy(col("round"))
+
+  /** API form: learn `rounds` merges over any `(…, text)` frame —
+    * unordered.
+    */
+  def bpeTrainOn(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val chkRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def chk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = true)
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          chkRdds += lr.rdd
+      }
+      out
+    }
+    // the weighted word dictionary: distinct lowercased pieces with
+    // occurrence counts; 1-symbol entries can never pair and drop
+    val pairsExpr = expr(
+      """CASE WHEN size(cs) >= 2 THEN
+        |  transform(sequence(0, size(cs) - 2), i -> struct(
+        |    element_at(cs, i + 1) AS l, element_at(cs, i + 2) AS r))
+        |ELSE cast(array() AS array<struct<l: string, r: string>>) END"""
+        .stripMargin)
+    // closed-form greedy merge flags: position i (0-based pair start)
+    // merges iff it matches (ml, mr) and — only when ml = mr, where
+    // matches chain along runs — its offset within the maximal ml-run
+    // is even. The parity branch evaluates lazily (CASE), so the
+    // O(len²) run-start scan runs only on matching positions of
+    // same-symbol rounds.
+    val mergedExpr = expr(
+      """CASE WHEN size(cs) >= 2 THEN
+        |  transform(sequence(0, size(cs) - 2), i -> CASE
+        |    WHEN NOT (element_at(cs, i + 1) = ml
+        |              AND element_at(cs, i + 2) = mr) THEN false
+        |    WHEN ml != mr THEN true
+        |    ELSE ((i - (aggregate(sequence(0, i), -1,
+        |      (acc, j) -> CASE WHEN element_at(cs, j + 1) != ml THEN j
+        |                       ELSE acc END) + 1)) % 2) = 0
+        |  END)
+        |ELSE cast(array() AS array<boolean>) END""".stripMargin)
+    val appliedExpr = expr(
+      """flatten(transform(sequence(0, size(cs) - 1), i -> CASE
+        |  WHEN i <= size(cs) - 2 AND element_at(mg, i + 1)
+        |    THEN array(concat(ml, mr))
+        |  WHEN i > 0 AND element_at(mg, i)
+        |    THEN cast(array() AS array<string>)
+        |  ELSE array(element_at(cs, i + 1)) END))""".stripMargin)
+    var syms = chk(docs.filter(col("text").isNotNull)
+      .select(explode(preTokenPieces(lower(col("text")))).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("w"))
+      .filter(length(col("piece")) >= 2)
+      .select(expr(
+        """transform(sequence(1, length(piece)),
+          |  i -> substring(piece, i, 1))""".stripMargin).as("cs"),
+        col("w")))
+    val bests = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    (1 to rounds).foreach { rd =>
+      val best = chk(syms
+        .select(explode(pairsExpr).as("p"), col("w"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum(col("w")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"),
+          col("right_sym"))
+        .limit(1)
+        .select(lit(rd).as("round"), col("left_sym"), col("right_sym"),
+          col("pair_count")))
+      bests += best
+      if (rd < rounds)
+        syms = chk(syms
+          .crossJoin(broadcast(best.select(col("left_sym").as("ml"),
+            col("right_sym").as("mr"))))
+          .withColumn("mg", mergedExpr)
+          .select(appliedExpr.as("cs"), col("w"))
+          .filter(size(col("cs")) >= 2))
+    }
+    val out = bests.reduce(_ unionAll _).persist()
+    // materialize the k-row merge table, then release every checkpoint
+    // this operator allocated outside the catalog (the cache contract)
+    out.queryExecution.toRdd.count()
+    chkRdds.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Per-document top-3 TF-IDF terms — the standard distinctive-term
     * scorer a curation pipeline uses for topic tagging and boilerplate
     * detection.
@@ -1087,7 +1217,71 @@ object TextAnalysis {
        |  FROM gs)""".stripMargin
   }
 
+  /** Generated twin of [[bpeTrainOn]]: the weighted piece dictionary,
+    * then one (count → argmax → closed-form greedy apply) CTE stage per
+    * round — the same run-parity rule for same-symbol merges, DuckDB's
+    * 1-based lists shifting every index by one (the parity is invariant:
+    * both the position and the run start shift together).
+    */
+  private def bpeTrainSql: String = {
+    val rounds = BpeTrainRounds
+    val stages = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      val cnt =
+        s"""cnt$r AS (
+           |  SELECT p.l AS l, p.r AS r, CAST(sum(w) AS BIGINT) AS c
+           |  FROM (SELECT unnest(list_transform(range(1, len(cs)),
+           |          i -> {'l': cs[i], 'r': cs[i+1]})) AS p, w
+           |        FROM $prev WHERE len(cs) >= 2) t$r
+           |  GROUP BY 1, 2),
+           |best$r AS (
+           |  SELECT $r AS round, l AS left_sym, r AS right_sym,
+           |    c AS pair_count
+           |  FROM cnt$r ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+      val apply = if (r == rounds) "" else
+        s""",
+           |a$r AS (
+           |  SELECT cs, w, ml, mr,
+           |    CASE WHEN len(cs) >= 2 THEN
+           |      list_transform(range(1, len(cs)), i ->
+           |        cs[i] = ml AND cs[i+1] = mr AND (ml != mr OR
+           |          ((i - (list_max(list_prepend(0,
+           |              list_transform(range(1, i + 1),
+           |                j -> CASE WHEN cs[j] != ml THEN j
+           |                          ELSE 0 END)))
+           |            + 1)) % 2) = 0))
+           |    ELSE CAST([] AS BOOLEAN[]) END AS mg
+           |  FROM $prev CROSS JOIN (SELECT left_sym AS ml,
+           |      right_sym AS mr FROM best$r) b$r),
+           |s$r AS MATERIALIZED (
+           |  SELECT flatten(list_transform(range(1, len(cs) + 1),
+           |      i -> CASE
+           |        WHEN i <= len(cs) - 1 AND mg[i] THEN [ml || mr]
+           |        WHEN i > 1 AND mg[i-1] THEN CAST([] AS VARCHAR[])
+           |        ELSE [cs[i]] END)) AS cs, w
+           |  FROM a$r)""".stripMargin
+      cnt + apply
+    }.mkString(",\n")
+    val union = (1 to rounds).map(r =>
+      s"SELECT round, left_sym, right_sym, pair_count FROM best$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT list_transform(range(1, length(piece) + 1),
+       |           i -> substr(piece, i, 1)) AS cs,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text),
+       |          '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+')) AS piece
+       |        FROM documents WHERE text IS NOT NULL) p0
+       |  WHERE length(piece) >= 2
+       |  GROUP BY piece),
+       |$stages
+       |SELECT round, left_sym, right_sym, pair_count FROM (
+       |$union) u
+       |ORDER BY round""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainSql,
     "gopher_rules" ->
       s"""WITH ${gopherSqlCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,

@@ -602,6 +602,77 @@ class ExtensionsSpec extends SparkSpec {
       s"content gates must cut below the URL-stage ceiling ($capped)")
   }
 
+  test("bpe_train equals the sequential-greedy reference trainer") {
+    import graft.ops.TextAnalysis
+    // the obviously-correct reference: explicit per-round count + argmax
+    // + SEQUENTIAL left-to-right greedy application (the closed-form
+    // parity rule in the operator must reproduce it exactly)
+    def trainRef(pieces0: Seq[(String, Long)],
+        rounds: Int): Seq[(Int, String, String, Long)] = {
+      var seqs = pieces0.map { case (p, w) =>
+        (p.map(_.toString).toVector, w) }
+      (1 to rounds).flatMap { rd =>
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        seqs.foreach { case (cs, w) =>
+          (0 until cs.length - 1).foreach { i =>
+            val k = (cs(i), cs(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + w
+          }
+        }
+        if (counts.isEmpty) Nil
+        else {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((a, b), n) => (-n, a, b) }
+          seqs = seqs.map { case (cs, w) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < cs.length) {
+              if (i + 1 < cs.length && cs(i) == l && cs(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += cs(i); i += 1 }
+            }
+            (out.result(), w)
+          }
+          Seq((rd, l, r, c))
+        }
+      }
+    }
+    // corpus equality over the full graded rounds
+    val pieces = Tables.table(spark, sf, "documents")
+      .select("text").collect().flatMap(r => Option(r.getString(0)))
+      .flatMap { t =>
+        val m = java.util.regex.Pattern
+          .compile("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+")
+          .matcher(t.toLowerCase)
+        val buf = scala.collection.mutable.ListBuffer.empty[String]
+        while (m.find()) buf += m.group()
+        buf
+      }
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      .toSeq
+    val want = trainRef(pieces, TextAnalysis.BpeTrainRounds)
+    val got = TextAnalysis.bpeTrain(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.size == TextAnalysis.BpeTrainRounds)
+    // SAME-SYMBOL merge: the chained-run case the parity rule exists
+    // for — "aaaa" must merge to (aa)(aa), "aaa" to (aa)a, counted and
+    // applied exactly as the sequential greedy does
+    import spark.implicits._
+    val runs = Seq((1L, "aaaa aaaa aaa bb")).toDF("doc_id", "text")
+    val handPieces = Seq("aaaa" -> 2L, "aaa" -> 1L, "bb" -> 1L)
+    val handWant = trainRef(handPieces, 3)
+    val handGot = TextAnalysis.bpeTrainOn(runs, 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(handGot == handWant)
+    // and the first round is the (a, a) run merge with the exact
+    // weighted count 2*3 + 1*2 = 8
+    assert(handGot.head == ((1, "a", "a", 8L)))
+  }
+
   test("tokenize_bpe: frozen-table invariants hold and hand cases encode" +
       " exactly") {
     import spark.implicits._
