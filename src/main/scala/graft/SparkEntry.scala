@@ -239,6 +239,9 @@ object SparkEntry {
     // the same frozen scorer with the weight vector shipped as a
     // broadcast (bucket, weight) table — the 2M-bucket serving shape
     "quality_score_lm_table" -> (TextAnalysis.qualityScoreLmTable _),
+    // CCNet head/middle/tail: frozen score buckets, per-bucket
+    // deterministic-hash keep rates (head whole, tail decimated)
+    "sample_quality_buckets" -> (TextAnalysis.sampleQualityBuckets _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)

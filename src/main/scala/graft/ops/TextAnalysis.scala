@@ -395,6 +395,67 @@ object TextAnalysis {
         col("enc.n_unk").as("n_unk"),
         col("enc.token_ids").as("token_ids"))
 
+  /** Frozen dials of the CCNet-style quality-bucket sampler: milli-sum
+    * thresholds splitting the corpus into head/middle/tail (≈ the
+    * harness corpus's terciles — measured −8400/−4500 at every sf, so
+    * all three buckets are populated at any scale), per-bucket keep
+    * rates in integer percent (head kept whole, middle halved, tail
+    * decimated — the CCNet shape), and the draw salt.
+    */
+  private[graft] val QBucketHeadMin = -4500L
+  private[graft] val QBucketMidMin = -8400L
+  private[graft] val QBucketHeadPct = 100
+  private[graft] val QBucketMidPct = 50
+  private[graft] val QBucketTailPct = 10
+  private[graft] val QBucketSalt = "ccnet_v1"
+
+  /** QUALITY-BUCKETED SAMPLING — the CCNet stage (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data"): score every document with the frozen LM scorer,
+    * split the corpus into head/middle/tail quality buckets, and keep
+    * each bucket at its own rate (head whole, tail decimated) — the
+    * standard up-weighting of high-quality text a mixture feeds on.
+    * Bucket thresholds are FROZEN integer milli-sums (the
+    * quality_score_lm discipline: a fitted cut point ships as an
+    * artifact, here source-frozen so the key carries a full hash
+    * oracle); the keep decision is the `sample_stratified` md5-mod-100
+    * draw, salted (`doc_id:ccnet_v1`) so it decorrelates from every
+    * other hash of the same key — reproducible across engines,
+    * re-runs and backfills, zero RNG.
+    *
+    * Emits the measuring+acting pair in one frame (the url_blocklist
+    * convention): every document with its integer score, bucket and
+    * verdict; callers filter `kept` to act. Scale shape: entirely
+    * in-row scan-stage expressions — zero shuffle at any corpus size
+    * (PlanSpec-pinned with the per-document text family).
+    */
+  def sampleQualityBuckets(spark: SparkSession, sfDir: String): DataFrame =
+    sampleQualityBucketsOn(table(spark, sfDir, "documents"))
+      .orderBy(col("doc_id"))
+
+  /** API form: bucket + sample any `(doc_id, text)` frame — unordered.
+    * NULL-text rows drop (the family convention).
+    */
+  def sampleQualityBucketsOn(docs: DataFrame): DataFrame = {
+    val draw = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit(":" + QBucketSalt))), 1, 15), 16, 10).cast(LongType) % 100
+    docs.filter(col("text").isNotNull)
+      .withColumn("tokens", split(col("text"), " "))
+      // one fold, referenced by every derived column (the
+      // quality_score_lm materialize-the-sum discipline)
+      .withColumn("w_sum_milli", qualityLmSumMilli(col("tokens")))
+      .withColumn("bucket",
+        when(col("w_sum_milli") >= QBucketHeadMin, "head")
+          .when(col("w_sum_milli") >= QBucketMidMin, "middle")
+          .otherwise("tail"))
+      .withColumn("kept", draw <
+        when(col("bucket") === "head", QBucketHeadPct)
+          .when(col("bucket") === "middle", QBucketMidPct)
+          .otherwise(QBucketTailPct))
+      .select(col("doc_id"), col("w_sum_milli"), col("bucket"),
+        col("kept"))
+  }
+
   /** Merge rounds learned by the graded `bpe_train` key. */
   private[graft] val BpeTrainRounds = 8
 
@@ -1281,6 +1342,42 @@ object TextAnalysis {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // same frozen-scorer recompute as quality_score_lm (bucket
+    // membership re-derived from the generating rule), the identical
+    // frozen thresholds/rates, and the identical salted mod-100 draw
+    "sample_quality_buckets" ->
+      s"""WITH sb AS (
+         |  SELECT DISTINCT
+         |    CAST(concat('0x', substring(md5(s), 1, 15)) AS BIGINT) % 1024
+         |      AS b
+         |  FROM (VALUES ('the'), ('a'), ('of'), ('and'), ('to'), ('in'),
+         |               ('is')) AS v(s)),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE text IS NOT NULL),
+         |tw AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (CAST(concat('0x', substring(md5(tk), 1, 15))
+         |                 AS BIGINT) % 1024) IN (SELECT b FROM sb)
+         |         THEN 1000 ELSE -200 END AS wt
+         |  FROM tok),
+         |s AS (
+         |  SELECT doc_id, CAST(sum(wt) AS BIGINT) AS w_sum_milli
+         |  FROM tw GROUP BY doc_id),
+         |k AS (
+         |  SELECT doc_id, w_sum_milli,
+         |    CASE WHEN w_sum_milli >= $QBucketHeadMin THEN 'head'
+         |         WHEN w_sum_milli >= $QBucketMidMin THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    CAST(concat('0x', substring(md5(
+         |      CAST(doc_id AS VARCHAR) || ':$QBucketSalt'), 1, 15))
+         |      AS BIGINT) % 100 AS draw
+         |  FROM s)
+         |SELECT doc_id, w_sum_milli, bucket,
+         |  draw < (CASE bucket WHEN 'head' THEN $QBucketHeadPct
+         |          WHEN 'middle' THEN $QBucketMidPct
+         |          ELSE $QBucketTailPct END) AS kept
+         |FROM k ORDER BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
     "gopher_rules" ->
       s"""WITH ${gopherSqlCtes("documents")}

@@ -602,6 +602,35 @@ class ExtensionsSpec extends SparkSpec {
       s"content gates must cut below the URL-stage ceiling ($capped)")
   }
 
+  test("sample_quality_buckets: frozen thresholds decide the bucket, " +
+      "the salted draw keeps at the bucket rates") {
+    import graft.ops.TextAnalysis
+    val got = TextAnalysis.sampleQualityBuckets(spark, sf).collect()
+    // bucket law: pure function of the integer score
+    got.foreach { r =>
+      val w = r.getLong(1)
+      val want = if (w >= TextAnalysis.QBucketHeadMin) "head"
+        else if (w >= TextAnalysis.QBucketMidMin) "middle" else "tail"
+      assert(r.getString(2) == want, s"doc ${r.getLong(0)}")
+    }
+    // the frozen cuts are non-vacuous: all three buckets populated
+    assert(got.map(_.getString(2)).distinct.sorted.toSeq ==
+      Seq("head", "middle", "tail"))
+    val byB = got.groupBy(_.getString(2))
+    // head keeps everything (rate 100)
+    assert(byB("head").forall(_.getBoolean(3)))
+    // tail is decimated: some survive, far fewer than half
+    val tail = byB("tail")
+    val tailKept = tail.count(_.getBoolean(3))
+    assert(tailKept > 0 && tailKept < tail.length / 2,
+      s"tail kept $tailKept/${tail.length}")
+    // middle keeps roughly half (uniform 60-bit hash mod 100 < 50)
+    val mid = byB("middle")
+    val midKept = mid.count(_.getBoolean(3))
+    assert(midKept > mid.length / 4 && midKept < mid.length * 3 / 4,
+      s"middle kept $midKept/${mid.length}")
+  }
+
   test("bpe_train equals the sequential-greedy reference trainer") {
     import graft.ops.TextAnalysis
     // the obviously-correct reference: explicit per-round count + argmax

@@ -32,6 +32,7 @@ class PlanSpec extends SparkSpec {
         TextAnalysis.htmlStructured(docs)),
       "tokenizeBpe" -> TextAnalysis.tokenizeBpe(docs),
       "gopherRules" -> TextAnalysis.gopherRulesOn(docs),
+      "sampleQualityBuckets" -> TextAnalysis.sampleQualityBucketsOn(docs),
       "urlNormalize" -> graft.ops.Web.urlNormalizeOn(
         graft.ops.Web.urlStructured(docs)))
       .foreach { case (name, df) =>
