@@ -161,6 +161,12 @@ object SparkEntry {
     // dedup → gopher gate → span excision → semantic keep → decontam →
     // tokenize → epoch order → loader manifest, graded as ONE key
     "corpus_pipeline" -> (Curation.corpusPipeline _),
+    // the crawl-batch composed flagship: the same chain run DAILY — a new
+    // batch through the per-family incremental forms against the corpus's
+    // frozen states (URL/line/span censuses, semantic cells), ending in
+    // an append-only shard manifest (corpus shards byte-immutable)
+    "corpus_pipeline_incremental" ->
+      (Curation.corpusPipelineIncremental _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact
@@ -242,6 +248,10 @@ object SparkEntry {
     // CCNet head/middle/tail: frozen score buckets, per-bucket
     // deterministic-hash keep rates (head whole, tail decimated)
     "sample_quality_buckets" -> (TextAnalysis.sampleQualityBuckets _),
+    // the scorer's LEARN step (closing the last train/serve asymmetry):
+    // NB log-count-ratio weights at milli fixed point over hashed
+    // unigrams, labeled by the trusted-source split (lang = 'en')
+    "quality_train_lm" -> (TextAnalysis.qualityTrainLm _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)

@@ -291,6 +291,39 @@ object Curation {
       table(spark, sfDir, "embeddings"))
       .orderBy(col("shard_id"))
 
+  /** Tracks the localCheckpoint RDDs a composed-pipeline run allocates,
+    * so they can be released after the catalog-managed result
+    * materializes (checkpoint blocks are invisible to clearCache — the
+    * clusterLabels discipline).
+    */
+  private final class ChkScope {
+    private val rdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def chk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = true)
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          rdds += lr.rdd
+      }
+      out
+    }
+    def release(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  }
+
+  /** The checkpointed stage boundaries of one full-pipeline run — the
+    * frames the incremental composition reads its corpus-side states
+    * from (each is the INPUT population of the stage whose state it
+    * feeds: censuses count everything a stage saw, not just what it
+    * kept).
+    */
+  private final case class PipelineRun(
+      unblocked: DataFrame, // (doc_id, url) past the deny list → urlCensus
+      extracted: DataFrame, // (doc_id, text) line-stage input → lineCensus
+      gated: DataFrame,     // (doc_id, text) span-stage input → spanCensus
+      stripped: DataFrame,  // (doc_id, text) semantic-stage input
+      clean: DataFrame,     // (doc_id, text) final training docs
+      manifest: DataFrame)  // the shard manifest (lazy — caller persists)
+
   /** API form over any (doc_id, text, lang, source) corpus and
     * (vec_id, embedding) table keyed by the same ids — unordered.
     */
@@ -300,37 +333,46 @@ object Curation {
       .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
     val benchmark = docs0
       .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
-    // 2. URL surface: deny-list → URL dedup → per-host cap.
-    // PERSISTED STAGE BOUNDARIES (urls / stripped / clean): each of these
-    // frames is consumed by several downstream stages, and without a
-    // LINEAGE-TRUNCATED STAGE BOUNDARIES: each macro-stage output is
-    // localCheckpoint'ed (eager), so every stage is planned over a flat
-    // LogicalRDD leaf instead of the whole upstream lineage. This is
-    // load-bearing twice over, both measured this round: (a) without ANY
-    // barrier, Catalyst inlines the producers' expression trees into
-    // every consumer and ConstantFolding alone runs minutes of driver
-    // CPU; (b) with plain persist(), the analyzed plans still CARRY the
-    // full lineage and the AQE/caching machinery re-walks those giant
-    // trees per stage — the composed key read ~65 s at sf0.1 where the
-    // checkpointed form reads ~17 s doing identical work. A real 100 TB
-    // pipeline materializes between macro-stages for the same reasons
-    // (re-deriving a stage per consumer = re-scanning the corpus); on a
-    // cluster the same boundaries become reliable checkpoints or
-    // intermediate tables (the clusterLabels reliable-mode discipline).
-    // Checkpoint blocks are NOT catalog-managed, so the operator runs
-    // EAGERLY, copies the (shards-sized) manifest into a catalog-managed
-    // cache, and releases every checkpoint before returning — the
-    // caller's clearCache contract then holds exactly as for corpusClean.
-    val chkRdds = scala.collection.mutable.ListBuffer
-      .empty[org.apache.spark.rdd.RDD[_]]
-    def chk(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(eager = true)
-      out.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          chkRdds += lr.rdd
-      }
-      out
-    }
+    val scope = new ChkScope
+    val manifest = runPipeline(corpus, benchmark, embeddings, scope)
+      .manifest.persist()
+    // materialize the catalog-managed result BEFORE dropping the
+    // checkpoints it was computed from, then release every block this
+    // operator allocated outside the catalog (the clusterLabels
+    // discipline — clearCache alone cannot see checkpoint blocks).
+    // RELIABLE-MODE CAVEAT (ADVICE r14): after the release below, the
+    // manifest's only copies are its own cache blocks — if those are
+    // later evicted/lost, recomputation walks back to LogicalRDD leaves
+    // whose data is gone and the job FAILS rather than recomputes.
+    // Acceptable in the single-JVM harness (blocks outlive the query);
+    // a cluster deployment must make the boundary durable first — write
+    // the manifest to a table, or use reliable checkpoint() instead of
+    // localCheckpoint — before releasing the stage blocks.
+    manifest.queryExecution.toRdd.count()
+    scope.release()
+    manifest
+  }
+
+  /** The stage chain shared by the batch and incremental flagships.
+    * LINEAGE-TRUNCATED STAGE BOUNDARIES: each macro-stage output is
+    * localCheckpoint'ed (eager), so every stage is planned over a flat
+    * LogicalRDD leaf instead of the whole upstream lineage. This is
+    * load-bearing twice over, both measured (r14): (a) without ANY
+    * barrier, Catalyst inlines the producers' expression trees into
+    * every consumer and ConstantFolding alone runs minutes of driver
+    * CPU; (b) with plain persist(), the analyzed plans still CARRY the
+    * full lineage and the AQE/caching machinery re-walks those giant
+    * trees per stage — the composed key read ~65 s at sf0.1 where the
+    * checkpointed form reads ~17 s doing identical work. A real 100 TB
+    * pipeline materializes between macro-stages for the same reasons
+    * (re-deriving a stage per consumer = re-scanning the corpus); on a
+    * cluster the same boundaries become reliable checkpoints or
+    * intermediate tables (the clusterLabels reliable-mode discipline).
+    */
+  private def runPipeline(corpus: DataFrame, benchmark: DataFrame,
+      embeddings: DataFrame, scope: ChkScope): PipelineRun = {
+    import scope.chk
+    // 2. URL surface: deny-list → URL dedup → per-host cap
     val urls = chk(Web.urlStructured(corpus))
     val unblocked = urls.join(
       Web.urlBlocklistOn(urls, Web.BlockedDomains, Web.BlockedPrefixes)
@@ -400,14 +442,177 @@ object Curation {
       .select(col("shard_id"), col("n_docs"), col("first_pos"),
         col("last_pos"), col("n_ws_tokens"), col("n_bpe_tokens"),
         col("n_seqs"), col("shard_digest"))
+    PipelineRun(unblocked, extracted, gated, stripped, clean, manifest)
+  }
+
+  /** THE CRAWL-BATCH COMPOSED FLAGSHIP — [[corpusPipelineOn]]'s chain in
+    * the shape production runs it DAILY: the corpus ran the full pipeline
+    * once (its per-stage states are maintained — URL census, line census,
+    * span census, semantic cells, shard manifest), and a NEW crawl batch
+    * flows through the per-family INCREMENTAL operators against those
+    * FROZEN states, ending in an append-only shard manifest:
+    *
+    *   1. deny-list gate (stateless — [[Web.urlBlocklistOn]])
+    *   2. [[Web.dedupUrlIncrementalOn]] vs the corpus [[Web.urlCensus]]
+    *      (built over the corpus's unblocked URLs — every census is the
+    *      state of the stage's INPUT population in the corpus run)
+    *   3. [[TextAnalysis.extractMainTextOn]] (stateless)
+    *   4. [[Dedup.dedupLinesIncrementalOn]] vs the corpus [[Dedup.lineCensus]]
+    *   5. the Gopher gate (stateless)
+    *   6. [[Dedup.dedupSpansStripIncrementalOn]] vs the corpus
+    *      [[Dedup.spanCensus]] — corpus-held grams excise every batch
+    *      occurrence (the corpus holds the canonical copy), batch-only
+    *      duplicated grams keep their min batch doc
+    *   7. [[Dedup.dedupSemanticIncrementalOn]] — batch vectors vs the
+    *      corpus cells' members/centroids (drop-set anti-join, so batch
+    *      docs without embeddings pass, as in the batch flagship)
+    *   8. decontamination vs the held-out benchmark (stateless)
+    *   9. tokenize → salted batch order → APPENDED shards: batch shards
+    *      start after the corpus's last shard, positions continue after
+    *      the corpus's last doc — shipped corpus shards are IMMUTABLE
+    *      (a batch never rewrites a shard a trainer may already hold).
+    *
+    * Two stages of the corpus run are deliberately NOT re-applied to the
+    * batch: the per-host cap (a corpus-construction budget — re-applying
+    * it against full corpus host counts would reject every batch from
+    * hosts already at cap; production re-enforces it at periodic
+    * compaction) and URL dedup WITHIN the corpus (already done).
+    *
+    * FROZEN-STATE SEMANTICS, not recompute-over-union: each stage's
+    * decision equals recompute-over-union restricted to the batch (the
+    * per-family suite-pinned laws), but the COMPOSITION feeds each stage
+    * the corpus state of the corpus's OWN run — a batch can therefore
+    * never retroactively change what the corpus kept (the immutability
+    * production requires), at the price that a corpus line/span pushed
+    * over threshold only by batch occurrences stays in the corpus
+    * shards. PropertiesSpec pins the two exact laws that do hold: with
+    * an EMPTY corpus the composition equals the full pipeline over the
+    * batch, and the corpus rows of the output equal [[corpusPipelineOn]]
+    * over the corpus alone.
+    *
+    * Output: the full post-append manifest — corpus shards (`is_batch`
+    * 0, byte-identical to the corpus run's) then batch shards
+    * (`is_batch` 1). Unordered.
+    *
+    * Scale shape: corpus-side cost is the three censuses + cell state
+    * over the corpus's checkpointed stage frames (in production these
+    * are the MAINTAINED tables — bucket them by their hash key once and
+    * every batch probes shuffle-free; here they are derived because the
+    * harness grades one self-contained key); batch-side cost is the
+    * per-family incremental shapes, all batch-sized. The manifest append
+    * reads the corpus manifest only for its (max shard, doc count) — a
+    * one-row broadcast, never a corpus scan.
+    */
+  def corpusPipelineIncrementalOn(corpus: DataFrame, batch: DataFrame,
+      benchmark: DataFrame, embeddings: DataFrame): DataFrame = {
+    val scope = new ChkScope
+    import scope.chk
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    // (max shard, total docs) of the shipped corpus — the append cursor
+    val cstat = cman.agg(
+      coalesce(max(col("shard_id")), lit(-1L)).as("c_max_shard"),
+      coalesce(sum(col("n_docs")), lit(0L)).as("c_n_docs"))
+    // 1-2. deny list + frontier screen vs the corpus URL census
+    val burls = chk(Web.urlStructured(batch))
+    val bUnblocked = burls.join(
+      Web.urlBlocklistOn(burls, Web.BlockedDomains, Web.BlockedPrefixes)
+        .filter(col("blocked") === 0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val bKeep = Web.dedupUrlIncrementalOn(
+        Web.urlCensus(run.unblocked), bUnblocked)
+      .filter(col("keep")).select(col("doc_id"))
+    val bdocs1 = chk(batch.join(bKeep, Seq("doc_id"), "left_semi"))
+    // 3. main-content extraction
+    val bextracted = chk(TextAnalysis.extractMainTextOn(
+        TextAnalysis.htmlStructured(bdocs1))
+      .filter(col("n_paragraphs") > 0)
+      .select(col("doc_id"), col("main_text").as("text")))
+    // 4. line dedup vs the corpus line census
+    val bflat = Dedup.dedupLinesIncrementalOn(
+        Dedup.lineCensus(run.extracted), bextracted, PipelineLineMinDocs)
+      .select(col("doc_id"),
+        regexp_replace(col("clean_text"), "\n", " ").as("text"))
+      .filter(col("text") =!= "")
+    // 5. Gopher gate
+    val bgated = chk(bflat.filter(TextAnalysis.gopherKeep))
+    // 6. span excision vs the corpus span census
+    val bstripped = chk(Dedup.dedupSpansStripIncrementalOn(
+        Dedup.spanCensus(run.gated, Dedup.SpanGram), bgated, Dedup.SpanGram)
+      .filter(col("kept_tokens") > 0)
+      .select(col("doc_id"), col("clean_text").as("text")))
+    // 7. semantic screen vs the corpus cells (drop-set anti-join)
+    val vecs = embeddings
+      .join(run.stripped.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      .withColumn("is_new", lit(false))
+      .unionByName(embeddings
+        .join(bstripped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        .withColumn("is_new", lit(true)))
+    val semDrop = Dedup.dedupSemanticIncrementalOn(vecs, col("is_new"),
+        64, Dedup.IncrementalEmbedTau)
+      .filter(!col("keep"))
+      .select(col("vec_id").as("doc_id"))
+    val bdocs2 = chk(bstripped.join(semDrop, Seq("doc_id"), "left_anti"))
+    // 8. decontamination
+    val bclean = chk(contaminationStripOn(bdocs2, benchmark, ContamGramN))
+    // 9. tokenize → salted batch order → appended shards
+    val benc = TextAnalysis.tokenizeBpe(bclean)
+      .select(col("doc_id"), col("n_tokens"))
+    val bnt = bclean.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("nt"))
+    val bman = Packing
+      .shuffleDeterministicOn(bclean, Packing.ShuffleSalt)
+      .join(bnt, Seq("doc_id"))
+      .join(benc, Seq("doc_id"))
+      .crossJoin(broadcast(cstat))
+      .withColumn("shard_id",
+        col("c_max_shard") + 1 + expr(s"pos div $PipelineDocsPerShard"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("pos") + col("c_n_docs")).as("first_pos"),
+        max(col("pos") + col("c_n_docs")).as("last_pos"),
+        sum(col("nt")).as("n_ws_tokens"),
+        sum(col("n_tokens")).as("n_bpe_tokens"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")),
+          ",")).as("shard_digest"))
+      .withColumn("n_seqs", expr(
+        s"(n_bpe_tokens + ${PipelineSeqBudget - 1}) div $PipelineSeqBudget"))
+      .select(col("shard_id"), col("n_docs"), col("first_pos"),
+        col("last_pos"), col("n_ws_tokens"), col("n_bpe_tokens"),
+        col("n_seqs"), col("shard_digest"))
+    val out = cman.withColumn("is_batch", lit(0))
+      .unionByName(bman.withColumn("is_batch", lit(1)))
       .persist()
-    // materialize the catalog-managed result BEFORE dropping the
-    // checkpoints it was computed from, then release every block this
-    // operator allocated outside the catalog (the clusterLabels
-    // discipline — clearCache alone cannot see checkpoint blocks)
-    manifest.queryExecution.toRdd.count()
-    chkRdds.foreach(_.unpersist(blocking = false))
-    manifest
+    // the corpusPipelineOn materialize-then-release discipline (and its
+    // reliable-mode caveat) applies unchanged
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out
+  }
+
+  /** `corpus_pipeline_incremental` checked key: the family parity split
+    * over the held-out-adjusted corpus (even doc_id ≥ 20 = shipped
+    * corpus, odd ≥ 20 = incoming crawl batch; doc_id < 20 stays the
+    * benchmark for BOTH runs). Batch shard ids continue after the
+    * corpus's, so one shard_id sort presents corpus-then-batch.
+    */
+  def corpusPipelineIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    corpusPipelineIncrementalOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 2 === 1),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
   }
 
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
@@ -420,15 +625,25 @@ object Curation {
     * to). Hash equality of the final manifest proves the stages compose
     * without contract drift.
     */
-  private def pipelineSql: String = {
-    val blockCond =
-      (Web.BlockedDomains.map(d => s"host = '$d' OR host LIKE '%.$d'") ++
-        Web.BlockedPrefixes.map(p => s"url_norm LIKE '$p%'"))
-        .mkString("\n        OR ")
+  private def blockCondSql: String =
+    (Web.BlockedDomains.map(d =>
+        s"host = '${Web.sqlLit(d)}' OR " +
+          s"host LIKE '%.${Web.likeLit(d)}' ESCAPE '\\'") ++
+      Web.BlockedPrefixes.map(p =>
+        s"url_norm LIKE '${Web.likeLit(p)}%' ESCAPE '\\'"))
+      .mkString("\n        OR ")
+
+  /** The corpus-run CTE chain (pdocs … o, bt) parameterized by the base
+    * population predicate, so the batch twin ([[pipelineIncrementalSql]])
+    * can instantiate it for the even-parity corpus and chain the batch
+    * CTEs after it.
+    */
+  private def pipelineCoreCtes(popCond: String): String = {
+    val blockCond = blockCondSql
     val bpe = graft.functions.BpeTokenizer.oracleSqlFor("clean")
-    s"""WITH pdocs AS (
+    s"""pdocs AS (
        |  SELECT doc_id, text, lang, source FROM documents
-       |  WHERE doc_id >= $ContamBenchDocs AND text IS NOT NULL),
+       |  WHERE $popCond),
        |bench AS (
        |  SELECT doc_id, text FROM documents
        |  WHERE doc_id < $ContamBenchDocs AND text IS NOT NULL),
@@ -578,8 +793,12 @@ object Curation {
        |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
        |    doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-       |  FROM clean)
-       |SELECT pos // $PipelineDocsPerShard AS shard_id,
+       |  FROM clean)""".stripMargin
+  }
+
+  /** The corpus-run manifest aggregate over the core chain's `o`/`bt`. */
+  private def manifestSelectSql: String =
+    s"""SELECT pos // $PipelineDocsPerShard AS shard_id,
        |  count(*) AS n_docs,
        |  min(pos) AS first_pos,
        |  max(pos) AS last_pos,
@@ -590,11 +809,222 @@ object Curation {
        |  md5(string_agg(CAST(o.doc_id AS VARCHAR), ',' ORDER BY pos))
        |    AS shard_digest
        |FROM o JOIN bt USING (doc_id)
-       |GROUP BY 1 ORDER BY shard_id""".stripMargin
+       |GROUP BY 1""".stripMargin
+
+  // NOTE: the core/manifest fragments are CONCATENATED, never re-wrapped
+  // in a stripMargin template — they contain lines that legitimately
+  // begin with `||` (concat continuations), which a second margin strip
+  // would corrupt into bitwise-or
+  private def pipelineSql: String =
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND text IS NOT NULL") +
+      "\n" + manifestSelectSql + "\nORDER BY shard_id"
+
+  /** The composed twin of [[corpusPipelineIncrementalOn]] — the corpus
+    * core chain instantiated for the EVEN parity (deriving the frozen
+    * states: `unb` → URL census, `ep` → line census, `sg` → span census,
+    * `scell`/`smm` → semantic members/centroids, `cbg` → benchmark
+    * grams, `o`+`bt` → corpus manifest), then the batch chain (odd
+    * parity, `b`-prefixed CTEs) screening each stage against those
+    * states with independent SQL, ending in the appended manifest. Hash
+    * equality proves the maintained states COMPOSE — the one artifact
+    * the per-family incremental twins cannot give.
+    */
+  private def pipelineIncrementalSql: String = {
+    val blockCond = blockCondSql
+    val bpeB = graft.functions.BpeTokenizer.oracleSqlFor("bclean")
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+    s"""cstat AS (
+       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
+       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
+       |  FROM cman),
+       |bdocs AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE doc_id >= $ContamBenchDocs AND doc_id % 2 = 1
+       |    AND text IS NOT NULL),
+       |${Web.plantSqlP("b", "bdocs")},
+       |bhosts AS (
+       |  SELECT doc_id, url_norm,
+       |    regexp_extract(url_norm,
+       |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+       |  FROM bcanon),
+       |bunb AS (
+       |  SELECT * FROM bhosts
+       |  WHERE NOT ($blockCond)),
+       |ucens AS MATERIALIZED (
+       |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_corpus
+       |  FROM unb GROUP BY url_norm),
+       |bukeep AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, url_norm,
+       |      row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+       |        AS rn
+       |    FROM bunb) b1
+       |  WHERE rn = 1
+       |    AND url_norm NOT IN (SELECT url_norm FROM ucens)),
+       |bd1 AS (SELECT bdocs.* FROM bdocs JOIN bukeep USING (doc_id)),
+       |bed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+       |      AS BIGINT), 1) AS nc
+       |  FROM bd1),
+       |bep AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    array_to_string(t[(i*10+1) : (i*10+10)], ' ') AS para
+       |  FROM bed, UNNEST(range(0, nc)) AS ue(i)
+       |  WHERE doc_id % 13 != 0),
+       |lcens AS MATERIALIZED (
+       |  SELECT md5(para) AS lh,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM ep GROUP BY 1),
+       |blbp AS (
+       |  SELECT b2.lh FROM (
+       |    SELECT md5(para) AS lh,
+       |      CAST(count(DISTINCT doc_id) AS BIGINT) AS nb
+       |    FROM bep GROUP BY 1) b2
+       |  LEFT JOIN lcens c2 USING (lh)
+       |  WHERE b2.nb + coalesce(c2.n_docs, 0) >= $PipelineLineMinDocs),
+       |blkept AS (
+       |  SELECT bep.doc_id, bep.i, bep.para
+       |  FROM bep LEFT JOIN blbp ON md5(bep.para) = blbp.lh
+       |  WHERE blbp.lh IS NULL),
+       |bflat AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(para, ' ' ORDER BY i) AS text
+       |  FROM blkept GROUP BY doc_id),
+       |${TextAnalysis.gopherSqlCtes("bflat", "b")},
+       |bgated AS MATERIALIZED (
+       |  SELECT f.doc_id, f.text FROM bflat f
+       |  JOIN bgk ON bgk.doc_id = f.doc_id AND bgk.keep_gopher),
+       |scens AS MATERIALIZED (
+       |  SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM sg GROUP BY gh),
+       |bsd AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM bgated),
+       |bsg AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |    CAST(concat('0x', substring(md5(
+       |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
+       |  FROM bsd, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS us(i)
+       |  WHERE len(w) >= 8),
+       |bsc AS (
+       |  SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS nb,
+       |    min(doc_id) AS bkeeper
+       |  FROM bsg GROUP BY gh),
+       |bdup AS (
+       |  SELECT b3.gh,
+       |    CASE WHEN coalesce(c3.n_docs, 0) > 0 THEN -1
+       |         ELSE b3.bkeeper END AS keeper
+       |  FROM bsc b3 LEFT JOIN scens c3 USING (gh)
+       |  WHERE b3.nb + coalesce(c3.n_docs, 0) >= 2),
+       |bss AS MATERIALIZED (
+       |  SELECT bsg.doc_id, bsg.pos FROM bsg JOIN bdup USING (gh)
+       |  WHERE bsg.doc_id != bdup.keeper),
+       |bspos AS (
+       |  SELECT bsd.doc_id, t.p, w[t.p + 1] AS tok,
+       |    EXISTS (SELECT 1 FROM bss WHERE bss.doc_id = bsd.doc_id
+       |            AND bss.pos <= t.p AND t.p <= bss.pos + 7) AS covered
+       |  FROM bsd CROSS JOIN UNNEST(range(0, bsd.n_toks)) AS t(p)),
+       |bsagg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    count(*) FILTER (WHERE NOT covered) AS kept_tokens,
+       |    coalesce(string_agg(tok, ' ' ORDER BY p)
+       |      FILTER (WHERE NOT covered), '') AS clean_text
+       |  FROM bspos GROUP BY doc_id),
+       |bsdocs AS MATERIALIZED (
+       |  SELECT doc_id, clean_text AS text FROM bsagg
+       |  WHERE kept_tokens > 0),
+       |bsv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |    SQRT(list_sum(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM bsdocs)),
+       |bsu AS (
+       |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS unit
+       |  FROM bsv WHERE nrm > 0),
+       |bscell AS (
+       |  SELECT vec_id, unit,
+       |    CAST(${Dedup.semCellSqlExpr(64)} AS BIGINT) AS cell
+       |  FROM bsu),
+       |bcs AS MATERIALIZED (
+       |  SELECT c.vec_id, c.cell, c.unit,
+       |    CASE WHEN m.mnrm > 0 THEN
+       |      ROUND(list_sum(list_transform(list_zip(c.unit, m.mean),
+       |        pz -> pz[1] * pz[2])) / m.mnrm, 6)
+       |    ELSE 0.0 END AS c_sim
+       |  FROM bscell c LEFT JOIN smm m USING (cell)),
+       |bpc AS (
+       |  SELECT a.vec_id AS id_a
+       |  FROM bcs a JOIN scell b ON a.cell = b.cell
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
+       |  GROUP BY a.vec_id),
+       |bpb AS (
+       |  SELECT a.vec_id AS id_a,
+       |    bool_or(b.c_sim < a.c_sim OR
+       |      (b.c_sim = a.c_sim AND b.vec_id < a.vec_id)) AS has_better
+       |  FROM bcs a JOIN bcs b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
+       |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
+       |  GROUP BY a.vec_id),
+       |bsdrop AS (
+       |  SELECT bcs.vec_id AS doc_id FROM bcs
+       |  LEFT JOIN bpc ON bpc.id_a = bcs.vec_id
+       |  LEFT JOIN bpb ON bpb.id_a = bcs.vec_id
+       |  WHERE bpc.id_a IS NOT NULL OR coalesce(bpb.has_better, false)),
+       |bd2 AS MATERIALIZED (
+       |  SELECT bsdocs.* FROM bsdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM bsdrop)),
+       |bcdg AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(w) - 3),
+       |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bd2) b4
+       |  WHERE len(w) >= 5),
+       |bcflag AS (SELECT DISTINCT doc_id FROM bcdg JOIN cbg USING (gram)),
+       |bclean AS MATERIALIZED (
+       |  SELECT bd2.doc_id, bd2.text FROM bd2
+       |  WHERE bd2.doc_id NOT IN (SELECT doc_id FROM bcflag)),
+       |bbt AS (SELECT doc_id, n_tokens FROM ($bpeB) bq2),
+       |bo AS (
+       |  SELECT
+       |    CAST(row_number() OVER (
+       |      ORDER BY md5('${Packing.ShuffleSalt}:'
+       |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS bpos,
+       |    doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM bclean),
+       |bman AS (
+       |  SELECT cstat.c_max_shard + 1
+       |      + bpos // $PipelineDocsPerShard AS shard_id,
+       |    count(*) AS n_docs,
+       |    min(bpos + cstat.c_n_docs) AS first_pos,
+       |    max(bpos + cstat.c_n_docs) AS last_pos,
+       |    CAST(sum(bo.nt) AS BIGINT) AS n_ws_tokens,
+       |    CAST(sum(bbt.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |    (CAST(sum(bbt.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
+       |      // $PipelineSeqBudget AS n_seqs,
+       |    md5(string_agg(CAST(bo.doc_id AS VARCHAR), ',' ORDER BY bpos))
+       |      AS shard_digest
+       |  FROM bo JOIN bbt USING (doc_id) CROSS JOIN cstat
+       |  GROUP BY 1)
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 0 AS is_batch FROM cman
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 1 AS is_batch FROM bman
+       |ORDER BY shard_id""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> pipelineSql,
+    "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "contamination_check" ->
       s"""WITH $contamSqlCtes
         |SELECT d.doc_id,

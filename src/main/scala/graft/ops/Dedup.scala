@@ -1676,6 +1676,45 @@ object Dedup {
         min(col("doc_id")).as("keeper"))
       .filter(col("nd") >= 2)
       .select(col("gh"), col("keeper"))
+    spanStripFrom(base, grams, census, n)
+  }
+
+  /** INCREMENTAL SPAN EXCISION — the ACT form of [[dedupSpansIncrementalOn]]
+    * (completing the measure/act pair at span granularity the way
+    * `dedup_lines`/`dedup_lines_incremental` pair at line granularity): a
+    * NEW batch's duplicated runs are excised against the maintained corpus
+    * [[spanCensus]] plus the batch's own grams. The keeper rule composes
+    * keep-min with the frozen-corpus discipline: a gram present in the
+    * CORPUS at all is already canonically held there (corpus documents
+    * predate every batch document), so every batch occurrence is excised;
+    * a batch-only duplicated gram keeps its minimum batch doc_id. Batch-
+    * sized work only — the corpus contributes census rows, never text.
+    */
+  def dedupSpansStripIncrementalOn(corpusCensus: DataFrame,
+      batch: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span gram length must be >= 2, got $n")
+    val base = spanBase(batch)
+    val grams = spanGrams(base, n)
+    // keeper = −1 marks "held by the corpus": no batch doc_id matches it,
+    // so the strip join excises every batch occurrence of the gram
+    val census = grams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("nb"),
+        min(col("doc_id")).as("bkeeper"))
+      .join(corpusCensus.select(col("gh"), col("n_docs").as("nc")),
+        Seq("gh"), "left")
+      .filter(col("nb") + coalesce(col("nc"), lit(0L)) >= 2)
+      .select(col("gh"),
+        when(coalesce(col("nc"), lit(0L)) > 0, lit(-1L))
+          .otherwise(col("bkeeper")).as("keeper"))
+    spanStripFrom(base, grams, census, n)
+  }
+
+  /** Shared excision tail of the span-strip pair: strip starts from the
+    * duplicated-gram `census` (`(gh, keeper)`), merged excision intervals,
+    * complement rebuild.
+    */
+  private def spanStripFrom(base: DataFrame, grams: DataFrame,
+      census: DataFrame, n: Int): DataFrame = {
     // merged excision intervals [lo, hi] from the sorted starts — one
     // linear fold, run BEFORE the rebuild join so the join ships one
     // bounded interval list per duplicated doc (never per-start rows).

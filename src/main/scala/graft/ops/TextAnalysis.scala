@@ -721,12 +721,21 @@ object TextAnalysis {
     * how a learned vector ships at serving time). Zero shuffle; exact
     * integer arithmetic.
     */
-  private[graft] def qualityLmSumMilli(tokens: Column): Column = {
-    val w = array(QualityLmWeights.map(lit(_)): _*)
+  private[graft] def qualityLmSumMilli(tokens: Column): Column =
+    qualityLmSumMilliWith(tokens, QualityLmWeights)
+
+  /** The same in-row fold over ANY weight vector — the slot a freshly
+    * TRAINED artifact ([[qualityTrainLmOn]]) drops into when it is small
+    * enough to ship as a plan literal (the suite pins both serving
+    * shapes identical on the trained weights).
+    */
+  private[graft] def qualityLmSumMilliWith(tokens: Column,
+      weights: Seq[Long]): Column = {
+    val w = array(weights.map(lit(_)): _*)
     aggregate(tokens, lit(0L), (acc, t) =>
       acc + element_at(w,
         (pmod(conv(substring(md5(t), 1, 15), 16, 10).cast(LongType),
-          lit(QualityLmBuckets.toLong)) + 1).cast(IntegerType)))
+          lit(weights.size.toLong)) + 1).cast(IntegerType)))
   }
 
   /** The logistic step over an ALREADY-COMPUTED milli sum — split from
@@ -925,6 +934,86 @@ object TextAnalysis {
     qualityScoreLmWeighted(table(spark, sfDir, "documents"),
       qualityLmWeightsFrame(spark), QualityLmBuckets)
       .orderBy(col("doc_id"))
+
+  /** THE QUALITY SCORER'S LEARN STEP — the train side of the
+    * `quality_score_lm`/`quality_score_lm_table` serving pair, closing
+    * the last train/serve asymmetry (the tokenizer has
+    * `bpe_train`/`tokenize_bpe`, clustering has `cluster_kmeans_int`/
+    * `cluster_assign_batch`): fit the per-bucket weight table from
+    * LABELED head/tail corpora as the Laplace-smoothed log-count-ratio —
+    * the naive-Bayes feature weights of Wang & Manning 2012 (NBSVM) and
+    * the init a fastText quality classifier converges near on hashed
+    * unigrams (the CCNet/GPT-3 quality-filter bootstrap: label by a
+    * trusted source split, fit, serve everywhere else). Per bucket b:
+    *
+    *   r_b = ((pos_b + 1) · (N + B)) / ((neg_b + 1) · (P + B))
+    *   weight_milli(b) = round(1000 · ln(round(r_b, 9)))
+    *
+    * with pos_b/neg_b the class token counts hashing into b, P/N the
+    * class totals, B the bucket count (add-one smoothing over the hashed
+    * feature space — unseen buckets get the class-imbalance prior).
+    *
+    * Determinism contract: counts and both products are exact BIGINT;
+    * the ratio is ONE IEEE division of identical operands rounded to
+    * 9 dp before ln (the ngram_lm_score libm discipline), and the milli
+    * weight is rounded once to the integer grid — verified across the
+    * harness sfs. (Headroom: (pos_b+1)·(N+B) < 2⁶³ up to ~10⁹-token
+    * class corpora; a larger run rescales — the search_bm25 note.)
+    *
+    * Output: the DENSE `(bucket, n_pos, n_neg, weight_milli)` artifact —
+    * exactly the frame [[qualityScoreLmWeighted]] serves, so train→serve
+    * is one handoff (suite-pinned: the trained table through the
+    * broadcast-join server equals the same weights through the
+    * plan-literal fold server).
+    *
+    * Scale shape: one map-side-combining groupBy on the bucket id (the
+    * shuffle carries ≤ B rows per partition after partial aggregation),
+    * one 1-row totals broadcast, one broadcast join against the B-row
+    * dense spine — corpus-sized data crosses the wire exactly once, as
+    * hashed ids. Training is CHEAPER than serving at scale, as it
+    * should be.
+    */
+  def qualityTrainLmOn(docs: DataFrame, labelPos: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = docs.sparkSession
+    val counts = docs.filter(col("text").isNotNull)
+      .select(labelPos.as("pos"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast(LongType),
+          lit(nBuckets.toLong)))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("pos"), lit(1))).as("n_pos"),
+        count(when(!col("pos"), lit(1))).as("n_neg"))
+    val tot = counts.agg(sum(col("n_pos")).as("p_tot"),
+      sum(col("n_neg")).as("n_tot"))
+    spark.range(nBuckets).select(col("id").as("bucket"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_pos"), lit(0L)).as("n_pos"),
+        coalesce(col("n_neg"), lit(0L)).as("n_neg"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        (col("n_pos") + 1L) * (col("n_tot") + nBuckets.toLong))
+      .withColumn("den",
+        (col("n_neg") + 1L) * (col("p_tot") + nBuckets.toLong))
+      .select(col("bucket"), col("n_pos"), col("n_neg"),
+        round(log(round(
+          col("num").cast(DoubleType) / col("den").cast(DoubleType), 9))
+          * 1000, 0).cast(LongType).as("weight_milli"))
+  }
+
+  /** `quality_train_lm` checked key: [[qualityTrainLmOn]] over the
+    * documents corpus labeled by its own `lang` column (positive = 'en',
+    * the trusted-source split a CCNet-style bootstrap uses) at the
+    * frozen scorer's [[QualityLmBuckets]]. The learned structure matches
+    * the frozen vector's: buckets hit by the English stopword features
+    * come out positive (suite-pinned).
+    */
+  def qualityTrainLm(spark: SparkSession, sfDir: String): DataFrame =
+    qualityTrainLmOn(table(spark, sfDir, "documents"),
+      col("lang") === "en", QualityLmBuckets)
+      .orderBy(col("bucket"))
 
   // independent recompute of the frozen scorer: the oracle re-derives
   // bucket membership from the generating rule (md5 60-bit bucket of
@@ -1125,6 +1214,11 @@ object TextAnalysis {
           "(10 * s_total * tf + 3 * s_total + 9 * dl * n_total)"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
+      // zero-score candidates never occupy rank slots (ADVICE r14): at
+      // large df or long docs every term_score can truncate to 0, and a
+      // candidate that matched only such terms is indistinguishable from
+      // a non-match — rank real scores only (mirrored in the twin)
+      .filter(col("score") > 0)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
@@ -1239,13 +1333,20 @@ object TextAnalysis {
     * interpolate from the SAME frozen constants as the Spark gate, so the
     * twins cannot drift; `corpus_pipeline`'s composed twin reuses it.
     */
-  private[graft] def gopherSqlCtes(src: String): String = {
+  private[graft] def gopherSqlCtes(src: String): String =
+    gopherSqlCtes(src, "")
+
+  /** Prefixed variant (`${pre}gd`/`${pre}gs`/`${pre}gk`) so two gate
+    * instances can coexist in one composed statement — the incremental
+    * pipeline twin gates the corpus and the batch chains side by side.
+    */
+  private[graft] def gopherSqlCtes(src: String, pre: String): String = {
     val stops = Stopwords.map(s => s"'$s'").mkString(", ")
-    s"""gd AS (
+    s"""${pre}gd AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS gw,
        |    string_split(text, chr(10)) AS gl
        |  FROM $src WHERE text IS NOT NULL),
-       |gs AS (
+       |${pre}gs AS (
        |  SELECT doc_id,
        |    CAST(len(gw) AS BIGINT) AS n_words,
        |    round(CAST(length(text) - (len(gw) - 1) AS DOUBLE) / len(gw), 6)
@@ -1264,8 +1365,8 @@ object TextAnalysis {
        |      AS ellipsis_line_frac,
        |    CAST(len(list_filter(gw, t -> t IN ($stops))) AS BIGINT)
        |      AS stop_hits
-       |  FROM gd),
-       |gk AS (
+       |  FROM ${pre}gd),
+       |${pre}gk AS (
        |  SELECT *,
        |    (n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
        |     AND mean_word_len >= $GopherMinMeanWordLen
@@ -1275,7 +1376,7 @@ object TextAnalysis {
        |     AND bullet_line_frac <= $GopherMaxBulletFrac
        |     AND ellipsis_line_frac <= $GopherMaxEllipsisFrac
        |     AND stop_hits >= $GopherMinStopHits) AS keep_gopher
-       |  FROM gs)""".stripMargin
+       |  FROM ${pre}gs)""".stripMargin
   }
 
   /** Generated twin of [[bpeTrainOn]]: the weighted piece dictionary,
@@ -1428,7 +1529,7 @@ object TextAnalysis {
          |  SELECT query_id, doc_id, score,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
-         |  FROM s)
+         |  FROM s WHERE score > 0)
          |SELECT query_id, doc_id, score, rnk FROM r
          |WHERE rnk <= $SearchTopK
          |ORDER BY query_id, rnk""".stripMargin,
@@ -1497,6 +1598,35 @@ object TextAnalysis {
     // literal form, so it is graded against the IDENTICAL independent
     // recompute — a hash mismatch isolates the lookup-join path
     "quality_score_lm_table" -> qualityLmSql,
+    // independent recompute of the learn step: same md5 bucket hash,
+    // class counts, exact BIGINT smoothing products, one 9-dp-rounded
+    // division into ln, milli grid — over a dense range() bucket spine
+    "quality_train_lm" ->
+      s"""WITH tk AS (
+         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |bc AS (
+         |  SELECT CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+         |      % $QualityLmBuckets AS bucket,
+         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_pos,
+         |    CAST(count(*) FILTER (WHERE lang != 'en') AS BIGINT) AS n_neg
+         |  FROM tk GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+         |    CAST(sum(n_neg) AS BIGINT) AS n_tot FROM bc),
+         |dense AS (
+         |  SELECT sp.b AS bucket,
+         |    coalesce(bc.n_pos, 0) AS n_pos,
+         |    coalesce(bc.n_neg, 0) AS n_neg
+         |  FROM (SELECT unnest(range(0, $QualityLmBuckets)) AS b) sp
+         |  LEFT JOIN bc ON bc.bucket = sp.b)
+         |SELECT bucket, n_pos, n_neg,
+         |  CAST(round(1000 * ln(round(
+         |    CAST((n_pos + 1) * (n_tot + $QualityLmBuckets) AS DOUBLE) /
+         |    CAST((n_neg + 1) * (p_tot + $QualityLmBuckets) AS DOUBLE),
+         |    9)), 0) AS BIGINT) AS weight_milli
+         |FROM dense CROSS JOIN tot
+         |ORDER BY bucket""".stripMargin,
     // generation-rule twin: no regex, no markup — the expected output is
     // rebuilt directly from the planting arithmetic (first-3-token
     // title, 10-token paragraph chunks, %13 empty bodies; the %7 nested

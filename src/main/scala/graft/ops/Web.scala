@@ -166,15 +166,6 @@ object Web {
   def urlBlocklistOn(urls: DataFrame, domains: Seq[String],
       prefixes: Seq[String]): DataFrame = {
     require(domains.nonEmpty || prefixes.nonEmpty, "empty blocklist")
-    // the graded twin interpolates these rules into SQL string/LIKE
-    // literals, so a quote or LIKE metacharacter in a rule would break or
-    // mis-match the generated oracle — fail fast here (ADVICE r13): real
-    // deny-list entries are hostnames/URL prefixes and never carry them
-    (domains ++ prefixes).foreach { r =>
-      require(!r.exists(c => c == '\'' || c == '%' || c == '_'),
-        s"blocklist rule '$r' contains a quote or LIKE metacharacter " +
-          "(', %, _) — unsupported by the rule-to-SQL generation")
-    }
     val norm = urlNormalizeOn(urls)
     val host = regexp_extract(col("url_norm"),
       "^[a-z][a-z0-9+.-]*://([^/:?]+)", 1)
@@ -351,22 +342,47 @@ object Web {
     hostStatsOn(urlStructured(docs), docs).orderBy(col("host"))
   }
 
+  /** SQL-literal / LIKE-pattern escaping for the rule→oracle generation
+    * (ADVICE r14 — the escaping replaces the old require that rejected
+    * legitimate underscored rules): quotes double per the SQL literal
+    * rule; LIKE metacharacters (backslash, %, _) are escaped under
+    * `ESCAPE '\'`, so a deny-list entry like `/user_profiles/` matches
+    * itself literally in the generated twin instead of as a wildcard.
+    * The runtime API accepts any rule string — only the SQL TEXT is
+    * escaped; the matched values are unchanged.
+    */
+  private[graft] def sqlLit(s: String): String = s.replace("'", "''")
+  private[graft] def likeLit(s: String): String =
+    sqlLit(s).replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
   /** Shared planting CTE for the twins — page identity + the raw URL,
     * mirrored from [[urlStructured]]'s arithmetic. Parameterized by the
     * source CTE/table so `corpus_pipeline`'s composed twin can plant over
     * its own base set.
     */
   private[graft] def plantSqlFrom(src: String): String =
-    plantSql.replace("FROM documents)", s"FROM $src)")
+    plantSqlP("", src)
 
-  private def plantSql: String =
-    """p AS (
+  /** Prefixed plant: every CTE name (`p`/`u`/`norm`/`canon`) gets `pre`,
+    * so two plants can coexist in one composed statement — the
+    * incremental-pipeline twin plants the corpus and the batch side by
+    * side (callers reference `${pre}canon`).
+    */
+  private[graft] def plantSqlP(pre: String, src: String): String =
+    plantSqlTemplate
+      .replace("FROM documents)", s"FROM $src)")
+      .replace("@", pre)
+
+  private def plantSql: String = plantSqlP("", "documents")
+
+  private val plantSqlTemplate: String =
+    """@p AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 20 <= 1 THEN doc_id - doc_id % 20
       |         WHEN doc_id % 20 = 13 THEN doc_id - 2
       |         ELSE doc_id END AS page_n
       |  FROM documents),
-      |u AS (
+      |@u AS (
       |  SELECT doc_id,
       |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END) ||
       |    '://' ||
@@ -385,8 +401,8 @@ object Web {
       |             THEN 'b=' || CAST(page_n % 9 AS VARCHAR) END,
       |        CASE WHEN page_n % 4 = 0 THEN 'a=1' END,
       |        CASE WHEN doc_id % 3 = 0 THEN 'utm_medium=rss' END) AS q
-      |    FROM p)),
-      |norm AS (
+      |    FROM @p)),
+      |@norm AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      AS scheme,
@@ -402,8 +418,8 @@ object Web {
       |    SELECT doc_id, url, nf,
       |      regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
       |    FROM (SELECT doc_id, url,
-      |            regexp_replace(url, '#.*$', '') AS nf FROM u))),
-      |canon AS (
+      |            regexp_replace(url, '#.*$', '') AS nf FROM @u))),
+      |@canon AS (
       |  SELECT doc_id, url,
       |    scheme || '://' || host ||
       |    (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
@@ -419,7 +435,7 @@ object Web {
       |        string_split(query, '&'),
       |        x -> x <> '' AND NOT regexp_matches(x,
       |          '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS qn
-      |    FROM norm))""".stripMargin
+      |    FROM @norm))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "url_normalize" ->
@@ -431,11 +447,12 @@ object Web {
     "url_blocklist" -> {
       val cases =
         BlockedDomains.map(d =>
-          s"""CASE WHEN host = '$d' OR host LIKE '%.$d'
-             |      THEN 'domain:$d' END""".stripMargin) ++
+          s"""CASE WHEN host = '${sqlLit(d)}'
+             |        OR host LIKE '%.${likeLit(d)}' ESCAPE '\\'
+             |      THEN 'domain:${sqlLit(d)}' END""".stripMargin) ++
         BlockedPrefixes.map(p =>
-          s"""CASE WHEN url_norm LIKE '$p%'
-             |      THEN 'prefix:$p' END""".stripMargin)
+          s"""CASE WHEN url_norm LIKE '${likeLit(p)}%' ESCAPE '\\'
+             |      THEN 'prefix:${sqlLit(p)}' END""".stripMargin)
       s"""WITH $plantSql,
          |h AS (
          |  SELECT doc_id, url_norm,

@@ -602,6 +602,122 @@ class ExtensionsSpec extends SparkSpec {
       s"content gates must cut below the URL-stage ceiling ($capped)")
   }
 
+  test("corpus_pipeline_incremental: corpus shards immutable, append-only " +
+      "geometry, corpus states bite, re-fed corpus fully absorbed") {
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.take(8).toList
+    val out = Curation.corpusPipelineIncremental(spark, sf).collect()
+    spark.catalog.clearCache()
+    val (cRows, bRows) = out.partition(_.getInt(8) == 0)
+    assert(cRows.nonEmpty && bRows.nonEmpty)
+    // IMMUTABILITY: the is_batch=0 rows are byte-identical to the corpus's
+    // own full-pipeline run — appending a batch never rewrites a shipped
+    // shard (the trainer may already hold it)
+    val corpusOnly = Curation.corpusPipelineOn(
+      docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 0), emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(cRows.map(key).toSet == corpusOnly.map(key).toSet,
+      "batch append must not perturb corpus shards")
+    // APPEND-ONLY GEOMETRY: batch shards start after the corpus's last
+    // shard, positions continue contiguously after the corpus's last doc
+    val cMax = cRows.map(_.getLong(0)).max
+    val cN = cRows.map(_.getLong(1)).sum
+    assert(bRows.map(_.getLong(0)).min == cMax + 1)
+    val bPos = bRows.map(r => (r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(bPos.head._1 == cN, "batch positions must continue the corpus")
+    assert(bPos.sliding(2).forall {
+      case Array((_, hi), (lo2, _)) => lo2 == hi + 1
+      case _ => true
+    })
+    assert(out.forall(_.getString(7).matches("[0-9a-f]{32}")))
+    // THE STATES BITE: the screened batch keeps strictly fewer docs than
+    // the same batch run through the FULL pipeline standalone (the
+    // straddling planted pairs are corpus dups only the censuses can see)
+    val standalone = Curation.corpusPipelineOn(
+      docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 1), emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(bRows.map(_.getLong(1)).sum < standalone.map(_.getLong(1)).sum,
+      "corpus states must remove batch docs the standalone run keeps")
+    // ABSORPTION: re-feeding the shipped corpus as the batch appends
+    // NOTHING — every re-crawled URL is a corpus dup at the frontier
+    // screen, so the output is exactly the corpus manifest
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val corpusEven = live.filter(col("doc_id") % 2 === 0)
+    val refed = Curation.corpusPipelineIncrementalOn(corpusEven, corpusEven,
+      docs.filter(col("doc_id") < 20 && col("text").isNotNull), emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(refed.forall(_.getInt(8) == 0), "re-fed corpus must append nothing")
+    assert(refed.map(key).toSet == corpusOnly.map(key).toSet)
+  }
+
+  test("quality_train_lm: stopword buckets learn positive weights, the " +
+      "trained artifact serves identically through both shapes, and the " +
+      "learned direction separates the classes") {
+    import graft.ops.TextAnalysis
+    val trained = TextAnalysis.qualityTrainLm(spark, sf).collect()
+    assert(trained.length == TextAnalysis.QualityLmBuckets)
+    assert(trained.map(_.getLong(0)).toSeq ==
+      (0L until TextAnalysis.QualityLmBuckets).toSeq)
+    // the learned structure matches the frozen vector's: the buckets the
+    // frozen scorer marks as stopword features (+1000) learn positive
+    // log-count-ratios from the en-vs-other split — as a POPULATION
+    // (hashing collisions pollute individual buckets by design: a stop
+    // bucket shared with a frequent non-en token — or a stopword like
+    // 'a' that is also es/fr vocabulary — can dip negative; the model's
+    // signal is the separation, not any single bucket)
+    val stopBuckets = TextAnalysis.QualityLmWeights.zipWithIndex
+      .filter(_._1 == 1000L).map(_._2.toLong).toSet
+    // (empty buckets carry the class-size smoothing prior, and OCCUPIED
+    // non-stop buckets split by their words' language — en content words
+    // learn positive weights too — so per-population mean comparisons
+    // measure corpus composition, not the model; the decisive functional
+    // pin is the classifier-accuracy assertion below)
+    val stopW = trained.filter(r => stopBuckets.contains(r.getLong(0)))
+    assert(stopW.count(_.getLong(3) > 0L) * 3 >= stopW.length * 2,
+      s"only ${stopW.count(_.getLong(3) > 0L)}/${stopW.length} stop " +
+        "buckets learned positive weights")
+    // train→serve handoff: the trained table through the broadcast-join
+    // server equals the same weights through the plan-literal fold server
+    val docs = Tables.table(spark, sf, "documents")
+    val weightsSeq = trained.sortBy(_.getLong(0)).map(_.getLong(3)).toSeq
+    val viaTable = TextAnalysis.qualityScoreLmWeighted(docs,
+        TextAnalysis.qualityTrainLm(spark, sf)
+          .select(col("bucket"), col("weight_milli")),
+        TextAnalysis.QualityLmBuckets)
+      .orderBy(col("doc_id")).collect()
+    val viaLiteral = docs.filter(col("text").isNotNull)
+      .withColumn("tokens", split(col("text"), " "))
+      .withColumn("w_sum_milli",
+        TextAnalysis.qualityLmSumMilliWith(col("tokens"), weightsSeq))
+      .select(col("doc_id"), col("w_sum_milli"))
+      .orderBy(col("doc_id")).collect()
+    assert(viaTable.length == viaLiteral.length)
+    viaTable.zip(viaLiteral).foreach { case (t, l) =>
+      assert(t.getLong(0) == l.getLong(0))
+      assert(t.getLong(2) == l.getLong(1),
+        s"doc ${t.getLong(0)}: table sum ${t.getLong(2)} != " +
+          s"literal sum ${l.getLong(1)}")
+    }
+    // the learned DIRECTION separates the classes: en docs' served milli
+    // sums sit measurably above every other class's (the synthetic corpus
+    // shares most content vocabulary across langs, so a usable absolute
+    // threshold is a CALIBRATION step — the CCNet percentile-bucket move
+    // sample_quality_buckets implements — not part of the fit contract)
+    val lang = docs.select(col("doc_id"), (col("lang") === "en").as("en"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val (enRows, otherRows) = viaTable.partition(r => lang(r.getLong(0)))
+    val meanEn = enRows.map(_.getLong(2)).sum.toDouble / enRows.length
+    val meanOther = otherRows.map(_.getLong(2)).sum.toDouble /
+      otherRows.length
+    assert(meanEn > meanOther + 100,
+      s"no class separation: en mean $meanEn vs other mean $meanOther")
+  }
+
   test("sample_quality_buckets: frozen thresholds decide the bucket, " +
       "the salted draw keeps at the bucket rates") {
     import graft.ops.TextAnalysis

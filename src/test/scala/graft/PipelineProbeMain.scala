@@ -61,13 +61,16 @@ object PipelineProbeMain {
       .filter(col("kept_tokens") > 0)
       .select(col("doc_id"), col("clean_text").as("text")).localCheckpoint(true)
     lap("stripped", stripped.count())
-    val semKeep = Dedup.dedupSemanticOn(
+    // mirror corpusPipelineOn exactly (ADVICE r14): anti-join against the
+    // DROP set, so survivors WITHOUT embedding rows pass — a semi-join on
+    // the keep set would drop them and misstate downstream cardinalities
+    val semDrop = Dedup.dedupSemanticOn(
         embeddings.join(stripped.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi"),
         64, 0.42)
-      .filter(col("keep"))
+      .filter(!col("keep"))
       .select(col("vec_id").as("doc_id"))
-    val docs2 = stripped.join(semKeep, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    val docs2 = stripped.join(semDrop, Seq("doc_id"), "left_anti").localCheckpoint(true)
     lap("docs2_semantic", docs2.count())
     val clean = Curation.contaminationStripOn(docs2, benchmark, 5).localCheckpoint(true)
     lap("clean_contam", clean.count())
