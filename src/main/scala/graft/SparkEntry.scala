@@ -233,6 +233,10 @@ object SparkEntry {
     // epoch composition: mix_sample instances ordered per-epoch by
     // salted deterministic shuffle (reproducible, distinct epochs)
     "epoch_order" -> (Packing.epochOrder _),
+    // the chain composed: mixture instances in the epoch permutation,
+    // id streams cut at the budget via a two-phase GLOBAL token cumsum,
+    // sequences gathered into contiguous shards — what a loader reads
+    "pack_gather_epoch" -> (Packing.packGatherEpoch _),
     // streaming ingest throttle: per-(user, day) min-k sketch state
     "stream_rate_cap" -> (Streams.rateCapQuery _),
     // watermarked tumbling-window aggregate flushed via the sentinel batch

@@ -334,11 +334,7 @@ object Packing {
     * graded two-epoch proof.
     */
   def epochOrderOn(docs: DataFrame): DataFrame = {
-    val inst = Sources.mixSample(docs, col("doc_id"), col("source"),
-      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
-      defaultWeight = 0.5, salt = "mix_v1")
-      .select((col("doc_id") * MixMaxCopies + col("copy_idx"))
-        .as("doc_id"))
+    val inst = mixtureInstances(docs).select(col("inst").as("doc_id"))
     EpochSalts.zipWithIndex.map { case (salt, e) =>
       shuffleDeterministicOn(inst, salt)
         .select(lit(e).as("epoch"), col("pos"),
@@ -346,6 +342,16 @@ object Packing {
           (col("doc_id") % MixMaxCopies).as("copy_idx"))
     }.reduce(_ unionAll _)
   }
+
+  /** The graded mixture lifted to dense instance ids — ONE source for
+    * `epoch_order` and `pack_gather_epoch`, so the two keys' mixture
+    * draws cannot drift.
+    */
+  private[graft] def mixtureInstances(docs: DataFrame): DataFrame =
+    Sources.mixSample(docs, col("doc_id"), col("source"),
+      Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+      defaultWeight = 0.5, salt = "mix_v1")
+      .select((col("doc_id") * MixMaxCopies + col("copy_idx")).as("inst"))
 
   /** `epoch_order` checked key: two epochs of the mixture-replicated
     * documents corpus. The twin replants the identical mixture draw and
@@ -355,6 +361,128 @@ object Packing {
   def epochOrder(spark: SparkSession, sfDir: String): DataFrame =
     epochOrderOn(table(spark, sfDir, "documents"))
       .orderBy(col("epoch"), col("pos"))
+
+  /** Sequences per training shard for the graded epoch gather, and the
+    * number of contiguous position ranges the two-phase global token
+    * cumsum buckets into (md5-uniform `pos` → balanced ranges; 256 keeps
+    * the prefix window trivial while bounding each range at N/256 rows).
+    */
+  val EpochSeqsPerShard = 16L
+  private val CumsumBuckets = 256L
+
+  /** EPOCH-ORDER GATHER — the last composition of the training-data
+    * assembly chain, the artifact a trainer's loader consumes for ONE
+    * epoch: the mixture's instances ([[mixtureInstances]] — upweighted
+    * documents appear `floor(w) + Bernoulli(frac)` times), visited in the
+    * epoch's salted permutation ([[shuffleDeterministicOn]]), their
+    * frozen-BPE id streams concatenated in that order and cut into
+    * `budget`-token sequences, each materialized as its token-id array
+    * and grouped into contiguous `seqsPerShard`-sequence shards (shards
+    * are consecutive sequence files — the loader reads them in order).
+    * `pack_gather_ids` proves the cut+gather against hash shards in
+    * doc_id order; `epoch_order` proves the visit order; this key proves
+    * mixture → order → pack → gather COMPOSED.
+    *
+    * Scale shape — the new piece is the GLOBAL running token sum in
+    * epoch order without a corpus-sized single-partition window: `pos`
+    * is already a dense global rank, so rows bucket into
+    * [[CumsumBuckets]] contiguous pos ranges (`(pos · 256) div n_inst`
+    * off a one-row count broadcast — the anomaly_zscore pattern), per-
+    * bucket token totals prefix-sum in a 256-row window, offsets
+    * broadcast back, and the within-bucket running sum completes the
+    * global cumsum — the `shuffle_deterministic` two-phase discipline
+    * applied to a SUM instead of a COUNT. After that the span arithmetic
+    * is [[packSequences]]' (integer `div`, exact past 2⁵³), the ids
+    * frame ships once per span through the src-doc hash join
+    * (co-located under doc_id bucketing at scale), and the
+    * (shard, seq_id) exchange carries ≤ budget tokens per output row.
+    *
+    * Instances whose document has no tokens (NULL text or an empty id
+    * stream) occupy no token space and drop BEFORE ranking — the stream
+    * order over survivors is the epoch permutation restricted to them
+    * (md5 keys are per-instance, so filtering preserves relative order).
+    *
+    * Output per sequence: (shard, seq_id, n_spans, seq_len, token_ids),
+    * `seq_id` global in epoch order, `seq_len` = budget everywhere but
+    * the final sequence. Unordered.
+    */
+  def packGatherEpochOn(docs: DataFrame, salt: String, budget: Int,
+      seqsPerShard: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(seqsPerShard >= 1,
+      s"seqsPerShard must be >= 1, got $seqsPerShard")
+    val enc = TextAnalysis.tokenizeBpe(docs)
+      .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
+        split(col("token_ids"), " ").as("ids"))
+      .filter(col("n_tokens") > 0)
+    val inst = mixtureInstances(docs)
+      .withColumn("src_doc", expr(s"inst div $MixMaxCopies"))
+      .join(enc.select(col("doc_id").as("src_doc"), col("n_tokens")),
+        Seq("src_doc"))
+    val ordered = shuffleDeterministicOn(
+        inst.select(col("inst").as("doc_id")), salt)
+      .select(col("pos"), col("doc_id").as("inst"))
+    val instTok = ordered
+      .join(inst.select(col("inst"), col("src_doc"), col("n_tokens")),
+        Seq("inst"))
+    val nTotal = instTok.agg(count(lit(1)).as("n_inst"))
+    val bucketed = instTok.crossJoin(broadcast(nTotal))
+      .withColumn("b", expr(s"(pos * $CumsumBuckets) div n_inst"))
+    val offsets = bucketed.groupBy(col("b"))
+      .agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("boff", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cum = bucketed
+      .join(broadcast(offsets.select(col("b"), col("boff"))), Seq("b"))
+      .withColumn("tok_end", col("boff") + sum(col("n_tokens")).over(
+        Window.partitionBy(col("b")).orderBy(col("pos"))))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+    cum
+      .withColumn("seq_id", explode(sequence(
+        expr(s"tok_start div $budget"),
+        expr(s"(tok_end - 1) div $budget"))))
+      .withColumn("span_start",
+        greatest(col("tok_start"), col("seq_id") * budget))
+      .withColumn("span_end",
+        least(col("tok_end"), (col("seq_id") + 1) * budget))
+      .select(col("src_doc"),
+        col("seq_id").cast(LongType).as("seq_id"),
+        (col("span_start") - col("seq_id") * budget)
+          .cast(IntegerType).as("seq_offset"),
+        (col("span_start") - col("tok_start")).as("doc_offset"),
+        (col("span_end") - col("span_start"))
+          .cast(IntegerType).as("span_len"))
+      .join(enc.select(col("doc_id").as("src_doc"), col("ids")),
+        Seq("src_doc"))
+      .select(expr(s"seq_id div $seqsPerShard").as("shard"), col("seq_id"),
+        col("seq_offset"), col("span_len"),
+        slice(col("ids"), (col("doc_offset") + 1).cast(IntegerType),
+          col("span_len")).as("piece"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len").cast(LongType)).as("seq_len"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("seq_offset"),
+              col("piece")))),
+            x => x.getField("piece"))),
+          " ").as("token_ids"))
+  }
+
+  /** `pack_gather_epoch` checked key: the mixture gathered for the
+    * SECOND epoch's permutation ([[EpochSalts]](1) — proving the
+    * non-default salt path end-to-end) at the graded budget,
+    * [[EpochSeqsPerShard]] sequences per shard. The twin replants the
+    * mixture, ranks with one direct global row_number, cumsums with one
+    * global window, and slices the generated BPE id streams in the
+    * epoch permutation — hash equality proves the composed chain.
+    */
+  def packGatherEpoch(spark: SparkSession, sfDir: String): DataFrame =
+    packGatherEpochOn(table(spark, sfDir, "documents"), EpochSalts(1),
+      GradedBudget, EpochSeqsPerShard)
+      .orderBy(col("shard"), col("seq_id"))
 
   /** DuckDB twin of `packSequencesQuery`: same BPE-ish token count, same
     * md5 shard hash, running sum + integer floor-division span derivation.
@@ -400,6 +528,71 @@ object Packing {
          |         - greatest(tok_start, seq_id * $GradedBudget))], ' ')
          |      AS piece
          |  FROM spans)
+         |SELECT shard, seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(span_len) AS BIGINT) AS seq_len,
+         |  string_agg(piece, ' ' ORDER BY seq_offset) AS token_ids
+         |FROM pieces GROUP BY shard, seq_id
+         |ORDER BY shard, seq_id""".stripMargin
+    },
+    // mixture replant + direct global row_number for the epoch rank +
+    // ONE global window cumsum (the orthogonal formulation of the
+    // two-phase bucketed sum) + the pack_gather_ids slice/reassembly
+    "pack_gather_epoch" -> {
+      val bpe = graft.functions.BpeTokenizer.oracleSqlFor("documents")
+      val salt = EpochSalts(1)
+      s"""WITH bpe AS (SELECT * FROM ($bpe) b),
+         |tc AS (
+         |  SELECT doc_id, n_tokens, string_split(token_ids, ' ') AS ids
+         |  FROM bpe WHERE n_tokens > 0),
+         |w AS (
+         |  SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+         |                WHEN 'src2' THEN 0.25 ELSE 0.5 END AS w,
+         |    CAST(CAST(concat('0x', substring(md5(
+         |        CAST(doc_id AS VARCHAR) || ':mix_v1'), 1, 15)) AS BIGINT)
+         |      AS DOUBLE) / 1152921504606846976 AS u
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(FLOOR(w) + CASE WHEN u < w - FLOOR(w) THEN 1 ELSE 0 END
+         |      AS BIGINT) AS n
+         |  FROM w),
+         |m AS (
+         |  SELECT doc_id, doc_id * $MixMaxCopies + j AS inst
+         |  FROM c, unnest(range(0, n)) AS t(j)
+         |  WHERE n > 0),
+         |mi AS (
+         |  SELECT m.inst, m.doc_id, tc.n_tokens
+         |  FROM m JOIN tc ON tc.doc_id = m.doc_id),
+         |o AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(row_number() OVER (
+         |      ORDER BY md5('$salt:' || CAST(inst AS VARCHAR)), inst) - 1
+         |      AS BIGINT) AS pos
+         |  FROM mi),
+         |cum AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY pos) AS BIGINT) AS tok_end
+         |  FROM o),
+         |spans AS (
+         |  SELECT doc_id, tok_end, tok_end - n_tokens AS tok_start,
+         |    unnest(range((tok_end - n_tokens) // $GradedBudget,
+         |                 (tok_end - 1) // $GradedBudget + 1)) AS seq_id
+         |  FROM cum),
+         |pieces AS (
+         |  SELECT seq_id // $EpochSeqsPerShard AS shard, seq_id,
+         |    CAST(greatest(tok_start, seq_id * $GradedBudget)
+         |      - seq_id * $GradedBudget AS INTEGER) AS seq_offset,
+         |    least(tok_end, (seq_id + 1) * $GradedBudget)
+         |      - greatest(tok_start, seq_id * $GradedBudget) AS span_len,
+         |    array_to_string(tc.ids[
+         |      (greatest(tok_start, seq_id * $GradedBudget) - tok_start + 1)
+         |      : (greatest(tok_start, seq_id * $GradedBudget) - tok_start
+         |         + least(tok_end, (seq_id + 1) * $GradedBudget)
+         |         - greatest(tok_start, seq_id * $GradedBudget))], ' ')
+         |      AS piece
+         |  FROM spans JOIN tc USING (doc_id))
          |SELECT shard, seq_id,
          |  CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(sum(span_len) AS BIGINT) AS seq_len,

@@ -306,6 +306,54 @@ class PackingSpec extends SparkSpec {
     } finally { gathered.unpersist(); () }
   }
 
+  test("epoch gather: the global sequence stream IS the mixture's id " +
+      "streams concatenated in the epoch permutation") {
+    import graft.ops.{Packing, TextAnalysis}
+    val docs = Tables.table(spark, sf, "documents")
+    val budget = Packing.GradedBudget
+    val gathered = Packing.packGatherEpoch(spark, sf).cache()
+    try {
+      // loader shape: id count == seq_len, every non-final sequence at
+      // full budget, shards are contiguous seq_id ranges
+      val withN = gathered
+        .withColumn("n_ids", size(split(col("token_ids"), " ")))
+      assert(withN.filter(col("n_ids") =!= col("seq_len")).count() == 0)
+      val maxSeq = gathered.agg(max("seq_id")).collect()(0).getLong(0)
+      assert(gathered.filter(col("seq_id") =!= maxSeq &&
+        col("seq_len") =!= budget).count() == 0,
+        "non-final sequence not at full budget")
+      assert(gathered.filter(
+        col("shard") =!= expr(s"seq_id div ${Packing.EpochSeqsPerShard}"))
+        .count() == 0, "shard must be the contiguous seq_id range")
+      // conservation ACROSS COPIES: total gathered tokens == Σ over
+      // mixture instances of the source doc's id-stream length (an
+      // upweighted doc contributes once PER COPY)
+      val enc = TextAnalysis.tokenizeBpe(docs)
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"), col("token_ids"))
+      val instTok = Packing.mixtureInstances(docs)
+        .withColumn("doc_id", expr(s"inst div ${Packing.MixMaxCopies}"))
+        .join(enc, Seq("doc_id"))
+      val wantTokens = instTok.agg(sum("n_tokens")).collect()(0).getLong(0)
+      val gotTokens = gathered.agg(sum("seq_len")).collect()(0).getLong(0)
+      assert(gotTokens == wantTokens,
+        s"token conservation: $gotTokens != $wantTokens")
+      // stream equality in the EPOCH permutation: concatenating ALL
+      // sequences in seq_id order reproduces concatenating the
+      // instances' id streams in epoch-1 pos order
+      val orderedInst = Packing.shuffleDeterministicOn(
+          instTok.select(col("inst").as("doc_id")), Packing.EpochSalts(1))
+        .select(col("pos"), col("doc_id").as("inst"))
+        .join(instTok.select(col("inst"), col("token_ids")), Seq("inst"))
+      def streamOf(df: org.apache.spark.sql.DataFrame, ord: String) =
+        df.agg(array_join(transform(
+          array_sort(collect_list(struct(col(ord), col("token_ids")))),
+          x => x.getField("token_ids")), " ")).collect()(0).getString(0)
+      assert(streamOf(gathered, "seq_id") == streamOf(orderedInst, "pos"),
+        "gathered stream diverges from the epoch-ordered instance streams")
+    } finally { gathered.unpersist(); () }
+  }
+
   test("epoch orders are distinct reproducible permutations of the " +
       "mixture instances") {
     import graft.ops.{Packing, Sources}
