@@ -289,6 +289,9 @@ object SparkEntry {
     "dedup_image" -> (Multimodal.dedupImage _),
     // new image batch vs corpus + within-batch, one-hop keep rule
     "dedup_image_incremental" -> (Multimodal.dedupImageIncremental _),
+    // the ladder's video rung: scene-cut keyframes → per-keyframe
+    // gradient dHash → banded hamming join → keep-min τ-fraction verdict
+    "dedup_video" -> (Multimodal.dedupVideo _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     // video keyframe slot: per-frame feature deltas, cut list in-row

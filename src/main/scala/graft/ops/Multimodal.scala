@@ -966,7 +966,256 @@ object Multimodal {
       CutThresholdMilli)
       .orderBy(col("doc_id"))
 
+  /** Video-plant geometry for `dedup_video`: [[VideoScenes]] scenes of
+    * [[VideoFramesPerScene]] identical frames, [[CutFrameBytes]] bytes
+    * each (512-byte payloads). Scene CONTENT derives from a scene key;
+    * the planted key-sharing rules create the ground truth: `{10k,
+    * 10k+1}` share every scene (a full re-upload — 10k+1 additionally
+    * carries a one-byte jitter in every frame, so only the PERCEPTUAL
+    * path can match it), and `10k+6` shares its first two scenes with
+    * `10k` (a partial re-edit — measured, below the τ flag). Bytes stay
+    * in the printable ASCII band (UTF-8 single-byte, the
+    * `mm_scene_cuts` corpus contract), and the jitter is applied
+    * WITHOUT mod-wrap so frame means shift ≤ 16 milli — the cut
+    * decisions of a pair stay aligned.
+    */
+  private[graft] val VideoScenes = 4
+  private[graft] val VideoFramesPerScene = 2
+  private[graft] val VideoTauMilli = 700L
+  private[graft] val VideoHamMax = 4L
+
+  /** Scene bytes = a per-scene DC LEVEL (md5 of the key, 12 steps of 8
+    * — consecutive different-key scenes differ by ≥ 8 byte units ≫ the
+    * 4-unit cut threshold, so cuts fire iff the scene key changes) plus
+    * per-byte md5 NOISE in [0, 7) (iid gradient bits — two different
+    * frames collide within hamming ≤ 4 with probability ~2⁻⁴⁰, so the
+    * banded join's matches are exactly the shared-key plants). Bytes
+    * stay ≤ 127 (single-byte UTF-8).
+    */
+  private[graft] def videoPayload(d: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // the engines' 60-bit md5 value (first 15 hex chars) computed
+    // numerically from the digest bytes — per-byte hex formatting here
+    // measured ~6× on the whole key at sf0.1
+    def h60(s: String): Long = {
+      val dg = md.digest(s.getBytes("UTF-8"))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dg(i) & 0xffL); i += 1 }
+      (v << 4) | ((dg(7) & 0xffL) >> 4)
+    }
+    val frameB = CutFrameBytes
+    val sceneB = VideoFramesPerScene * frameB
+    val n = VideoScenes * sceneB
+    val sb = new StringBuilder(n)
+    var s = 0
+    while (s < VideoScenes) {
+      val key =
+        if (d % 10 == 1) (d - 1) * 8 + s
+        else if (d % 10 == 6 && s < 2) (d - 6) * 8 + s
+        else d * 8 + s
+      val level = 32 + (h60(s"$key:L") % 12).toInt * 8
+      val noise = Array.tabulate(frameB)(q => (h60(s"$key:$q") % 7).toInt)
+      var f = 0
+      while (f < VideoFramesPerScene) {
+        var q = 0
+        while (q < frameB) {
+          val n0 = noise(q)
+          val jit = d % 10 == 1 && q == (d % frameB)
+          val b = level + n0 + (if (jit && n0 < 6) 1 else if (jit) -1 else 0)
+          sb.append(b.toChar)
+          q += 1
+        }
+        f += 1
+      }
+      s += 1
+    }
+    sb.toString
+  }
+
+  /** The planted video corpus — one payload per document id, built in
+    * the family's decode-loop territory (a per-byte rule is codec work;
+    * the expression form would be a 512-element interpreted lambda per
+    * row — the HOF cost trap).
+    */
+  private[graft] def videoStructured(docs: DataFrame): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    // the id spine hash-repartitions before the generation loop: the
+    // corpus parquet arrives in O(file) partitions, which would run the
+    // per-byte synthesis near-serially (measured ~3 s of the key at
+    // sf0.1); a real decode stage parallelizes the same way
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => (d, videoPayload(d))))
+      .toDF("doc_id", "text")
+  }
+
+  /** VIDEO NEAR-DUP — the multimodal dedup ladder's last rung, composed
+    * from three graded operators: [[sceneCutsOn]] selects keyframes
+    * (frame 0 plus every cut — the sampling a video corpus keeps), each
+    * keyframe gets a 63-bit byte-gradient dHash (the [[dHashImages]]
+    * gradient signature on the frame's byte sequence), the hashes go
+    * through the image family's 4×16-bit banded hamming join
+    * (pigeonhole: hamming ≤ [[VideoHamMax]] leaves ≥ 2 bands intact),
+    * and each video gets the SemDeDup-shaped verdict: duplicated iff
+    * ≥ τ of its keyframes match another video's AND a matching partner
+    * has a smaller id (keep-min — one copy of a re-upload pair
+    * survives). `dup_frac_milli` is exact integer milli (n_dup·1000 div
+    * n_kf — no float in the verdict).
+    *
+    * Scale shape: cut detection + hashing are scan-stage per-row work
+    * (the decode loop); the join shuffles 4 band rows of (16-bit key,
+    * id, frame_idx, 64-bit hash) per KEYFRAME — never frames, and
+    * keyframes are ~the scene rate of the corpus; the verdict is one
+    * doc_id aggregate. This is pHash-banding video dedup as run at
+    * scale: hash keyframes at ingest, band-join incrementally.
+    */
+  def dedupVideoOn(videos: DataFrame, frameBytes: Int,
+      thresholdMilli: Long, tauMilli: Long, hamMax: Long): DataFrame = {
+    require(frameBytes >= 2 && frameBytes <= 64,
+      s"frameBytes must be in [2, 64], got $frameBytes")
+    val cuts = sceneCutsOn(videos, frameBytes, thresholdMilli)
+    val kf = cuts.select(col("doc_id"),
+        explode(when(col("n_cuts") === 0, array(lit(0)))
+          .otherwise(concat(array(lit(0)),
+            expr("transform(split(cut_idxs, ','), x -> CAST(x AS INT))"))))
+          .as("frame_idx"))
+      .join(videos.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("frame", expr(
+        s"substring(text, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .withColumn("dhash", expr(
+        s"""aggregate(sequence(1, ${frameBytes - 1}), 0L, (acc, k) ->
+           |  acc + CASE WHEN ascii(substring(frame, k + 1, 1)) >
+           |                   ascii(substring(frame, k, 1))
+           |    THEN shiftleft(1L, k - 1) ELSE 0L END)""".stripMargin))
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val banded = withDhashBands(kf)
+      .select(col("doc_id"), col("frame_idx"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("frame_idx").as("kf_a"),
+      col("dhash").as("dh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val matches = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"), col("kf_a"))
+      .agg(min(col("doc_b")).as("min_partner"))
+    kf.select(col("doc_id"), col("frame_idx"))
+      .join(matches.select(col("doc_a").as("doc_id"),
+        col("kf_a").as("frame_idx"), col("min_partner")),
+        Seq("doc_id", "frame_idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_keyframes"),
+        count(col("min_partner")).as("n_dup_keyframes"),
+        min(col("min_partner")).as("min_partner"))
+      .withColumn("dup_frac_milli",
+        expr("n_dup_keyframes * 1000 div n_keyframes"))
+      .select(col("doc_id"), col("n_keyframes"), col("n_dup_keyframes"),
+        col("dup_frac_milli"), col("min_partner"),
+        coalesce(col("dup_frac_milli") >= tauMilli &&
+          col("min_partner") < col("doc_id"), lit(false))
+          .as("is_dup_video"))
+  }
+
+  /** `dedup_video` checked key: [[dedupVideoOn]] at the scene-cut
+    * geometry over the planted video corpus. The DuckDB twin never
+    * touches the payload strings — it recomputes frames, means, cuts,
+    * keyframes, gradient hashes, the banded join, and the verdict
+    * straight from the planting rule, so the hash gate proves the
+    * composed decode → cut → hash → join → verdict chain inverts the
+    * generation exactly.
+    */
+  def dedupVideo(spark: SparkSession, sfDir: String): DataFrame =
+    // the plant feeds two consumers (cut detection + the keyframe
+    // slice); persisted so the decode-loop generation runs once —
+    // released by the caller's clearCache contract
+    dedupVideoOn(videoStructured(table(spark, sfDir, "documents"))
+        .persist(),
+      CutFrameBytes, CutThresholdMilli, VideoTauMilli, VideoHamMax)
+      .orderBy(col("doc_id"))
+
   val oracleSql: Map[String, String] = Map(
+    // pure planting-rule recompute: frames → means → cuts → keyframes →
+    // gradient hashes → banded hamming → keep-min verdict, no strings
+    "dedup_video" -> {
+      val frameB = CutFrameBytes
+      val sceneB = VideoFramesPerScene * frameB
+      val nFrames = VideoScenes * VideoFramesPerScene
+      val keyExpr =
+        s"""CASE WHEN doc_id % 10 = 1 THEN (doc_id - 1) * 8 + fi // 2
+           |     WHEN doc_id % 10 = 6 AND fi // 2 < 2
+           |       THEN (doc_id - 6) * 8 + fi // 2
+           |     ELSE doc_id * 8 + fi // 2 END""".stripMargin
+      s"""WITH fr AS (
+         |  SELECT doc_id, fi, key,
+         |    32 + CAST(CAST(concat('0x', substring(md5(
+         |      CAST(key AS VARCHAR) || ':L'), 1, 15)) AS BIGINT) % 12
+         |      AS INTEGER) * 8 AS lvl
+         |  FROM (SELECT doc_id, fi, ($keyExpr) AS key
+         |        FROM documents, UNNEST(range(0, $nFrames)) AS t(fi))),
+         |fb AS (
+         |  SELECT doc_id, fi,
+         |    list_transform(range(0, $frameB), q ->
+         |      lvl
+         |      + CAST(CAST(concat('0x', substring(md5(
+         |          CAST(key AS VARCHAR) || ':' || CAST(q AS VARCHAR)),
+         |          1, 15)) AS BIGINT) % 7 AS INTEGER)
+         |      + CASE WHEN doc_id % 10 = 1 AND q = doc_id % $frameB
+         |             THEN CASE WHEN CAST(concat('0x', substring(md5(
+         |                 CAST(key AS VARCHAR) || ':'
+         |                 || CAST(q AS VARCHAR)), 1, 15)) AS BIGINT)
+         |                 % 7 < 6
+         |               THEN 1 ELSE -1 END
+         |             ELSE 0 END) AS bs
+         |  FROM fr),
+         |m AS (
+         |  SELECT doc_id, fi, bs,
+         |    CAST(list_sum(bs) AS BIGINT) * 1000 // $frameB AS mm
+         |  FROM fb),
+         |cut AS (
+         |  SELECT a.doc_id, a.fi AS kf
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1
+         |  WHERE abs(a.mm - b.mm) > $CutThresholdMilli),
+         |kfs AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS kf FROM documents
+         |  UNION ALL SELECT doc_id, kf FROM cut),
+         |h AS (
+         |  SELECT k.doc_id, k.kf,
+         |    CAST(list_sum(list_transform(range(1, $frameB), kk ->
+         |      CASE WHEN fb.bs[kk + 1] > fb.bs[kk]
+         |           THEN CAST(1 AS BIGINT) << (kk - 1)
+         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+         |  FROM kfs k JOIN fb ON fb.doc_id = k.doc_id AND fb.fi = k.kf),
+         |bands AS (
+         |  SELECT doc_id, kf, dhash, bi.i AS band_idx,
+         |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
+         |  FROM h, UNNEST(range(0, 4)) AS bi(i)),
+         |mt AS (
+         |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+         |    min(b.doc_id) AS min_partner
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $VideoHamMax
+         |  GROUP BY a.doc_id, a.kf),
+         |v AS (
+         |  SELECT k.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_keyframes,
+         |    CAST(count(mt.min_partner) AS BIGINT) AS n_dup_keyframes,
+         |    CAST(count(mt.min_partner) AS BIGINT) * 1000 // count(*)
+         |      AS dup_frac_milli,
+         |    min(mt.min_partner) AS min_partner
+         |  FROM kfs k LEFT JOIN mt
+         |    ON mt.doc_a = k.doc_id AND mt.kf_a = k.kf
+         |  GROUP BY k.doc_id)
+         |SELECT doc_id, n_keyframes, n_dup_keyframes, dup_frac_milli,
+         |  min_partner,
+         |  coalesce(dup_frac_milli >= $VideoTauMilli
+         |    AND min_partner < doc_id, false) AS is_dup_video
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
     // the identical frame/mean/delta arithmetic over character bytes;
     // `//` == `div` on the non-negative sums
     "mm_scene_cuts" ->

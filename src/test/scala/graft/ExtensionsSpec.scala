@@ -655,6 +655,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(refed.map(key).toSet == corpusOnly.map(key).toSet)
   }
 
+  test("dedup_video: planted re-uploads flagged via the perceptual path, " +
+      "partial re-edits measured below tau, keep-min holds") {
+    import graft.ops.Multimodal
+    val got = Multimodal.dedupVideo(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val maxDoc = got.keys.max
+    val fullPairs = got.keys.filter(d => d % 10 == 0 && got.contains(d + 1))
+    assert(fullPairs.nonEmpty)
+    // jittered re-uploads: the byte bump breaks EXACT frame equality
+    // (hamming 1-2 > 0), so a flagged pair proves the perceptual path
+    val flagged = fullPairs.count { d =>
+      val hi = got(d + 1)
+      hi.getBoolean(5) && !got(d).getBoolean(5) &&
+        hi.getLong(4) == d // min partner of the copy is the original
+    }
+    assert(flagged * 10 >= fullPairs.size * 8,
+      s"only $flagged/${fullPairs.size} planted pairs flagged keep-min")
+    // partial re-edits (2 of 4 scenes shared) sit below τ — except the
+    // ~1/144 tail where BOTH free scene boundaries land on equal DC
+    // levels (the video then has only shared keyframes); allow that tail
+    val partials = got.keys.filter(d => d % 10 == 6 && d >= 6)
+    assert(partials.nonEmpty)
+    assert(partials.count(d => !got(d).getBoolean(5)) * 10 >=
+      partials.size * 9,
+      "partials must overwhelmingly stay below tau")
+    assert(partials.count(d => got(d).getLong(2) > 0) * 10 >=
+      partials.size * 8, "partial overlap must be MEASURED (dup kfs > 0)")
+    // verdict arithmetic is exact milli
+    got.values.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+    }
+    val _ = maxDoc
+  }
+
   test("quality_train_lm: stopword buckets learn positive weights, the " +
       "trained artifact serves identically through both shapes, and the " +
       "learned direction separates the classes") {
