@@ -208,6 +208,9 @@ object SparkEntry {
     // title + paragraph text kept, nav/footer/script dropped, tags stripped)
     "extract_main_text" -> (TextAnalysis.extractMainText _),
     "url_normalize" -> (Web.urlNormalize _),
+    // tolerant stage-0 front of the strict canonicalizer: whitespace,
+    // scheme defaults, FQDN dots, slash runs, percent-escape case
+    "url_normalize_messy" -> (Web.urlNormalizeMessy _),
     // stage-0 deny-list gate: domain (exact|subdomain) + URL-prefix rules
     "url_blocklist" -> (Web.urlBlocklist _),
     "dedup_url" -> (Web.dedupUrl _),

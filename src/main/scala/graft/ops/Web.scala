@@ -116,6 +116,105 @@ object Web {
       when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm))))
   }
 
+  /** MESSY-URL PRE-NORMALIZER — the tolerant stage-0 front of
+    * [[urlNormalizeOn]]'s documented strict contract (ADVICE r13 made
+    * the contract explicit; this closes the gap for real crawl feeds):
+    *
+    *  - surrounding whitespace trimmed;
+    *  - scheme defaults: `//host/…` (protocol-relative) and bare
+    *    `host/…` (scheme-less) both become `http://…` — the crawl
+    *    default (a frontier cannot know https works before fetching);
+    *  - one trailing FQDN dot stripped from the authority
+    *    (`example.com.` ≡ `example.com`, port preserved);
+    *  - slash RUNS in the path collapse to one (`/a//b///c` → `/a/b/c`;
+    *    query/fragment untouched — `//` is legal data there);
+    *  - percent-escape hex uppercases (`%2f` → `%2F`, RFC 3986 §2.1's
+    *    canonical form) — only valid two-hex-digit escapes; a literal
+    *    `%` followed by non-hex passes through.
+    *
+    * NOT handled (a deployment adapter, not expression work): IDN
+    * punycode conversion needs a real IDNA library on both the engine
+    * and the oracle side — neither engine's SQL can express it, so a
+    * unicode-host feed converts hosts before this stage.
+    *
+    * Scale shape: regex/string scan-stage expressions plus one bounded
+    * in-row split/transform over the `%`-pieces — zero shuffle, same
+    * class as the canonicalizer it fronts. Emits `url_pre` (satisfying
+    * the strict contract) alongside the untouched input column.
+    */
+  def urlPrenormalizeOn(urls: DataFrame): DataFrame = {
+    val t = trim(col("url"))
+    val schemed = when(substring(t, 1, 2) === "//",
+        concat(lit("http:"), t))
+      .when(!t.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
+        concat(lit("http://"), t))
+      .otherwise(t)
+    val prefix = regexp_extract(schemed,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val prefixFixed = regexp_replace(prefix, "\\.(:[0-9]+)?$", "$1")
+    val rest = regexp_replace(schemed,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val pathFixed = regexp_replace(
+      regexp_extract(rest, "^([^?#]*)", 1), "/{2,}", "/")
+    val tail = regexp_replace(rest, "^[^?#]*", "")
+    urls
+      .withColumn("__graft_u2", concat(prefixFixed, pathFixed, tail))
+      .withColumn("url_pre", expr(
+        """CASE WHEN instr(__graft_u2, '%') = 0 THEN __graft_u2 ELSE
+          |  concat(element_at(split(__graft_u2, '%', -1), 1),
+          |    array_join(transform(
+          |      slice(split(__graft_u2, '%', -1), 2,
+          |        size(split(__graft_u2, '%', -1)) - 1),
+          |      p -> concat('%',
+          |        CASE WHEN substring(p, 1, 2) RLIKE '^[0-9a-fA-F]{2}$'
+          |             THEN upper(substring(p, 1, 2))
+          |             ELSE substring(p, 1, 2) END,
+          |        substring(p, 3))), '')) END""".stripMargin))
+      .drop("__graft_u2")
+  }
+
+  /** Messy-URL plant for the graded key: the raw planted URLs re-messed
+    * BY RULE with exactly the noise classes the pre-normalizer undoes —
+    * all rows gain surrounding whitespace, then per residue class:
+    * scheme stripped (doc_id % 4 = 0), protocol-relative plus a
+    * trailing FQDN host dot (% 4 = 1), slash runs doubled in the path
+    * (% 4 = 2), a lowercase percent-escape path segment planted
+    * (% 4 = 3). Pure in-row string surgery; the twin applies the
+    * identical surgery to the identical plant.
+    */
+  private[graft] def urlMessyStructured(docs: DataFrame): DataFrame = {
+    val stripScheme =
+      regexp_replace(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    urlStructured(docs).select(col("doc_id"), concat(lit("  "),
+      when(col("doc_id") % 4 === 0, stripScheme)
+        .when(col("doc_id") % 4 === 1,
+          concat(lit("//"),
+            regexp_replace(stripScheme, "^([^/:?#]+)", "$1.")))
+        .when(col("doc_id") % 4 === 2,
+          regexp_replace(col("url"), "/docs/", "//docs///"))
+        .otherwise(regexp_replace(col("url"), "/docs/", "/docs%2fv1/")),
+      lit(" ")).as("url"))
+  }
+
+  /** `url_normalize_messy` checked key: the messy plant through the
+    * pre-normalizer into the strict canonicalizer — (doc_id, url_messy,
+    * url_pre, url_norm), fully hash-checked (the twin re-messes the
+    * plant, pre-normalizes, and canonicalizes with independent SQL).
+    * Scheme-less rows canonicalize under the `http` default, so their
+    * url_norm differs from the clean plant's `https` — deterministic,
+    * and exactly what a crawler records for a scheme-less feed.
+    */
+  def urlNormalizeMessy(spark: SparkSession, sfDir: String): DataFrame = {
+    val pre = urlPrenormalizeOn(
+      urlMessyStructured(table(spark, sfDir, "documents")))
+    urlNormalizeOn(pre
+        .select(col("doc_id"), col("url").as("url_messy"),
+          col("url_pre").as("url")))
+      .select(col("doc_id"), col("url_messy"), col("url").as("url_pre"),
+        col("url_norm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** URL-LEVEL DEDUP — the family keep-min rule on the canonical URL:
     * one survivor per `url_norm` (lowest doc_id), with the variant count
     * kept as the census signal a frontier scheduler reads. One shuffle
@@ -369,13 +468,23 @@ object Web {
     * side (callers reference `${pre}canon`).
     */
   private[graft] def plantSqlP(pre: String, src: String): String =
-    plantSqlTemplate
+    plantRawTemplate
       .replace("FROM documents)", s"FROM $src)")
+      .replace("@", pre) + ",\n" + canonSqlFrom(pre, pre + "u")
+
+  /** The normalizer CTE pair (`norm`/`canon`) over ANY `(doc_id, url)`
+    * source — the canonicalization arithmetic shared by every URL twin,
+    * including the messy-plant twin that canonicalizes its
+    * PRE-normalized column instead of a raw plant.
+    */
+  private[graft] def canonSqlFrom(pre: String, src: String): String =
+    canonTemplate
+      .replace("@SRC", src)
       .replace("@", pre)
 
   private def plantSql: String = plantSqlP("", "documents")
 
-  private val plantSqlTemplate: String =
+  private val plantRawTemplate: String =
     """@p AS (
       |  SELECT doc_id,
       |    CASE WHEN doc_id % 20 <= 1 THEN doc_id - doc_id % 20
@@ -401,8 +510,10 @@ object Web {
       |             THEN 'b=' || CAST(page_n % 9 AS VARCHAR) END,
       |        CASE WHEN page_n % 4 = 0 THEN 'a=1' END,
       |        CASE WHEN doc_id % 3 = 0 THEN 'utm_medium=rss' END) AS q
-      |    FROM @p)),
-      |@norm AS (
+      |    FROM @p))""".stripMargin
+
+  private val canonTemplate: String =
+    """@norm AS (
       |  SELECT doc_id, url,
       |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      AS scheme,
@@ -418,7 +529,7 @@ object Web {
       |    SELECT doc_id, url, nf,
       |      regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
       |    FROM (SELECT doc_id, url,
-      |            regexp_replace(url, '#.*$', '') AS nf FROM @u))),
+      |            regexp_replace(url, '#.*$', '') AS nf FROM @SRC))),
       |@canon AS (
       |  SELECT doc_id, url,
       |    scheme || '://' || host ||
@@ -442,6 +553,60 @@ object Web {
       s"""WITH $plantSql
          |SELECT doc_id, url, url_norm FROM canon
          |ORDER BY doc_id""".stripMargin,
+    // identical mess surgery over the identical plant, independent SQL
+    // pre-normalization (scheme default / FQDN dot / slash runs /
+    // percent case), then the shared canon CTEs over the PRE column
+    "url_normalize_messy" -> {
+      val strip = "regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '')"
+      s"""WITH $plantSql,
+         |messy AS (
+         |  SELECT doc_id, '  ' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN $strip
+         |         WHEN doc_id % 4 = 1 THEN '//' || regexp_replace(
+         |           $strip, '^([^/:?#]+)', '\\1.')
+         |         WHEN doc_id % 4 = 2
+         |           THEN regexp_replace(url, '/docs/', '//docs///')
+         |         ELSE regexp_replace(url, '/docs/', '/docs%2fv1/')
+         |    END || ' ' AS url_messy
+         |  FROM u),
+         |sch AS (
+         |  SELECT doc_id, url_messy,
+         |    CASE WHEN starts_with(t, '//') THEN 'http:' || t
+         |         WHEN NOT regexp_matches(t,
+         |             '^[A-Za-z][A-Za-z0-9+.-]*://') THEN 'http://' || t
+         |         ELSE t END AS s
+         |  FROM (SELECT doc_id, url_messy, trim(url_messy) AS t
+         |        FROM messy)),
+         |fx AS (
+         |  SELECT doc_id, url_messy,
+         |    regexp_replace(regexp_extract(s,
+         |        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1),
+         |      '\\.(:[0-9]+)?$$', '\\1')
+         |    || regexp_replace(regexp_extract(regexp_replace(s,
+         |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+         |        '^([^?#]*)', 1), '/{2,}', '/', 'g')
+         |    || regexp_replace(regexp_replace(s,
+         |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+         |        '^[^?#]*', '') AS u2
+         |  FROM sch),
+         |mpre AS (
+         |  SELECT doc_id, url_messy,
+         |    CASE WHEN strpos(u2, '%') = 0 THEN u2 ELSE
+         |      string_split(u2, '%')[1] ||
+         |      array_to_string(list_transform(string_split(u2, '%')[2:],
+         |        pp -> '%' ||
+         |          CASE WHEN regexp_matches(substr(pp, 1, 2),
+         |              '^[0-9a-fA-F]{2}$$')
+         |            THEN upper(substr(pp, 1, 2))
+         |            ELSE substr(pp, 1, 2) END
+         |          || substr(pp, 3)), '')
+         |    END AS url
+         |  FROM fx),
+         |${canonSqlFrom("m", "mpre")}
+         |SELECT mp.doc_id, mp.url_messy, mc.url AS url_pre, mc.url_norm
+         |FROM mpre mp JOIN mcanon mc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     // rules GENERATED from the same frozen lists as the Spark fold, so
     // the two sides cannot drift; coalesce order == list order priority
     "url_blocklist" -> {

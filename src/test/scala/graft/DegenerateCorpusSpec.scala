@@ -331,6 +331,45 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert(one.length == 1 && one.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
+  test("url pre-normalizer repairs each mess class, is idempotent, and " +
+      "leaves clean URLs untouched") {
+    import spark.implicits._
+    import graft.ops.Web
+    val cases = Seq(
+      // (messy input, expected url_pre)
+      ("  https://www.x.com/a/b?q=1#f ", "https://www.x.com/a/b?q=1#f"),
+      ("www.x.com/a", "http://www.x.com/a"),                 // scheme-less
+      ("//cdn.x.com/lib.js", "http://cdn.x.com/lib.js"),     // proto-rel
+      ("https://x.com./a", "https://x.com/a"),               // FQDN dot
+      ("https://x.com.:8080/a", "https://x.com:8080/a"),     // dot + port
+      ("https://x.com//a///b", "https://x.com/a/b"),         // slash runs
+      ("https://x.com/a?u=//v#//w", "https://x.com/a?u=//v#//w"), // data //
+      ("https://x.com/a%2fb%2Fc", "https://x.com/a%2Fb%2Fc"), // pct case
+      ("https://x.com/100%25%zz", "https://x.com/100%25%zz"), // non-hex %
+      ("https://x.com/a", "https://x.com/a"))                 // clean
+    val df = cases.zipWithIndex
+      .map { case ((m, _), i) => (i.toLong, m) }.toDF("doc_id", "url")
+    val got = Web.urlPrenormalizeOn(df).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    cases.zipWithIndex.foreach { case ((m, want), i) =>
+      assert(got(i.toLong) == want, s"case $i '$m': got '${got(i.toLong)}'")
+    }
+    // idempotence: pre(pre(x)) == pre(x)
+    val again = Web.urlPrenormalizeOn(
+      cases.zipWithIndex.map { case ((_, p), i) => (i.toLong, p) }
+        .toDF("doc_id", "url")).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    cases.zipWithIndex.foreach { case ((_, p), i) =>
+      assert(again(i.toLong) == p, s"not idempotent on '$p'")
+    }
+    // and the repaired output satisfies the strict canonicalizer's
+    // contract: canonicalizing pre'd input never yields '://…'
+    val normed = Web.urlNormalizeOn(
+      Web.urlPrenormalizeOn(df)
+        .select(col("doc_id"), col("url_pre").as("url"))).collect()
+    normed.foreach(r => assert(!r.getString(2).startsWith("://")))
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()
