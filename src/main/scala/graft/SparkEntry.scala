@@ -295,6 +295,9 @@ object SparkEntry {
     // the ladder's video rung: scene-cut keyframes → per-keyframe
     // gradient dHash → banded hamming join → keep-min τ-fraction verdict
     "dedup_video" -> (Multimodal.dedupVideo _),
+    // its crawl-batch form: batch keyframes vs the corpus band table +
+    // within-batch, per-video corpus/batch fractions and the keep rule
+    "dedup_video_incremental" -> (Multimodal.dedupVideoIncremental _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     // video keyframe slot: per-frame feature deltas, cut list in-row

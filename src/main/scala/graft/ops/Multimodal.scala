@@ -1010,8 +1010,12 @@ object Multimodal {
     val sb = new StringBuilder(n)
     var s = 0
     while (s < VideoScenes) {
+      // pair classes: {10k, 10k+1} full re-upload straddling the
+      // incremental parity split; {20k+5, 20k+7} an ODD-ONLY full pair
+      // (a within-batch re-upload under the split); {10k+6} partial
       val key =
         if (d % 10 == 1) (d - 1) * 8 + s
+        else if (d % 20 == 7) (d - 2) * 8 + s
         else if (d % 10 == 6 && s < 2) (d - 6) * 8 + s
         else d * 8 + s
       val level = 32 + (h60(s"$key:L") % 12).toInt * 8
@@ -1021,7 +1025,7 @@ object Multimodal {
         var q = 0
         while (q < frameB) {
           val n0 = noise(q)
-          val jit = d % 10 == 1 && q == (d % frameB)
+          val jit = (d % 10 == 1 || d % 20 == 7) && q == (d % frameB)
           val b = level + n0 + (if (jit && n0 < 6) 1 else if (jit) -1 else 0)
           sb.append(b.toChar)
           q += 1
@@ -1070,12 +1074,16 @@ object Multimodal {
     * doc_id aggregate. This is pHash-banding video dedup as run at
     * scale: hash keyframes at ingest, band-join incrementally.
     */
-  def dedupVideoOn(videos: DataFrame, frameBytes: Int,
-      thresholdMilli: Long, tauMilli: Long, hamMax: Long): DataFrame = {
+  /** Keyframe selection + gradient hashing — the shared front of the
+    * video dedup pair: frame 0 plus every [[sceneCutsOn]] cut, each with
+    * its 63-bit byte-gradient dHash. `(doc_id, frame_idx, dhash)`.
+    */
+  private def videoKeyframeHashes(videos: DataFrame, frameBytes: Int,
+      thresholdMilli: Long): DataFrame = {
     require(frameBytes >= 2 && frameBytes <= 64,
       s"frameBytes must be in [2, 64], got $frameBytes")
-    val cuts = sceneCutsOn(videos, frameBytes, thresholdMilli)
-    val kf = cuts.select(col("doc_id"),
+    sceneCutsOn(videos, frameBytes, thresholdMilli)
+      .select(col("doc_id"),
         explode(when(col("n_cuts") === 0, array(lit(0)))
           .otherwise(concat(array(lit(0)),
             expr("transform(split(cut_idxs, ','), x -> CAST(x AS INT))"))))
@@ -1089,6 +1097,11 @@ object Multimodal {
            |                   ascii(substring(frame, k, 1))
            |    THEN shiftleft(1L, k - 1) ELSE 0L END)""".stripMargin))
       .select(col("doc_id"), col("frame_idx"), col("dhash"))
+  }
+
+  def dedupVideoOn(videos: DataFrame, frameBytes: Int,
+      thresholdMilli: Long, tauMilli: Long, hamMax: Long): DataFrame = {
+    val kf = videoKeyframeHashes(videos, frameBytes, thresholdMilli)
     val banded = withDhashBands(kf)
       .select(col("doc_id"), col("frame_idx"), col("dhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),
@@ -1137,63 +1150,170 @@ object Multimodal {
       CutFrameBytes, CutThresholdMilli, VideoTauMilli, VideoHamMax)
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL VIDEO DEDUP — the crawl-batch shape on the new rung
+    * (completing the family: documents / lines / spans / URLs /
+    * embeddings / semantic cells / images all have one): a NEW batch of
+    * videos is screened against the CORPUS's maintained keyframe band
+    * table plus itself. Per batch video: `corpus_frac_milli` (share of
+    * its keyframes matching ANY corpus keyframe), `batch_frac_milli`
+    * (share matching another batch video's), `is_dup_corpus` (corpus
+    * share ≥ τ — the corpus already kept its representative),
+    * `is_dup_batch` (not a corpus dup, batch share ≥ τ, and a matching
+    * batch partner has a smaller id — keep-min), `keep` = neither.
+    *
+    * Scale shape: the corpus contributes its band table — hash-sized
+    * rows a production pipeline maintains at ingest (at 100 TB: a
+    * static table bucketed by (band_idx, band_val), probed with
+    * batch-sized volume, never corpus×corpus); the within-batch pass is
+    * the tiny self-join; hashing is scan-stage decode-loop work on the
+    * batch only.
+    */
+  def dedupVideoIncrementalOn(corpus: DataFrame, batch: DataFrame,
+      frameBytes: Int, thresholdMilli: Long, tauMilli: Long,
+      hamMax: Long): DataFrame = {
+    def bandsOf(videos: DataFrame) =
+      withDhashBands(videoKeyframeHashes(videos, frameBytes,
+        thresholdMilli))
+        .select(col("doc_id"), col("frame_idx"), col("dhash"),
+          posexplode(array(col("band0"), col("band1"), col("band2"),
+            col("band3"))).as(Seq("band_idx", "band_val")))
+    val cb = bandsOf(corpus)
+      .select(col("band_idx"), col("band_val"), col("dhash").as("dh_c"))
+    // the batch band frame feeds the corpus probe, both self-join sides
+    // and the keyframe spine — persisted (the dedupImagesIncremental
+    // discipline), released by the caller's clearCache contract
+    val bb = bandsOf(batch).persist()
+    val a = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("frame_idx").as("kf_a"),
+      col("dhash").as("dh_a"))
+    val corpusHits = a.join(cb, Seq("band_idx", "band_val"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_c"))) <= hamMax)
+      .groupBy(col("doc_a"), col("kf_a"))
+      .agg(lit(true).as("hit_corpus"))
+    val b = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val batchHits = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"), col("kf_a"))
+      .agg(min(col("doc_b")).as("min_partner"))
+    bb.select(col("doc_id"), col("frame_idx")).distinct()
+      .join(corpusHits.select(col("doc_a").as("doc_id"),
+        col("kf_a").as("frame_idx"), col("hit_corpus")),
+        Seq("doc_id", "frame_idx"), "left")
+      .join(batchHits.select(col("doc_a").as("doc_id"),
+        col("kf_a").as("frame_idx"), col("min_partner")),
+        Seq("doc_id", "frame_idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_keyframes"),
+        count(col("hit_corpus")).as("n_dup_corpus_kf"),
+        count(col("min_partner")).as("n_dup_batch_kf"),
+        min(col("min_partner")).as("min_batch_partner"))
+      .withColumn("corpus_frac_milli",
+        expr("n_dup_corpus_kf * 1000 div n_keyframes"))
+      .withColumn("batch_frac_milli",
+        expr("n_dup_batch_kf * 1000 div n_keyframes"))
+      .withColumn("is_dup_corpus", col("corpus_frac_milli") >= tauMilli)
+      .withColumn("is_dup_batch", !col("is_dup_corpus") &&
+        coalesce(col("batch_frac_milli") >= tauMilli &&
+          col("min_batch_partner") < col("doc_id"), lit(false)))
+      .select(col("doc_id"), col("n_keyframes"), col("n_dup_corpus_kf"),
+        col("n_dup_batch_kf"), col("corpus_frac_milli"),
+        col("batch_frac_milli"), col("min_batch_partner"),
+        col("is_dup_corpus"), col("is_dup_batch"),
+        (!col("is_dup_corpus") && !col("is_dup_batch")).as("keep"))
+  }
+
+  /** `dedup_video_incremental` checked key: the family parity split
+    * (even = corpus, odd = incoming batch) over the planted videos. The
+    * plants populate every branch: `{10k, 10k+1}` straddles the split
+    * (the odd copy is a corpus dup), `{20k+5, 20k+7}` is odd-only (a
+    * within-batch pair — min keeps), `{10k+6}` partials are corpus-side.
+    */
+  def dedupVideoIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val videos = videoStructured(table(spark, sfDir, "documents")).persist()
+    dedupVideoIncrementalOn(
+      videos.filter(col("doc_id") % 2 === 0),
+      videos.filter(col("doc_id") % 2 === 1),
+      CutFrameBytes, CutThresholdMilli, VideoTauMilli, VideoHamMax)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The planted scene-key rule as SQL — single source with
+    * [[videoPayload]]'s Scala rule (interpolated into both video twins).
+    */
+  private def videoKeySqlExpr: String =
+    """CASE WHEN doc_id % 10 = 1 THEN (doc_id - 1) * 8 + fi // 2
+      |     WHEN doc_id % 20 = 7 THEN (doc_id - 2) * 8 + fi // 2
+      |     WHEN doc_id % 10 = 6 AND fi // 2 < 2
+      |       THEN (doc_id - 6) * 8 + fi // 2
+      |     ELSE doc_id * 8 + fi // 2 END""".stripMargin
+
+  /** Shared twin chain for the video family: planting-rule frames →
+    * byte lists (levels + noise + jitter) → milli means → cuts →
+    * keyframes → gradient hashes → band rows (`fr`/`fb`/`m`/`cut`/
+    * `kfs`/`h`/`bands`), consumed by both `dedup_video` and its
+    * incremental twin.
+    */
+  private def videoChainSqlCtes: String = {
+    val frameB = CutFrameBytes
+    val nFrames = VideoScenes * VideoFramesPerScene
+    val keyExpr = videoKeySqlExpr
+    s"""fr AS (
+       |  SELECT doc_id, fi, key,
+       |    32 + CAST(CAST(concat('0x', substring(md5(
+       |      CAST(key AS VARCHAR) || ':L'), 1, 15)) AS BIGINT) % 12
+       |      AS INTEGER) * 8 AS lvl
+       |  FROM (SELECT doc_id, fi, ($keyExpr) AS key
+       |        FROM documents, UNNEST(range(0, $nFrames)) AS t(fi))),
+       |fb AS (
+       |  SELECT doc_id, fi,
+       |    list_transform(range(0, $frameB), q ->
+       |      lvl
+       |      + CAST(CAST(concat('0x', substring(md5(
+       |          CAST(key AS VARCHAR) || ':' || CAST(q AS VARCHAR)),
+       |          1, 15)) AS BIGINT) % 7 AS INTEGER)
+       |      + CASE WHEN (doc_id % 10 = 1 OR doc_id % 20 = 7)
+       |                  AND q = doc_id % $frameB
+       |             THEN CASE WHEN CAST(concat('0x', substring(md5(
+       |                 CAST(key AS VARCHAR) || ':'
+       |                 || CAST(q AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                 % 7 < 6
+       |               THEN 1 ELSE -1 END
+       |             ELSE 0 END) AS bs
+       |  FROM fr),
+       |m AS (
+       |  SELECT doc_id, fi, bs,
+       |    CAST(list_sum(bs) AS BIGINT) * 1000 // $frameB AS mm
+       |  FROM fb),
+       |cut AS (
+       |  SELECT a.doc_id, a.fi AS kf
+       |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1
+       |  WHERE abs(a.mm - b.mm) > $CutThresholdMilli),
+       |kfs AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS kf FROM documents
+       |  UNION ALL SELECT doc_id, kf FROM cut),
+       |h AS (
+       |  SELECT k.doc_id, k.kf,
+       |    CAST(list_sum(list_transform(range(1, $frameB), kk ->
+       |      CASE WHEN fb.bs[kk + 1] > fb.bs[kk]
+       |           THEN CAST(1 AS BIGINT) << (kk - 1)
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+       |  FROM kfs k JOIN fb ON fb.doc_id = k.doc_id AND fb.fi = k.kf),
+       |bands AS (
+       |  SELECT doc_id, kf, dhash, bi.i AS band_idx,
+       |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
+       |  FROM h, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // pure planting-rule recompute: frames → means → cuts → keyframes →
     // gradient hashes → banded hamming → keep-min verdict, no strings
     "dedup_video" -> {
-      val frameB = CutFrameBytes
-      val sceneB = VideoFramesPerScene * frameB
-      val nFrames = VideoScenes * VideoFramesPerScene
-      val keyExpr =
-        s"""CASE WHEN doc_id % 10 = 1 THEN (doc_id - 1) * 8 + fi // 2
-           |     WHEN doc_id % 10 = 6 AND fi // 2 < 2
-           |       THEN (doc_id - 6) * 8 + fi // 2
-           |     ELSE doc_id * 8 + fi // 2 END""".stripMargin
-      s"""WITH fr AS (
-         |  SELECT doc_id, fi, key,
-         |    32 + CAST(CAST(concat('0x', substring(md5(
-         |      CAST(key AS VARCHAR) || ':L'), 1, 15)) AS BIGINT) % 12
-         |      AS INTEGER) * 8 AS lvl
-         |  FROM (SELECT doc_id, fi, ($keyExpr) AS key
-         |        FROM documents, UNNEST(range(0, $nFrames)) AS t(fi))),
-         |fb AS (
-         |  SELECT doc_id, fi,
-         |    list_transform(range(0, $frameB), q ->
-         |      lvl
-         |      + CAST(CAST(concat('0x', substring(md5(
-         |          CAST(key AS VARCHAR) || ':' || CAST(q AS VARCHAR)),
-         |          1, 15)) AS BIGINT) % 7 AS INTEGER)
-         |      + CASE WHEN doc_id % 10 = 1 AND q = doc_id % $frameB
-         |             THEN CASE WHEN CAST(concat('0x', substring(md5(
-         |                 CAST(key AS VARCHAR) || ':'
-         |                 || CAST(q AS VARCHAR)), 1, 15)) AS BIGINT)
-         |                 % 7 < 6
-         |               THEN 1 ELSE -1 END
-         |             ELSE 0 END) AS bs
-         |  FROM fr),
-         |m AS (
-         |  SELECT doc_id, fi, bs,
-         |    CAST(list_sum(bs) AS BIGINT) * 1000 // $frameB AS mm
-         |  FROM fb),
-         |cut AS (
-         |  SELECT a.doc_id, a.fi AS kf
-         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1
-         |  WHERE abs(a.mm - b.mm) > $CutThresholdMilli),
-         |kfs AS (
-         |  SELECT doc_id, CAST(0 AS BIGINT) AS kf FROM documents
-         |  UNION ALL SELECT doc_id, kf FROM cut),
-         |h AS (
-         |  SELECT k.doc_id, k.kf,
-         |    CAST(list_sum(list_transform(range(1, $frameB), kk ->
-         |      CASE WHEN fb.bs[kk + 1] > fb.bs[kk]
-         |           THEN CAST(1 AS BIGINT) << (kk - 1)
-         |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
-         |  FROM kfs k JOIN fb ON fb.doc_id = k.doc_id AND fb.fi = k.kf),
-         |bands AS (
-         |  SELECT doc_id, kf, dhash, bi.i AS band_idx,
-         |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
-         |  FROM h, UNNEST(range(0, 4)) AS bi(i)),
-         |mt AS (
+      // concatenated head: the chain contains legitimate leading-`||`
+      // concat continuations a second margin strip would corrupt
+      "WITH " + videoChainSqlCtes + ",\n" +
+      s"""mt AS (
          |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
          |    min(b.doc_id) AS min_partner
          |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
@@ -1214,6 +1334,52 @@ object Multimodal {
          |  min_partner,
          |  coalesce(dup_frac_milli >= $VideoTauMilli
          |    AND min_partner < doc_id, false) AS is_dup_video
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
+    // the same chain, match CTEs split by the parity: batch keyframes
+    // probe corpus bands (existence) and batch bands (min partner)
+    "dedup_video_incremental" -> {
+      // concatenated head (see the dedup_video stripMargin note)
+      "WITH " + videoChainSqlCtes + ",\n" +
+      s"""mc AS (
+         |  SELECT a.doc_id AS doc_a, a.kf AS kf_a, true AS hit
+         |  FROM bands a JOIN bands c ON a.band_idx = c.band_idx
+         |    AND a.band_val = c.band_val
+         |  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         |    AND bit_count(xor(a.dhash, c.dhash)) <= $VideoHamMax
+         |  GROUP BY a.doc_id, a.kf),
+         |mb AS (
+         |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+         |    min(b.doc_id) AS min_partner
+         |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+         |    AND bit_count(xor(a.dhash, b.dhash)) <= $VideoHamMax
+         |  GROUP BY a.doc_id, a.kf),
+         |v AS (
+         |  SELECT k.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_keyframes,
+         |    CAST(count(mc.hit) AS BIGINT) AS n_dup_corpus_kf,
+         |    CAST(count(mb.min_partner) AS BIGINT) AS n_dup_batch_kf,
+         |    CAST(count(mc.hit) AS BIGINT) * 1000 // count(*)
+         |      AS corpus_frac_milli,
+         |    CAST(count(mb.min_partner) AS BIGINT) * 1000 // count(*)
+         |      AS batch_frac_milli,
+         |    min(mb.min_partner) AS min_batch_partner
+         |  FROM kfs k
+         |  LEFT JOIN mc ON mc.doc_a = k.doc_id AND mc.kf_a = k.kf
+         |  LEFT JOIN mb ON mb.doc_a = k.doc_id AND mb.kf_a = k.kf
+         |  WHERE k.doc_id % 2 = 1
+         |  GROUP BY k.doc_id)
+         |SELECT doc_id, n_keyframes, n_dup_corpus_kf, n_dup_batch_kf,
+         |  corpus_frac_milli, batch_frac_milli, min_batch_partner,
+         |  corpus_frac_milli >= $VideoTauMilli AS is_dup_corpus,
+         |  (corpus_frac_milli < $VideoTauMilli AND coalesce(
+         |    batch_frac_milli >= $VideoTauMilli
+         |      AND min_batch_partner < doc_id, false)) AS is_dup_batch,
+         |  (corpus_frac_milli < $VideoTauMilli AND NOT coalesce(
+         |    batch_frac_milli >= $VideoTauMilli
+         |      AND min_batch_partner < doc_id, false)) AS keep
          |FROM v ORDER BY doc_id""".stripMargin
     },
     // the identical frame/mean/delta arithmetic over character bytes;

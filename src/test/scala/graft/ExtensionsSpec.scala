@@ -689,6 +689,40 @@ class ExtensionsSpec extends SparkSpec {
     val _ = maxDoc
   }
 
+  test("dedup_video_incremental: straddling copies are corpus dups, " +
+      "odd-only pairs resolve keep-min within the batch") {
+    import graft.ops.Multimodal
+    val got = Multimodal.dedupVideoIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    spark.catalog.clearCache()
+    // only batch (odd) videos are screened
+    assert(got.keys.forall(_ % 2 == 1))
+    // {10k, 10k+1}: the odd copy duplicates a corpus video
+    val copies = got.keys.filter(d => d % 10 == 1)
+    assert(copies.nonEmpty)
+    assert(copies.count(d => got(d).getBoolean(7)) * 10 >=
+      copies.size * 8, "straddling copies must be corpus dups")
+    // {20k+5, 20k+7}: odd-only pair — 5 keeps (no smaller partner),
+    // 7 is the batch dup with min partner 5
+    val pairs = got.keys
+      .filter(d => d % 20 == 5 && got.contains(d + 2)).toSeq
+    assert(pairs.nonEmpty)
+    val resolved = pairs.count { d =>
+      val lo = got(d); val hi = got(d + 2)
+      lo.getBoolean(9) && !lo.getBoolean(7) && !lo.getBoolean(8) &&
+        hi.getBoolean(8) && hi.getLong(6) == d
+    }
+    assert(resolved * 10 >= pairs.size * 8,
+      s"only $resolved/${pairs.size} odd-only pairs resolved keep-min")
+    // fractions are exact milli and the three verdicts partition
+    got.values.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getLong(5) == r.getLong(3) * 1000 / r.getLong(1))
+      val states = Seq(r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+      assert(states.count(identity) == 1, s"doc ${r.getLong(0)}: $states")
+    }
+  }
+
   test("quality_train_lm: stopword buckets learn positive weights, the " +
       "trained artifact serves identically through both shapes, and the " +
       "learned direction separates the classes") {
