@@ -541,6 +541,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("video dedup keys: the pair joins are banded, never cartesian") {
+    // both video forms compose decode-loop hashing with the banded
+    // hamming join — keyed on (band_idx, band_val) in whatever regime
+    // the stats pick, never a cartesian/nested-loop over keyframes
+    Seq("dedup_video", "dedup_video_incremental").foreach { k =>
+      val p = plan(k)
+      assert(
+        "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band_idx"
+          .r.findAllIn(p).nonEmpty, s"$k:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$k:\n$p")
+    }
+    spark.catalog.clearCache() // both keys persist their plant/bands
+  }
+
+  test("pack_gather_epoch: global cumsum is two-phase — every " +
+      "SinglePartition exchange carries a bounded aggregate") {
+    // the plan text duplicates the shared rank subtree per consumer, so
+    // the SinglePartition count is a planner artifact; the scale
+    // invariant is that EVERY such exchange sits directly above a
+    // HashAggregate (the 256-row bucket histograms / totals and the
+    // 1-row instance count) — never raw corpus rows funneling into one
+    // partition
+    val p = plan("pack_gather_epoch")
+    val singles = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(singles > 0, p)
+    val bounded =
+      "Exchange SinglePartition[^\\n]*\\n[^\\n]*HashAggregate"
+        .r.findAllIn(p).length
+    assert(bounded == singles,
+      s"$bounded of $singles SinglePartition exchanges bounded:\n$p")
+    // the 1-row instance-count broadcast rides a BroadcastNestedLoopJoin
+    // by design (the anomaly_zscore stats pattern) — only a true
+    // cartesian over data-sized sides is forbidden
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("quality_train_lm: bucket counts combine map-side, totals and " +
+      "the dense spine attach via broadcast") {
+    val p = plan("quality_train_lm")
+    assert(p.contains("partial_count"), p) // map-side combine of tokens
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"), p) // 1-row totals broadcast
+    // the token explosion must never sort-merge against the 1024-row
+    // spine — the corpus-sized side ships once through the bucket agg
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("image hash keys: decode is scan-stage; the pair join is banded") {
     // mm_phash (unordered core via dHashImages): per-row decode work
     // inside mapPartitions, no shuffle
