@@ -259,6 +259,9 @@ object SparkEntry {
     // NB log-count-ratio weights at milli fixed point over hashed
     // unigrams, labeled by the trusted-source split (lang = 'en')
     "quality_train_lm" -> (TextAnalysis.qualityTrainLm _),
+    // the CCNet chain composed: train → broadcast-serve → tercile
+    // calibration (two-phase value-range ranking) → salted sampling
+    "quality_pipeline" -> (TextAnalysis.qualityPipeline _),
     "tfidf_topk" -> (TextAnalysis.tfidfTopK _),
     "ngram_lm_score" -> (TextAnalysis.ngramLmScore _),
     // training-sequence packing (token_count → packed span table)

@@ -456,6 +456,117 @@ object TextAnalysis {
         col("kept"))
   }
 
+  /** THE CCNET CHAIN COMPOSED — train → score → calibrate → sample as
+    * ONE key (Wenzek et al. 2020's actual pipeline; the single-operator
+    * keys each grade one stage: `quality_train_lm` the fit,
+    * `quality_score_lm_table` the serving join, `sample_quality_buckets`
+    * the bucketed draw against FROZEN cut points — this composes them
+    * and derives the cut points from the corpus's own trained-score
+    * distribution, the step CCNet actually fits):
+    *
+    *   1. TRAIN [[qualityTrainLmOn]] on the trusted-source split
+    *      (lang = 'en');
+    *   2. SCORE the corpus through [[qualityScoreLmWeighted]] with the
+    *      trained table (the broadcast-join serving shape);
+    *   3. CALIBRATE: the corpus splits into head/middle/tail TERCILES
+    *      of the trained score — the global rank of (score desc,
+    *      doc_id) is assigned by a two-phase VALUE-RANGE ranking (256
+    *      contiguous score ranges off a one-row min/max broadcast,
+    *      range counts prefix-summed in a 256-row window, within-range
+    *      ranks — the `shuffle_deterministic` discipline on a value
+    *      key), and `rank·3 < N` / `< 2N` decide the bucket in exact
+    *      integer arithmetic;
+    *   4. SAMPLE at the family rates with the family's salted draw
+    *      (head whole, middle halved, tail decimated).
+    *
+    * Scale shape: train + score are their graded shapes; the ranking's
+    * only SinglePartition work is the 256-row range histogram. Value
+    * ranges (unlike md5 buckets) can skew when scores concentrate — a
+    * production run raises the range count or pre-samples the split
+    * points; the degenerate all-equal corpus collapses to one range
+    * (documented, not planted). Output per doc: (doc_id, w_sum_milli,
+    * rank, bucket, kept). Unordered.
+    */
+  def qualityPipelineOn(docs: DataFrame, labelPos: Column): DataFrame = {
+    val trained = qualityTrainLmOn(docs, labelPos, QualityLmBuckets)
+      .select(col("bucket"), col("weight_milli"))
+    val scored = qualityScoreLmWeighted(docs, trained, QualityLmBuckets)
+      .select(col("doc_id"), col("w_sum_milli"))
+    val stats = scored.agg(min(col("w_sum_milli")).as("w_min"),
+      max(col("w_sum_milli")).as("w_max"),
+      count(lit(1)).as("n_docs"))
+    // descending value ranges: higher scores land in LOWER range ids,
+    // so rank ascends with (range, score desc)
+    val ranged = scored.crossJoin(broadcast(stats))
+      .withColumn("vb", expr(
+        "((w_max - w_sum_milli) * 256) div (w_max - w_min + 1)"))
+    val offsets = ranged.groupBy(col("vb")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(
+        Window.orderBy(col("vb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val draw = conv(substring(md5(concat(col("doc_id").cast(StringType),
+      lit(":" + QBucketSalt))), 1, 15), 16, 10).cast(LongType) % 100
+    ranged
+      .join(broadcast(offsets.select(col("vb"), col("off"))), Seq("vb"))
+      .withColumn("rank", col("off") +
+        row_number().over(Window.partitionBy(col("vb"))
+          .orderBy(col("w_sum_milli").desc, col("doc_id")))
+          .cast(LongType) - 1)
+      .withColumn("bucket",
+        when(col("rank") * 3 < col("n_docs"), "head")
+          .when(col("rank") * 3 < col("n_docs") * 2, "middle")
+          .otherwise("tail"))
+      .withColumn("kept", draw <
+        when(col("bucket") === "head", QBucketHeadPct)
+          .when(col("bucket") === "middle", QBucketMidPct)
+          .otherwise(QBucketTailPct))
+      .select(col("doc_id"), col("w_sum_milli"), col("rank"),
+        col("bucket"), col("kept"))
+  }
+
+  /** `quality_pipeline` checked key: the composed CCNet chain over the
+    * documents corpus, trained on its own `lang` split. The twin
+    * re-derives the trained weights, re-scores with one join, ranks
+    * with one direct global row_number, and draws with the family salt
+    * — hash equality proves train, serve, calibration and sampling
+    * compose without drift.
+    */
+  def qualityPipeline(spark: SparkSession, sfDir: String): DataFrame =
+    qualityPipelineOn(table(spark, sfDir, "documents"),
+      col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** The `quality_train_lm` twin's CTE chain, ending in the trained
+    * weight table `tw` — shared with the composed `quality_pipeline`
+    * twin so the two keys' fit formulations cannot drift.
+    */
+  private def qualityTrainSqlCtes: String =
+    s"""tk AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |bc AS (
+       |  SELECT CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+       |      % $QualityLmBuckets AS bucket,
+       |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_pos,
+       |    CAST(count(*) FILTER (WHERE lang != 'en') AS BIGINT) AS n_neg
+       |  FROM tk GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
+       |    CAST(sum(n_neg) AS BIGINT) AS n_tot FROM bc),
+       |dense AS (
+       |  SELECT sp.b AS bucket,
+       |    coalesce(bc.n_pos, 0) AS n_pos,
+       |    coalesce(bc.n_neg, 0) AS n_neg
+       |  FROM (SELECT unnest(range(0, $QualityLmBuckets)) AS b) sp
+       |  LEFT JOIN bc ON bc.bucket = sp.b),
+       |tw AS (
+       |  SELECT bucket, n_pos, n_neg,
+       |    CAST(round(1000 * ln(round(
+       |      CAST((n_pos + 1) * (n_tot + $QualityLmBuckets) AS DOUBLE) /
+       |      CAST((n_neg + 1) * (p_tot + $QualityLmBuckets) AS DOUBLE),
+       |      9)), 0) AS BIGINT) AS weight_milli
+       |  FROM dense CROSS JOIN tot)""".stripMargin
+
   /** Merge rounds learned by the graded `bpe_train` key. */
   private[graft] val BpeTrainRounds = 8
 
@@ -1602,31 +1713,46 @@ object TextAnalysis {
     // class counts, exact BIGINT smoothing products, one 9-dp-rounded
     // division into ln, milli grid — over a dense range() bucket spine
     "quality_train_lm" ->
-      s"""WITH tk AS (
-         |  SELECT lang, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents WHERE text IS NOT NULL),
-         |bc AS (
-         |  SELECT CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
-         |      % $QualityLmBuckets AS bucket,
-         |    CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_pos,
-         |    CAST(count(*) FILTER (WHERE lang != 'en') AS BIGINT) AS n_neg
-         |  FROM tk GROUP BY 1),
-         |tot AS (
-         |  SELECT CAST(sum(n_pos) AS BIGINT) AS p_tot,
-         |    CAST(sum(n_neg) AS BIGINT) AS n_tot FROM bc),
-         |dense AS (
-         |  SELECT sp.b AS bucket,
-         |    coalesce(bc.n_pos, 0) AS n_pos,
-         |    coalesce(bc.n_neg, 0) AS n_neg
-         |  FROM (SELECT unnest(range(0, $QualityLmBuckets)) AS b) sp
-         |  LEFT JOIN bc ON bc.bucket = sp.b)
-         |SELECT bucket, n_pos, n_neg,
-         |  CAST(round(1000 * ln(round(
-         |    CAST((n_pos + 1) * (n_tot + $QualityLmBuckets) AS DOUBLE) /
-         |    CAST((n_neg + 1) * (p_tot + $QualityLmBuckets) AS DOUBLE),
-         |    9)), 0) AS BIGINT) AS weight_milli
-         |FROM dense CROSS JOIN tot
-         |ORDER BY bucket""".stripMargin,
+      ("WITH " + qualityTrainSqlCtes +
+        "\nSELECT bucket, n_pos, n_neg, weight_milli FROM tw" +
+        "\nORDER BY bucket"),
+    // the composed CCNet chain: the same trained weights re-scored with
+    // one bucket join, one DIRECT global row_number for the tercile
+    // rank (the orthogonal formulation of the two-phase value-range
+    // ranking), the family's salted draw
+    "quality_pipeline" ->
+      ("WITH " + qualityTrainSqlCtes + ",\n" +
+        s"""dtk AS (
+           |  SELECT doc_id,
+           |    CAST(concat('0x', substring(md5(tok), 1, 15)) AS BIGINT)
+           |      % $QualityLmBuckets AS bucket
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents WHERE text IS NOT NULL) t0),
+           |sc AS (
+           |  SELECT dtk.doc_id,
+           |    CAST(sum(tw.weight_milli) AS BIGINT) AS w_sum_milli
+           |  FROM dtk JOIN tw USING (bucket)
+           |  GROUP BY dtk.doc_id),
+           |rk AS (
+           |  SELECT doc_id, w_sum_milli,
+           |    CAST(row_number() OVER (ORDER BY w_sum_milli DESC, doc_id)
+           |      - 1 AS BIGINT) AS rank,
+           |    CAST(count(*) OVER () AS BIGINT) AS n
+           |  FROM sc),
+           |vd AS (
+           |  SELECT doc_id, w_sum_milli, rank,
+           |    CASE WHEN rank * 3 < n THEN 'head'
+           |         WHEN rank * 3 < n * 2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket,
+           |    CAST(concat('0x', substring(md5(
+           |      CAST(doc_id AS VARCHAR) || ':$QBucketSalt'), 1, 15))
+           |      AS BIGINT) % 100 AS draw
+           |  FROM rk)
+           |SELECT doc_id, w_sum_milli, rank, bucket,
+           |  draw < (CASE bucket WHEN 'head' THEN $QBucketHeadPct
+           |                      WHEN 'middle' THEN $QBucketMidPct
+           |                      ELSE $QBucketTailPct END) AS kept
+           |FROM vd ORDER BY doc_id""".stripMargin),
     // generation-rule twin: no regex, no markup — the expected output is
     // rebuilt directly from the planting arithmetic (first-3-token
     // title, 10-token paragraph chunks, %13 empty bodies; the %7 nested

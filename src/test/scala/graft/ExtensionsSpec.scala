@@ -786,6 +786,31 @@ class ExtensionsSpec extends SparkSpec {
       s"no class separation: en mean $meanEn vs other mean $meanOther")
   }
 
+  test("quality_pipeline: exact terciles, score-monotone buckets, " +
+      "family sampling rates") {
+    import graft.ops.TextAnalysis
+    val got = TextAnalysis.qualityPipeline(spark, sf).collect()
+    spark.catalog.clearCache()
+    val n = got.length
+    assert(n > 0)
+    // rank is a dense permutation of 0..N-1
+    assert(got.map(_.getLong(2)).sorted.toSeq == (0L until n).toSeq)
+    // exact terciles by rank
+    val byB = got.groupBy(_.getString(3))
+    assert(byB.keySet == Set("head", "middle", "tail"))
+    assert(byB("head").length == (n + 2) / 3)
+    assert(byB("head").length + byB("middle").length == (2 * n + 2) / 3)
+    // calibration is score-monotone (weak at tie boundaries)
+    assert(byB("head").map(_.getLong(1)).min >=
+      byB("middle").map(_.getLong(1)).max)
+    assert(byB("middle").map(_.getLong(1)).min >=
+      byB("tail").map(_.getLong(1)).max)
+    // the family rates: head keeps everything, tail is decimated
+    assert(byB("head").forall(_.getBoolean(4)))
+    val tailKept = byB("tail").count(_.getBoolean(4))
+    assert(tailKept > 0 && tailKept < byB("tail").length / 2)
+  }
+
   test("sample_quality_buckets: frozen thresholds decide the bucket, " +
       "the salted draw keeps at the bucket rates") {
     import graft.ops.TextAnalysis
