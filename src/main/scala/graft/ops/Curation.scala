@@ -485,10 +485,16 @@ object Curation {
     * never retroactively change what the corpus kept (the immutability
     * production requires), at the price that a corpus line/span pushed
     * over threshold only by batch occurrences stays in the corpus
-    * shards. PropertiesSpec pins the two exact laws that do hold: with
-    * an EMPTY corpus the composition equals the full pipeline over the
-    * batch, and the corpus rows of the output equal [[corpusPipelineOn]]
-    * over the corpus alone.
+    * shards. (An empty-corpus run does NOT collapse to the batch
+    * flagship: the batch chain skips the host cap and the semantic
+    * stage's cold-cell fallback scores against missing corpus
+    * centroids, not the batch's own — bootstrap runs use
+    * [[corpusPipelineOn]].) ExtensionsSpec pins the laws that DO hold:
+    * the corpus rows of the output are byte-identical to
+    * [[corpusPipelineOn]] over the corpus alone, the append geometry is
+    * contiguous, the censuses demonstrably remove batch docs the
+    * standalone run keeps, and re-feeding the shipped corpus as a batch
+    * is fully absorbed at the frontier screen.
     *
     * Output: the full post-append manifest — corpus shards (`is_batch`
     * 0, byte-identical to the corpus run's) then batch shards

@@ -1101,7 +1101,11 @@ object Multimodal {
 
   def dedupVideoOn(videos: DataFrame, frameBytes: Int,
       thresholdMilli: Long, tauMilli: Long, hamMax: Long): DataFrame = {
+    // the hash stage feeds both self-join sides AND the keyframe spine —
+    // persisted so cut detection + hashing run once (the
+    // dedupImagesIncremental discipline; caller-clearCache contract)
     val kf = videoKeyframeHashes(videos, frameBytes, thresholdMilli)
+      .persist()
     val banded = withDhashBands(kf)
       .select(col("doc_id"), col("frame_idx"), col("dhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),

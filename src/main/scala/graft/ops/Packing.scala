@@ -411,6 +411,14 @@ object Packing {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(seqsPerShard >= 1,
       s"seqsPerShard must be >= 1, got $seqsPerShard")
+    // enc and the ranked instance frame stay LAZY at harness scale:
+    // enc's two consumers need different column sets (n_tokens-only vs
+    // the id arrays), so persisting it forces the count path to
+    // materialize the heavy ids too — measured SLOWER than the
+    // duplicate column-pruned BPE pass; the narrow rank frame's persist
+    // measured as noise. At 100 TB a real run materializes the
+    // tokenized table and the epoch rank as TABLES between stages (the
+    // corpus_pipeline macro-boundary discipline) rather than caching.
     val enc = TextAnalysis.tokenizeBpe(docs)
       .select(col("doc_id"), col("n_tokens").cast(LongType).as("n_tokens"),
         split(col("token_ids"), " ").as("ids"))

@@ -490,8 +490,13 @@ object TextAnalysis {
   def qualityPipelineOn(docs: DataFrame, labelPos: Column): DataFrame = {
     val trained = qualityTrainLmOn(docs, labelPos, QualityLmBuckets)
       .select(col("bucket"), col("weight_milli"))
+    // the scored frame (which embeds the whole train + serve subtree)
+    // feeds the stats agg, the range histogram, and the final join —
+    // persisted so the corpus is fitted and scored ONCE (the composed-
+    // pipeline lineage lesson; caller-clearCache contract)
     val scored = qualityScoreLmWeighted(docs, trained, QualityLmBuckets)
       .select(col("doc_id"), col("w_sum_milli"))
+      .persist()
     val stats = scored.agg(min(col("w_sum_milli")).as("w_min"),
       max(col("w_sum_milli")).as("w_max"),
       count(lit(1)).as("n_docs"))

@@ -565,8 +565,8 @@ object Web {
          |         WHEN doc_id % 4 = 1 THEN '//' || regexp_replace(
          |           $strip, '^([^/:?#]+)', '\\1.')
          |         WHEN doc_id % 4 = 2
-         |           THEN regexp_replace(url, '/docs/', '//docs///')
-         |         ELSE regexp_replace(url, '/docs/', '/docs%2fv1/')
+         |           THEN regexp_replace(url, '/docs/', '//docs///', 'g')
+         |         ELSE regexp_replace(url, '/docs/', '/docs%2fv1/', 'g')
          |    END || ' ' AS url_messy
          |  FROM u),
          |sch AS (
