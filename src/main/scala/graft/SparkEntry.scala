@@ -193,6 +193,9 @@ object SparkEntry {
     // the LEARN step a frozen merge table comes from: k rounds of
     // weighted pair count -> argmax -> greedy merge over the word dict
     "bpe_train" -> (TextAnalysis.bpeTrain _),
+    // the tokenizer chain composed: the corpus encoded by the merge
+    // table it just learned (piece-tracked dictionary rounds + lookup)
+    "bpe_pipeline" -> (TextAnalysis.bpePipeline _),
     "vocab_topk" -> (TextAnalysis.vocabTopK _),
     // query-side consumer of the postings substrate: integer-idf top-k
     "search_lexical" -> (TextAnalysis.searchLexical _),

@@ -619,6 +619,43 @@ object TextAnalysis {
     bpeTrainOn(table(spark, sfDir, "documents"), BpeTrainRounds)
       .orderBy(col("round"))
 
+  /** Adjacent symbol pairs of a `cs` column — the counting view of the
+    * BPE family (1-symbol rows can never pair and emit none).
+    */
+  private val bpePairsExpr = expr(
+    """CASE WHEN size(cs) >= 2 THEN
+      |  transform(sequence(0, size(cs) - 2), i -> struct(
+      |    element_at(cs, i + 1) AS l, element_at(cs, i + 2) AS r))
+      |ELSE cast(array() AS array<struct<l: string, r: string>>) END"""
+      .stripMargin)
+
+  /** Closed-form greedy merge flags: position i (0-based pair start)
+    * merges iff it matches (ml, mr) and — only when ml = mr, where
+    * matches chain along runs — its offset within the maximal ml-run
+    * is even. The parity branch evaluates lazily (CASE), so the
+    * O(len²) run-start scan runs only on matching positions of
+    * same-symbol rounds. Shared by the train and encode sides.
+    */
+  private val bpeMergedExpr = expr(
+    """CASE WHEN size(cs) >= 2 THEN
+      |  transform(sequence(0, size(cs) - 2), i -> CASE
+      |    WHEN NOT (element_at(cs, i + 1) = ml
+      |              AND element_at(cs, i + 2) = mr) THEN false
+      |    WHEN ml != mr THEN true
+      |    ELSE ((i - (aggregate(sequence(0, i), -1,
+      |      (acc, j) -> CASE WHEN element_at(cs, j + 1) != ml THEN j
+      |                       ELSE acc END) + 1)) % 2) = 0
+      |  END)
+      |ELSE cast(array() AS array<boolean>) END""".stripMargin)
+
+  private val bpeAppliedExpr = expr(
+    """flatten(transform(sequence(0, size(cs) - 1), i -> CASE
+      |  WHEN i <= size(cs) - 2 AND element_at(mg, i + 1)
+      |    THEN array(concat(ml, mr))
+      |  WHEN i > 0 AND element_at(mg, i)
+      |    THEN cast(array() AS array<string>)
+      |  ELSE array(element_at(cs, i + 1)) END))""".stripMargin)
+
   /** API form: learn `rounds` merges over any `(…, text)` frame —
     * unordered.
     */
@@ -634,38 +671,6 @@ object TextAnalysis {
       }
       out
     }
-    // the weighted word dictionary: distinct lowercased pieces with
-    // occurrence counts; 1-symbol entries can never pair and drop
-    val pairsExpr = expr(
-      """CASE WHEN size(cs) >= 2 THEN
-        |  transform(sequence(0, size(cs) - 2), i -> struct(
-        |    element_at(cs, i + 1) AS l, element_at(cs, i + 2) AS r))
-        |ELSE cast(array() AS array<struct<l: string, r: string>>) END"""
-        .stripMargin)
-    // closed-form greedy merge flags: position i (0-based pair start)
-    // merges iff it matches (ml, mr) and — only when ml = mr, where
-    // matches chain along runs — its offset within the maximal ml-run
-    // is even. The parity branch evaluates lazily (CASE), so the
-    // O(len²) run-start scan runs only on matching positions of
-    // same-symbol rounds.
-    val mergedExpr = expr(
-      """CASE WHEN size(cs) >= 2 THEN
-        |  transform(sequence(0, size(cs) - 2), i -> CASE
-        |    WHEN NOT (element_at(cs, i + 1) = ml
-        |              AND element_at(cs, i + 2) = mr) THEN false
-        |    WHEN ml != mr THEN true
-        |    ELSE ((i - (aggregate(sequence(0, i), -1,
-        |      (acc, j) -> CASE WHEN element_at(cs, j + 1) != ml THEN j
-        |                       ELSE acc END) + 1)) % 2) = 0
-        |  END)
-        |ELSE cast(array() AS array<boolean>) END""".stripMargin)
-    val appliedExpr = expr(
-      """flatten(transform(sequence(0, size(cs) - 1), i -> CASE
-        |  WHEN i <= size(cs) - 2 AND element_at(mg, i + 1)
-        |    THEN array(concat(ml, mr))
-        |  WHEN i > 0 AND element_at(mg, i)
-        |    THEN cast(array() AS array<string>)
-        |  ELSE array(element_at(cs, i + 1)) END))""".stripMargin)
     var syms = chk(docs.filter(col("text").isNotNull)
       .select(explode(preTokenPieces(lower(col("text")))).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("w"))
@@ -677,7 +682,7 @@ object TextAnalysis {
     val bests = scala.collection.mutable.ListBuffer.empty[DataFrame]
     (1 to rounds).foreach { rd =>
       val best = chk(syms
-        .select(explode(pairsExpr).as("p"), col("w"))
+        .select(explode(bpePairsExpr).as("p"), col("w"))
         .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
         .agg(sum(col("w")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("left_sym"),
@@ -690,8 +695,8 @@ object TextAnalysis {
         syms = chk(syms
           .crossJoin(broadcast(best.select(col("left_sym").as("ml"),
             col("right_sym").as("mr"))))
-          .withColumn("mg", mergedExpr)
-          .select(appliedExpr.as("cs"), col("w"))
+          .withColumn("mg", bpeMergedExpr)
+          .select(bpeAppliedExpr.as("cs"), col("w"))
           .filter(size(col("cs")) >= 2))
     }
     val out = bests.reduce(_ unionAll _).persist()
@@ -701,6 +706,96 @@ object TextAnalysis {
     chkRdds.foreach(_.unpersist(blocking = false))
     out
   }
+
+  /** THE TOKENIZER CHAIN COMPOSED — train → encode with the LEARNED
+    * merges as ONE key (`bpe_train` grades the fit, `tokenize_bpe` the
+    * serving walk of a FROZEN table; this proves the handoff: the
+    * corpus encoded by the table it just learned). The encode runs the
+    * way every real tokenizer serves a fresh table — over the
+    * DICTIONARY, not the corpus: the distinct-piece dictionary carries
+    * its piece identity through the same k (count → argmax → closed-form
+    * greedy apply) rounds as the trainer (identical argmax by
+    * construction: 1-symbol rows emit no pairs, so keeping them for
+    * encode cannot move any round's winner), and each document then
+    * just LOOKS UP its pieces' final symbol sequences and reassembles
+    * in piece order.
+    *
+    * Scale shape: one corpus pass builds the weighted dictionary; the k
+    * rounds are vocab-sized (lineage-truncated — the bpe_train
+    * discipline); the encode is one piece-keyed hash join (the
+    * dictionary is vocab-sized — AQE broadcasts it at harness scale; at
+    * 100 TB it is the serving artifact, bucketed by piece) plus one
+    * doc_id reassembly shuffle carrying symbol rows.
+    *
+    * Output per document with ≥ 1 piece: (doc_id, n_pieces, n_tokens,
+    * tokens) — tokens the space-joined learned-symbol sequence (symbols
+    * never contain whitespace: pieces are whitespace-free by the
+    * pre-tokenizer). Unordered.
+    */
+  def bpePipelineOn(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val chkRdds = scala.collection.mutable.ListBuffer
+      .empty[org.apache.spark.rdd.RDD[_]]
+    def chk(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint(eager = true)
+      out.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          chkRdds += lr.rdd
+      }
+      out
+    }
+    val base = docs.filter(col("text").isNotNull)
+    // the piece-tracked dictionary: ALL distinct pieces (1-symbol ones
+    // must be encodable even though they never train)
+    var dict = chk(base
+      .select(explode(preTokenPieces(lower(col("text")))).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("w"))
+      .select(col("piece"), col("w"), expr(
+        """transform(sequence(1, length(piece)),
+          |  i -> substring(piece, i, 1))""".stripMargin).as("cs")))
+    (1 to rounds).foreach { _ =>
+      val best = chk(dict
+        .select(explode(bpePairsExpr).as("p"), col("w"))
+        .groupBy(col("p.l").as("ml"), col("p.r").as("mr"))
+        .agg(sum(col("w")).as("c"))
+        .orderBy(col("c").desc, col("ml"), col("mr"))
+        .limit(1)
+        .select(col("ml"), col("mr")))
+      dict = chk(dict.crossJoin(broadcast(best))
+        .withColumn("mg", bpeMergedExpr)
+        .select(col("piece"), col("w"), bpeAppliedExpr.as("cs")))
+    }
+    val out = base
+      .select(col("doc_id"),
+        posexplode(preTokenPieces(lower(col("text"))))
+          .as(Seq("pi", "piece")))
+      .join(dict.select(col("piece"), col("cs")), Seq("piece"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        sum(size(col("cs")).cast(LongType)).as("n_tokens"),
+        array_join(
+          flatten(transform(
+            array_sort(collect_list(struct(col("pi"), col("cs")))),
+            x => x.getField("cs"))),
+          " ").as("tokens"))
+      .persist()
+    // the bpe_train materialize-then-release cache discipline
+    out.queryExecution.toRdd.count()
+    chkRdds.foreach(_.unpersist(blocking = false))
+    out
+  }
+
+  /** `bpe_pipeline` checked key: the corpus encoded by its own
+    * [[BpeTrainRounds]]-merge learned table. The DuckDB twin re-learns
+    * the merges with the generated round CTEs (piece identity threaded
+    * through every apply) and reassembles with
+    * `string_agg(… ORDER BY pi)` — hash equality proves the train →
+    * encode handoff end-to-end.
+    */
+  def bpePipeline(spark: SparkSession, sfDir: String): DataFrame =
+    bpePipelineOn(table(spark, sfDir, "documents"), BpeTrainRounds)
+      .orderBy(col("doc_id"))
 
   /** Per-document top-3 TF-IDF terms — the standard distinctive-term
     * scorer a curation pipeline uses for topic tagging and boilerplate
@@ -1495,6 +1590,67 @@ object TextAnalysis {
        |  FROM ${pre}gs)""".stripMargin
   }
 
+  /** Generated twin of [[bpePipelineOn]]: the piece-tracked dictionary
+    * through the same k re-learned rounds (count → argmax → closed-form
+    * apply, piece identity threaded), then the per-document lookup and
+    * `string_agg(… ORDER BY pi)` reassembly.
+    */
+  private def bpePipelineSql: String = {
+    val rounds = BpeTrainRounds
+    val stages = (1 to rounds).map { r =>
+      val prev = s"e${r - 1}"
+      s"""ecnt$r AS (
+         |  SELECT p.l AS l, p.r AS r, CAST(sum(w) AS BIGINT) AS c
+         |  FROM (SELECT unnest(list_transform(range(1, len(cs)),
+         |          i -> {'l': cs[i], 'r': cs[i+1]})) AS p, w
+         |        FROM $prev WHERE len(cs) >= 2) et$r
+         |  GROUP BY 1, 2),
+         |ebest$r AS (
+         |  SELECT l AS ml, r AS mr FROM ecnt$r
+         |  ORDER BY c DESC, l, r LIMIT 1),
+         |ea$r AS (
+         |  SELECT piece, w, cs, ml, mr,
+         |    CASE WHEN len(cs) >= 2 THEN
+         |      list_transform(range(1, len(cs)), i ->
+         |        cs[i] = ml AND cs[i+1] = mr AND (ml != mr OR
+         |          ((i - (list_max(list_prepend(0,
+         |              list_transform(range(1, i + 1),
+         |                j -> CASE WHEN cs[j] != ml THEN j
+         |                          ELSE 0 END)))
+         |            + 1)) % 2) = 0))
+         |    ELSE CAST([] AS BOOLEAN[]) END AS mg
+         |  FROM $prev CROSS JOIN ebest$r),
+         |e$r AS MATERIALIZED (
+         |  SELECT piece, w, flatten(list_transform(range(1, len(cs) + 1),
+         |      i -> CASE
+         |        WHEN i <= len(cs) - 1 AND mg[i] THEN [ml || mr]
+         |        WHEN i > 1 AND mg[i-1] THEN CAST([] AS VARCHAR[])
+         |        ELSE [cs[i]] END)) AS cs
+         |  FROM ea$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ed0 AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text),
+       |    '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+') AS pieces
+       |  FROM documents WHERE text IS NOT NULL),
+       |e0 AS MATERIALIZED (
+       |  SELECT piece, CAST(count(*) AS BIGINT) AS w,
+       |    list_transform(range(1, length(piece) + 1),
+       |      j -> substr(piece, j, 1)) AS cs
+       |  FROM (SELECT unnest(pieces) AS piece FROM ed0) ep
+       |  GROUP BY piece),
+       |$stages,
+       |edp AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pi, pieces[i] AS piece
+       |  FROM ed0, UNNEST(range(1, len(pieces) + 1)) AS eu(i))
+       |SELECT edp.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_pieces,
+       |  CAST(sum(len(e$rounds.cs)) AS BIGINT) AS n_tokens,
+       |  string_agg(array_to_string(e$rounds.cs, ' '), ' '
+       |    ORDER BY edp.pi) AS tokens
+       |FROM edp JOIN e$rounds USING (piece)
+       |GROUP BY edp.doc_id ORDER BY edp.doc_id""".stripMargin
+  }
+
   /** Generated twin of [[bpeTrainOn]]: the weighted piece dictionary,
     * then one (count → argmax → closed-form greedy apply) CTE stage per
     * round — the same run-parity rule for same-symbol merges, DuckDB's
@@ -1596,6 +1752,7 @@ object TextAnalysis {
          |          ELSE $QBucketTailPct END) AS kept
          |FROM k ORDER BY doc_id""".stripMargin,
     "bpe_train" -> bpeTrainSql,
+    "bpe_pipeline" -> bpePipelineSql,
     "gopher_rules" ->
       s"""WITH ${gopherSqlCtes("documents")}
          |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,

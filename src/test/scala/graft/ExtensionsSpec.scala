@@ -786,6 +786,35 @@ class ExtensionsSpec extends SparkSpec {
       s"no class separation: en mean $meanEn vs other mean $meanOther")
   }
 
+  test("bpe_pipeline: the learned encode is lossless and the merges bite") {
+    import graft.ops.TextAnalysis
+    val got = TextAnalysis.bpePipeline(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(got.nonEmpty)
+    // losslessness: merges only concatenate adjacent characters WITHIN a
+    // piece, so stripping the token separators reproduces exactly the
+    // document's lowercased pre-tokenizer pieces concatenated
+    val docs = Tables.table(spark, sf, "documents")
+    val want = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        concat_ws("", TextAnalysis.preTokenPieces(lower(col("text"))))
+          .as("glue"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { r =>
+      assert(r.getString(3).replace(" ", "") == want(r.getLong(0)),
+        s"doc ${r.getLong(0)} not lossless")
+      // n_pieces <= n_tokens <= character count of the glued pieces
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getLong(2) <= want(r.getLong(0)).length)
+    }
+    // the learned merges BITE: across the corpus the encode is strictly
+    // shorter than character-level (some symbols are multi-char)
+    val totalTokens = got.map(_.getLong(2)).sum
+    val totalChars = got.map(r => want(r.getLong(0)).length.toLong).sum
+    assert(totalTokens < totalChars,
+      s"no merge applied: $totalTokens tokens vs $totalChars chars")
+  }
+
   test("quality_pipeline: exact terciles, score-monotone buckets, " +
       "family sampling rates") {
     import graft.ops.TextAnalysis
