@@ -167,6 +167,14 @@ object SparkEntry {
     // an append-only shard manifest (corpus shards byte-immutable)
     "corpus_pipeline_incremental" ->
       (Curation.corpusPipelineIncremental _),
+    // the DAY-2 loop: batch-1 absorbed into the maintained states by the
+    // per-family additive merges, batch-2 screened against the UPDATED
+    // states (twin recomputes states over the union — merge law composed)
+    "corpus_states_update" -> (Curation.corpusStatesUpdate _),
+    // the flagship with the production tokenizer bootstrap: BPE fitted on
+    // the CLEANED corpus, the manifest priced by the learned table
+    "corpus_pipeline_learned_bpe" ->
+      (Curation.corpusPipelineLearnedBpe _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact
@@ -304,6 +312,12 @@ object SparkEntry {
     // its crawl-batch form: batch keyframes vs the corpus band table +
     // within-batch, per-video corpus/batch fractions and the keep rule
     "dedup_video_incremental" -> (Multimodal.dedupVideoIncremental _),
+    // the ladder's audio rung: window energies → per-segment gradient
+    // fingerprint → banded hamming join → keep-min τ-fraction verdict
+    "dedup_audio" -> (Multimodal.dedupAudio _),
+    // its crawl-batch form: batch segments vs the corpus band table +
+    // within-batch, per-clip corpus/batch fractions and the keep rule
+    "dedup_audio_incremental" -> (Multimodal.dedupAudioIncremental _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     // video keyframe slot: per-frame feature deltas, cut list in-row

@@ -295,19 +295,49 @@ object Curation {
     * so they can be released after the catalog-managed result
     * materializes (checkpoint blocks are invisible to clearCache — the
     * clusterLabels discipline).
+    *
+    * RELIABLE MODE (`reliable = true` — the executable form of the r14
+    * caveat): stage boundaries become `checkpoint()` files under the
+    * session's checkpoint dir instead of executor-memory blocks, so a
+    * lost executor RECOMPUTES from durable leaves instead of failing —
+    * the cluster deployment shape. Durability trades write cost (each
+    * boundary persists to the checkpoint filesystem) and `release()`
+    * is a no-op for reliable boundaries: the files outlive the query
+    * by design (production reclaims them at compaction, exactly like
+    * intermediate tables). Gated per-session by
+    * `graft.pipeline.reliableCheckpoint` via [[scopeFor]]; suite-run
+    * under a temp checkpoint dir (mode equality pinned).
     */
-  private final class ChkScope {
+  private final class ChkScope(reliable: Boolean = false) {
     private val rdds = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
-    def chk(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint(eager = true)
-      out.queryExecution.analyzed.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD =>
-          rdds += lr.rdd
+    def chk(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true)
+      else {
+        val out = df.localCheckpoint(eager = true)
+        out.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            rdds += lr.rdd
+        }
+        out
       }
-      out
-    }
     def release(): Unit = rdds.foreach(_.unpersist(blocking = false))
+  }
+
+  /** Session conf key selecting reliable stage boundaries for every
+    * composed pipeline in this object (default false = localCheckpoint,
+    * the single-JVM harness shape).
+    */
+  private[graft] val ReliableChkConf = "graft.pipeline.reliableCheckpoint"
+
+  private def scopeFor(spark: SparkSession): ChkScope = {
+    val reliable =
+      spark.conf.getOption(ReliableChkConf).exists(_.toBoolean)
+    if (reliable) require(
+      spark.sparkContext.getCheckpointDir.isDefined,
+      s"$ReliableChkConf=true requires sparkContext.setCheckpointDir " +
+        "(the durable stage-boundary filesystem)")
+    new ChkScope(reliable)
   }
 
   /** The checkpointed stage boundaries of one full-pipeline run — the
@@ -333,7 +363,7 @@ object Curation {
       .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
     val benchmark = docs0
       .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
-    val scope = new ChkScope
+    val scope = scopeFor(docs0.sparkSession)
     val manifest = runPipeline(corpus, benchmark, embeddings, scope)
       .manifest.persist()
     // materialize the catalog-managed result BEFORE dropping the
@@ -353,6 +383,14 @@ object Curation {
     manifest
   }
 
+  /** The frozen-table token counter of the flagship manifest —
+    * `clean → (doc_id, n_tokens)`; [[corpusPipelineLearnedBpeOn]] swaps
+    * in the learn-then-encode counter.
+    */
+  private def defaultBpeCount(clean: DataFrame): DataFrame =
+    TextAnalysis.tokenizeBpe(clean)
+      .select(col("doc_id"), col("n_tokens"))
+
   /** The stage chain shared by the batch and incremental flagships.
     * LINEAGE-TRUNCATED STAGE BOUNDARIES: each macro-stage output is
     * localCheckpoint'ed (eager), so every stage is planned over a flat
@@ -370,7 +408,8 @@ object Curation {
     * intermediate tables (the clusterLabels reliable-mode discipline).
     */
   private def runPipeline(corpus: DataFrame, benchmark: DataFrame,
-      embeddings: DataFrame, scope: ChkScope): PipelineRun = {
+      embeddings: DataFrame, scope: ChkScope,
+      bpeCount: DataFrame => DataFrame = defaultBpeCount): PipelineRun = {
     import scope.chk
     // 2. URL surface: deny-list → URL dedup → per-host cap
     val urls = chk(Web.urlStructured(corpus))
@@ -416,8 +455,7 @@ object Curation {
     // 8. decontamination against the held-out benchmark
     val clean = chk(contaminationStripOn(docs2, benchmark, ContamGramN))
     // 9. tokenize → epoch-0 order → loader manifest
-    val enc = TextAnalysis.tokenizeBpe(clean)
-      .select(col("doc_id"), col("n_tokens"))
+    val enc = bpeCount(clean)
     val nt = clean.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("nt"))
     val manifest = Packing
@@ -509,24 +547,102 @@ object Curation {
     * reads the corpus manifest only for its (max shard, doc count) — a
     * one-row broadcast, never a corpus scan.
     */
-  def corpusPipelineIncrementalOn(corpus: DataFrame, batch: DataFrame,
-      benchmark: DataFrame, embeddings: DataFrame): DataFrame = {
-    val scope = new ChkScope
-    import scope.chk
-    val run = runPipeline(corpus, benchmark, embeddings, scope)
-    val cman = chk(run.manifest)
-    // (max shard, total docs) of the shipped corpus — the append cursor
-    val cstat = cman.agg(
+  /** THE MAINTAINED STATE TABLES of the incremental pipeline — one frame
+    * per stateful stage, each the stage's additive census/state over the
+    * populations it has absorbed so far: URL census (sum/min-mergeable),
+    * line census (+sum), span census (+sum), semantic cell MEMBERS
+    * (union-mergeable — [[Dedup.assignedUnits]] rows; centroids derive
+    * by one aggregate), and the one-row manifest append cursor. In
+    * production these are bucketed tables keyed by their hash column;
+    * here they are frames a composed key derives, merges
+    * ([[mergeStates]]) and probes.
+    */
+  private final case class PipelineStates(
+      urlCensus: DataFrame,  // (url_norm, n_variants, min_doc)
+      lineCensus: DataFrame, // (lh, n_docs)
+      spanCensus: DataFrame, // (gh, n_docs)
+      semMembers: DataFrame, // (vec_id, unit, cell)
+      cursor: DataFrame)     // 1 row: (c_max_shard, c_n_docs)
+
+  /** A batch's pass through the incremental chain — the per-stage INPUT
+    * populations (what the next day's state merge absorbs: the exact
+    * counterparts of [[PipelineRun]]'s corpus frames) plus its appended
+    * shard manifest.
+    */
+  private final case class BatchRun(
+      unblocked: DataFrame, extracted: DataFrame, gated: DataFrame,
+      stripped: DataFrame, clean: DataFrame, manifest: DataFrame)
+
+  /** The manifest append cursor: (max shard id, total docs) — a one-row
+    * aggregate, broadcast into the batch manifest tail.
+    */
+  private def cursorOf(manifest: DataFrame): DataFrame =
+    manifest.agg(
       coalesce(max(col("shard_id")), lit(-1L)).as("c_max_shard"),
       coalesce(sum(col("n_docs")), lit(0L)).as("c_n_docs"))
-    // 1-2. deny list + frontier screen vs the corpus URL census
+
+  /** Day-1 states from a corpus run: each census over the corpus
+    * frame that was the matching stage's INPUT population.
+    */
+  private def statesOf(run: PipelineRun, manifest: DataFrame,
+      embeddings: DataFrame): PipelineStates =
+    PipelineStates(
+      Web.urlCensus(run.unblocked),
+      Dedup.lineCensus(run.extracted),
+      Dedup.spanCensus(run.gated, Dedup.SpanGram),
+      Dedup.assignedUnits(
+        embeddings.join(run.stripped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), 64),
+      cursorOf(manifest))
+
+  /** THE DAY-2 STATE MERGE — absorb a processed batch into the
+    * maintained states, each by its family's suite-pinned additive law
+    * (the loop production runs at every compaction): URL census merges
+    * by per-url sum/min, line and span censuses by per-hash sum,
+    * semantic members by plain union — every merge reads the batch's
+    * stage-INPUT populations ([[BatchRun]]), never corpus text. The
+    * cursor is NOT merged here: it derives from the post-append
+    * manifest ([[cursorOf]]), the artifact that already absorbed the
+    * batch.
+    *
+    * Scale shape: each merge is census ⊎ batch-census — at 100 TB an
+    * append to the bucketed state table plus a sum/min compaction over
+    * batch-sized key overlap; nothing corpus-sized moves.
+    */
+  private def mergeStates(st: PipelineStates, br: BatchRun,
+      embeddings: DataFrame): PipelineStates =
+    PipelineStates(
+      st.urlCensus.unionByName(Web.urlCensus(br.unblocked))
+        .groupBy(col("url_norm"))
+        .agg(sum(col("n_variants")).as("n_variants"),
+          min(col("min_doc")).as("min_doc")),
+      st.lineCensus.unionByName(Dedup.lineCensus(br.extracted))
+        .groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs")),
+      st.spanCensus
+        .unionByName(Dedup.spanCensus(br.gated, Dedup.SpanGram))
+        .groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs")),
+      st.semMembers.unionByName(Dedup.assignedUnits(
+        embeddings.join(br.stripped.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi"), 64)),
+      st.cursor)
+
+  /** One crawl batch through the incremental chain against EXPLICIT
+    * state frames — the factored batch side of
+    * [[corpusPipelineIncrementalOn]] (same stages, same semantics), so
+    * day-2 compositions can feed MERGED states and the batch-only cost
+    * is its own measurable unit.
+    */
+  private def runBatch(states: PipelineStates, batch: DataFrame,
+      benchmark: DataFrame, embeddings: DataFrame,
+      scope: ChkScope): BatchRun = {
+    import scope.chk
+    // 1-2. deny list + frontier screen vs the URL census
     val burls = chk(Web.urlStructured(batch))
     val bUnblocked = burls.join(
       Web.urlBlocklistOn(burls, Web.BlockedDomains, Web.BlockedPrefixes)
         .filter(col("blocked") === 0).select(col("doc_id")),
       Seq("doc_id"), "left_semi")
-    val bKeep = Web.dedupUrlIncrementalOn(
-        Web.urlCensus(run.unblocked), bUnblocked)
+    val bKeep = Web.dedupUrlIncrementalOn(states.urlCensus, bUnblocked)
       .filter(col("keep")).select(col("doc_id"))
     val bdocs1 = chk(batch.join(bKeep, Seq("doc_id"), "left_semi"))
     // 3. main-content extraction
@@ -534,30 +650,26 @@ object Curation {
         TextAnalysis.htmlStructured(bdocs1))
       .filter(col("n_paragraphs") > 0)
       .select(col("doc_id"), col("main_text").as("text")))
-    // 4. line dedup vs the corpus line census
+    // 4. line dedup vs the line census
     val bflat = Dedup.dedupLinesIncrementalOn(
-        Dedup.lineCensus(run.extracted), bextracted, PipelineLineMinDocs)
+        states.lineCensus, bextracted, PipelineLineMinDocs)
       .select(col("doc_id"),
         regexp_replace(col("clean_text"), "\n", " ").as("text"))
       .filter(col("text") =!= "")
     // 5. Gopher gate
     val bgated = chk(bflat.filter(TextAnalysis.gopherKeep))
-    // 6. span excision vs the corpus span census
+    // 6. span excision vs the span census
     val bstripped = chk(Dedup.dedupSpansStripIncrementalOn(
-        Dedup.spanCensus(run.gated, Dedup.SpanGram), bgated, Dedup.SpanGram)
+        states.spanCensus, bgated, Dedup.SpanGram)
       .filter(col("kept_tokens") > 0)
       .select(col("doc_id"), col("clean_text").as("text")))
-    // 7. semantic screen vs the corpus cells (drop-set anti-join)
-    val vecs = embeddings
-      .join(run.stripped.select(col("doc_id").as("vec_id")),
-        Seq("vec_id"), "left_semi")
-      .withColumn("is_new", lit(false))
-      .unionByName(embeddings
-        .join(bstripped.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi")
-        .withColumn("is_new", lit(true)))
-    val semDrop = Dedup.dedupSemanticIncrementalOn(vecs, col("is_new"),
-        64, Dedup.IncrementalEmbedTau)
+    // 7. semantic screen vs the maintained cell members (drop-set
+    // anti-join, so batch docs without embeddings pass)
+    val bAssigned = Dedup.assignedUnits(
+      embeddings.join(bstripped.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"), 64)
+    val semDrop = Dedup.dedupSemanticIncrementalOnState(
+        states.semMembers, bAssigned, 64, Dedup.IncrementalEmbedTau)
       .filter(!col("keep"))
       .select(col("vec_id").as("doc_id"))
     val bdocs2 = chk(bstripped.join(semDrop, Seq("doc_id"), "left_anti"))
@@ -572,7 +684,7 @@ object Curation {
       .shuffleDeterministicOn(bclean, Packing.ShuffleSalt)
       .join(bnt, Seq("doc_id"))
       .join(benc, Seq("doc_id"))
-      .crossJoin(broadcast(cstat))
+      .crossJoin(broadcast(states.cursor))
       .withColumn("shard_id",
         col("c_max_shard") + 1 + expr(s"pos div $PipelineDocsPerShard"))
       .groupBy(col("shard_id"))
@@ -592,8 +704,19 @@ object Curation {
       .select(col("shard_id"), col("n_docs"), col("first_pos"),
         col("last_pos"), col("n_ws_tokens"), col("n_bpe_tokens"),
         col("n_seqs"), col("shard_digest"))
+    BatchRun(bUnblocked, bextracted, bgated, bstripped, bclean, bman)
+  }
+
+  def corpusPipelineIncrementalOn(corpus: DataFrame, batch: DataFrame,
+      benchmark: DataFrame, embeddings: DataFrame): DataFrame = {
+    val scope = scopeFor(corpus.sparkSession)
+    import scope.chk
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    val br = runBatch(statesOf(run, cman, embeddings), batch, benchmark,
+      embeddings, scope)
     val out = cman.withColumn("is_batch", lit(0))
-      .unionByName(bman.withColumn("is_batch", lit(1)))
+      .unionByName(br.manifest.withColumn("is_batch", lit(1)))
       .persist()
     // the corpusPipelineOn materialize-then-release discipline (and its
     // reliable-mode caveat) applies unchanged
@@ -621,6 +744,130 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** THE DAY-2 COMPOSED FLAGSHIP — the state-UPDATE loop production
+    * runs daily, the one composition `corpus_pipeline_incremental`
+    * deliberately froze: run the corpus (day 0), screen batch-1 against
+    * the day-1 states ([[runBatch]] — exactly the incremental
+    * flagship), then MERGE batch-1's stage-input populations into the
+    * maintained states ([[mergeStates]] — the per-family additive laws,
+    * composed) and screen batch-2 against the UPDATED states. Batch-2
+    * therefore sees batch-1's URLs/lines/spans/vectors as corpus-held:
+    * a day-2 re-crawl of day-1 content is absorbed at the frontier, a
+    * day-2 span duplicated only against day-1 text is excised, and the
+    * shards append after batch-1's (positions continue — shipped shards
+    * stay immutable across days).
+    *
+    * The merged states are lineage-truncated as EXPLICIT frames before
+    * batch-2 runs, so the day-2 chain plans over flat state leaves —
+    * the batch-only cost is visible as its own stage, the shape the r15
+    * advisory asked for (in production these ARE the maintained
+    * bucketed tables; only the merge compaction writes).
+    *
+    * Output: the day-0/1/2 manifest — corpus shards (`day` 0), batch-1
+    * shards (`day` 1), batch-2 shards (`day` 2), shard ids and doc
+    * positions contiguous across days. Unordered. The composed DuckDB
+    * twin derives the day-2 states by RECOMPUTING each census over the
+    * union input populations — hash equality is therefore an
+    * independent proof that the Spark-side additive MERGES equal
+    * recompute-over-union, composed through the whole chain (the
+    * per-family laws PropertiesSpec pins, chained).
+    */
+  def corpusStatesUpdateOn(corpus: DataFrame, batch1: DataFrame,
+      batch2: DataFrame, benchmark: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val scope = scopeFor(corpus.sparkSession)
+    import scope.chk
+    // day 0: the corpus run and its day-1 states
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    val st1 = statesOf(run, cman, embeddings)
+    // day 1: batch-1 against the day-1 states
+    val r1 = runBatch(st1, batch1, benchmark, embeddings, scope)
+    val b1man = chk(r1.manifest)
+    // the day-2 merge, materialized per family (flat state leaves)
+    val merged = mergeStates(st1, r1, embeddings)
+    val st2 = PipelineStates(
+      chk(merged.urlCensus), chk(merged.lineCensus),
+      chk(merged.spanCensus), chk(merged.semMembers),
+      cursorOf(cman.unionByName(b1man)))
+    // day 2: batch-2 against the UPDATED states
+    val r2 = runBatch(st2, batch2, benchmark, embeddings, scope)
+    val out = cman.withColumn("day", lit(0))
+      .unionByName(b1man.withColumn("day", lit(1)))
+      .unionByName(r2.manifest.withColumn("day", lit(2)))
+      .persist()
+    // the corpusPipelineOn materialize-then-release discipline (and its
+    // reliable-mode caveat) applies unchanged
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out
+  }
+
+  /** `corpus_states_update` checked key: the three-way parity split of
+    * the live corpus (even doc_id ≥ 20 = shipped corpus, doc_id % 4 = 1
+    * = day-1 crawl batch, doc_id % 4 = 3 = day-2 crawl batch; doc_id <
+    * 20 stays the benchmark for all three runs). Shard ids ascend
+    * day-0 → day-1 → day-2, so one shard_id sort presents the days in
+    * order.
+    */
+  def corpusStatesUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    corpusStatesUpdateOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 4 === 1),
+      live.filter(col("doc_id") % 4 === 3),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** THE LEARNED-TOKENIZER FLAGSHIP — [[corpusPipelineOn]] with the
+    * production bootstrap order for a NEW tokenizer: clean first, then
+    * FIT the tokenizer on the cleaned corpus and tokenize with it
+    * ([[TextAnalysis.bpePipelineOn]]'s learn-then-encode over `clean`,
+    * replacing the frozen-table [[TextAnalysis.tokenizeBpe]] walk).
+    * Everything upstream of the manifest is byte-identical to the
+    * flagship (the tokenizer only prices the manifest's
+    * `n_bpe_tokens`/`n_seqs` columns — suite-pinned); the twin composes
+    * the pipeline CTE chain with the generated learn-encode rounds over
+    * `clean`, so hash equality proves the train→encode handoff
+    * composes INSIDE the pipeline.
+    *
+    * Scale shape: the fit adds one corpus pass (the weighted piece
+    * dictionary) plus vocab-sized rounds — the real cost order of
+    * training a tokenizer on a cleaned corpus; serving is the
+    * dictionary lookup join, AQE-broadcast at harness scale.
+    */
+  def corpusPipelineLearnedBpeOn(docs0: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val corpus = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    val benchmark = docs0
+      .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
+    val scope = scopeFor(docs0.sparkSession)
+    val manifest = runPipeline(corpus, benchmark, embeddings, scope,
+      clean => TextAnalysis
+        .bpePipelineOn(clean, TextAnalysis.BpeTrainRounds)
+        .select(col("doc_id"), col("n_tokens")))
+      .manifest.persist()
+    // the corpusPipelineOn materialize-then-release discipline applies
+    manifest.queryExecution.toRdd.count()
+    scope.release()
+    manifest
+  }
+
+  /** `corpus_pipeline_learned_bpe` checked key: the flagship split with
+    * the corpus-fitted tokenizer.
+    */
+  def corpusPipelineLearnedBpe(spark: SparkSession,
+      sfDir: String): DataFrame =
+    corpusPipelineLearnedBpeOn(
+      table(spark, sfDir, "documents"),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
+
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
     * chaining every stage's established oracle formulation (URL plant /
     * blocklist rules / keep-min / host cap from [[Web]], the extract
@@ -644,9 +891,19 @@ object Curation {
     * can instantiate it for the even-parity corpus and chain the batch
     * CTEs after it.
     */
-  private def pipelineCoreCtes(popCond: String): String = {
+  private def pipelineCoreCtes(popCond: String): String =
+    pipelineCoreCtes(popCond,
+      "bt AS (SELECT doc_id, n_tokens FROM (" +
+        graft.functions.BpeTokenizer.oracleSqlFor("clean") + ") bq)")
+
+  /** `btCtes`-parameterized form: the caller supplies the CTE block
+    * (pre-stripped, no trailing comma) ending in `bt (doc_id,
+    * n_tokens)` — the frozen-table walk by default, the generated
+    * learn-then-encode rounds for the learned-tokenizer twin.
+    */
+  private def pipelineCoreCtes(popCond: String, btCtes: String): String = {
     val blockCond = blockCondSql
-    val bpe = graft.functions.BpeTokenizer.oracleSqlFor("clean")
+    val bpe = btCtes
     s"""pdocs AS (
        |  SELECT doc_id, text, lang, source FROM documents
        |  WHERE $popCond),
@@ -790,9 +1047,11 @@ object Curation {
        |cflag AS (SELECT DISTINCT doc_id FROM cdg JOIN cbg USING (gram)),
        |clean AS MATERIALIZED (
        |  SELECT d2.doc_id, d2.text FROM d2
-       |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM cflag)),
-       |bt AS (SELECT doc_id, n_tokens FROM ($bpe) bq),
-       |o AS (
+       |  WHERE d2.doc_id NOT IN (SELECT doc_id FROM cflag)),""".stripMargin +
+    // CONCATENATED seam: btCtes is pre-stripped (the stripMargin note
+    // below) and may span generated round CTEs
+    "\n" + bpe + ",\n" +
+    s"""o AS (
        |  SELECT
        |    CAST(row_number() OVER (
        |      ORDER BY md5('${Packing.ShuffleSalt}:'
@@ -836,191 +1095,230 @@ object Curation {
     * equality proves the maintained states COMPOSE — the one artifact
     * the per-family incremental twins cannot give.
     */
-  private def pipelineIncrementalSql: String = {
-    val blockCond = blockCondSql
-    val bpeB = graft.functions.BpeTokenizer.oracleSqlFor("bclean")
-    // concatenated head (see pipelineSql's stripMargin note)
-    "WITH " +
-      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
-        "doc_id % 2 = 0 AND text IS NOT NULL") +
-      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
-    s"""cstat AS (
-       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
-       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
-       |  FROM cman),
-       |bdocs AS (
-       |  SELECT doc_id, text, lang, source FROM documents
-       |  WHERE doc_id >= $ContamBenchDocs AND doc_id % 2 = 1
-       |    AND text IS NOT NULL),
-       |${Web.plantSqlP("b", "bdocs")},
-       |bhosts AS (
-       |  SELECT doc_id, url_norm,
-       |    regexp_extract(url_norm,
-       |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
-       |  FROM bcanon),
-       |bunb AS (
-       |  SELECT * FROM bhosts
-       |  WHERE NOT ($blockCond)),
-       |ucens AS MATERIALIZED (
+  /** Day-1 state CTEs over the core chain — the SQL mirror of
+    * [[statesOf]]: URL census from `unb`, line census from `ep`, span
+    * census from `sg` (the semantic member state is the core's `scell`/
+    * `smm` pair directly), append cursor from `cman`.
+    */
+  private def day1StateCtes: String =
+    s"""ucens AS MATERIALIZED (
        |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_corpus
        |  FROM unb GROUP BY url_norm),
-       |bukeep AS MATERIALIZED (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, url_norm,
-       |      row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
-       |        AS rn
-       |    FROM bunb) b1
-       |  WHERE rn = 1
-       |    AND url_norm NOT IN (SELECT url_norm FROM ucens)),
-       |bd1 AS (SELECT bdocs.* FROM bdocs JOIN bukeep USING (doc_id)),
-       |bed AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t,
-       |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
-       |      AS BIGINT), 1) AS nc
-       |  FROM bd1),
-       |bep AS MATERIALIZED (
-       |  SELECT doc_id, i,
-       |    array_to_string(t[(i*10+1) : (i*10+10)], ' ') AS para
-       |  FROM bed, UNNEST(range(0, nc)) AS ue(i)
-       |  WHERE doc_id % 13 != 0),
        |lcens AS MATERIALIZED (
        |  SELECT md5(para) AS lh,
        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |  FROM ep GROUP BY 1),
-       |blbp AS (
-       |  SELECT b2.lh FROM (
-       |    SELECT md5(para) AS lh,
-       |      CAST(count(DISTINCT doc_id) AS BIGINT) AS nb
-       |    FROM bep GROUP BY 1) b2
-       |  LEFT JOIN lcens c2 USING (lh)
-       |  WHERE b2.nb + coalesce(c2.n_docs, 0) >= $PipelineLineMinDocs),
-       |blkept AS (
-       |  SELECT bep.doc_id, bep.i, bep.para
-       |  FROM bep LEFT JOIN blbp ON md5(bep.para) = blbp.lh
-       |  WHERE blbp.lh IS NULL),
-       |bflat AS MATERIALIZED (
-       |  SELECT doc_id, string_agg(para, ' ' ORDER BY i) AS text
-       |  FROM blkept GROUP BY doc_id),
-       |${TextAnalysis.gopherSqlCtes("bflat", "b")},
-       |bgated AS MATERIALIZED (
-       |  SELECT f.doc_id, f.text FROM bflat f
-       |  JOIN bgk ON bgk.doc_id = f.doc_id AND bgk.keep_gopher),
        |scens AS MATERIALIZED (
        |  SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
        |  FROM sg GROUP BY gh),
-       |bsd AS MATERIALIZED (
+       |cstat AS (
+       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
+       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
+       |  FROM cman)""".stripMargin
+
+  /** State CTE names a generated batch chain probes — day 1 points at
+    * [[day1StateCtes]] + the core's `scell`/`smm`; day 2 at the merged
+    * recompute-over-union CTEs.
+    */
+  private final case class OracleStates(ucens: String, lcens: String,
+      scens: String, members: String, smm: String, cstat: String)
+
+  /** The batch-side CTE chain of the incremental twin, generated with
+    * prefix `p` over population `popCond` against the named state CTEs
+    * — the SQL mirror of [[runBatch]], shared by the day-1 twin
+    * (`corpus_pipeline_incremental`) and both batches of the day-2 twin
+    * (`corpus_states_update`) so the batch formulation cannot drift.
+    * Ends in `${p}man`, the batch's appended manifest.
+    */
+  private def batchChainCtes(p: String, popCond: String,
+      st: OracleStates): String = {
+    val blockCond = blockCondSql
+    val bpeB = graft.functions.BpeTokenizer.oracleSqlFor(s"${p}clean")
+    s"""${p}docs AS (
+       |  SELECT doc_id, text, lang, source FROM documents
+       |  WHERE $popCond),
+       |${Web.plantSqlP(p, s"${p}docs")},
+       |${p}hosts AS (
+       |  SELECT doc_id, url_norm,
+       |    regexp_extract(url_norm,
+       |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+       |  FROM ${p}canon),
+       |${p}unb AS (
+       |  SELECT * FROM ${p}hosts
+       |  WHERE NOT ($blockCond)),
+       |${p}ukeep AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, url_norm,
+       |      row_number() OVER (PARTITION BY url_norm ORDER BY doc_id)
+       |        AS rn
+       |    FROM ${p}unb) ${p}u1
+       |  WHERE rn = 1
+       |    AND url_norm NOT IN (SELECT url_norm FROM ${st.ucens})),
+       |${p}d1 AS (SELECT ${p}docs.* FROM ${p}docs
+       |  JOIN ${p}ukeep USING (doc_id)),
+       |${p}ed AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t,
+       |    greatest(CAST(ceil(len(string_split(text, ' ')) / 10.0)
+       |      AS BIGINT), 1) AS nc
+       |  FROM ${p}d1),
+       |${p}ep AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    array_to_string(t[(i*10+1) : (i*10+10)], ' ') AS para
+       |  FROM ${p}ed, UNNEST(range(0, nc)) AS ue(i)
+       |  WHERE doc_id % 13 != 0),
+       |${p}lbp AS (
+       |  SELECT ${p}b2.lh FROM (
+       |    SELECT md5(para) AS lh,
+       |      CAST(count(DISTINCT doc_id) AS BIGINT) AS nb
+       |    FROM ${p}ep GROUP BY 1) ${p}b2
+       |  LEFT JOIN ${st.lcens} c2 USING (lh)
+       |  WHERE ${p}b2.nb + coalesce(c2.n_docs, 0)
+       |    >= $PipelineLineMinDocs),
+       |${p}lkept AS (
+       |  SELECT ${p}ep.doc_id, ${p}ep.i, ${p}ep.para
+       |  FROM ${p}ep LEFT JOIN ${p}lbp ON md5(${p}ep.para) = ${p}lbp.lh
+       |  WHERE ${p}lbp.lh IS NULL),
+       |${p}flat AS MATERIALIZED (
+       |  SELECT doc_id, string_agg(para, ' ' ORDER BY i) AS text
+       |  FROM ${p}lkept GROUP BY doc_id),
+       |${TextAnalysis.gopherSqlCtes(s"${p}flat", p)},
+       |${p}gated AS MATERIALIZED (
+       |  SELECT f.doc_id, f.text FROM ${p}flat f
+       |  JOIN ${p}gk ON ${p}gk.doc_id = f.doc_id AND ${p}gk.keep_gopher),
+       |${p}sd AS MATERIALIZED (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM bgated),
-       |bsg AS MATERIALIZED (
+       |  FROM ${p}gated),
+       |${p}sg AS MATERIALIZED (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
        |    CAST(concat('0x', substring(md5(
        |      array_to_string(w[i : i + 7], ' ')), 1, 15)) AS BIGINT) AS gh
-       |  FROM bsd, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6)) AS us(i)
+       |  FROM ${p}sd, UNNEST(range(1, CAST(len(w) AS BIGINT) - 6))
+       |    AS us(i)
        |  WHERE len(w) >= 8),
-       |bsc AS (
+       |${p}sc AS (
        |  SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS nb,
        |    min(doc_id) AS bkeeper
-       |  FROM bsg GROUP BY gh),
-       |bdup AS (
-       |  SELECT b3.gh,
+       |  FROM ${p}sg GROUP BY gh),
+       |${p}dup AS (
+       |  SELECT ${p}b3.gh,
        |    CASE WHEN coalesce(c3.n_docs, 0) > 0 THEN -1
-       |         ELSE b3.bkeeper END AS keeper
-       |  FROM bsc b3 LEFT JOIN scens c3 USING (gh)
-       |  WHERE b3.nb + coalesce(c3.n_docs, 0) >= 2),
-       |bss AS MATERIALIZED (
-       |  SELECT bsg.doc_id, bsg.pos FROM bsg JOIN bdup USING (gh)
-       |  WHERE bsg.doc_id != bdup.keeper),
-       |bspos AS (
-       |  SELECT bsd.doc_id, t.p, w[t.p + 1] AS tok,
-       |    EXISTS (SELECT 1 FROM bss WHERE bss.doc_id = bsd.doc_id
-       |            AND bss.pos <= t.p AND t.p <= bss.pos + 7) AS covered
-       |  FROM bsd CROSS JOIN UNNEST(range(0, bsd.n_toks)) AS t(p)),
-       |bsagg AS MATERIALIZED (
+       |         ELSE ${p}b3.bkeeper END AS keeper
+       |  FROM ${p}sc ${p}b3 LEFT JOIN ${st.scens} c3 USING (gh)
+       |  WHERE ${p}b3.nb + coalesce(c3.n_docs, 0) >= 2),
+       |${p}ss AS MATERIALIZED (
+       |  SELECT ${p}sg.doc_id, ${p}sg.pos FROM ${p}sg
+       |  JOIN ${p}dup USING (gh)
+       |  WHERE ${p}sg.doc_id != ${p}dup.keeper),
+       |${p}spos AS (
+       |  SELECT ${p}sd.doc_id, t.p, w[t.p + 1] AS tok,
+       |    EXISTS (SELECT 1 FROM ${p}ss WHERE ${p}ss.doc_id = ${p}sd.doc_id
+       |            AND ${p}ss.pos <= t.p AND t.p <= ${p}ss.pos + 7)
+       |      AS covered
+       |  FROM ${p}sd CROSS JOIN UNNEST(range(0, ${p}sd.n_toks)) AS t(p)),
+       |${p}sagg AS MATERIALIZED (
        |  SELECT doc_id,
        |    count(*) FILTER (WHERE NOT covered) AS kept_tokens,
        |    coalesce(string_agg(tok, ' ' ORDER BY p)
        |      FILTER (WHERE NOT covered), '') AS clean_text
-       |  FROM bspos GROUP BY doc_id),
-       |bsdocs AS MATERIALIZED (
-       |  SELECT doc_id, clean_text AS text FROM bsagg
+       |  FROM ${p}spos GROUP BY doc_id),
+       |${p}sdocs AS MATERIALIZED (
+       |  SELECT doc_id, clean_text AS text FROM ${p}sagg
        |  WHERE kept_tokens > 0),
-       |bsv AS (
+       |${p}sv AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
        |    SQRT(list_sum(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM bsdocs)),
-       |bsu AS (
+       |  FROM embeddings WHERE vec_id IN (SELECT doc_id FROM ${p}sdocs)),
+       |${p}su AS (
        |  SELECT vec_id, list_transform(emb, x -> x / nrm) AS unit
-       |  FROM bsv WHERE nrm > 0),
-       |bscell AS (
+       |  FROM ${p}sv WHERE nrm > 0),
+       |${p}scell AS (
        |  SELECT vec_id, unit,
        |    CAST(${Dedup.semCellSqlExpr(64)} AS BIGINT) AS cell
-       |  FROM bsu),
-       |bcs AS MATERIALIZED (
+       |  FROM ${p}su),
+       |${p}cs AS MATERIALIZED (
        |  SELECT c.vec_id, c.cell, c.unit,
        |    CASE WHEN m.mnrm > 0 THEN
        |      ROUND(list_sum(list_transform(list_zip(c.unit, m.mean),
        |        pz -> pz[1] * pz[2])) / m.mnrm, 6)
        |    ELSE 0.0 END AS c_sim
-       |  FROM bscell c LEFT JOIN smm m USING (cell)),
-       |bpc AS (
+       |  FROM ${p}scell c LEFT JOIN ${st.smm} m USING (cell)),
+       |${p}pc AS (
        |  SELECT a.vec_id AS id_a
-       |  FROM bcs a JOIN scell b ON a.cell = b.cell
+       |  FROM ${p}cs a JOIN ${st.members} b ON a.cell = b.cell
        |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
        |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
        |  GROUP BY a.vec_id),
-       |bpb AS (
+       |${p}pb AS (
        |  SELECT a.vec_id AS id_a,
        |    bool_or(b.c_sim < a.c_sim OR
        |      (b.c_sim = a.c_sim AND b.vec_id < a.vec_id)) AS has_better
-       |  FROM bcs a JOIN bcs b ON a.cell = b.cell AND a.vec_id != b.vec_id
+       |  FROM ${p}cs a JOIN ${p}cs b ON a.cell = b.cell
+       |    AND a.vec_id != b.vec_id
        |  WHERE ROUND(list_sum(list_transform(list_zip(a.unit, b.unit),
        |    pz -> pz[1] * pz[2])), 6) >= ${Dedup.IncrementalEmbedTau}
        |  GROUP BY a.vec_id),
-       |bsdrop AS (
-       |  SELECT bcs.vec_id AS doc_id FROM bcs
-       |  LEFT JOIN bpc ON bpc.id_a = bcs.vec_id
-       |  LEFT JOIN bpb ON bpb.id_a = bcs.vec_id
-       |  WHERE bpc.id_a IS NOT NULL OR coalesce(bpb.has_better, false)),
-       |bd2 AS MATERIALIZED (
-       |  SELECT bsdocs.* FROM bsdocs
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM bsdrop)),
-       |bcdg AS (
+       |${p}sdrop AS (
+       |  SELECT ${p}cs.vec_id AS doc_id FROM ${p}cs
+       |  LEFT JOIN ${p}pc ON ${p}pc.id_a = ${p}cs.vec_id
+       |  LEFT JOIN ${p}pb ON ${p}pb.id_a = ${p}cs.vec_id
+       |  WHERE ${p}pc.id_a IS NOT NULL
+       |    OR coalesce(${p}pb.has_better, false)),
+       |${p}d2 AS MATERIALIZED (
+       |  SELECT ${p}sdocs.* FROM ${p}sdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM ${p}sdrop)),
+       |${p}cdg AS (
        |  SELECT doc_id, unnest(list_distinct(
        |    list_transform(range(1, len(w) - 3),
        |      i -> array_to_string(w[i : i + 4], ' ')))) AS gram
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM bd2) b4
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM ${p}d2) ${p}b4
        |  WHERE len(w) >= 5),
-       |bcflag AS (SELECT DISTINCT doc_id FROM bcdg JOIN cbg USING (gram)),
-       |bclean AS MATERIALIZED (
-       |  SELECT bd2.doc_id, bd2.text FROM bd2
-       |  WHERE bd2.doc_id NOT IN (SELECT doc_id FROM bcflag)),
-       |bbt AS (SELECT doc_id, n_tokens FROM ($bpeB) bq2),
-       |bo AS (
+       |${p}cflag AS (
+       |  SELECT DISTINCT doc_id FROM ${p}cdg JOIN cbg USING (gram)),
+       |${p}clean AS MATERIALIZED (
+       |  SELECT ${p}d2.doc_id, ${p}d2.text FROM ${p}d2
+       |  WHERE ${p}d2.doc_id NOT IN (SELECT doc_id FROM ${p}cflag)),
+       |${p}bt AS (SELECT doc_id, n_tokens FROM ($bpeB) ${p}q2),
+       |${p}o AS (
        |  SELECT
        |    CAST(row_number() OVER (
        |      ORDER BY md5('${Packing.ShuffleSalt}:'
        |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS bpos,
        |    doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-       |  FROM bclean),
-       |bman AS (
-       |  SELECT cstat.c_max_shard + 1
+       |  FROM ${p}clean),
+       |${p}man AS MATERIALIZED (
+       |  SELECT ${st.cstat}.c_max_shard + 1
        |      + bpos // $PipelineDocsPerShard AS shard_id,
        |    count(*) AS n_docs,
-       |    min(bpos + cstat.c_n_docs) AS first_pos,
-       |    max(bpos + cstat.c_n_docs) AS last_pos,
-       |    CAST(sum(bo.nt) AS BIGINT) AS n_ws_tokens,
-       |    CAST(sum(bbt.n_tokens) AS BIGINT) AS n_bpe_tokens,
-       |    (CAST(sum(bbt.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
+       |    min(bpos + ${st.cstat}.c_n_docs) AS first_pos,
+       |    max(bpos + ${st.cstat}.c_n_docs) AS last_pos,
+       |    CAST(sum(${p}o.nt) AS BIGINT) AS n_ws_tokens,
+       |    CAST(sum(${p}bt.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |    (CAST(sum(${p}bt.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
        |      // $PipelineSeqBudget AS n_seqs,
-       |    md5(string_agg(CAST(bo.doc_id AS VARCHAR), ',' ORDER BY bpos))
-       |      AS shard_digest
-       |  FROM bo JOIN bbt USING (doc_id) CROSS JOIN cstat
-       |  GROUP BY 1)
-       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |    md5(string_agg(CAST(${p}o.doc_id AS VARCHAR), ','
+       |      ORDER BY bpos)) AS shard_digest
+       |  FROM ${p}o JOIN ${p}bt USING (doc_id) CROSS JOIN ${st.cstat}
+       |  GROUP BY 1)""".stripMargin
+  }
+
+  private def day1OracleStates: OracleStates =
+    OracleStates("ucens", "lcens", "scens", "scell", "smm", "cstat")
+
+  private def pipelineIncrementalSql: String = {
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 1 AND text IS NOT NULL", day1OracleStates) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
        |  n_bpe_tokens, n_seqs, shard_digest, 0 AS is_batch FROM cman
        |UNION ALL
        |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
@@ -1028,9 +1326,99 @@ object Curation {
        |ORDER BY shard_id""".stripMargin
   }
 
+  /** The composed twin of [[corpusStatesUpdateOn]]: the even-parity
+    * corpus core, the day-1 states, batch-1's chain (`b` prefix,
+    * doc_id % 4 = 1), then the DAY-2 STATES RECOMPUTED OVER THE UNION
+    * INPUT POPULATIONS (`u2`/`l2`/`s2`/`mem2`+centroids/`cstat2` — the
+    * independent formulation of what the Spark side derives by additive
+    * MERGE), and batch-2's chain (`b2` prefix, doc_id % 4 = 3) probing
+    * them. Hash equality of the day-stamped manifest proves
+    * merge-equals-recompute-over-union composed through every stateful
+    * stage.
+    */
+  private def statesUpdateSql: String = {
+    val day2 = OracleStates("u2", "l2", "s2", "mem2", "m2mm", "cstat2")
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 4 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+    s"""u2 AS MATERIALIZED (
+       |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_corpus
+       |  FROM (SELECT url_norm FROM unb
+       |        UNION ALL SELECT url_norm FROM bunb) uu
+       |  GROUP BY url_norm),
+       |l2 AS MATERIALIZED (
+       |  SELECT md5(para) AS lh,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM (SELECT doc_id, para FROM ep
+       |        UNION ALL SELECT doc_id, para FROM bep) lu
+       |  GROUP BY 1),
+       |s2 AS MATERIALIZED (
+       |  SELECT gh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM (SELECT doc_id, gh FROM sg
+       |        UNION ALL SELECT doc_id, gh FROM bsg) su2
+       |  GROUP BY gh),
+       |mem2 AS MATERIALIZED (
+       |  SELECT vec_id, unit, cell FROM scell
+       |  UNION ALL SELECT vec_id, unit, cell FROM bscell),
+       |m2dim AS (
+       |  SELECT cell, i AS dd, ROUND(avg(unit[i]), 9) AS m
+       |  FROM mem2, UNNEST(range(1, 65)) AS td2(i)
+       |  GROUP BY cell, i),
+       |m2mn AS (
+       |  SELECT cell, list(m ORDER BY dd) AS mean FROM m2dim
+       |  GROUP BY cell),
+       |m2mm AS (
+       |  SELECT cell, mean,
+       |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
+       |  FROM m2mn),
+       |cstat2 AS (
+       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
+       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
+       |  FROM (SELECT shard_id, n_docs FROM cman
+       |        UNION ALL SELECT shard_id, n_docs FROM bman) mu),""".stripMargin +
+      "\n" +
+      batchChainCtes("b2", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 4 = 3 AND text IS NOT NULL", day2) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 0 AS day FROM cman
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 1 AS day FROM bman
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 2 AS day FROM b2man
+       |ORDER BY shard_id""".stripMargin
+  }
+
+  /** The composed twin of [[corpusPipelineLearnedBpeOn]] — the flagship
+    * core with the frozen-table `bt` block swapped for the generated
+    * learn-then-encode rounds over `clean`.
+    */
+  private def learnedBpeSql: String = {
+    val rounds = TextAnalysis.BpeTrainRounds
+    val btCtes = TextAnalysis.bpeEncodeCtes("clean", "lb", rounds) +
+      ",\n" +
+      s"""bt AS (
+         |  SELECT lbdp.doc_id,
+         |    CAST(sum(len(lb$rounds.cs)) AS BIGINT) AS n_tokens
+         |  FROM lbdp JOIN lb$rounds USING (piece)
+         |  GROUP BY lbdp.doc_id)""".stripMargin
+    "WITH " +
+      pipelineCoreCtes(
+        s"doc_id >= $ContamBenchDocs AND text IS NOT NULL", btCtes) +
+      "\n" + manifestSelectSql + "\nORDER BY shard_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> pipelineSql,
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
+    "corpus_states_update" -> statesUpdateSql,
+    "corpus_pipeline_learned_bpe" -> learnedBpeSql,
     "contamination_check" ->
       s"""WITH $contamSqlCtes
         |SELECT d.doc_id,

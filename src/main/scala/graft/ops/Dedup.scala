@@ -1088,12 +1088,7 @@ object Dedup {
     */
   def semanticCellState(vectors: DataFrame, dim: Int): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    semanticCellStateFrom(
-      Similarity.prepped(vectors)
-        .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
-        .select(col("vec_id"), col("unit"))
-        .withColumn("cell", semCellOf(col("unit"), dim)),
-      dim)
+    semanticCellStateFrom(assignedUnits(vectors, dim), dim)
   }
 
   /** INCREMENTAL SEMANTIC DEDUP — [[dedupSemanticOn]] in the crawl-batch
@@ -1131,19 +1126,52 @@ object Dedup {
   def dedupSemanticIncrementalOn(vectors: DataFrame,
       isNew: org.apache.spark.sql.Column, dim: Int,
       tau: Double): DataFrame = {
-    import graft.functions.VectorMath
     require(dim >= 1, s"dim must be >= 1, got $dim")
     val v = Similarity.prepped(vectors)
       .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
       .withColumn("is_new", isNew)
       .select(col("vec_id"), col("unit"), col("is_new"))
       .withColumn("cell", semCellOf(col("unit"), dim))
-    val corpus = v.filter(!col("is_new"))
+    dedupSemanticIncrementalOnState(
+      v.filter(!col("is_new"))
+        .select(col("vec_id"), col("unit"), col("cell")),
+      v.filter(col("is_new"))
+        .select(col("vec_id"), col("unit"), col("cell")),
+      dim, tau)
+  }
+
+  /** Cell-assigned unit vectors of a raw (vec_id, embedding) frame —
+    * `(vec_id, unit, cell)`, the semantic family's MAINTAINED member
+    * state (what [[semanticCellState]] aggregates, kept at member
+    * grain because the incremental corpus-neighbor test needs the
+    * members themselves; the centroid serve derives from it by one
+    * map-side aggregate). Censuses over disjoint vector sets merge by
+    * plain union — the family's additive law.
+    */
+  private[graft] def assignedUnits(vectors: DataFrame, dim: Int): DataFrame =
+    Similarity.prepped(vectors)
+      .withColumn("unit", expr("transform(demb, x -> x / nrm)"))
+      .select(col("vec_id"), col("unit"))
+      .withColumn("cell", semCellOf(col("unit"), dim))
+
+  /** EXPLICIT-STATE form of the incremental semantic screen — the
+    * maintained member table ([[assignedUnits]]-shaped `(vec_id, unit,
+    * cell)`) passed directly instead of being re-derived from raw
+    * vectors, so a composed day-2 pipeline can feed a MERGED state
+    * (corpus ∪ absorbed batches) and the batch-only cost is its own
+    * measurable stage. [[dedupSemanticIncrementalOn]] is this with both
+    * sides assigned from one prepped frame; semantics identical.
+    */
+  def dedupSemanticIncrementalOnState(members: DataFrame,
+      batchAssigned: DataFrame, dim: Int, tau: Double): DataFrame = {
+    import graft.functions.VectorMath
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val corpus = members
     val means = semanticCellStateFrom(corpus, dim)
       .select(col("cell"),
         expr("transform(sums, s -> round(s / n_members, 9))").as("mean"))
       .withColumn("mnrm", sqrt(VectorMath.dot(col("mean"), col("mean"))))
-    val cs = v.filter(col("is_new"))
+    val cs = batchAssigned
       .join(broadcast(means), Seq("cell"), "left")
       .withColumn("c_sim", when(col("mnrm") > 0.0,
         round(VectorMath.dot(col("unit"), col("mean")) / col("mnrm"), 6))

@@ -1243,6 +1243,302 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio-fingerprint geometry for the `dedup_audio` pair —
+    * [[AudioFpWin]]-sample non-overlapping windows (hop = win, so
+    * segment boundaries align), [[AudioSegWin]] windows per SEGMENT
+    * (one 63-bit fingerprint each — the audio unit the banded join
+    * blocks on, as a keyframe is the video unit), [[AudioSegs]]
+    * segments per clip. τ and the hamming radius are the video
+    * family's dials.
+    */
+  private[graft] val AudioFpWin = 32
+  private[graft] val AudioSegWin = 64
+  private[graft] val AudioSegs = 4
+  private[graft] val AudioTauMilli = 700L
+  private[graft] val AudioHamMax = 4L
+
+  /** Planted audio corpus for the `dedup_audio` pair — PCM16-LE clips
+    * of [[AudioSegs]] segments, each segment [[AudioSegWin]] windows of
+    * [[AudioFpWin]] constant-valued samples. The per-window LEVEL is
+    * `40 + 2·hash_draw + (w % 2)`: the parity term makes every adjacent
+    * level gap ODD (hence nonzero), so every energy gradient bit is
+    * determined by the level order and the jitter's ±2 shift can never
+    * create an adjacent TIE — the bit flips it causes are exactly the
+    * sign crossings, deterministic on both engine sides. Pair classes
+    * mirror the video plant: `{10k, 10k+1}` is a full re-encode (10k+1
+    * additionally shifts ONE window's level by +2 per segment — the
+    * re-encode jitter: bytes differ in every segment, the fingerprint
+    * moves ≤ 2 hamming bits), `{20k+5, 20k+7}` is an odd-only full
+    * pair, and `10k+6` shares its first two segments with `10k` (a
+    * partial re-edit — measured at exactly 500 milli, below τ). Samples
+    * encode as `value + 16384` little-endian (hi byte 64, lo byte the
+    * level — single-byte UTF-8, the family's ASCII-corpus contract).
+    */
+  private[graft] def audioPayload(d: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // the family's 60-bit md5 value, composed numerically (the
+    // videoPayload lesson: per-byte hex formatting measured ~6×)
+    def h60(s: String): Long = {
+      val dg = md.digest(s.getBytes("UTF-8"))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dg(i) & 0xffL); i += 1 }
+      (v << 4) | ((dg(7) & 0xffL) >> 4)
+    }
+    val jit = d % 10 == 1 || d % 20 == 7
+    val wstar = (d % AudioSegWin).toInt
+    val sb = new StringBuilder(AudioSegs * AudioSegWin * AudioFpWin * 2)
+    var s = 0
+    while (s < AudioSegs) {
+      val key =
+        if (d % 10 == 1) (d - 1) * 8 + s
+        else if (d % 20 == 7) (d - 2) * 8 + s
+        else if (d % 10 == 6 && s < 2) (d - 6) * 8 + s
+        else d * 8 + s
+      var w = 0
+      while (w < AudioSegWin) {
+        val r = (h60(s"$key:a:$w") % 24).toInt
+        val lvl = 40 + 2 * r + w % 2 +
+          (if (jit && w == wstar) 2 else 0)
+        var j = 0
+        while (j < AudioFpWin) {
+          sb.append(lvl.toChar) // lo byte: (lvl + 16384) % 256 = lvl
+          sb.append(64.toChar) // hi byte: (lvl + 16384) / 256 = 64
+          j += 1
+        }
+        w += 1
+      }
+      s += 1
+    }
+    sb.toString
+  }
+
+  /** The planted audio corpus — one clip per document id, generated in
+    * the decode-loop territory over the repartitioned id spine (the
+    * [[videoStructured]] discipline).
+    */
+  private[graft] def audioStructured(docs: DataFrame): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.map(d => (d, audioPayload(d))))
+      .toDF("doc_id", "text")
+  }
+
+  /** Segment fingerprints — the shared front of the audio dedup pair:
+    * [[audioFeaturesOn]]'s energy feature at hop = win (aligned
+    * windows; the equality is suite-pinned), each run of
+    * [[AudioSegWin]] window ENERGIES folded into a 63-bit
+    * energy-gradient hash (bit k set iff energy rises from window k to
+    * k+1 — the Chromaprint-style sign-of-delta signature, robust to
+    * re-encode noise smaller than the inter-window energy gap). Only
+    * COMPLETE segments fingerprint (a trailing partial window run has
+    * no stable bit width). `(doc_id, seg_idx, dhash)`.
+    *
+    * The family split, per the video rung's measured lesson: window
+    * ENERGIES come out of the `mapPartitions` decode loop (per-sample
+    * byte work is codec territory — the declarative form explodes one
+    * row per window that COPIES the full sample array each time,
+    * measured ~10× on the planted 256-window clips; real-corpus docs
+    * at ~6 windows never feel it), while segment slicing and the bit
+    * fold are declarative in-row expressions over the 256-long energy
+    * arrays.
+    */
+  private[graft] def audioSegmentHashes(clips: DataFrame, win: Int,
+      segWin: Int): DataFrame = {
+    require(win >= 2 && segWin >= 2 && segWin <= 64,
+      s"bad fingerprint geometry: $win/$segWin")
+    val spark2 = clips.sparkSession
+    import spark2.implicits._
+    val energies = clips.filter(col("text").isNotNull)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (docId, payload) =>
+          val n = payload.length / 2
+          val nw = if (n >= win) (n - win) / win + 1 else 0
+          val es = Array.ofDim[Long](nw)
+          var wi = 0
+          while (wi < nw) {
+            var e = 0L
+            var j = wi * win
+            val end = j + win
+            while (j < end) {
+              val s = (payload(2 * j) & 0xff) +
+                256 * (payload(2 * j + 1) & 0xff) - 16384
+              e += s.toLong * s
+              j += 1
+            }
+            es(wi) = e
+            wi += 1
+          }
+          (docId, es)
+        }
+      }
+      .toDF("doc_id", "es")
+    energies
+      // sequence(0, -1) steps BACKWARD (the sceneCutsOn lesson), so the
+      // shorter-than-one-segment case short-circuits to no segments
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(es) >= $segWin THEN
+           |  transform(sequence(0, size(es) div $segWin - 1),
+           |    g -> slice(es, g * $segWin + 1, $segWin))
+           |ELSE cast(array() AS array<array<bigint>>) END""".stripMargin))
+        .as(Seq("seg_idx", "se")))
+      .select(col("doc_id"), col("seg_idx"), expr(
+        """aggregate(sequence(1, size(se) - 1), 0L, (acc, k) ->
+          |  acc + CASE WHEN element_at(se, k + 1) > element_at(se, k)
+          |    THEN shiftleft(1L, k - 1) ELSE 0L END)""".stripMargin)
+        .as("dhash"))
+  }
+
+  /** AUDIO NEAR-DUP — the multimodal dedup ladder's audio rung
+    * (completing the family: images and video each have measure + dedup;
+    * audio stopped at `mm_audio_features`), composed from the graded
+    * operators exactly as the video rung is: [[audioFeaturesOn]]
+    * extracts window energies, [[audioSegmentHashes]] folds each
+    * segment into a gradient fingerprint, the fingerprints go through
+    * the image family's 4×16-bit banded hamming join, and each clip
+    * gets the SemDeDup-shaped verdict: duplicated iff ≥ τ of its
+    * segments match another clip's AND a matching partner has a
+    * smaller id (keep-min). `dup_frac_milli` is exact integer milli.
+    *
+    * Scale shape: decode + windowing + fingerprints are scan-stage
+    * per-clip work; the join shuffles 4 band rows of (16-bit key, id,
+    * seg_idx, 64-bit hash) per SEGMENT — never samples, and segments
+    * are ~seconds of audio; the verdict is one doc_id aggregate. This
+    * is fingerprint-banding audio dedup as run at scale: hash segments
+    * at ingest, band-join incrementally.
+    */
+  def dedupAudioOn(clips: DataFrame, win: Int, segWin: Int,
+      tauMilli: Long, hamMax: Long): DataFrame = {
+    // the fingerprint stage feeds both self-join sides AND the segment
+    // spine — persisted so decode + windowing run once (the dedupVideoOn
+    // discipline; caller-clearCache contract)
+    val sh = audioSegmentHashes(clips, win, segWin).persist()
+    val banded = withDhashBands(sh)
+      .select(col("doc_id"), col("seg_idx"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("seg_idx").as("seg_a"),
+      col("dhash").as("dh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val matches = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"), col("seg_a"))
+      .agg(min(col("doc_b")).as("min_partner"))
+    sh.select(col("doc_id"), col("seg_idx"))
+      .join(matches.select(col("doc_a").as("doc_id"),
+        col("seg_a").as("seg_idx"), col("min_partner")),
+        Seq("doc_id", "seg_idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(col("min_partner")).as("n_dup_segments"),
+        min(col("min_partner")).as("min_partner"))
+      .withColumn("dup_frac_milli",
+        expr("n_dup_segments * 1000 div n_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        col("dup_frac_milli"), col("min_partner"),
+        coalesce(col("dup_frac_milli") >= tauMilli &&
+          col("min_partner") < col("doc_id"), lit(false))
+          .as("is_dup_audio"))
+  }
+
+  /** `dedup_audio` checked key: [[dedupAudioOn]] at the fingerprint
+    * geometry over the planted audio corpus. The DuckDB twin never
+    * touches the payloads — it recomputes window levels, energies,
+    * gradient fingerprints, the banded join, and the verdict straight
+    * from the planting rule, so the hash gate proves the composed
+    * decode → window → energy → fingerprint → join → verdict chain
+    * inverts the generation exactly.
+    */
+  def dedupAudio(spark: SparkSession, sfDir: String): DataFrame =
+    // the plant feeds one consumer here but generation is the expensive
+    // stage — persisted for the segment-hash spine reuse; released by
+    // the caller's clearCache contract
+    dedupAudioOn(audioStructured(table(spark, sfDir, "documents"))
+        .persist(),
+      AudioFpWin, AudioSegWin, AudioTauMilli, AudioHamMax)
+      .orderBy(col("doc_id"))
+
+  /** INCREMENTAL AUDIO DEDUP — the crawl-batch shape on the audio rung
+    * (the family discipline: the corpus contributes its maintained
+    * fingerprint band table, batch-sized work only). Per batch clip:
+    * `corpus_frac_milli` / `batch_frac_milli` segment-match shares,
+    * `is_dup_corpus` (corpus share ≥ τ), `is_dup_batch` (not a corpus
+    * dup, batch share ≥ τ, min matching partner smaller — keep-min),
+    * `keep` = neither — the [[dedupVideoIncrementalOn]] verdict shape
+    * verbatim.
+    */
+  def dedupAudioIncrementalOn(corpus: DataFrame, batch: DataFrame,
+      win: Int, segWin: Int, tauMilli: Long, hamMax: Long): DataFrame = {
+    def bandsOf(clips: DataFrame) =
+      withDhashBands(audioSegmentHashes(clips, win, segWin))
+        .select(col("doc_id"), col("seg_idx"), col("dhash"),
+          posexplode(array(col("band0"), col("band1"), col("band2"),
+            col("band3"))).as(Seq("band_idx", "band_val")))
+    val cb = bandsOf(corpus)
+      .select(col("band_idx"), col("band_val"), col("dhash").as("dh_c"))
+    val bb = bandsOf(batch).persist()
+    val a = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("seg_idx").as("seg_a"),
+      col("dhash").as("dh_a"))
+    val corpusHits = a.join(cb, Seq("band_idx", "band_val"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_c"))) <= hamMax)
+      .groupBy(col("doc_a"), col("seg_a"))
+      .agg(lit(true).as("hit_corpus"))
+    val b = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val batchHits = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"), col("seg_a"))
+      .agg(min(col("doc_b")).as("min_partner"))
+    bb.select(col("doc_id"), col("seg_idx")).distinct()
+      .join(corpusHits.select(col("doc_a").as("doc_id"),
+        col("seg_a").as("seg_idx"), col("hit_corpus")),
+        Seq("doc_id", "seg_idx"), "left")
+      .join(batchHits.select(col("doc_a").as("doc_id"),
+        col("seg_a").as("seg_idx"), col("min_partner")),
+        Seq("doc_id", "seg_idx"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        count(col("hit_corpus")).as("n_dup_corpus_seg"),
+        count(col("min_partner")).as("n_dup_batch_seg"),
+        min(col("min_partner")).as("min_batch_partner"))
+      .withColumn("corpus_frac_milli",
+        expr("n_dup_corpus_seg * 1000 div n_segments"))
+      .withColumn("batch_frac_milli",
+        expr("n_dup_batch_seg * 1000 div n_segments"))
+      .withColumn("is_dup_corpus", col("corpus_frac_milli") >= tauMilli)
+      .withColumn("is_dup_batch", !col("is_dup_corpus") &&
+        coalesce(col("batch_frac_milli") >= tauMilli &&
+          col("min_batch_partner") < col("doc_id"), lit(false)))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_corpus_seg"),
+        col("n_dup_batch_seg"), col("corpus_frac_milli"),
+        col("batch_frac_milli"), col("min_batch_partner"),
+        col("is_dup_corpus"), col("is_dup_batch"),
+        (!col("is_dup_corpus") && !col("is_dup_batch")).as("keep"))
+  }
+
+  /** `dedup_audio_incremental` checked key: the family parity split
+    * (even = corpus, odd = incoming batch) over the planted clips. The
+    * plants populate every branch: `{10k, 10k+1}` straddles the split
+    * (the odd copy is a corpus dup), `{20k+5, 20k+7}` is odd-only (a
+    * within-batch pair — min keeps), `{10k+6}` partials are corpus-side.
+    */
+  def dedupAudioIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val clips = audioStructured(table(spark, sfDir, "documents")).persist()
+    dedupAudioIncrementalOn(
+      clips.filter(col("doc_id") % 2 === 0),
+      clips.filter(col("doc_id") % 2 === 1),
+      AudioFpWin, AudioSegWin, AudioTauMilli, AudioHamMax)
+      .orderBy(col("doc_id"))
+  }
+
   /** The planted scene-key rule as SQL — single source with
     * [[videoPayload]]'s Scala rule (interpolated into both video twins).
     */
@@ -1310,7 +1606,133 @@ object Multimodal {
        |  FROM h, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
   }
 
+  /** The planted segment-key rule as SQL — single source with
+    * [[audioPayload]]'s Scala rule (interpolated into both audio twins).
+    */
+  private def audioKeySqlExpr: String =
+    """CASE WHEN doc_id % 10 = 1 THEN (doc_id - 1) * 8 + s
+      |     WHEN doc_id % 20 = 7 THEN (doc_id - 2) * 8 + s
+      |     WHEN doc_id % 10 = 6 AND s < 2 THEN (doc_id - 6) * 8 + s
+      |     ELSE doc_id * 8 + s END""".stripMargin
+
+  /** Shared twin chain for the audio family: planting-rule window
+    * levels (hash draw + forced-distinct bump + re-encode jitter) →
+    * window energies → per-segment gradient fingerprints → band rows
+    * (`afr`/`alv`/`aen`/`ah`/`abands`), consumed by both `dedup_audio`
+    * and its incremental twin. Never touches payload strings — the
+    * Spark side must reproduce these energies from the actual PCM
+    * bytes.
+    */
+  private def audioChainSqlCtes: String = {
+    val keyExpr = audioKeySqlExpr
+    val rNow = "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) " +
+      "|| ':a:' || CAST(w AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""afr AS (
+       |  SELECT doc_id, s, w, ($keyExpr) AS key
+       |  FROM documents,
+       |    UNNEST(range(0, $AudioSegs)) AS ts(s),
+       |    UNNEST(range(0, $AudioSegWin)) AS tw(w)),
+       |alv AS (
+       |  SELECT doc_id, s, w,
+       |    40 + 2 * r + CAST(w % 2 AS INTEGER)
+       |    + CASE WHEN (doc_id % 10 = 1 OR doc_id % 20 = 7)
+       |                AND w = doc_id % $AudioSegWin
+       |           THEN 2 ELSE 0 END AS lvl
+       |  FROM (
+       |    SELECT doc_id, s, w, CAST($rNow % 24 AS INTEGER) AS r
+       |    FROM afr) aq),
+       |aen AS (
+       |  SELECT doc_id, s,
+       |    list(CAST($AudioFpWin AS BIGINT) * lvl * lvl ORDER BY w) AS es
+       |  FROM alv GROUP BY doc_id, s),
+       |ah AS (
+       |  SELECT doc_id, CAST(s AS INTEGER) AS seg_idx,
+       |    CAST(list_sum(list_transform(range(1, $AudioSegWin), k ->
+       |      CASE WHEN es[k + 1] > es[k]
+       |           THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)
+       |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
+       |  FROM aen),
+       |abands AS (
+       |  SELECT doc_id, seg_idx, dhash, bi.i AS band_idx,
+       |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
+       |  FROM ah, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // pure planting-rule recompute: window levels → energies → segment
+    // fingerprints → banded hamming → keep-min verdict, no strings
+    "dedup_audio" -> {
+      // concatenated head (the dedup_video stripMargin note applies)
+      "WITH " + audioChainSqlCtes + ",\n" +
+      s"""amt AS (
+         |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+         |    min(b.doc_id) AS min_partner
+         |  FROM abands a JOIN abands b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= $AudioHamMax
+         |  GROUP BY a.doc_id, a.seg_idx),
+         |av AS (
+         |  SELECT h.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(count(amt.min_partner) AS BIGINT) AS n_dup_segments,
+         |    CAST(count(amt.min_partner) AS BIGINT) * 1000 // count(*)
+         |      AS dup_frac_milli,
+         |    min(amt.min_partner) AS min_partner
+         |  FROM ah h LEFT JOIN amt
+         |    ON amt.doc_a = h.doc_id AND amt.seg_a = h.seg_idx
+         |  GROUP BY h.doc_id)
+         |SELECT doc_id, n_segments, n_dup_segments, dup_frac_milli,
+         |  min_partner,
+         |  coalesce(dup_frac_milli >= $AudioTauMilli
+         |    AND min_partner < doc_id, false) AS is_dup_audio
+         |FROM av ORDER BY doc_id""".stripMargin
+    },
+    // the same chain, match CTEs split by the parity: batch segments
+    // probe corpus bands (existence) and batch bands (min partner)
+    "dedup_audio_incremental" -> {
+      // concatenated head (see the dedup_video stripMargin note)
+      "WITH " + audioChainSqlCtes + ",\n" +
+      s"""amc AS (
+         |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a, true AS hit
+         |  FROM abands a JOIN abands c ON a.band_idx = c.band_idx
+         |    AND a.band_val = c.band_val
+         |  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         |    AND bit_count(xor(a.dhash, c.dhash)) <= $AudioHamMax
+         |  GROUP BY a.doc_id, a.seg_idx),
+         |amb AS (
+         |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+         |    min(b.doc_id) AS min_partner
+         |  FROM abands a JOIN abands b ON a.band_idx = b.band_idx
+         |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+         |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+         |    AND bit_count(xor(a.dhash, b.dhash)) <= $AudioHamMax
+         |  GROUP BY a.doc_id, a.seg_idx),
+         |av AS (
+         |  SELECT h.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_segments,
+         |    CAST(count(amc.hit) AS BIGINT) AS n_dup_corpus_seg,
+         |    CAST(count(amb.min_partner) AS BIGINT) AS n_dup_batch_seg,
+         |    CAST(count(amc.hit) AS BIGINT) * 1000 // count(*)
+         |      AS corpus_frac_milli,
+         |    CAST(count(amb.min_partner) AS BIGINT) * 1000 // count(*)
+         |      AS batch_frac_milli,
+         |    min(amb.min_partner) AS min_batch_partner
+         |  FROM ah h
+         |  LEFT JOIN amc ON amc.doc_a = h.doc_id AND amc.seg_a = h.seg_idx
+         |  LEFT JOIN amb ON amb.doc_a = h.doc_id AND amb.seg_a = h.seg_idx
+         |  WHERE h.doc_id % 2 = 1
+         |  GROUP BY h.doc_id)
+         |SELECT doc_id, n_segments, n_dup_corpus_seg, n_dup_batch_seg,
+         |  corpus_frac_milli, batch_frac_milli, min_batch_partner,
+         |  corpus_frac_milli >= $AudioTauMilli AS is_dup_corpus,
+         |  (corpus_frac_milli < $AudioTauMilli AND coalesce(
+         |    batch_frac_milli >= $AudioTauMilli
+         |      AND min_batch_partner < doc_id, false)) AS is_dup_batch,
+         |  (corpus_frac_milli < $AudioTauMilli AND NOT coalesce(
+         |    batch_frac_milli >= $AudioTauMilli
+         |      AND min_batch_partner < doc_id, false)) AS keep
+         |FROM av ORDER BY doc_id""".stripMargin
+    },
     // pure planting-rule recompute: frames → means → cuts → keyframes →
     // gradient hashes → banded hamming → keep-min verdict, no strings
     "dedup_video" -> {

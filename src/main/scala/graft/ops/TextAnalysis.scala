@@ -1590,25 +1590,29 @@ object TextAnalysis {
        |  FROM ${pre}gs)""".stripMargin
   }
 
-  /** Generated twin of [[bpePipelineOn]]: the piece-tracked dictionary
-    * through the same k re-learned rounds (count → argmax → closed-form
-    * apply, piece identity threaded), then the per-document lookup and
-    * `string_agg(… ORDER BY pi)` reassembly.
+  /** Generated learn-then-encode CTE chain of [[bpePipelineOn]] over any
+    * `(doc_id, text)` source CTE/table — the piece-tracked dictionary,
+    * one (count → argmax → closed-form greedy apply) stage per round,
+    * and the per-document piece spine `${pre}dp`. Callers append their
+    * own final aggregate over `${pre}dp JOIN ${pre}<rounds> USING
+    * (piece)`. Shared by the `bpe_pipeline` twin and the composed
+    * `corpus_pipeline_learned_bpe` twin so the learned-encode
+    * formulation cannot drift between them.
     */
-  private def bpePipelineSql: String = {
-    val rounds = BpeTrainRounds
+  private[graft] def bpeEncodeCtes(src: String, pre: String,
+      rounds: Int): String = {
     val stages = (1 to rounds).map { r =>
-      val prev = s"e${r - 1}"
-      s"""ecnt$r AS (
+      val prev = s"$pre${r - 1}"
+      s"""${pre}cnt$r AS (
          |  SELECT p.l AS l, p.r AS r, CAST(sum(w) AS BIGINT) AS c
          |  FROM (SELECT unnest(list_transform(range(1, len(cs)),
          |          i -> {'l': cs[i], 'r': cs[i+1]})) AS p, w
-         |        FROM $prev WHERE len(cs) >= 2) et$r
+         |        FROM $prev WHERE len(cs) >= 2) ${pre}t$r
          |  GROUP BY 1, 2),
-         |ebest$r AS (
-         |  SELECT l AS ml, r AS mr FROM ecnt$r
+         |${pre}best$r AS (
+         |  SELECT l AS ml, r AS mr FROM ${pre}cnt$r
          |  ORDER BY c DESC, l, r LIMIT 1),
-         |ea$r AS (
+         |${pre}a$r AS (
          |  SELECT piece, w, cs, ml, mr,
          |    CASE WHEN len(cs) >= 2 THEN
          |      list_transform(range(1, len(cs)), i ->
@@ -1619,30 +1623,38 @@ object TextAnalysis {
          |                          ELSE 0 END)))
          |            + 1)) % 2) = 0))
          |    ELSE CAST([] AS BOOLEAN[]) END AS mg
-         |  FROM $prev CROSS JOIN ebest$r),
-         |e$r AS MATERIALIZED (
+         |  FROM $prev CROSS JOIN ${pre}best$r),
+         |$pre$r AS MATERIALIZED (
          |  SELECT piece, w, flatten(list_transform(range(1, len(cs) + 1),
          |      i -> CASE
          |        WHEN i <= len(cs) - 1 AND mg[i] THEN [ml || mr]
          |        WHEN i > 1 AND mg[i-1] THEN CAST([] AS VARCHAR[])
          |        ELSE [cs[i]] END)) AS cs
-         |  FROM ea$r)""".stripMargin
+         |  FROM ${pre}a$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH ed0 AS (
+    s"""${pre}d0 AS (
        |  SELECT doc_id, regexp_extract_all(lower(text),
        |    '\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]+') AS pieces
-       |  FROM documents WHERE text IS NOT NULL),
-       |e0 AS MATERIALIZED (
+       |  FROM $src WHERE text IS NOT NULL),
+       |${pre}0 AS MATERIALIZED (
        |  SELECT piece, CAST(count(*) AS BIGINT) AS w,
        |    list_transform(range(1, length(piece) + 1),
        |      j -> substr(piece, j, 1)) AS cs
-       |  FROM (SELECT unnest(pieces) AS piece FROM ed0) ep
+       |  FROM (SELECT unnest(pieces) AS piece FROM ${pre}d0) ${pre}p
        |  GROUP BY piece),
        |$stages,
-       |edp AS (
+       |${pre}dp AS (
        |  SELECT doc_id, CAST(i AS INTEGER) AS pi, pieces[i] AS piece
-       |  FROM ed0, UNNEST(range(1, len(pieces) + 1)) AS eu(i))
-       |SELECT edp.doc_id,
+       |  FROM ${pre}d0, UNNEST(range(1, len(pieces) + 1)) AS ${pre}u(i))"""
+      .stripMargin
+  }
+
+  private def bpePipelineSql: String = {
+    val rounds = BpeTrainRounds
+    // concatenated head: generated fragments are pre-stripped (the
+    // corpus_pipeline stripMargin discipline)
+    "WITH " + bpeEncodeCtes("documents", "e", rounds) + "\n" +
+    s"""SELECT edp.doc_id,
        |  CAST(count(*) AS BIGINT) AS n_pieces,
        |  CAST(sum(len(e$rounds.cs)) AS BIGINT) AS n_tokens,
        |  string_agg(array_to_string(e$rounds.cs, ' '), ' '

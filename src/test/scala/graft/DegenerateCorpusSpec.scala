@@ -370,6 +370,33 @@ class DegenerateCorpusSpec extends SparkSpec {
     normed.foreach(r => assert(!r.getString(2).startsWith("://")))
   }
 
+  test("quality_pipeline survives an all-equal score distribution: one " +
+      "value range, ranks stay exact terciles") {
+    // the documented value-range degenerate (TextAnalysis.qualityPipelineOn):
+    // when every trained score is identical, all 256 value ranges collapse
+    // into range 0 — the two-phase ranking must then degrade to the
+    // within-range row_number (score desc, doc_id), NOT lose rank
+    // exactness, so the terciles still split the corpus exactly
+    import spark.implicits._
+    import graft.ops.TextAnalysis
+    val text = "the same text in every document of this corpus"
+    val docs = (0L until 6L).map(d =>
+        (d, text, if (d < 3) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.qualityPipelineOn(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    spark.catalog.clearCache()
+    assert(got.size == 6)
+    // identical text => identical trained score everywhere
+    assert(got.values.map(_.getLong(1)).toSet.size == 1)
+    // ranks are the doc_id order, exact and gap-free
+    (0L until 6L).foreach(d => assert(got(d).getLong(2) == d))
+    // exact terciles despite the collapsed range histogram
+    assert((0L to 1L).forall(d => got(d).getString(3) == "head"))
+    assert((2L to 3L).forall(d => got(d).getString(3) == "middle"))
+    assert((4L to 5L).forall(d => got(d).getString(3) == "tail"))
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()

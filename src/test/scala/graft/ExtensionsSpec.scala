@@ -723,6 +723,207 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_audio: planted re-encodes flagged via the fingerprint path, " +
+      "partial re-edits measured at exactly 500 milli, keep-min holds") {
+    import graft.ops.Multimodal
+    val got = Multimodal.dedupAudio(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    spark.catalog.clearCache()
+    // {10k, 10k+1}: the jittered copy's bytes differ in every segment
+    // (exact dedup would miss), the fingerprint moves <= 2 hamming bits
+    // (the perceptual path matches) — deterministic, so EVERY pair flags
+    val fullPairs = got.keys.filter(d => d % 10 == 0 && got.contains(d + 1))
+    assert(fullPairs.nonEmpty)
+    fullPairs.foreach { d =>
+      val hi = got(d + 1)
+      assert(hi.getBoolean(5) && hi.getLong(4) == d,
+        s"copy ${d + 1} must flag with min partner $d")
+      assert(!got(d).getBoolean(5), s"original $d keeps (keep-min)")
+      assert(hi.getLong(3) == 1000L, s"copy ${d + 1} matches all segments")
+    }
+    // {10k+6}: first two of four segments shared — exactly 500 milli,
+    // measured but below tau
+    val partials = got.keys.filter(d => d % 10 == 6 && d >= 6)
+    assert(partials.nonEmpty)
+    partials.foreach { d =>
+      assert(got(d).getLong(3) == 500L, s"partial $d at 500 milli")
+      assert(!got(d).getBoolean(5), s"partial $d below tau")
+      assert(got(d).getLong(4) == d - 6, s"partial $d min partner")
+    }
+    // verdict arithmetic is exact milli
+    got.values.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getLong(1) == Multimodal.AudioSegs.toLong)
+    }
+    // COMPOSITION PIN: the decode-loop fingerprints equal a reference
+    // folded from the graded mm_audio_features operator's window
+    // energies at hop = win (the fast path computes the SAME feature)
+    val clips = Multimodal.audioStructured(
+      Tables.table(spark, sf, "documents").limit(40)).persist()
+    val fp = Multimodal.audioSegmentHashes(clips,
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ref = Multimodal.audioFeaturesOn(
+        clips.select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload")),
+        Multimodal.AudioFpWin, Multimodal.AudioFpWin).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2 / Multimodal.AudioSegWin))
+      .map { case (k, ws) =>
+        val es = ws.sortBy(_._2).map(_._3)
+        k -> (1 until es.length).map(i =>
+          if (es(i) > es(i - 1)) 1L << (i - 1) else 0L).sum
+      }
+    spark.catalog.clearCache()
+    assert(fp == ref, "decode-loop fingerprints must equal the " +
+      "audioFeaturesOn-derived fold")
+  }
+
+  test("dedup_audio_incremental: straddling copies are corpus dups, " +
+      "odd-only pairs resolve keep-min within the batch") {
+    import graft.ops.Multimodal
+    val got = Multimodal.dedupAudioIncremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    spark.catalog.clearCache()
+    assert(got.keys.forall(_ % 2 == 1)) // only batch clips are screened
+    // {10k, 10k+1}: the odd copy duplicates a corpus clip — all segments
+    val copies = got.keys.filter(d => d % 10 == 1)
+    assert(copies.nonEmpty)
+    copies.foreach { d =>
+      assert(got(d).getBoolean(7) && got(d).getLong(4) == 1000L,
+        s"straddling copy $d must be a corpus dup")
+    }
+    // {20k+5, 20k+7}: odd-only pair — 5 keeps (no smaller partner),
+    // 7 is the batch dup with min partner 5
+    val pairs = got.keys
+      .filter(d => d % 20 == 5 && got.contains(d + 2)).toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach { d =>
+      val lo = got(d); val hi = got(d + 2)
+      assert(lo.getBoolean(9) && !lo.getBoolean(7) && !lo.getBoolean(8),
+        s"$d keeps")
+      assert(hi.getBoolean(8) && hi.getLong(6) == d,
+        s"${d + 2} is the batch dup of $d")
+    }
+    // fractions are exact milli and the three verdicts partition
+    got.values.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 1000 / r.getLong(1))
+      assert(r.getLong(5) == r.getLong(3) * 1000 / r.getLong(1))
+      val states = Seq(r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))
+      assert(states.count(identity) == 1, s"doc ${r.getLong(0)}: $states")
+    }
+  }
+
+  test("corpus_states_update: day-1 equals the incremental flagship, " +
+      "geometry contiguous, merged states bite, re-fed batch absorbed") {
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val corpus = live.filter(col("doc_id") % 2 === 0)
+    val b1 = live.filter(col("doc_id") % 4 === 1)
+    val b2 = live.filter(col("doc_id") % 4 === 3)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.take(8).toList
+    val out = Curation.corpusStatesUpdate(spark, sf).collect()
+    spark.catalog.clearCache()
+    val byDay = out.groupBy(_.getInt(8))
+      .withDefaultValue(Array.empty[org.apache.spark.sql.Row])
+    assert(byDay(0).nonEmpty && byDay(1).nonEmpty && byDay(2).nonEmpty)
+    // DAY-1 EQUALS THE INCREMENTAL FLAGSHIP: batch-1 against the day-1
+    // states is exactly corpus_pipeline_incremental's batch side
+    val incr1 = Curation.corpusPipelineIncrementalOn(corpus, b1, bench, emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(byDay(0).map(key).toSet ==
+      incr1.filter(_.getInt(8) == 0).map(key).toSet)
+    assert(byDay(1).map(key).toSet ==
+      incr1.filter(_.getInt(8) == 1).map(key).toSet)
+    // APPEND GEOMETRY: shard ids and positions contiguous across days
+    val ordered = out.sortBy(_.getLong(0))
+    assert(ordered.map(_.getLong(0)).toSeq ==
+      (0L until ordered.length.toLong))
+    val spans = ordered.map(r => (r.getLong(2), r.getLong(3)))
+    assert(spans.head._1 == 0L)
+    assert(spans.sliding(2).forall {
+      case Array((_, hi), (lo2, _)) => lo2 == hi + 1
+      case _ => true
+    }, "positions must continue across days")
+    // days ascend with shard id (appended, never interleaved)
+    assert(ordered.map(_.getInt(8)).toSeq == ordered.map(_.getInt(8))
+      .toSeq.sorted)
+    // THE MERGED STATES BITE: batch-2 against the UPDATED states keeps
+    // strictly fewer docs than against the day-1 states alone (the
+    // odd-only planted URL pairs straddle the two batches, so their
+    // batch-2 member is absorbed only once batch-1 is in the census)
+    val day1Only = Curation.corpusPipelineIncrementalOn(corpus, b2,
+      bench, emb).collect()
+    spark.catalog.clearCache()
+    assert(byDay(2).map(_.getLong(1)).sum <
+      day1Only.filter(_.getInt(8) == 1).map(_.getLong(1)).sum,
+      "day-2 states must remove batch-2 docs day-1 states keep")
+    // ABSORPTION: re-feeding batch-1 as the day-2 batch appends NOTHING
+    // — every batch-1 URL is in the updated census at the frontier
+    val refed = Curation.corpusStatesUpdateOn(corpus, b1, b1, bench, emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(refed.forall(_.getInt(8) <= 1),
+      "re-fed batch-1 must append nothing on day 2")
+    assert(refed.map(key).toSet == out.filter(_.getInt(8) <= 1)
+      .map(key).toSet)
+  }
+
+  test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
+      "the learned token pricing; seq arithmetic consistent") {
+    import graft.ops.Curation
+    val frozen = Curation.corpusPipeline(spark, sf).collect()
+    spark.catalog.clearCache()
+    val learned = Curation.corpusPipelineLearnedBpe(spark, sf).collect()
+    spark.catalog.clearCache()
+    // same shards, docs, positions, ws tokens and order digests — the
+    // tokenizer only prices n_bpe_tokens/n_seqs
+    def geo(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(7))
+    assert(learned.map(geo).toSet == frozen.map(geo).toSet)
+    // the learned table actually prices: totals positive, and the fitted
+    // merges produce a different total than the frozen vocab walk
+    val lt = learned.map(_.getLong(5)).sum
+    assert(lt > 0)
+    assert(lt != frozen.map(_.getLong(5)).sum,
+      "learned pricing must differ from the frozen table's")
+    learned.foreach { r =>
+      assert(r.getLong(6) == (r.getLong(5) + 1023) / 1024)
+    }
+  }
+
+  test("composed pipeline runs identically under reliable checkpointing") {
+    import graft.ops.Curation
+    val baseline = Curation.corpusPipeline(spark, sf).collect()
+    spark.catalog.clearCache()
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_cp")
+    spark.conf.set(Curation.ReliableChkConf, "true")
+    try {
+      // misconfiguration fails loudly BEFORE any work, never a silent
+      // fallback to executor-local blocks
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        intercept[IllegalArgumentException] {
+          Curation.corpusPipeline(spark, sf)
+        }
+      spark.sparkContext.setCheckpointDir(ckDir.toString)
+      val reliable = Curation.corpusPipeline(spark, sf).collect()
+      spark.catalog.clearCache()
+      def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+      assert(reliable.map(key).toSet == baseline.map(key).toSet)
+      // the stage boundaries really checkpointed durably
+      assert(ckDir.toFile.listFiles != null &&
+        ckDir.toFile.listFiles.nonEmpty)
+    } finally {
+      spark.conf.unset(Curation.ReliableChkConf)
+      graft.LocalFs.deleteRecursively(ckDir.toFile)
+    }
+  }
+
   test("quality_train_lm: stopword buckets learn positive weights, the " +
       "trained artifact serves identically through both shapes, and the " +
       "learned direction separates the classes") {

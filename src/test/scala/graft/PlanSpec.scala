@@ -556,6 +556,21 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache() // both keys persist their plant/bands
   }
 
+  test("audio dedup keys: the pair joins are banded, never cartesian") {
+    // the audio rung composes decode-loop windowing with the family's
+    // banded hamming join — keyed on (band_idx, band_val) in whatever
+    // regime the stats pick, never a cartesian/nested-loop over segments
+    Seq("dedup_audio", "dedup_audio_incremental").foreach { k =>
+      val p = plan(k)
+      assert(
+        "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band_idx"
+          .r.findAllIn(p).nonEmpty, s"$k:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), s"$k:\n$p")
+    }
+    spark.catalog.clearCache() // both keys persist their plant/fingerprints
+  }
+
   test("pack_gather_epoch: global cumsum is two-phase — every " +
       "SinglePartition exchange carries a bounded aggregate") {
     // the plan text duplicates the shared rank subtree per consumer, so
