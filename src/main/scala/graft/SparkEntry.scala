@@ -333,7 +333,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (163 of 171 keys). The approximate ANN keys
+    * the same parquet tables (167 of 175 keys). The approximate ANN keys
     * (sim_search_lsh/ivf/quant, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml
