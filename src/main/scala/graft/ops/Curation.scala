@@ -777,10 +777,16 @@ object Curation {
       embeddings: DataFrame): DataFrame = {
     val scope = scopeFor(corpus.sparkSession)
     import scope.chk
-    // day 0: the corpus run and its day-1 states
+    // day 0: the corpus run and its day-1 states — materialized per
+    // family up front: each census is consumed TWICE (batch-1's probe
+    // and the day-2 merge's union side), so the flat leaves compute it
+    // once; these ARE the maintained state tables of the day loop
     val run = runPipeline(corpus, benchmark, embeddings, scope)
     val cman = chk(run.manifest)
-    val st1 = statesOf(run, cman, embeddings)
+    val st1raw = statesOf(run, cman, embeddings)
+    val st1 = PipelineStates(
+      chk(st1raw.urlCensus), chk(st1raw.lineCensus),
+      chk(st1raw.spanCensus), chk(st1raw.semMembers), st1raw.cursor)
     // day 1: batch-1 against the day-1 states
     val r1 = runBatch(st1, batch1, benchmark, embeddings, scope)
     val b1man = chk(r1.manifest)
