@@ -175,6 +175,10 @@ object SparkEntry {
     // the CLEANED corpus, the manifest priced by the learned table
     "corpus_pipeline_learned_bpe" ->
       (Curation.corpusPipelineLearnedBpe _),
+    // the generation bump: the per-host budget re-enforced over the
+    // shipped union (the step the append-only keys defer), survivors
+    // re-sharded from position 0
+    "corpus_compact" -> (Curation.corpusCompact _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact
@@ -333,7 +337,7 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables (167 of 175 keys). The approximate ANN keys
+    * the same parquet tables (168 of 176 keys). The approximate ANN keys
     * (sim_search_lsh/ivf/quant, dedup_embed) are checked via pooled-recall
     * certificates (Similarity.recallCertificate). Omitted keys —
     * Spark-RNG sampling (sample_fraction, random_split) and spark.ml

@@ -455,10 +455,20 @@ object Curation {
     // 8. decontamination against the held-out benchmark
     val clean = chk(contaminationStripOn(docs2, benchmark, ContamGramN))
     // 9. tokenize → epoch-0 order → loader manifest
+    PipelineRun(unblocked, extracted, gated, stripped, clean,
+      manifestTail(clean, bpeCount))
+  }
+
+  /** The generation-0 manifest tail shared by the flagship run and
+    * compaction: deterministic epoch-0 order → fixed-size shards →
+    * the (counts, token totals, order digest) aggregate.
+    */
+  private def manifestTail(clean: DataFrame,
+      bpeCount: DataFrame => DataFrame): DataFrame = {
     val enc = bpeCount(clean)
     val nt = clean.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("nt"))
-    val manifest = Packing
+    Packing
       .shuffleDeterministicOn(clean, Packing.ShuffleSalt)
       .join(nt, Seq("doc_id"))
       .join(enc, Seq("doc_id"))
@@ -480,7 +490,6 @@ object Curation {
       .select(col("shard_id"), col("n_docs"), col("first_pos"),
         col("last_pos"), col("n_ws_tokens"), col("n_bpe_tokens"),
         col("n_seqs"), col("shard_digest"))
-    PipelineRun(unblocked, extracted, gated, stripped, clean, manifest)
   }
 
   /** THE CRAWL-BATCH COMPOSED FLAGSHIP — [[corpusPipelineOn]]'s chain in
@@ -874,6 +883,78 @@ object Curation {
       table(spark, sfDir, "embeddings"))
       .orderBy(col("shard_id"))
 
+  /** The compaction demo budget: tighter than the crawl-time
+    * [[Web.HostCap]] so the re-enforcement is OBSERVABLE at every sf
+    * (the pipeline's clean corpora sit well under the crawl cap per
+    * host — a compaction at the unchanged budget is a pure re-shard,
+    * which the suite pins separately). Budget revision is precisely a
+    * compaction-time event: the crawl cap bounds what a DAY may fetch,
+    * the compaction cap what the CORPUS may retain.
+    */
+  private[graft] val CompactHostCap = 8
+
+  /** PERIODIC COMPACTION — the generation bump that closes the
+    * incremental family's loop, and the one production step the
+    * append-only keys deliberately DEFER: daily batches skip the
+    * per-host budget (re-applying it against full corpus host counts
+    * would reject every batch from hosts already at cap — documented in
+    * [[corpusPipelineIncrementalOn]]), so periodically the corpus is
+    * compacted: take the SHIPPED world (the corpus run's and the
+    * absorbed batch's kept documents), re-enforce the per-host budget
+    * over the UNION's canonical URLs with the same hash-uniform rank
+    * ([[Web.capPerHostOn]] — deterministic, so a doc's retention never
+    * depends on scan order), and re-shard the survivors from position 0
+    * as the next GENERATION. Shipped shards stay immutable BETWEEN
+    * compactions; the generation bump is where retirement happens.
+    *
+    * Scale shape: the union's URL table is canonical-row-sized, the cap
+    * is one per-host window over it, and the re-shard is the flagship
+    * manifest tail — compaction never re-reads corpus text upstream of
+    * the kept set (the chains here derive that set only because the
+    * graded key is self-contained; production compacts FROM the
+    * maintained shard tables).
+    */
+  def corpusCompactOn(corpus: DataFrame, batch: DataFrame,
+      benchmark: DataFrame, embeddings: DataFrame,
+      hostCap: Int): DataFrame = {
+    val scope = scopeFor(corpus.sparkSession)
+    import scope.chk
+    // the shipped world: the corpus run + one absorbed daily batch
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    val r1 = runBatch(statesOf(run, cman, embeddings), batch, benchmark,
+      embeddings, scope)
+    val kept = chk(run.clean.unionByName(r1.clean))
+    // re-enforce the per-host budget over the union's canonical URLs
+    // (unique across days: within-day keep-min + the frontier screen)
+    val capped = chk(kept.join(
+      Web.capPerHostOn(Web.urlStructured(kept), hostCap)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    // generation bump: survivors re-shard from position 0
+    val out = manifestTail(capped, defaultBpeCount).persist()
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out
+  }
+
+  /** `corpus_compact` checked key: the incremental flagship's parity
+    * split (even = shipped corpus, odd = the absorbed batch) compacted
+    * at [[CompactHostCap]].
+    */
+  def corpusCompact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    corpusCompactOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 2 === 1),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"),
+      CompactHostCap)
+      .orderBy(col("shard_id"))
+  }
+
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
     * chaining every stage's established oracle formulation (URL plant /
     * blocklist rules / keep-min / host cap from [[Web]], the extract
@@ -1068,18 +1149,24 @@ object Curation {
   }
 
   /** The corpus-run manifest aggregate over the core chain's `o`/`bt`. */
-  private def manifestSelectSql: String =
+  private def manifestSelectSql: String = manifestSelectSqlFor("o", "bt")
+
+  /** The generation-0 manifest aggregate parameterized by the epoch
+    * order (`oN`: pos, doc_id, nt) and token-count (`btN`: doc_id,
+    * n_tokens) CTE names — shared with the compaction twin.
+    */
+  private def manifestSelectSqlFor(oN: String, btN: String): String =
     s"""SELECT pos // $PipelineDocsPerShard AS shard_id,
        |  count(*) AS n_docs,
        |  min(pos) AS first_pos,
        |  max(pos) AS last_pos,
-       |  CAST(sum(o.nt) AS BIGINT) AS n_ws_tokens,
-       |  CAST(sum(bt.n_tokens) AS BIGINT) AS n_bpe_tokens,
-       |  (CAST(sum(bt.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
+       |  CAST(sum($oN.nt) AS BIGINT) AS n_ws_tokens,
+       |  CAST(sum($btN.n_tokens) AS BIGINT) AS n_bpe_tokens,
+       |  (CAST(sum($btN.n_tokens) AS BIGINT) + ${PipelineSeqBudget - 1})
        |    // $PipelineSeqBudget AS n_seqs,
-       |  md5(string_agg(CAST(o.doc_id AS VARCHAR), ',' ORDER BY pos))
+       |  md5(string_agg(CAST($oN.doc_id AS VARCHAR), ',' ORDER BY pos))
        |    AS shard_digest
-       |FROM o JOIN bt USING (doc_id)
+       |FROM $oN JOIN $btN USING (doc_id)
        |GROUP BY 1""".stripMargin
 
   // NOTE: the core/manifest fragments are CONCATENATED, never re-wrapped
@@ -1401,6 +1488,52 @@ object Curation {
        |ORDER BY shard_id""".stripMargin
   }
 
+  /** The composed twin of [[corpusCompactOn]]: the incremental twin's
+    * chain (corpus core + day-1 states + the b-prefixed batch chain),
+    * then the kept UNION, the per-host hash-rank cap at the compaction
+    * budget, and the generation-1 manifest from position 0.
+    */
+  private def compactSql: String = {
+    val kbt = graft.functions.BpeTokenizer.oracleSqlFor("kdocs")
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+    s"""allkept AS MATERIALIZED (
+       |  SELECT doc_id, text FROM clean
+       |  UNION ALL SELECT doc_id, text FROM bclean),
+       |${Web.plantSqlP("k", "allkept")},
+       |khosts AS (
+       |  SELECT doc_id, url_norm,
+       |    regexp_extract(url_norm,
+       |      '^[a-z][a-z0-9+.-]*://([^/:?]+)', 1) AS host
+       |  FROM kcanon),
+       |kcap AS MATERIALIZED (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (PARTITION BY host
+       |        ORDER BY md5(host || ':' || CAST(doc_id AS VARCHAR)),
+       |          doc_id) AS hr
+       |    FROM khosts) k2
+       |  WHERE hr <= $CompactHostCap),
+       |kdocs AS MATERIALIZED (
+       |  SELECT allkept.* FROM allkept JOIN kcap USING (doc_id)),
+       |kbt AS (SELECT doc_id, n_tokens FROM ($kbt) kq),
+       |ko AS (
+       |  SELECT
+       |    CAST(row_number() OVER (
+       |      ORDER BY md5('${Packing.ShuffleSalt}:'
+       |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
+       |    doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM kdocs)""".stripMargin + "\n" +
+      manifestSelectSqlFor("ko", "kbt") + "\nORDER BY shard_id"
+  }
+
   /** The composed twin of [[corpusPipelineLearnedBpeOn]] — the flagship
     * core with the frozen-table `bt` block swapped for the generated
     * learn-then-encode rounds over `clean`.
@@ -1425,6 +1558,7 @@ object Curation {
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "corpus_states_update" -> statesUpdateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,
+    "corpus_compact" -> compactSql,
     "contamination_check" ->
       s"""WITH $contamSqlCtes
         |SELECT d.doc_id,

@@ -873,6 +873,48 @@ class ExtensionsSpec extends SparkSpec {
       .map(key).toSet)
   }
 
+  test("corpus_compact: the revised budget holds and bites across days; " +
+      "an unchanged-budget compaction is a pure re-shard") {
+    import graft.ops.{Curation, Web}
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val corpus = live.filter(col("doc_id") % 2 === 0)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val got = Curation.corpusCompact(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(got.nonEmpty)
+    // THE BUDGET HOLDS: 7 planted hosts at the compaction cap bound the
+    // whole retained corpus
+    assert(got.map(_.getLong(1)).sum <= 7L * Curation.CompactHostCap)
+    // generation bump: shards restart at 0, positions contiguous from 0
+    val ordered = got.sortBy(_.getLong(0))
+    assert(ordered.map(_.getLong(0)).toSeq ==
+      (0L until ordered.length.toLong))
+    assert(ordered.head.getLong(2) == 0L)
+    // THE CAP BITES ACROSS DAYS: compaction retains strictly fewer docs
+    // than the shipped day-0 + day-1 manifests (each day sat under the
+    // crawl cap; only the union exceeds the compaction budget)
+    val shipped = Curation.corpusPipelineIncremental(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(got.map(_.getLong(1)).sum < shipped.map(_.getLong(1)).sum,
+      "the re-enforced budget must retire shipped docs")
+    // UNCHANGED BUDGET, EMPTY BATCH: compaction degenerates to a pure
+    // re-shard — the manifest is byte-identical to the corpus's own run
+    // (each day already honored the crawl cap, and the re-shard uses the
+    // same deterministic epoch-0 order)
+    val reshard = Curation.corpusCompactOn(corpus, live.limit(0), bench,
+      emb, Web.HostCap).collect()
+    spark.catalog.clearCache()
+    val corpusOnly = Curation.corpusPipelineOn(
+      docs.filter(col("doc_id") < 20 || col("doc_id") % 2 === 0), emb)
+      .collect()
+    spark.catalog.clearCache()
+    assert(reshard.map(key).toSet == corpusOnly.map(key).toSet,
+      "unchanged-budget compaction must be a pure re-shard")
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
