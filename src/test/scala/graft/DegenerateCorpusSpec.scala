@@ -397,6 +397,45 @@ class DegenerateCorpusSpec extends SparkSpec {
     assert((4L to 5L).forall(d => got(d).getString(3) == "tail"))
   }
 
+  test("audio dedup survives degenerate clips: sub-segment and null " +
+      "payloads emit no verdict rows, partial trailing segments drop") {
+    // the documented fingerprint convention: only COMPLETE segments
+    // fingerprint (audioSegmentHashes), so a clip shorter than one
+    // segment has no verdict row — it cannot be audio-deduped, which is
+    // the honest answer — and a trailing partial run is ignored rather
+    // than hashed at an unstable bit width
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val win = Multimodal.AudioFpWin
+    val segWin = Multimodal.AudioSegWin
+    val segChars = segWin * win * 2
+    val clips = Seq[(Long, String)](
+      (0L, null), // null payload: dropped by the family convention
+      (1L, ""), // empty clip
+      (2L, "ab" * (win * 3)), // 3 windows < one segment
+      (3L, ("a@" * (win * segWin)) + ("zz" * (win * 5))), // 1 seg + tail
+      (4L, "a@" * (win * segWin * 2))) // exactly 2 segments
+      .toDF("doc_id", "text")
+    assert(clips.filter(col("text").isNotNull &&
+      length(col("text")) >= segChars).count() == 2)
+    val fp = Multimodal.audioSegmentHashes(clips, win, segWin).collect()
+    assert(fp.map(_.getLong(0)).toSet == Set(3L, 4L))
+    assert(fp.count(_.getLong(0) == 3L) == 1, "trailing partial dropped")
+    assert(fp.count(_.getLong(0) == 4L) == 2)
+    val got = Multimodal.dedupAudioOn(clips, win, segWin,
+      Multimodal.AudioTauMilli, Multimodal.AudioHamMax).collect()
+    spark.catalog.clearCache()
+    // verdicts exist exactly for the fingerprintable clips; constant
+    // clips 3 and 4 share their constant-energy segment fingerprint
+    // (every gradient bit 0), so the banded join matches them and
+    // keep-min retains the smaller id
+    val byId = got.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(3L, 4L))
+    assert(!byId(3L).getBoolean(5), "3 keeps (no smaller partner)")
+    assert(byId(4L).getBoolean(5) && byId(4L).getLong(4) == 3L,
+      "4 is the dup of 3 at full overlap")
+  }
+
   test("LSH path unit-normalizes safely with a zero-norm vector present") {
     val dir = degenerateSf()
     val got = Similarity.simSearchLsh(spark, dir).collect()
