@@ -331,8 +331,17 @@ object Curation {
   private[graft] val ReliableChkConf = "graft.pipeline.reliableCheckpoint"
 
   private def scopeFor(spark: SparkSession): ChkScope = {
-    val reliable =
-      spark.conf.getOption(ReliableChkConf).exists(_.toBoolean)
+    // explicit true/false parse (ADVICE r16): a mistyped value ('1',
+    // 'yes') fails with a message naming the conf key, not a bare
+    // toBoolean "For input string" — a silently-defaulted durability
+    // mode is the one misconfiguration this gate exists to prevent
+    val reliable = spark.conf.getOption(ReliableChkConf) match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"$ReliableChkConf must be 'true' or 'false', got '$v'")
+    }
     if (reliable) require(
       spark.sparkContext.getCheckpointDir.isDefined,
       s"$ReliableChkConf=true requires sparkContext.setCheckpointDir " +
@@ -614,6 +623,15 @@ object Curation {
     * manifest ([[cursorOf]]), the artifact that already absorbed the
     * batch.
     *
+    * DISJOINTNESS PRECONDITION (ADVICE r16): the additive laws assume
+    * the absorbed batch's doc_ids are disjoint from every population
+    * already counted in `st` — the day-loop invariant (each crawl batch
+    * is new documents; [[corpusStatesUpdateOn]]'s split guarantees it).
+    * Re-absorbing an overlapping or repeated batch double-counts
+    * censuses and duplicates member rows, silently diverging from
+    * recompute-over-union; callers feeding arbitrary frames own that
+    * contract.
+    *
     * Scale shape: each merge is census ⊎ batch-census — at 100 TB an
     * append to the bucketed state table plus a sum/min compaction over
     * batch-sized key overlap; nothing corpus-sized moves.
@@ -780,6 +798,10 @@ object Curation {
     * independent proof that the Spark-side additive MERGES equal
     * recompute-over-union, composed through the whole chain (the
     * per-family laws PropertiesSpec pins, chained).
+    *
+    * INPUT CONTRACT: `corpus`, `batch1` and `batch2` must be pairwise
+    * doc_id-disjoint (each crawl day is new documents) — the
+    * [[mergeStates]] additive laws double-count under overlap.
     */
   def corpusStatesUpdateOn(corpus: DataFrame, batch1: DataFrame,
       batch2: DataFrame, benchmark: DataFrame,

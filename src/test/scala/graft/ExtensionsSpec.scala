@@ -944,6 +944,12 @@ class ExtensionsSpec extends SparkSpec {
     val baseline = Curation.corpusPipeline(spark, sf).collect()
     spark.catalog.clearCache()
     val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_cp")
+    // a mistyped conf value fails loudly, naming the key (ADVICE r16)
+    spark.conf.set(Curation.ReliableChkConf, "yes")
+    val bad = intercept[IllegalArgumentException] {
+      Curation.corpusPipeline(spark, sf)
+    }
+    assert(bad.getMessage.contains(Curation.ReliableChkConf))
     spark.conf.set(Curation.ReliableChkConf, "true")
     try {
       // misconfiguration fails loudly BEFORE any work, never a silent
@@ -962,7 +968,13 @@ class ExtensionsSpec extends SparkSpec {
         ckDir.toFile.listFiles.nonEmpty)
     } finally {
       spark.conf.unset(Curation.ReliableChkConf)
-      graft.LocalFs.deleteRecursively(ckDir.toFile)
+      // do NOT delete ckDir here: SparkContext has no unsetCheckpointDir,
+      // so the shared session keeps pointing at it for the rest of the
+      // suite — deleting a still-registered checkpoint location would
+      // make any later checkpointing test fail confusingly (ADVICE r16).
+      // A shutdown hook sweeps it once the JVM — and with it the
+      // session — is gone.
+      sys.addShutdownHook(graft.LocalFs.deleteRecursively(ckDir.toFile))
     }
   }
 
