@@ -1174,19 +1174,45 @@ object Multimodal {
     */
   def dedupVideoIncrementalOn(corpus: DataFrame, batch: DataFrame,
       frameBytes: Int, thresholdMilli: Long, tauMilli: Long,
-      hamMax: Long): DataFrame = {
-    def bandsOf(videos: DataFrame) =
-      withDhashBands(videoKeyframeHashes(videos, frameBytes,
-        thresholdMilli))
-        .select(col("doc_id"), col("frame_idx"), col("dhash"),
-          posexplode(array(col("band0"), col("band1"), col("band2"),
-            col("band3"))).as(Seq("band_idx", "band_val")))
-    val cb = bandsOf(corpus)
+      hamMax: Long): DataFrame =
+    dedupVideoIncrementalOnState(
+      videoBandState(corpus, frameBytes, thresholdMilli), batch,
+      frameBytes, thresholdMilli, tauMilli, hamMax)
+
+  /** THE MAINTAINED VIDEO BAND TABLE — the corpus-side state of
+    * incremental video dedup, named and law-bound like the family's
+    * other states ([[Web.urlCensus]], [[Dedup.lineCensus]],
+    * [[Dedup.spanCensus]], `semMembers`): one row per (keyframe, band)
+    * — `(doc_id, frame_idx, dhash, band_idx, band_val)`. UNION-MERGEABLE
+    * (PropertiesSpec law): the derivation is per-video, so the state
+    * over doc-disjoint corpora is the plain union of the per-corpus
+    * states — a production pipeline maintains it as a bucketed table
+    * keyed on (band_idx, band_val), appending each absorbed batch's
+    * rows, and every [[dedupVideoIncrementalOnState]] probe pays
+    * batch-sized work only (never re-hashing the corpus).
+    */
+  def videoBandState(videos: DataFrame, frameBytes: Int,
+      thresholdMilli: Long): DataFrame =
+    withDhashBands(videoKeyframeHashes(videos, frameBytes,
+      thresholdMilli))
+      .select(col("doc_id"), col("frame_idx"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+
+  /** [[dedupVideoIncrementalOn]] against an EXPLICIT maintained band
+    * table ([[videoBandState]] rows) — the production probe shape: the
+    * corpus side arrives as the state table, so the per-batch cost is
+    * hashing + banding the batch and two band equi-joins.
+    */
+  def dedupVideoIncrementalOnState(corpusBands: DataFrame,
+      batch: DataFrame, frameBytes: Int, thresholdMilli: Long,
+      tauMilli: Long, hamMax: Long): DataFrame = {
+    val cb = corpusBands
       .select(col("band_idx"), col("band_val"), col("dhash").as("dh_c"))
     // the batch band frame feeds the corpus probe, both self-join sides
     // and the keyframe spine — persisted (the dedupImagesIncremental
     // discipline), released by the caller's clearCache contract
-    val bb = bandsOf(batch).persist()
+    val bb = videoBandState(batch, frameBytes, thresholdMilli).persist()
     val a = bb.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("frame_idx").as("kf_a"),
       col("dhash").as("dh_a"))
@@ -1474,15 +1500,33 @@ object Multimodal {
     * verbatim.
     */
   def dedupAudioIncrementalOn(corpus: DataFrame, batch: DataFrame,
-      win: Int, segWin: Int, tauMilli: Long, hamMax: Long): DataFrame = {
-    def bandsOf(clips: DataFrame) =
-      withDhashBands(audioSegmentHashes(clips, win, segWin))
-        .select(col("doc_id"), col("seg_idx"), col("dhash"),
-          posexplode(array(col("band0"), col("band1"), col("band2"),
-            col("band3"))).as(Seq("band_idx", "band_val")))
-    val cb = bandsOf(corpus)
+      win: Int, segWin: Int, tauMilli: Long, hamMax: Long): DataFrame =
+    dedupAudioIncrementalOnState(audioBandState(corpus, win, segWin),
+      batch, win, segWin, tauMilli, hamMax)
+
+  /** THE MAINTAINED AUDIO BAND TABLE — the audio rung's corpus state,
+    * the exact counterpart of [[videoBandState]]: one row per
+    * (segment, band) — `(doc_id, seg_idx, dhash, band_idx, band_val)`,
+    * UNION-MERGEABLE over doc-disjoint corpora (PropertiesSpec law).
+    * Production maintains it bucketed on (band_idx, band_val); each
+    * absorbed batch appends its own rows.
+    */
+  def audioBandState(clips: DataFrame, win: Int, segWin: Int): DataFrame =
+    withDhashBands(audioSegmentHashes(clips, win, segWin))
+      .select(col("doc_id"), col("seg_idx"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+
+  /** [[dedupAudioIncrementalOn]] against an EXPLICIT maintained band
+    * table ([[audioBandState]] rows) — the production probe shape:
+    * per-batch cost is batch fingerprinting plus two band equi-joins.
+    */
+  def dedupAudioIncrementalOnState(corpusBands: DataFrame,
+      batch: DataFrame, win: Int, segWin: Int, tauMilli: Long,
+      hamMax: Long): DataFrame = {
+    val cb = corpusBands
       .select(col("band_idx"), col("band_val"), col("dhash").as("dh_c"))
-    val bb = bandsOf(batch).persist()
+    val bb = audioBandState(batch, win, segWin).persist()
     val a = bb.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("seg_idx").as("seg_a"),
       col("dhash").as("dh_a"))

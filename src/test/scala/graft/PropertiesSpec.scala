@@ -1034,4 +1034,77 @@ class PropertiesSpec extends SparkSpec {
       assert(draw("s1").sorted == got.sorted, "same salt not reproducible")
     }
   }
+
+  test("video band state merges by plain union and the maintained-table " +
+      "probe equals the derive-in-key incremental form") {
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+    val vids = Multimodal.videoStructured(docs).persist()
+    try {
+      def state(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.videoBandState(df, Multimodal.CutFrameBytes,
+          Multimodal.CutThresholdMilli)
+      val even = vids.filter(col("doc_id") % 2 === 0)
+      val odd = vids.filter(col("doc_id") % 2 === 1)
+      // union-merge law: per-video derivation ⇒ state(a ⊎ b) is the
+      // plain union of the per-corpus states (band rows are unique per
+      // (doc, frame, band), so set equality is multiset equality)
+      val full = state(vids).collect().map(_.toSeq).toSet
+      val merged = (state(even).collect() ++ state(odd).collect())
+        .map(_.toSeq).toSet
+      assert(full == merged, "video band state is not union-mergeable")
+      // the production probe (maintained table assembled by appends)
+      // equals the self-contained derive-in-key form
+      val appended = state(even.filter(col("doc_id") % 4 === 0))
+        .unionByName(state(even.filter(col("doc_id") % 4 === 2)))
+      val viaState = Multimodal.dedupVideoIncrementalOnState(appended,
+        odd, Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+        .collect().map(_.toSeq).toSet
+      val direct = Multimodal.dedupVideoIncrementalOn(even, odd,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+        .collect().map(_.toSeq).toSet
+      assert(viaState == direct,
+        "maintained-table probe drifted from the derive-in-key form")
+    } finally {
+      vids.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("audio band state merges by plain union and the maintained-table " +
+      "probe equals the derive-in-key incremental form") {
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+    val clips = Multimodal.audioStructured(docs).persist()
+    try {
+      def state(df: org.apache.spark.sql.DataFrame) =
+        Multimodal.audioBandState(df, Multimodal.AudioFpWin,
+          Multimodal.AudioSegWin)
+      val even = clips.filter(col("doc_id") % 2 === 0)
+      val odd = clips.filter(col("doc_id") % 2 === 1)
+      val full = state(clips).collect().map(_.toSeq).toSet
+      val merged = (state(even).collect() ++ state(odd).collect())
+        .map(_.toSeq).toSet
+      assert(full == merged, "audio band state is not union-mergeable")
+      val appended = state(even.filter(col("doc_id") % 4 === 0))
+        .unionByName(state(even.filter(col("doc_id") % 4 === 2)))
+      val viaState = Multimodal.dedupAudioIncrementalOnState(appended,
+        odd, Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+        .collect().map(_.toSeq).toSet
+      val direct = Multimodal.dedupAudioIncrementalOn(even, odd,
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+        .collect().map(_.toSeq).toSet
+      assert(viaState == direct,
+        "maintained-table probe drifted from the derive-in-key form")
+    } finally {
+      clips.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
 }
