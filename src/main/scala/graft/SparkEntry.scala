@@ -179,6 +179,11 @@ object SparkEntry {
     // shipped union (the step the append-only keys defer), survivors
     // re-sharded from position 0
     "corpus_compact" -> (Curation.corpusCompact _),
+    // the loop composed ACROSS the generation bump: batch-1 absorbed,
+    // corpus compacted to generation 1, batch-2 screened against the
+    // CARRIED censuses (seen-ness survives retirement) + the
+    // post-compaction cursor
+    "corpus_generation_cycle" -> (Curation.corpusGenerationCycle _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact

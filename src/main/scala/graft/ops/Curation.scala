@@ -977,6 +977,136 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** The generation-cycle composition's observable frames — the graded
+    * manifest plus the internal frames the suite pins the retirement
+    * contract on. All four are persisted catalog entries (released by
+    * the caller-clearCache contract).
+    */
+  private[graft] final case class GenerationCycle(
+      manifest: DataFrame,  // gen-1 shards (phase 0) + day-3 shards (1)
+      shipped: DataFrame,   // (doc_id) the pre-compaction shipped world
+      retained: DataFrame,  // (doc_id) the post-compaction gen-1 corpus
+      urlCensus: DataFrame, // the CARRIED census batch-2 probes
+      batchKept: DataFrame) // (doc_id, text) batch-2's clean output
+
+  /** THE GENERATION CYCLE — the loop `corpus_compact` opened, closed:
+    * proof that the incremental day loop CONTINUES past a compaction.
+    * Day 0 runs the corpus; day 1 screens batch-1 against the day-1
+    * states and is absorbed into them ([[mergeStates]]); then the
+    * corpus COMPACTS (per-host budget re-enforced over the shipped
+    * union, survivors re-sharded from position 0 as generation 1); and
+    * day 3 screens batch-2 against the CARRIED states plus the
+    * POST-COMPACTION manifest cursor.
+    *
+    * The load-bearing contract: SEEN-NESS IS APPEND-ONLY. Compaction
+    * retires documents from the shipped corpus but never from the
+    * censuses — batch-2 probes the day-2 states (corpus ⊎ batch-1 input
+    * populations) unchanged, so a re-crawl of a RETIRED document's URL
+    * (or a duplicate of its lines/spans/vectors) is still screened out;
+    * only the append cursor resets to the generation-1 world (new
+    * shards continue after the compacted corpus, not the pre-compaction
+    * one). Without the carry, every compaction would re-open the corpus
+    * to everything it ever retired — the re-crawl storm production
+    * compaction exists to avoid. ExtensionsSpec pins the scenario
+    * end-to-end: a planted batch-2 URL whose census holder shipped and
+    * was then retired stays screened.
+    *
+    * Output: the generation-1 manifest (`phase` 0, re-sharded from
+    * position 0) then batch-2's appended shards (`phase` 1, ids and
+    * positions continuing after generation 1). Unordered. The DuckDB
+    * twin recomputes the carried states over the union input
+    * populations and the cursor from its own compaction CTEs — hash
+    * equality proves merge-equals-recompute composed ACROSS the
+    * generation bump.
+    *
+    * Scale shape: everything is the established per-stage shapes — the
+    * censuses are the maintained tables (derived here because the
+    * graded key is self-contained), the compaction is canonical-URL-
+    * sized + one per-host window + the manifest tail, and batch-2 pays
+    * batch-sized probe work; the cursor is a one-row broadcast off the
+    * generation-1 manifest.
+    */
+  private[graft] def generationCycleOn(corpus: DataFrame,
+      batch1: DataFrame, batch2: DataFrame, benchmark: DataFrame,
+      embeddings: DataFrame, hostCap: Int): GenerationCycle = {
+    val scope = scopeFor(corpus.sparkSession)
+    import scope.chk
+    // day 0: the corpus run and its day-1 states (the
+    // corpusStatesUpdateOn discipline: each census is consumed twice —
+    // batch-1's probe and the merge's union side)
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    val st1raw = statesOf(run, cman, embeddings)
+    val st1 = PipelineStates(
+      chk(st1raw.urlCensus), chk(st1raw.lineCensus),
+      chk(st1raw.spanCensus), chk(st1raw.semMembers), st1raw.cursor)
+    // day 1: batch-1 against the day-1 states, then absorbed into the
+    // maintained states BEFORE compaction — retirement must not erase
+    // what the states have seen
+    val r1 = runBatch(st1, batch1, benchmark, embeddings, scope)
+    val merged = mergeStates(st1, r1, embeddings)
+    // the generation bump: per-host budget over the shipped union,
+    // survivors re-sharded from position 0 (the corpusCompactOn chain)
+    val kept = chk(run.clean.unionByName(r1.clean))
+    val capped = chk(kept.join(
+      Web.capPerHostOn(Web.urlStructured(kept), hostCap)
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi"))
+    val g1man = chk(manifestTail(capped, defaultBpeCount))
+    // day 3: batch-2 against the CARRIED censuses + the generation-1
+    // cursor (the only state the compaction rewrites)
+    val st2 = PipelineStates(
+      chk(merged.urlCensus), chk(merged.lineCensus),
+      chk(merged.spanCensus), chk(merged.semMembers), cursorOf(g1man))
+    val r2 = runBatch(st2, batch2, benchmark, embeddings, scope)
+    val out = g1man.withColumn("phase", lit(0))
+      .unionByName(r2.manifest.withColumn("phase", lit(1)))
+      .persist()
+    val shipped = kept.select(col("doc_id")).persist()
+    val retained = capped.select(col("doc_id")).persist()
+    val census = st2.urlCensus.persist()
+    val bkept = r2.clean.persist()
+    // the corpusPipelineOn materialize-then-release discipline (and its
+    // reliable-mode caveat) applies unchanged; the contract frames are
+    // id/census-sized — materializing them re-reads flat checkpointed
+    // leaves, never corpus text
+    out.queryExecution.toRdd.count()
+    shipped.queryExecution.toRdd.count()
+    retained.queryExecution.toRdd.count()
+    census.queryExecution.toRdd.count()
+    bkept.queryExecution.toRdd.count()
+    scope.release()
+    GenerationCycle(out, shipped, retained, census, bkept)
+  }
+
+  /** `corpus_generation_cycle`'s API form — the graded manifest. */
+  def corpusGenerationCycleOn(corpus: DataFrame, batch1: DataFrame,
+      batch2: DataFrame, benchmark: DataFrame, embeddings: DataFrame,
+      hostCap: Int): DataFrame =
+    generationCycleOn(corpus, batch1, batch2, benchmark, embeddings,
+      hostCap).manifest
+
+  /** `corpus_generation_cycle` checked key: the day-2 three-way split
+    * (even = corpus, doc_id % 4 = 1 = day-1 batch, % 4 = 3 = day-3
+    * batch) with the compaction at [[CompactHostCap]] between days 1
+    * and 3. Generation-1 shard ids restart at 0 and batch-2's continue
+    * after them, so one shard_id sort presents the phases in order.
+    */
+  def corpusGenerationCycle(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    corpusGenerationCycleOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 4 === 1),
+      live.filter(col("doc_id") % 4 === 3),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"),
+      CompactHostCap)
+      .orderBy(col("shard_id"))
+  }
+
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
     * chaining every stage's established oracle formulation (URL plant /
     * blocklist rules / keep-min / host cap from [[Web]], the extract
@@ -1451,16 +1581,13 @@ object Curation {
     * merge-equals-recompute-over-union composed through every stateful
     * stage.
     */
-  private def statesUpdateSql: String = {
-    val day2 = OracleStates("u2", "l2", "s2", "mem2", "m2mm", "cstat2")
-    // concatenated head (see pipelineSql's stripMargin note)
-    "WITH " +
-      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
-        "doc_id % 2 = 0 AND text IS NOT NULL") +
-      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
-      day1StateCtes + ",\n" +
-      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
-        "doc_id % 4 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+  /** The day-2 census/state CTEs recomputed over the UNION input
+    * populations (`u2`/`l2`/`s2`/`mem2`+centroids) — the independent
+    * formulation of what the Spark side derives by additive merge,
+    * shared by the day-2 twin and the generation-cycle twin (whose
+    * append cursor differs: post-append vs post-compaction).
+    */
+  private def day2CensusCtes: String =
     s"""u2 AS MATERIALIZED (
        |  SELECT url_norm, CAST(count(*) AS BIGINT) AS n_corpus
        |  FROM (SELECT url_norm FROM unb
@@ -1490,8 +1617,20 @@ object Curation {
        |m2mm AS (
        |  SELECT cell, mean,
        |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
-       |  FROM m2mn),
-       |cstat2 AS (
+       |  FROM m2mn)""".stripMargin
+
+  private def statesUpdateSql: String = {
+    val day2 = OracleStates("u2", "l2", "s2", "mem2", "m2mm", "cstat2")
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 4 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+      day2CensusCtes + ",\n" +
+    s"""cstat2 AS (
        |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
        |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
        |  FROM (SELECT shard_id, n_docs FROM cman
@@ -1515,16 +1654,13 @@ object Curation {
     * then the kept UNION, the per-host hash-rank cap at the compaction
     * budget, and the generation-1 manifest from position 0.
     */
-  private def compactSql: String = {
+  /** The compaction CTE chain — shipped union (`clean` ∪ `bclean`) →
+    * per-host hash-rank cap at [[CompactHostCap]] → generation-1 epoch
+    * order; ends in `ko`/`kbt`, the manifest aggregate's inputs. Shared
+    * by the compaction twin and the generation-cycle twin.
+    */
+  private def compactionCoreCtes: String = {
     val kbt = graft.functions.BpeTokenizer.oracleSqlFor("kdocs")
-    // concatenated head (see pipelineSql's stripMargin note)
-    "WITH " +
-      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
-        "doc_id % 2 = 0 AND text IS NOT NULL") +
-      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
-      day1StateCtes + ",\n" +
-      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
-        "doc_id % 2 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
     s"""allkept AS MATERIALIZED (
        |  SELECT doc_id, text FROM clean
        |  UNION ALL SELECT doc_id, text FROM bclean),
@@ -1552,8 +1688,58 @@ object Curation {
        |        || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos,
        |    doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
-       |  FROM kdocs)""".stripMargin + "\n" +
+       |  FROM kdocs)""".stripMargin
+  }
+
+  private def compactSql: String = {
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+      compactionCoreCtes + "\n" +
       manifestSelectSqlFor("ko", "kbt") + "\nORDER BY shard_id"
+  }
+
+  /** The composed twin of [[corpusGenerationCycleOn]]: the day-2 twin's
+    * chain through batch-1 (corpus core, day-1 states, `b`-prefixed
+    * batch chain) and the recomputed-over-union day-2 censuses, then
+    * the COMPACTION CTEs deriving generation 1, and batch-2's chain
+    * (`g` prefix) probing the carried censuses with the cursor read
+    * from the GENERATION-1 manifest. Hash equality proves the additive
+    * merges survive the generation bump — seen-ness carries, only the
+    * cursor resets.
+    */
+  private def generationCycleSql: String = {
+    val g1states = OracleStates("u2", "l2", "s2", "mem2", "m2mm",
+      "g1stat")
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 4 = 1 AND text IS NOT NULL", day1OracleStates) + ",\n" +
+      day2CensusCtes + ",\n" +
+      compactionCoreCtes + ",\n" +
+      "g1man AS MATERIALIZED (\n" +
+      manifestSelectSqlFor("ko", "kbt") + "),\n" +
+    s"""g1stat AS (
+       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
+       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
+       |  FROM g1man),""".stripMargin + "\n" +
+      batchChainCtes("g", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 4 = 3 AND text IS NOT NULL", g1states) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 0 AS phase FROM g1man
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 1 AS phase FROM gman
+       |ORDER BY shard_id""".stripMargin
   }
 
   /** The composed twin of [[corpusPipelineLearnedBpeOn]] — the flagship
@@ -1581,6 +1767,7 @@ object Curation {
     "corpus_states_update" -> statesUpdateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,
     "corpus_compact" -> compactSql,
+    "corpus_generation_cycle" -> generationCycleSql,
     "contamination_check" ->
       s"""WITH $contamSqlCtes
         |SELECT d.doc_id,

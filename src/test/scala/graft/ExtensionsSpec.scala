@@ -915,6 +915,64 @@ class ExtensionsSpec extends SparkSpec {
       "unchanged-budget compaction must be a pure re-shard")
   }
 
+  test("corpus_generation_cycle: seen-ness survives compaction — a " +
+      "retired doc's re-crawled URL stays screened out of the day-3 " +
+      "batch, and the cursor resets to the generation-1 world") {
+    import graft.ops.{Curation, Web}
+    val docs = Tables.table(spark, sf, "documents")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val batch2 = live.filter(col("doc_id") % 4 === 3)
+    val parts = Curation.generationCycleOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 4 === 1),
+      batch2,
+      docs.filter(col("doc_id") < 20 && col("text").isNotNull),
+      Tables.table(spark, sf, "embeddings"),
+      Curation.CompactHostCap)
+    try {
+      val shipped = parts.shipped.collect().map(_.getLong(0)).toSet
+      val retained = parts.retained.collect().map(_.getLong(0)).toSet
+      val keptB2 = parts.batchKept.select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(retained.subsetOf(shipped))
+      assert(retained.size < shipped.size,
+        "compaction must retire docs for the pin to be non-vacuous")
+      assert(keptB2.nonEmpty, "day-3 batch must keep something")
+      // batch-2 docs whose canonical URL the carried census has seen,
+      // split by the census holder's fate
+      val b2seen = Web.urlNormalizeOn(Web.urlStructured(batch2))
+        .select(col("doc_id"), col("url_norm"))
+        .join(parts.urlCensus.select(col("url_norm"), col("min_doc")),
+          Seq("url_norm"))
+        .select(col("doc_id"), col("min_doc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // the RETIREMENT branch is real: at least one batch-2 URL's
+      // census holder shipped and was then capped away at compaction
+      val ofRetired = b2seen.collect {
+        case (d, holder) if shipped(holder) && !retained(holder) => d
+      }.toSet
+      assert(ofRetired.nonEmpty,
+        "no retired-then-refetched case planted — pin is vacuous")
+      // the contract: seen-ness is append-only — EVERY census-seen
+      // batch-2 URL is screened out, retired holder or not
+      val seenDocs = b2seen.map(_._1).toSet
+      assert(seenDocs.forall(!keptB2.contains(_)),
+        "a re-crawled seen URL re-entered the corpus after compaction")
+      // the cursor resets to generation 1: batch-2 shards/positions
+      // continue after the COMPACTED manifest, not the pre-compaction one
+      val man = parts.manifest.collect()
+      val g1 = man.filter(_.getInt(8) == 0)
+      val b2man = man.filter(_.getInt(8) == 1)
+      assert(g1.nonEmpty && b2man.nonEmpty)
+      val g1MaxShard = g1.map(_.getLong(0)).max
+      val g1Docs = g1.map(_.getLong(1)).sum
+      assert(b2man.map(_.getLong(0)).min == g1MaxShard + 1,
+        "batch-2 shards must continue after generation 1's")
+      assert(b2man.map(_.getLong(2)).min == g1Docs,
+        "batch-2 positions must continue after generation 1's doc count")
+    } finally spark.catalog.clearCache()
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
