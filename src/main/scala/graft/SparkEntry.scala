@@ -184,6 +184,10 @@ object SparkEntry {
     // CARRIED censuses (seen-ness survives retirement) + the
     // post-compaction cursor
     "corpus_generation_cycle" -> (Curation.corpusGenerationCycle _),
+    // the mixed-modality flagship: image/video/audio near-dup verdicts
+    // (real decode → hash → banded join ladders) gate the corpus before
+    // the text chain — one hash gate over the mixed manifest
+    "corpus_pipeline_multimodal" -> (Curation.corpusPipelineMultimodal _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact

@@ -1107,6 +1107,89 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** THE MIXED-MODALITY FLAGSHIP — [[corpusPipelineOn]] with the media
+    * dedup rungs composed into the same keep set: every document of the
+    * mixed corpus carries an image, a video and an audio clip (planted
+    * payloads keyed by doc_id — the harness's stand-in for a crawl
+    * where media arrive alongside text), and the three rungs' verdicts
+    * gate the corpus BEFORE the text chain runs:
+    *
+    *   1. media side-ladders at INGEST — [[Multimodal.dedupImageDocsOn]]
+    *      over the planted pair images, [[Multimodal.dedupVideoOn]] and
+    *      [[Multimodal.dedupAudioOn]] over the planted clips — each the
+    *      checked single-operator implementation; a doc whose image,
+    *      video OR audio near-duplicates a smaller doc's drops
+    *   2. the survivors run the full text flagship chain
+    *      ([[corpusPipelineOn]]'s stages 1-9, unchanged) to the shard
+    *      manifest.
+    *
+    * Media-first is the production order: perceptual hashes are
+    * computed at ingest, media dedup runs on hash-sized band tables
+    * independent of text quality, and screening before the text
+    * censuses shrinks every downstream stage. The media keep-min is
+    * over the media corpus itself (a media-dup doc drops even if its
+    * canonical's TEXT later dies in the chain — the asset store holds
+    * the canonical copy; resurrecting text-dead docs is not the dedup
+    * stage's job).
+    *
+    * Each rung's drop set is independently non-vacuous by plant
+    * geometry: images pair {10k+2, 10k+3} ([[Multimodal.pairImageKey]]),
+    * video/audio pair {10k, 10k+1} and {20k+5, 20k+7} — classes the URL
+    * stage alone would NOT remove. The DuckDB twin recomputes all three
+    * verdicts from the planting rules (the media twins' discipline) and
+    * chains the flagship CTEs over the survivors — ONE hash gate over
+    * the mixed manifest.
+    *
+    * Scale shape: the media ladders are scan-stage hashing plus banded
+    * hamming joins (hash rows, never pixels/samples); the text chain
+    * keeps its per-stage shapes; the gate join is an AQE-broadcast
+    * anti-join of id rows.
+    */
+  def corpusPipelineMultimodalOn(docs0: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val corpus0 = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    val benchmark = docs0
+      .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
+    val scope = scopeFor(docs0.sparkSession)
+    import scope.chk
+    // the media side-ladders at ingest (plants persisted — generation
+    // is the expensive stage and each feeds its rung's spine reuse;
+    // released by the caller-clearCache contract)
+    val vDrop = Multimodal.dedupVideoOn(
+        Multimodal.videoStructured(corpus0).persist(),
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(col("is_dup_video")).select(col("doc_id"))
+    val aDrop = Multimodal.dedupAudioOn(
+        Multimodal.audioStructured(corpus0).persist(),
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(col("is_dup_audio")).select(col("doc_id"))
+    val iDrop = Multimodal.dedupImageDocsOn(
+        Multimodal.pairImages(corpus0), hamMax = 3L)
+      .filter(col("is_dup_image")).select(col("doc_id"))
+    val mmDrop = vDrop.unionByName(aDrop).unionByName(iDrop).distinct()
+    val corpus = chk(corpus0.join(mmDrop, Seq("doc_id"), "left_anti"))
+    // the text flagship over the media survivors
+    val manifest = runPipeline(corpus, benchmark, embeddings, scope)
+      .manifest.persist()
+    // the corpusPipelineOn materialize-then-release discipline applies
+    manifest.queryExecution.toRdd.count()
+    scope.release()
+    manifest
+  }
+
+  /** `corpus_pipeline_multimodal` checked key: the flagship split with
+    * the three media rungs gating the corpus.
+    */
+  def corpusPipelineMultimodal(spark: SparkSession,
+      sfDir: String): DataFrame =
+    corpusPipelineMultimodalOn(
+      table(spark, sfDir, "documents"),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
+
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
     * chaining every stage's established oracle formulation (URL plant /
     * blocklist rules / keep-min / host cap from [[Web]], the extract
@@ -1761,8 +1844,75 @@ object Curation {
       "\n" + manifestSelectSql + "\nORDER BY shard_id"
   }
 
+  /** The composed twin of [[corpusPipelineMultimodalOn]]: the three
+    * media verdicts recomputed from the planting rules (the prefixed
+    * video/audio twin chains over the mixed population; the image drop
+    * straight from the [[Multimodal.pairImageKey]] rule — the
+    * `dedup_image` geometry discipline), unioned into `mmdrop`, then
+    * the flagship CTE chain instantiated over the media survivors.
+    */
+  private def multimodalSql: String = {
+    val pop = s"doc_id >= $ContamBenchDocs AND text IS NOT NULL"
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH mpop AS (SELECT doc_id FROM documents WHERE " + pop + "),\n" +
+      Multimodal.videoChainSqlCtes("v", "mpop") + ",\n" +
+    s"""vmt AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM vbands a JOIN vbands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash))
+       |    <= ${Multimodal.VideoHamMax}
+       |  GROUP BY a.doc_id, a.kf),
+       |vv AS (
+       |  SELECT k.doc_id,
+       |    CAST(count(vmt.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS dup_frac_milli,
+       |    min(vmt.min_partner) AS min_partner
+       |  FROM vkfs k LEFT JOIN vmt
+       |    ON vmt.doc_a = k.doc_id AND vmt.kf_a = k.kf
+       |  GROUP BY k.doc_id),
+       |vdrop AS (
+       |  SELECT doc_id FROM vv
+       |  WHERE coalesce(dup_frac_milli >= ${Multimodal.VideoTauMilli}
+       |    AND min_partner < doc_id, false)),""".stripMargin + "\n" +
+      Multimodal.audioChainSqlCtes("x", "mpop") + ",\n" +
+    s"""xmt AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM xabands a JOIN xabands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE bit_count(xor(a.dhash, b.dhash))
+       |    <= ${Multimodal.AudioHamMax}
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |xv AS (
+       |  SELECT h.doc_id,
+       |    CAST(count(xmt.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS dup_frac_milli,
+       |    min(xmt.min_partner) AS min_partner
+       |  FROM xah h LEFT JOIN xmt
+       |    ON xmt.doc_a = h.doc_id AND xmt.seg_a = h.seg_idx
+       |  GROUP BY h.doc_id),
+       |xdrop AS (
+       |  SELECT doc_id FROM xv
+       |  WHERE coalesce(dup_frac_milli >= ${Multimodal.AudioTauMilli}
+       |    AND min_partner < doc_id, false)),
+       |idrop AS (
+       |  SELECT doc_id FROM mpop
+       |  WHERE doc_id % 10 = 3
+       |    AND (doc_id - 1) IN (SELECT doc_id FROM mpop)),
+       |mmdrop AS (
+       |  SELECT doc_id FROM vdrop UNION
+       |  SELECT doc_id FROM xdrop UNION
+       |  SELECT doc_id FROM idrop),""".stripMargin + "\n" +
+      pipelineCoreCtes(
+        pop + " AND doc_id NOT IN (SELECT doc_id FROM mmdrop)") +
+      "\n" + manifestSelectSql + "\nORDER BY shard_id"
+  }
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> pipelineSql,
+    "corpus_pipeline_multimodal" -> multimodalSql,
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "corpus_states_update" -> statesUpdateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,

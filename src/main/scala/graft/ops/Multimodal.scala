@@ -662,6 +662,99 @@ object Multimodal {
       .orderBy(col("doc_id"), col("role"))
   }
 
+  /** Image identity of a document in the MIXED-MODALITY corpus: docs
+    * `10k+3` carry a lossy re-encode of `10k+2`'s image (the planted
+    * cross-document image near-dup class of `corpus_pipeline_multimodal`
+    * — video and audio keep their own {10k, 10k+1}/{20k+5, 20k+7}
+    * classes, so each rung's drop set is independently non-vacuous);
+    * everything else photographs its own page. Keys live in the doc-id
+    * space whose salt-`img` hash geometry is the measured one (min
+    * hamming 6 between distinct keys through 5000 docs), so
+    * "pair ⇔ planted class" stays exact.
+    */
+  private[graft] def pairImageKey(d: Long): Long =
+    if (d % 10 == 3) d - 1 else d
+
+  /** The mixed-corpus image plant — one image per document, generated
+    * in the decode-loop territory over the repartitioned id spine (the
+    * [[videoStructured]] discipline): the [[noiseCellLevel]] block
+    * pattern of [[pairImageKey]], hand-rolled PNG for key owners and a
+    * real ImageIO JPEG RE-ENCODE for the planted `10k+3` near-dups
+    * (same signal, lossy codec — the [[noiseFixture]] twin mechanism,
+    * which the margin rule hashes identically).
+    */
+  private[graft] def pairImages(docs: DataFrame): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs.select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ImageIO.setUseCache(false)
+        ids.map { d =>
+          val key = pairImageKey(d)
+          val (w, h) = (noiseWidth(key), noiseHeight(key))
+          val grid = Array.tabulate(PhashGridH, PhashGridW)(
+            (cy, cx) => noiseCellLevel("img", key, cx, cy))
+          def level(x: Int, y: Int): Int =
+            grid(pixelCell(y, h, PhashGridH))(pixelCell(x, w, PhashGridW))
+          val payload =
+            if (d % 10 == 3) {
+              val img = new java.awt.image.BufferedImage(w, h,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val v = level(x, y)
+                  img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                  x += 1
+                }
+                y += 1
+              }
+              val out = new java.io.ByteArrayOutputStream()
+              require(ImageIO.write(img, "jpg", out),
+                "no JPEG writer available in this JRE")
+              out.toByteArray
+            } else encodePng(w, h,
+              (x, y) => { val v = level(x, y); (v, v, v) })
+          (d, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** DOC-LEVEL IMAGE NEAR-DUP VERDICT — the image rung in the shape the
+    * composed mixed-modality flagship consumes (the [[dedupVideoOn]] /
+    * [[dedupAudioOn]] verdict discipline on the image surface): dHash
+    * every document's image, banded hamming-≤-`hamMax` self-join,
+    * keep-min — `is_dup_image` iff a matching partner has a smaller
+    * doc_id. `(doc_id, dhash, min_partner, is_dup_image)`, unordered.
+    *
+    * Scale shape: decode+hash is scan-stage per-image work; the join
+    * shuffles 4 band rows of (16-bit key, id, 64-bit hash) per image —
+    * the [[dedupImage]] layout with a per-document aggregate on top.
+    */
+  def dedupImageDocsOn(images: DataFrame, hamMax: Long): DataFrame = {
+    val banded = withDhashBands(dHashImages(images, "doc_id", "payload"))
+      .select(col("doc_id"), col("dhash"),
+        posexplode(array(col("band0"), col("band1"), col("band2"),
+          col("band3"))).as(Seq("band_idx", "band_val")))
+    val a = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("dhash").as("dh_a"))
+    val b = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val matches = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("min_partner"))
+    banded.select(col("doc_id"), col("dhash")).distinct()
+      .join(matches.select(col("doc_a").as("doc_id"), col("min_partner")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dhash"), col("min_partner"),
+        coalesce(col("min_partner") < col("doc_id"), lit(false))
+          .as("is_dup_image"))
+  }
+
   /** API form: decode any `(doc_id, <payloadCol> binary)` frame to
     * `(doc_id, width, height, sum_r, sum_g, sum_b)` — unordered, any
     * ImageIO-decodable format (PNG, JPEG, BMP, GIF…). Fails
@@ -1596,21 +1689,22 @@ object Multimodal {
   /** Shared twin chain for the video family: planting-rule frames →
     * byte lists (levels + noise + jitter) → milli means → cuts →
     * keyframes → gradient hashes → band rows (`fr`/`fb`/`m`/`cut`/
-    * `kfs`/`h`/`bands`), consumed by both `dedup_video` and its
-    * incremental twin.
+    * `kfs`/`h`/`bands`), consumed by both `dedup_video` twins
+    * (unprefixed, over `documents`) and — prefixed, over a population
+    * CTE — by the mixed-modality flagship twin.
     */
-  private def videoChainSqlCtes: String = {
+  private[graft] def videoChainSqlCtes(p: String, src: String): String = {
     val frameB = CutFrameBytes
     val nFrames = VideoScenes * VideoFramesPerScene
     val keyExpr = videoKeySqlExpr
-    s"""fr AS (
+    s"""${p}fr AS (
        |  SELECT doc_id, fi, key,
        |    32 + CAST(CAST(concat('0x', substring(md5(
        |      CAST(key AS VARCHAR) || ':L'), 1, 15)) AS BIGINT) % 12
        |      AS INTEGER) * 8 AS lvl
        |  FROM (SELECT doc_id, fi, ($keyExpr) AS key
-       |        FROM documents, UNNEST(range(0, $nFrames)) AS t(fi))),
-       |fb AS (
+       |        FROM $src, UNNEST(range(0, $nFrames)) AS t(fi))),
+       |${p}fb AS (
        |  SELECT doc_id, fi,
        |    list_transform(range(0, $frameB), q ->
        |      lvl
@@ -1625,29 +1719,31 @@ object Multimodal {
        |                 % 7 < 6
        |               THEN 1 ELSE -1 END
        |             ELSE 0 END) AS bs
-       |  FROM fr),
-       |m AS (
+       |  FROM ${p}fr),
+       |${p}m AS (
        |  SELECT doc_id, fi, bs,
        |    CAST(list_sum(bs) AS BIGINT) * 1000 // $frameB AS mm
-       |  FROM fb),
-       |cut AS (
+       |  FROM ${p}fb),
+       |${p}cut AS (
        |  SELECT a.doc_id, a.fi AS kf
-       |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND b.fi = a.fi - 1
+       |  FROM ${p}m a JOIN ${p}m b ON a.doc_id = b.doc_id
+       |    AND b.fi = a.fi - 1
        |  WHERE abs(a.mm - b.mm) > $CutThresholdMilli),
-       |kfs AS (
-       |  SELECT doc_id, CAST(0 AS BIGINT) AS kf FROM documents
-       |  UNION ALL SELECT doc_id, kf FROM cut),
-       |h AS (
+       |${p}kfs AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS kf FROM $src
+       |  UNION ALL SELECT doc_id, kf FROM ${p}cut),
+       |${p}h AS (
        |  SELECT k.doc_id, k.kf,
        |    CAST(list_sum(list_transform(range(1, $frameB), kk ->
        |      CASE WHEN fb.bs[kk + 1] > fb.bs[kk]
        |           THEN CAST(1 AS BIGINT) << (kk - 1)
        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
-       |  FROM kfs k JOIN fb ON fb.doc_id = k.doc_id AND fb.fi = k.kf),
-       |bands AS (
+       |  FROM ${p}kfs k JOIN ${p}fb fb ON fb.doc_id = k.doc_id
+       |    AND fb.fi = k.kf),
+       |${p}bands AS (
        |  SELECT doc_id, kf, dhash, bi.i AS band_idx,
        |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
-       |  FROM h, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
+       |  FROM ${p}h, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
   }
 
   /** The planted segment-key rule as SQL — single source with
@@ -1663,20 +1759,21 @@ object Multimodal {
     * levels (hash draw + forced-distinct bump + re-encode jitter) →
     * window energies → per-segment gradient fingerprints → band rows
     * (`afr`/`alv`/`aen`/`ah`/`abands`), consumed by both `dedup_audio`
-    * and its incremental twin. Never touches payload strings — the
-    * Spark side must reproduce these energies from the actual PCM
-    * bytes.
+    * twins (unprefixed, over `documents`) and — prefixed, over a
+    * population CTE — by the mixed-modality flagship twin. Never
+    * touches payload strings — the Spark side must reproduce these
+    * energies from the actual PCM bytes.
     */
-  private def audioChainSqlCtes: String = {
+  private[graft] def audioChainSqlCtes(p: String, src: String): String = {
     val keyExpr = audioKeySqlExpr
     val rNow = "CAST(concat('0x', substring(md5(CAST(key AS VARCHAR) " +
       "|| ':a:' || CAST(w AS VARCHAR)), 1, 15)) AS BIGINT)"
-    s"""afr AS (
+    s"""${p}afr AS (
        |  SELECT doc_id, s, w, ($keyExpr) AS key
-       |  FROM documents,
+       |  FROM $src,
        |    UNNEST(range(0, $AudioSegs)) AS ts(s),
        |    UNNEST(range(0, $AudioSegWin)) AS tw(w)),
-       |alv AS (
+       |${p}alv AS (
        |  SELECT doc_id, s, w,
        |    40 + 2 * r + CAST(w % 2 AS INTEGER)
        |    + CASE WHEN (doc_id % 10 = 1 OR doc_id % 20 = 7)
@@ -1684,22 +1781,22 @@ object Multimodal {
        |           THEN 2 ELSE 0 END AS lvl
        |  FROM (
        |    SELECT doc_id, s, w, CAST($rNow % 24 AS INTEGER) AS r
-       |    FROM afr) aq),
-       |aen AS (
+       |    FROM ${p}afr) ${p}aq),
+       |${p}aen AS (
        |  SELECT doc_id, s,
        |    list(CAST($AudioFpWin AS BIGINT) * lvl * lvl ORDER BY w) AS es
-       |  FROM alv GROUP BY doc_id, s),
-       |ah AS (
+       |  FROM ${p}alv GROUP BY doc_id, s),
+       |${p}ah AS (
        |  SELECT doc_id, CAST(s AS INTEGER) AS seg_idx,
        |    CAST(list_sum(list_transform(range(1, $AudioSegWin), k ->
        |      CASE WHEN es[k + 1] > es[k]
        |           THEN CAST(1 AS BIGINT) << CAST(k - 1 AS INTEGER)
        |           ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS dhash
-       |  FROM aen),
-       |abands AS (
+       |  FROM ${p}aen),
+       |${p}abands AS (
        |  SELECT doc_id, seg_idx, dhash, bi.i AS band_idx,
        |    (dhash >> CAST(bi.i * 16 AS INTEGER)) & 65535 AS band_val
-       |  FROM ah, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
+       |  FROM ${p}ah, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -1707,7 +1804,7 @@ object Multimodal {
     // fingerprints → banded hamming → keep-min verdict, no strings
     "dedup_audio" -> {
       // concatenated head (the dedup_video stripMargin note applies)
-      "WITH " + audioChainSqlCtes + ",\n" +
+      "WITH " + audioChainSqlCtes("", "documents") + ",\n" +
       s"""amt AS (
          |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
          |    min(b.doc_id) AS min_partner
@@ -1735,7 +1832,7 @@ object Multimodal {
     // probe corpus bands (existence) and batch bands (min partner)
     "dedup_audio_incremental" -> {
       // concatenated head (see the dedup_video stripMargin note)
-      "WITH " + audioChainSqlCtes + ",\n" +
+      "WITH " + audioChainSqlCtes("", "documents") + ",\n" +
       s"""amc AS (
          |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a, true AS hit
          |  FROM abands a JOIN abands c ON a.band_idx = c.band_idx
@@ -1782,7 +1879,7 @@ object Multimodal {
     "dedup_video" -> {
       // concatenated head: the chain contains legitimate leading-`||`
       // concat continuations a second margin strip would corrupt
-      "WITH " + videoChainSqlCtes + ",\n" +
+      "WITH " + videoChainSqlCtes("", "documents") + ",\n" +
       s"""mt AS (
          |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
          |    min(b.doc_id) AS min_partner
@@ -1810,7 +1907,7 @@ object Multimodal {
     // probe corpus bands (existence) and batch bands (min partner)
     "dedup_video_incremental" -> {
       // concatenated head (see the dedup_video stripMargin note)
-      "WITH " + videoChainSqlCtes + ",\n" +
+      "WITH " + videoChainSqlCtes("", "documents") + ",\n" +
       s"""mc AS (
          |  SELECT a.doc_id AS doc_a, a.kf AS kf_a, true AS hit
          |  FROM bands a JOIN bands c ON a.band_idx = c.band_idx

@@ -973,6 +973,61 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("corpus_pipeline_multimodal: every media rung bites " +
+      "independently, the mixed flagship equals the text flagship over " +
+      "media survivors, and the gates change the manifest") {
+    import graft.ops.{Curation, Multimodal}
+    val docs = Tables.table(spark, sf, "documents")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val liveIds = ids(live)
+    val vDrop = ids(Multimodal.dedupVideoOn(
+        Multimodal.videoStructured(live).persist(),
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(col("is_dup_video")))
+    spark.catalog.clearCache()
+    val aDrop = ids(Multimodal.dedupAudioOn(
+        Multimodal.audioStructured(live).persist(),
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(col("is_dup_audio")))
+    spark.catalog.clearCache()
+    val iDrop = ids(Multimodal.dedupImageDocsOn(
+        Multimodal.pairImages(live), hamMax = 3L)
+      .filter(col("is_dup_image")))
+    spark.catalog.clearCache()
+    assert(vDrop.nonEmpty && aDrop.nonEmpty && iDrop.nonEmpty)
+    // the image rung recovers EXACTLY its planted class — the real
+    // decode → dHash → banded-join chain inverts the generation
+    assert(iDrop ==
+      liveIds.filter(d => d % 10 == 3 && liveIds.contains(d - 1)),
+      "image drops must be exactly the planted pair class")
+    // and it bites on docs no other rung drops (independent non-vacuity)
+    assert((iDrop -- vDrop -- aDrop).nonEmpty,
+      "image rung must contribute beyond video/audio")
+    val emb = Tables.table(spark, sf, "embeddings")
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val mixed = Curation.corpusPipelineMultimodal(spark, sf).collect()
+    spark.catalog.clearCache()
+    // the composition contract, exactly: the mixed flagship IS the text
+    // flagship over the media-gated population
+    val mmDrop = vDrop ++ aDrop ++ iDrop
+    val gated = Curation.corpusPipelineOn(
+      docs.filter(col("doc_id") < 20 ||
+        !col("doc_id").isInCollection(mmDrop)), emb).collect()
+    spark.catalog.clearCache()
+    assert(mixed.map(key).toSet == gated.map(key).toSet,
+      "mixed flagship must equal the text flagship over media survivors")
+    // and the gates CHANGE the manifest (the per-host cap refills doc
+    // COUNTS, so the observable difference is the shard digests)
+    val textOnly = Curation.corpusPipeline(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(mixed.map(key).toSet != textOnly.map(key).toSet,
+      "the media gates must change the mixed manifest")
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
