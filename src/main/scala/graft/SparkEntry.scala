@@ -198,6 +198,10 @@ object SparkEntry {
     "sim_search_ivf" -> (Similarity.simSearchIvfChecked _),
     "sim_search_quant" -> (Similarity.simSearchQuantChecked _),
     "knn_classify" -> (Similarity.knnClassify _),
+    // hybrid retrieval: BM25 lexical candidates ∪ exact-cosine vector
+    // candidates fused by integer reciprocal-rank fusion (IVF swap-in
+    // certificate-pinned in the suite)
+    "search_hybrid" -> (Similarity.searchHybrid _),
     // §2j corpus clustering: exact-integer Lloyd's k-means (learned centroids)
     "cluster_kmeans_int" -> (Clustering.clusterKmeansInt _),
     // density rebalancing over the learned cells: hash-uniform per-cluster cap

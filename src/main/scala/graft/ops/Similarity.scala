@@ -367,7 +367,7 @@ object Similarity {
     * regeneration while still promising a user a strong (≥0.8) documented
     * recall contract; the old 0.2 floors certified almost nothing.
     */
-  private[ops] def recallCertificate(exact: DataFrame, approx: DataFrame,
+  private[graft] def recallCertificate(exact: DataFrame, approx: DataFrame,
       k: Int, floor: Double): DataFrame =
     exact.select(col("q_id"), col("c_id"))
       // dropDuplicates: n_exact/n_hit are post-join row counts, so a
@@ -452,7 +452,206 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** Candidate depth each hybrid substrate contributes (= [[K]], the
+    * family's result depth) and the standard RRF dampening constant
+    * (Cormack et al. 2009 — rank 1 scores 1/61 of the unit).
+    */
+  private[ops] val HybridCandK = 10
+  private[ops] val RrfC = 60
+
+  /** HYBRID RETRIEVAL — the serving composition retrieval pipelines
+    * actually run: LEXICAL candidates (the exact-integer BM25 top-k,
+    * [[TextAnalysis.searchBm25On]]) ∪ VECTOR candidates (exact cosine
+    * top-k over the query document's embedding — the `sim_search`
+    * baseline; `vec_id = doc_id` is the harness pairing), fused by
+    * RECIPROCAL RANK FUSION: `rrf_milli = Σ 1000000 div (RrfC + rank)`
+    * over the lists that surfaced the candidate (a missing list
+    * contributes 0). RRF is the score-normalization-free fusion the
+    * hybrid-search literature and engines default to — and, being pure
+    * integer rank arithmetic, it is cross-engine bit-exact where a
+    * score-blend of BM25 integers against cosine doubles would not be.
+    * Queries are the BM25 key's query-by-example layout (first `qn`
+    * text-bearing docs, 3-token queries); each substrate keeps its own
+    * conventions (BM25 may surface the query doc itself; the vector
+    * side excludes it). Ties break to the smaller doc_id.
+    *
+    * Scale path: swap the vector candidates to [[simSearchIvf]] (the
+    * fusion is rank-only, so the swap is a drop-in) — the graded key
+    * keeps the exact side as its DuckDB-checkable baseline, and
+    * ExtensionsSpec certifies the IVF-swapped variant's pooled overlap
+    * against it (the `sim_search_ivf` certificate discipline).
+    *
+    * Scale shape: both substrates keep their own shapes (broadcast
+    * query frames, map-side filtered token stream / WindowGroupLimit
+    * partial top-k); the fusion is a full-outer join of two ≤ qn·kCand
+    * frames and a row_number over ≤ qn groups — nothing corpus-sized
+    * past the substrate stages.
+    */
+  def searchHybridOn(docs: DataFrame, embeddings: DataFrame, qn: Int,
+      kCand: Int, k: Int): DataFrame = {
+    require(qn >= 1 && kCand >= 1 && k >= 1,
+      s"qn/kCand/k must be >= 1, got $qn/$kCand/$k")
+    val lex = TextAnalysis.searchBm25On(docs, qn, kCand)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val qIds = docs.filter(col("text").isNotNull)
+      .orderBy(col("doc_id")).limit(qn)
+      .select(col("doc_id").as("vec_id"))
+    val v = prepped(embeddings)
+    val probes = v.join(broadcast(qIds), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("demb").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    val vec = v
+      .select(col("vec_id").as("c_id"), col("demb").as("c_emb"),
+        col("nrm").as("c_nrm"))
+      .crossJoin(broadcast(probes))
+      .filter(col("c_id") =!= col("q_id"))
+      .withColumn("sim", round(
+        VectorMath.dot(col("q_emb"), col("c_emb"))
+          / (col("q_nrm") * col("c_nrm")), 6))
+      .withColumn("vec_rnk", row_number().over(wv))
+      .filter(col("vec_rnk") <= kCand)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("vec_rnk"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + lex_rnk)"),
+          lit(0L)) +
+        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + vec_rnk)"),
+          lit(0L)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rnk"),
+        col("vec_rnk"), col("rrf_milli"), col("rnk"))
+  }
+
+  /** `search_hybrid` checked key: [[searchHybridOn]] at the family's
+    * [[TextAnalysis.SearchQueries]] queries, [[HybridCandK]] candidates
+    * per substrate, top-[[K]] fused results.
+    */
+  def searchHybrid(spark: SparkSession, sfDir: String): DataFrame =
+    searchHybridOn(table(spark, sfDir, "documents"),
+      table(spark, sfDir, "embeddings"),
+      TextAnalysis.SearchQueries, HybridCandK, K)
+      .orderBy(col("query_id"), col("rnk"))
+
+  /** The scale-path variant — vector candidates from the IVF index
+    * instead of the exact scan, fusion unchanged. Certificate-graded in
+    * ExtensionsSpec (pooled overlap vs [[searchHybridOn]]); the probe
+    * predicate selects the query docs' embeddings.
+    */
+  private[graft] def searchHybridIvf(spark: SparkSession, sfDir: String,
+      probe: Column, qn: Int, kCand: Int, k: Int): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val lex = TextAnalysis.searchBm25On(docs, qn, kCand)
+      .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val vec = simSearchIvf(spark, sfDir, probe, kCand)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rnk").as("vec_rnk"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_milli").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_milli",
+        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + lex_rnk)"),
+          lit(0L)) +
+        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + vec_rnk)"),
+          lit(0L)))
+      .withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("lex_rnk"),
+        col("vec_rnk"), col("rrf_milli"), col("rnk"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "search_hybrid" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+         |qids AS (
+         |  SELECT doc_id AS query_id FROM d ORDER BY doc_id
+         |  LIMIT ${TextAnalysis.SearchQueries}),
+         |dl AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |    AS dl FROM d),
+         |st AS (
+         |  SELECT CAST(sum(dl) AS BIGINT) AS s_total,
+         |    CAST(count(*) AS BIGINT) AS n_total FROM dl),
+         |qt AS (
+         |  SELECT DISTINCT query_id, token FROM (
+         |    SELECT d.doc_id AS query_id,
+         |      unnest(string_split(d.text, ' ')[1:3]) AS token
+         |    FROM d JOIN qids ON d.doc_id = qids.query_id) q1),
+         |tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM d),
+         |df AS (
+         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
+         |  GROUP BY token),
+         |w AS (SELECT token, 1000000 // df AS wt FROM df),
+         |tf AS (
+         |  SELECT qt.query_id, tok.doc_id, qt.token,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM tok JOIN qt USING (token)
+         |  GROUP BY qt.query_id, tok.doc_id, qt.token),
+         |s AS (
+         |  SELECT tf.query_id, tf.doc_id,
+         |    CAST(sum((w.wt * tf.tf * 22 * st.s_total)
+         |      // (10 * st.s_total * tf.tf + 3 * st.s_total
+         |          + 9 * dl.dl * st.n_total)) AS BIGINT) AS score
+         |  FROM tf JOIN w USING (token)
+         |    JOIN dl ON tf.doc_id = dl.doc_id
+         |    CROSS JOIN st
+         |  GROUP BY tf.query_id, tf.doc_id),
+         |lex AS (
+         |  SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS lex_rnk
+         |  FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, doc_id) AS rnk
+         |    FROM s WHERE score > 0) lr
+         |  WHERE rnk <= $HybridCandK),
+         |v AS (
+         |  SELECT * FROM (
+         |    SELECT vec_id,
+         |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+         |           SQRT(list_sum(list_transform(embedding,
+         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+         |    FROM embeddings) v0 WHERE nrm > 0),
+         |q AS (
+         |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM v
+         |  WHERE vec_id IN (SELECT query_id FROM qids)),
+         |pairs AS (
+         |  SELECT q_id, v.vec_id AS c_id,
+         |    ROUND(list_sum(list_transform(list_zip(q_emb, v.emb),
+         |      p -> p[1] * p[2])) / (q_nrm * v.nrm), 6) AS sim
+         |  FROM q, v WHERE v.vec_id != q_id),
+         |vec AS (
+         |  SELECT q_id AS query_id, c_id AS doc_id,
+         |    CAST(rnk AS INTEGER) AS vec_rnk
+         |  FROM (
+         |    SELECT q_id, c_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, c_id) AS rnk
+         |    FROM pairs) vr
+         |  WHERE rnk <= $HybridCandK),
+         |f AS (
+         |  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+         |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+         |    lex.lex_rnk, vec.vec_rnk,
+         |    coalesce(CAST(1000000 AS BIGINT) // ($RrfC + lex.lex_rnk), 0)
+         |      + coalesce(CAST(1000000 AS BIGINT) // ($RrfC + vec.vec_rnk),
+         |        0) AS rrf_milli
+         |  FROM lex FULL OUTER JOIN vec
+         |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
+         |SELECT query_id, doc_id, lex_rnk, vec_rnk, rrf_milli,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_milli DESC, doc_id) AS INTEGER) AS rnk
+         |FROM f
+         |QUALIFY rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin,
     // recall certificates: every column except the Spark-verified pooled
     // recall boolean is exact cross-engine (probe count from the probe
     // predicate; k and the floor are the operator's published contract) —

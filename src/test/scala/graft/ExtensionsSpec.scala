@@ -1028,6 +1028,50 @@ class ExtensionsSpec extends SparkSpec {
       "the media gates must change the mixed manifest")
   }
 
+  test("search_hybrid: both substrates contribute candidates, RRF ranks " +
+      "dual-listed docs first, and the IVF-swapped variant certifies " +
+      "pooled overlap vs the exact hybrid") {
+    import graft.ops.{Similarity, TextAnalysis}
+    val exact = Similarity.searchHybrid(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(exact.nonEmpty)
+    // both substrates surface candidates the other does not
+    assert(exact.exists(r => !r.isNullAt(2) && r.isNullAt(3)),
+      "no lexical-only candidate")
+    assert(exact.exists(r => r.isNullAt(2) && !r.isNullAt(3)),
+      "no vector-only candidate")
+    // RRF dominance: a doc on BOTH lists outranks any doc whose single
+    // list rank is no better than either of its — per query
+    exact.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val dual = rows.filter(r => !r.isNullAt(2) && !r.isNullAt(3))
+      val single = rows.filter(r => r.isNullAt(2) ^ r.isNullAt(3))
+      for (d <- dual; s <- single) {
+        val sRnk = if (s.isNullAt(2)) s.getInt(3) else s.getInt(2)
+        if (sRnk >= d.getInt(2) && sRnk >= d.getInt(3))
+          assert(d.getInt(5) < s.getInt(5),
+            "dual-listed doc must outrank a weaker single-listed one")
+      }
+    }
+    // the scale path: IVF vector candidates, fusion unchanged — pooled
+    // overlap certified at the family floor (recallCertificate treats
+    // the exact hybrid as reference)
+    val qIds = Tables.table(spark, sf, "documents")
+      .filter(col("text").isNotNull).orderBy(col("doc_id"))
+      .limit(TextAnalysis.SearchQueries)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val approx = Similarity.searchHybridIvf(spark, sf,
+      col("vec_id").isInCollection(qIds), TextAnalysis.SearchQueries,
+      10, 10)
+      .select(col("query_id").as("q_id"), col("doc_id").as("c_id"))
+    val exactPairs = Similarity.searchHybrid(spark, sf)
+      .select(col("query_id").as("q_id"), col("doc_id").as("c_id"))
+    val cert = Similarity.recallCertificate(exactPairs, approx, 10, 0.8)
+      .collect().head
+    spark.catalog.clearCache()
+    assert(cert.getBoolean(3),
+      s"hybrid IVF pooled overlap under the 0.8 floor: $cert")
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
