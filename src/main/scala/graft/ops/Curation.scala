@@ -1153,22 +1153,29 @@ object Curation {
       .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
     val scope = scopeFor(docs0.sparkSession)
     import scope.chk
-    // the media side-ladders at ingest (plants persisted — generation
-    // is the expensive stage and each feeds its rung's spine reuse;
-    // released by the caller-clearCache contract)
-    val vDrop = Multimodal.dedupVideoOn(
-        Multimodal.videoStructured(corpus0).persist(),
+    // the media side-ladders at ingest, each materialized to an
+    // id-sized checkpointed drop frame and its payload cache RELEASED
+    // before the next ladder runs: the plants are the memory-heavy
+    // frames (full payloads), and holding all three across the text
+    // chain measurably destabilizes the run (eviction → re-synthesis);
+    // serial eager boundaries bound peak storage to one modality's
+    // plant (the rungs' internal hash-stage persists are hash-sized and
+    // release with the caller's clearCache)
+    val vids = Multimodal.videoStructured(corpus0).persist()
+    val vDrop = chk(Multimodal.dedupVideoOn(vids,
         Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
         Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
-      .filter(col("is_dup_video")).select(col("doc_id"))
-    val aDrop = Multimodal.dedupAudioOn(
-        Multimodal.audioStructured(corpus0).persist(),
+      .filter(col("is_dup_video")).select(col("doc_id")))
+    vids.unpersist(blocking = false)
+    val clips = Multimodal.audioStructured(corpus0).persist()
+    val aDrop = chk(Multimodal.dedupAudioOn(clips,
         Multimodal.AudioFpWin, Multimodal.AudioSegWin,
         Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
-      .filter(col("is_dup_audio")).select(col("doc_id"))
-    val iDrop = Multimodal.dedupImageDocsOn(
+      .filter(col("is_dup_audio")).select(col("doc_id")))
+    clips.unpersist(blocking = false)
+    val iDrop = chk(Multimodal.dedupImageDocsOn(
         Multimodal.pairImages(corpus0), hamMax = 3L)
-      .filter(col("is_dup_image")).select(col("doc_id"))
+      .filter(col("is_dup_image")).select(col("doc_id")))
     val mmDrop = vDrop.unionByName(aDrop).unionByName(iDrop).distinct()
     val corpus = chk(corpus0.join(mmDrop, Seq("doc_id"), "left_anti"))
     // the text flagship over the media survivors

@@ -734,10 +734,15 @@ object Multimodal {
     * the [[dedupImage]] layout with a per-document aggregate on top.
     */
   def dedupImageDocsOn(images: DataFrame, hamMax: Long): DataFrame = {
+    // the banded hash frame feeds both self-join sides AND the doc
+    // spine — persisted so decode + hashing (and the caller's plant
+    // upstream of them) run once, not three times (the dedupVideoOn
+    // discipline; released by the caller-clearCache contract)
     val banded = withDhashBands(dHashImages(images, "doc_id", "payload"))
       .select(col("doc_id"), col("dhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),
           col("band3"))).as(Seq("band_idx", "band_val")))
+      .persist()
     val a = banded.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("dhash").as("dh_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
