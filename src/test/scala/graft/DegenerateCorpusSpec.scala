@@ -447,4 +447,41 @@ class DegenerateCorpusSpec extends SparkSpec {
       assert(!sim.isNaN && !sim.isInfinite && math.abs(sim) <= 1.0 + 1e-9)
     }
   }
+
+  test("generation cycle degenerates to corpus_compact under an empty " +
+      "day-3 batch, and survives an empty day-1 batch") {
+    import graft.ops.Curation
+    val docs = graft.Tables.table(spark, sf, "documents")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val emb = graft.Tables.table(spark, sf, "embeddings")
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val corpus = live.filter(col("doc_id") % 2 === 0)
+    val b1 = live.filter(col("doc_id") % 4 === 1)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList.take(8)
+    // EMPTY DAY-3: the cycle IS the compaction — generation-1 rows only,
+    // byte-identical to corpus_compact over the same shipped world
+    val g = Curation.corpusGenerationCycleOn(corpus, b1, live.limit(0),
+      bench, emb, Curation.CompactHostCap).collect()
+    spark.catalog.clearCache()
+    assert(g.nonEmpty && g.forall(_.getInt(8) == 0),
+      "an empty day-3 batch must append nothing")
+    val compacted = Curation.corpusCompactOn(corpus, b1, bench, emb,
+      Curation.CompactHostCap).collect()
+    spark.catalog.clearCache()
+    assert(g.map(key).toSet == compacted.map(key).toSet,
+      "empty-day-3 cycle must equal corpus_compact")
+    // EMPTY DAY-1: states carry the corpus alone; the compaction is the
+    // corpus re-shard; day-3 appends contiguously after generation 1
+    val b2 = live.filter(col("doc_id") % 4 === 3)
+    val g2 = Curation.corpusGenerationCycleOn(corpus, live.limit(0), b2,
+      bench, emb, Curation.CompactHostCap).collect()
+    spark.catalog.clearCache()
+    val g2g1 = g2.filter(_.getInt(8) == 0)
+    val g2b2 = g2.filter(_.getInt(8) == 1)
+    assert(g2g1.nonEmpty && g2b2.nonEmpty)
+    assert(g2b2.map(_.getLong(0)).min == g2g1.map(_.getLong(0)).max + 1,
+      "day-3 shards must continue after generation 1's")
+    assert(g2b2.map(_.getLong(2)).min == g2g1.map(_.getLong(1)).sum,
+      "day-3 positions must continue after generation 1's doc count")
+  }
 }

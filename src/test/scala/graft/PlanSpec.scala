@@ -625,4 +625,37 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("search_hybrid: broadcast substrates, partial top-k on every " +
+      "rank cut, never cartesian") {
+    // the 100 TB properties: the BM25 side rides broadcast query/weight
+    // joins (the search_lexical shape), the vector side is the broadcast
+    // probe cross (the sim_search shape), every rank cut is a
+    // WindowGroupLimit partial top-k, and the fusion join sees only the
+    // two ≤ qn·k candidate frames — a CartesianProduct anywhere means a
+    // substrate lost its broadcast
+    val p = plan("search_hybrid")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("image doc-level dedup plans the banded equi-join, never " +
+      "cartesian") {
+    // the mixed-modality flagship's image ladder: the self-join must key
+    // on (band_idx, band_val) — the dedup_image contract on the doc
+    // surface
+    val imgs = graft.ops.Multimodal.pairImages(
+      Tables.table(spark, sf, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id")).limit(64))
+    val p = graft.ops.Multimodal.dedupImageDocsOn(imgs, 3L)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    assert(
+      "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band_idx"
+        .r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
 }
