@@ -188,6 +188,10 @@ object SparkEntry {
     // (real decode → hash → banded join ladders) gate the corpus before
     // the text chain — one hash gate over the mixed manifest
     "corpus_pipeline_multimodal" -> (Curation.corpusPipelineMultimodal _),
+    // its crawl-batch form: batch media screened against the MAINTAINED
+    // band tables (the OnState probes), then the text incremental chain
+    "corpus_multimodal_incremental" ->
+      (Curation.corpusMultimodalIncremental _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact

@@ -1197,6 +1197,128 @@ object Curation {
       table(spark, sfDir, "embeddings"))
       .orderBy(col("shard_id"))
 
+  /** THE MIXED-MODALITY CRAWL-BATCH FLAGSHIP —
+    * [[corpusPipelineMultimodalOn]] in the shape production runs it
+    * daily, completing the symmetry with `corpus_pipeline_incremental`:
+    * the corpus ran the mixed flagship once (media gates, then the text
+    * chain; its maintained states now include the three MEDIA BAND
+    * TABLES — [[Multimodal.videoBandState]]/[[Multimodal.audioBandState]]
+    * /[[Multimodal.imageBandState]] over the corpus's media INPUT
+    * population — beside the text censuses), and a NEW crawl batch is
+    * screened media-first against those maintained band tables (the
+    * `OnState` probe forms: batch-sized hashing + band equi-joins, the
+    * BandProbeMain-measured flat production cost), then through the
+    * text incremental chain against the frozen text states, appending
+    * shards after the corpus's.
+    *
+    * Band states cover the corpus media INPUT population (every corpus
+    * doc's media, including media-dup docs the corpus itself dropped) —
+    * the seen-ness-is-append-only discipline: a batch re-crawl of a
+    * dropped corpus duplicate is still a corpus dup.
+    *
+    * Output: the post-append manifest — corpus shards (`is_batch` 0,
+    * byte-identical to the mixed flagship's) then batch shards
+    * (`is_batch` 1). Unordered. ONE composed DuckDB twin: the prefixed
+    * media chains verdict both sides from the planting rules, the
+    * flagship core runs over the corpus media survivors, and the
+    * b-prefixed batch chain screens the media-gated batch against the
+    * derived states.
+    */
+  def corpusMultimodalIncrementalOn(corpus0: DataFrame,
+      batch0: DataFrame, benchmark: DataFrame,
+      embeddings: DataFrame): DataFrame = {
+    val scope = scopeFor(corpus0.sparkSession)
+    import scope.chk
+    // corpus media gates + the maintained band tables (one hash pass
+    // per modality serves both the self-verdict and the state the
+    // batch probes; serial ladders, plants released — the
+    // corpusPipelineMultimodalOn memory discipline)
+    val vids0 = Multimodal.videoStructured(corpus0).persist()
+    val vBands = chk(Multimodal.videoBandState(vids0,
+      Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli))
+    val vDropC = chk(Multimodal.dedupVideoOn(vids0,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(col("is_dup_video")).select(col("doc_id")))
+    vids0.unpersist(blocking = false)
+    val clips0 = Multimodal.audioStructured(corpus0).persist()
+    val aBands = chk(Multimodal.audioBandState(clips0,
+      Multimodal.AudioFpWin, Multimodal.AudioSegWin))
+    val aDropC = chk(Multimodal.dedupAudioOn(clips0,
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(col("is_dup_audio")).select(col("doc_id")))
+    clips0.unpersist(blocking = false)
+    val iBands = chk(Multimodal.imageBandState(
+      Multimodal.pairImages(corpus0)))
+    val iDropC = chk(Multimodal.dedupImageDocsFromBands(iBands, 3L)
+      .filter(col("is_dup_image")).select(col("doc_id")))
+    val mmDropC = vDropC.unionByName(aDropC).unionByName(iDropC)
+      .distinct()
+    val corpus = chk(corpus0.join(mmDropC, Seq("doc_id"), "left_anti"))
+    // the corpus text run and its day-1 states
+    val run = runPipeline(corpus, benchmark, embeddings, scope)
+    val cman = chk(run.manifest)
+    // the batch's media screens against the MAINTAINED band tables
+    // (the batch VIDEO plant persists across its two consumers — cut
+    // detection + the keyframe slice — and releases once its drop
+    // frame is checkpointed, the corpus-side discipline; the audio and
+    // image plants have single consumers)
+    val bvids = Multimodal.videoStructured(batch0).persist()
+    val vDropB = chk(Multimodal.dedupVideoIncrementalOnState(vBands,
+        bvids,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(!col("keep")).select(col("doc_id")))
+    bvids.unpersist(blocking = false)
+    val aDropB = chk(Multimodal.dedupAudioIncrementalOnState(aBands,
+        Multimodal.audioStructured(batch0),
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(!col("keep")).select(col("doc_id")))
+    val iDropB = chk(Multimodal.dedupImageDocsIncrementalOnState(iBands,
+        Multimodal.pairImages(batch0), 3L)
+      .filter(!col("keep")).select(col("doc_id")))
+    val mmDropB = vDropB.unionByName(aDropB).unionByName(iDropB)
+      .distinct()
+    val batch = chk(batch0.join(mmDropB, Seq("doc_id"), "left_anti"))
+    // the text incremental chain over the media survivors
+    val br = runBatch(statesOf(run, cman, embeddings), batch, benchmark,
+      embeddings, scope)
+    val out = cman.withColumn("is_batch", lit(0))
+      .unionByName(br.manifest.withColumn("is_batch", lit(1)))
+      .persist()
+    // the corpusPipelineOn materialize-then-release discipline applies
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out
+  }
+
+  /** `corpus_multimodal_incremental` checked key: the family parity
+    * split (even = shipped mixed corpus, odd = incoming crawl batch).
+    * Every BATCH media branch is live under the split: video/audio
+    * {10k, 10k+1} straddle it (odd member = corpus media dup),
+    * {20k+5, 20k+7} are odd-only (within-batch pair), and the image
+    * class {10k+2, 10k+3} straddles it (the odd JPEG re-encode is a
+    * corpus image dup). The CORPUS-side media gates are empty by the
+    * same geometry (every dup class has its larger member odd) — the
+    * chains still run and must find nothing (suite-pinned); their
+    * non-vacuous grading is `corpus_pipeline_multimodal`'s
+    * full-population key.
+    */
+  def corpusMultimodalIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    corpusMultimodalIncrementalOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 2 === 1),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"))
+      .orderBy(col("shard_id"))
+  }
+
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
     * chaining every stage's established oracle formulation (URL plant /
     * blocklist rules / keep-min / host cap from [[Web]], the extract
@@ -1917,9 +2039,164 @@ object Curation {
       "\n" + manifestSelectSql + "\nORDER BY shard_id"
   }
 
+  /** The composed twin of [[corpusMultimodalIncrementalOn]]: the
+    * prefixed media chains over the mixed population verdict BOTH sides
+    * from the planting rules (corpus-side self-verdicts within the even
+    * parity; batch-side corpus-hit/batch-hit splits — the
+    * `dedup_*_incremental` twin formulations population-scoped), the
+    * flagship core runs over the corpus media survivors, and the
+    * b-prefixed batch chain screens the media-gated batch against the
+    * derived day-1 states. The image corpus-side drop is EMPTY by plant
+    * geometry (the {10k+2, 10k+3} class always straddles the parity
+    * split), so only its batch-side rule appears.
+    */
+  private def multimodalIncrementalSql: String = {
+    val livePop = s"doc_id >= $ContamBenchDocs AND text IS NOT NULL"
+    val vTau = Multimodal.VideoTauMilli
+    val vHam = Multimodal.VideoHamMax
+    val aTau = Multimodal.AudioTauMilli
+    val aHam = Multimodal.AudioHamMax
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH mpop AS (SELECT doc_id FROM documents WHERE " + livePop +
+      "),\n" +
+      Multimodal.videoChainSqlCtes("v", "mpop") + ",\n" +
+    s"""vmtc AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM vbands a JOIN vbands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $vHam
+       |  GROUP BY a.doc_id, a.kf),
+       |vvc AS (
+       |  SELECT k.doc_id,
+       |    CAST(count(vmtc.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS dup_frac_milli,
+       |    min(vmtc.min_partner) AS min_partner
+       |  FROM vkfs k LEFT JOIN vmtc
+       |    ON vmtc.doc_a = k.doc_id AND vmtc.kf_a = k.kf
+       |  WHERE k.doc_id % 2 = 0
+       |  GROUP BY k.doc_id),
+       |vdropc AS (
+       |  SELECT doc_id FROM vvc
+       |  WHERE coalesce(dup_frac_milli >= $vTau
+       |    AND min_partner < doc_id, false)),
+       |vmcb AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a, true AS hit
+       |  FROM vbands a JOIN vbands c ON a.band_idx = c.band_idx
+       |    AND a.band_val = c.band_val
+       |  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       |    AND bit_count(xor(a.dhash, c.dhash)) <= $vHam
+       |  GROUP BY a.doc_id, a.kf),
+       |vmbb AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM vbands a JOIN vbands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $vHam
+       |  GROUP BY a.doc_id, a.kf),
+       |vvb AS (
+       |  SELECT k.doc_id,
+       |    CAST(count(vmcb.hit) AS BIGINT) * 1000 // count(*)
+       |      AS corpus_frac_milli,
+       |    CAST(count(vmbb.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS batch_frac_milli,
+       |    min(vmbb.min_partner) AS min_batch_partner
+       |  FROM vkfs k
+       |  LEFT JOIN vmcb ON vmcb.doc_a = k.doc_id AND vmcb.kf_a = k.kf
+       |  LEFT JOIN vmbb ON vmbb.doc_a = k.doc_id AND vmbb.kf_a = k.kf
+       |  WHERE k.doc_id % 2 = 1
+       |  GROUP BY k.doc_id),
+       |vdropb AS (
+       |  SELECT doc_id FROM vvb
+       |  WHERE corpus_frac_milli >= $vTau
+       |     OR (corpus_frac_milli < $vTau AND coalesce(
+       |       batch_frac_milli >= $vTau
+       |         AND min_batch_partner < doc_id, false))),""".stripMargin +
+      "\n" +
+      Multimodal.audioChainSqlCtes("x", "mpop") + ",\n" +
+    s"""xmtc AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM xabands a JOIN xabands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 0
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $aHam
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |xvc AS (
+       |  SELECT h.doc_id,
+       |    CAST(count(xmtc.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS dup_frac_milli,
+       |    min(xmtc.min_partner) AS min_partner
+       |  FROM xah h LEFT JOIN xmtc
+       |    ON xmtc.doc_a = h.doc_id AND xmtc.seg_a = h.seg_idx
+       |  WHERE h.doc_id % 2 = 0
+       |  GROUP BY h.doc_id),
+       |xdropc AS (
+       |  SELECT doc_id FROM xvc
+       |  WHERE coalesce(dup_frac_milli >= $aTau
+       |    AND min_partner < doc_id, false)),
+       |xmcb AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a, true AS hit
+       |  FROM xabands a JOIN xabands c ON a.band_idx = c.band_idx
+       |    AND a.band_val = c.band_val
+       |  WHERE a.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+       |    AND bit_count(xor(a.dhash, c.dhash)) <= $aHam
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |xmbb AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM xabands a JOIN xabands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $aHam
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |xvb AS (
+       |  SELECT h.doc_id,
+       |    CAST(count(xmcb.hit) AS BIGINT) * 1000 // count(*)
+       |      AS corpus_frac_milli,
+       |    CAST(count(xmbb.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS batch_frac_milli,
+       |    min(xmbb.min_partner) AS min_batch_partner
+       |  FROM xah h
+       |  LEFT JOIN xmcb ON xmcb.doc_a = h.doc_id AND xmcb.seg_a = h.seg_idx
+       |  LEFT JOIN xmbb ON xmbb.doc_a = h.doc_id AND xmbb.seg_a = h.seg_idx
+       |  WHERE h.doc_id % 2 = 1
+       |  GROUP BY h.doc_id),
+       |xdropb AS (
+       |  SELECT doc_id FROM xvb
+       |  WHERE corpus_frac_milli >= $aTau
+       |     OR (corpus_frac_milli < $aTau AND coalesce(
+       |       batch_frac_milli >= $aTau
+       |         AND min_batch_partner < doc_id, false))),
+       |idropb AS (
+       |  SELECT doc_id FROM mpop
+       |  WHERE doc_id % 2 = 1 AND doc_id % 10 = 3
+       |    AND (doc_id - 1) IN (SELECT doc_id FROM mpop)),
+       |mmdropc AS (
+       |  SELECT doc_id FROM vdropc UNION SELECT doc_id FROM xdropc),
+       |mmdropb AS (
+       |  SELECT doc_id FROM vdropb UNION SELECT doc_id FROM xdropb
+       |  UNION SELECT doc_id FROM idropb),""".stripMargin + "\n" +
+      pipelineCoreCtes(livePop + " AND doc_id % 2 = 0 AND doc_id " +
+        "NOT IN (SELECT doc_id FROM mmdropc)") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", livePop + " AND doc_id % 2 = 1 AND doc_id " +
+        "NOT IN (SELECT doc_id FROM mmdropb)", day1OracleStates) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 0 AS is_batch FROM cman
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 1 AS is_batch FROM bman
+       |ORDER BY shard_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "corpus_pipeline" -> pipelineSql,
     "corpus_pipeline_multimodal" -> multimodalSql,
+    "corpus_multimodal_incremental" -> multimodalIncrementalSql,
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "corpus_states_update" -> statesUpdateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,

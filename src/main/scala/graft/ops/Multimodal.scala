@@ -733,16 +733,31 @@ object Multimodal {
     * shuffles 4 band rows of (16-bit key, id, 64-bit hash) per image —
     * the [[dedupImage]] layout with a per-document aggregate on top.
     */
-  def dedupImageDocsOn(images: DataFrame, hamMax: Long): DataFrame = {
+  def dedupImageDocsOn(images: DataFrame, hamMax: Long): DataFrame =
     // the banded hash frame feeds both self-join sides AND the doc
     // spine — persisted so decode + hashing (and the caller's plant
     // upstream of them) run once, not three times (the dedupVideoOn
     // discipline; released by the caller-clearCache contract)
-    val banded = withDhashBands(dHashImages(images, "doc_id", "payload"))
+    dedupImageDocsFromBands(imageBandState(images).persist(), hamMax)
+
+  /** THE MAINTAINED IMAGE BAND TABLE (doc level) — completing the band-
+    * state trio beside [[videoBandState]]/[[audioBandState]]: one row
+    * per (document image, band) — `(doc_id, dhash, band_idx, band_val)`,
+    * UNION-MERGEABLE over doc-disjoint corpora (per-image derivation).
+    */
+  def imageBandState(images: DataFrame): DataFrame =
+    withDhashBands(dHashImages(images, "doc_id", "payload"))
       .select(col("doc_id"), col("dhash"),
         posexplode(array(col("band0"), col("band1"), col("band2"),
           col("band3"))).as(Seq("band_idx", "band_val")))
-      .persist()
+
+  /** [[dedupImageDocsOn]] over an already-materialized band table — the
+    * form the composed mixed-modality keys use so the corpus bands hash
+    * once and serve both the corpus self-verdict and the maintained
+    * state the batch probes.
+    */
+  private[graft] def dedupImageDocsFromBands(banded: DataFrame,
+      hamMax: Long): DataFrame = {
     val a = banded.select(col("band_idx"), col("band_val"),
       col("doc_id").as("doc_a"), col("dhash").as("dh_a"))
     val b = banded.select(col("band_idx"), col("band_val"),
@@ -752,12 +767,54 @@ object Multimodal {
       .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
       .groupBy(col("doc_a"))
       .agg(min(col("doc_b")).as("min_partner"))
-    banded.select(col("doc_id"), col("dhash")).distinct()
+    val verdict = banded.select(col("doc_id"), col("dhash")).distinct()
       .join(matches.select(col("doc_a").as("doc_id"), col("min_partner")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("dhash"), col("min_partner"),
         coalesce(col("min_partner") < col("doc_id"), lit(false))
           .as("is_dup_image"))
+    verdict
+  }
+
+  /** INCREMENTAL DOC-LEVEL IMAGE VERDICT — the image rung's crawl-batch
+    * probe against an EXPLICIT maintained band table
+    * ([[imageBandState]] rows), the exact counterpart of
+    * [[dedupVideoIncrementalOnState]]/[[dedupAudioIncrementalOnState]]
+    * on the image surface. Per batch doc: `is_dup_corpus` (its image
+    * within hamming ≤ `hamMax` of ANY corpus image), `is_dup_batch`
+    * (not a corpus dup, a matching batch partner with a smaller id —
+    * keep-min), `keep` = neither.
+    */
+  def dedupImageDocsIncrementalOnState(corpusBands: DataFrame,
+      batch: DataFrame, hamMax: Long): DataFrame = {
+    val cb = corpusBands
+      .select(col("band_idx"), col("band_val"), col("dhash").as("dh_c"))
+    val bb = imageBandState(batch).persist()
+    val a = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_a"), col("dhash").as("dh_a"))
+    val corpusHits = a.join(cb, Seq("band_idx", "band_val"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_c"))) <= hamMax)
+      .groupBy(col("doc_a"))
+      .agg(lit(true).as("hit_corpus"))
+    val b = bb.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("doc_b"), col("dhash").as("dh_b"))
+    val batchHits = a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .filter(bit_count(col("dh_a").bitwiseXOR(col("dh_b"))) <= hamMax)
+      .groupBy(col("doc_a"))
+      .agg(min(col("doc_b")).as("min_batch_partner"))
+    bb.select(col("doc_id"), col("dhash")).distinct()
+      .join(corpusHits.select(col("doc_a").as("doc_id"),
+        col("hit_corpus")), Seq("doc_id"), "left")
+      .join(batchHits.select(col("doc_a").as("doc_id"),
+        col("min_batch_partner")), Seq("doc_id"), "left")
+      .withColumn("is_dup_corpus",
+        coalesce(col("hit_corpus"), lit(false)))
+      .withColumn("is_dup_batch", !col("is_dup_corpus") &&
+        coalesce(col("min_batch_partner") < col("doc_id"), lit(false)))
+      .select(col("doc_id"), col("dhash"), col("min_batch_partner"),
+        col("is_dup_corpus"), col("is_dup_batch"),
+        (!col("is_dup_corpus") && !col("is_dup_batch")).as("keep"))
   }
 
   /** API form: decode any `(doc_id, <payloadCol> binary)` frame to

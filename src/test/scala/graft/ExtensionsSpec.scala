@@ -1072,6 +1072,93 @@ class ExtensionsSpec extends SparkSpec {
       s"hybrid IVF pooled overlap under the 0.8 floor: $cert")
   }
 
+  test("corpus_multimodal_incremental: every media branch bites on the " +
+      "batch, the corpus image branch is empty by geometry, and the " +
+      "composition equals the text incremental flagship over the " +
+      "media-gated populations") {
+    import graft.ops.{Curation, Multimodal}
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val corpus0 = live.filter(col("doc_id") % 2 === 0)
+    val batch0 = live.filter(col("doc_id") % 2 === 1)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // the drops, recomputed through the public ops (the maintained band
+    // tables serving both the corpus verdict and the batch probe)
+    val vids0 = Multimodal.videoStructured(corpus0).persist()
+    // catalog-managed persists, NOT localCheckpoint: checkpoint blocks
+    // are invisible to clearCache and would trip the suite's op-level
+    // cache-contract sweep
+    val vBands = Multimodal.videoBandState(vids0,
+      Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli).persist()
+    val vDropC = ids(Multimodal.dedupVideoOn(vids0,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(col("is_dup_video")))
+    vids0.unpersist(blocking = false)
+    val clips0 = Multimodal.audioStructured(corpus0).persist()
+    val aBands = Multimodal.audioBandState(clips0,
+      Multimodal.AudioFpWin, Multimodal.AudioSegWin).persist()
+    val aDropC = ids(Multimodal.dedupAudioOn(clips0,
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(col("is_dup_audio")))
+    clips0.unpersist(blocking = false)
+    val iBands = Multimodal.imageBandState(
+      Multimodal.pairImages(corpus0)).persist()
+    val iDropC = ids(Multimodal.dedupImageDocsFromBands(iBands, 3L)
+      .filter(col("is_dup_image")))
+    // the image pair class {10k+2, 10k+3} always straddles the parity
+    // split, so the corpus side has NO image pairs — and the real chain
+    // must find none (a spurious pair here is a hash-geometry defect)
+    assert(iDropC.isEmpty, s"corpus image drops must be empty: $iDropC")
+    val vDropB = ids(Multimodal.dedupVideoIncrementalOnState(vBands,
+        Multimodal.videoStructured(batch0),
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
+      .filter(!col("keep")))
+    val aDropB = ids(Multimodal.dedupAudioIncrementalOnState(aBands,
+        Multimodal.audioStructured(batch0),
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
+      .filter(!col("keep")))
+    val iDropB = ids(Multimodal.dedupImageDocsIncrementalOnState(iBands,
+        Multimodal.pairImages(batch0), 3L)
+      .filter(!col("keep")))
+    // under the parity split EVERY media dup class straddles it or is
+    // odd-only ({10k, 10k+1}, {20k+5, 20k+7}, {10k+2, 10k+3}), so the
+    // corpus-side gates are empty BY GEOMETRY — the real chains must
+    // find nothing (a spurious drop is a hash-geometry defect); the
+    // corpus gates' non-vacuous grading lives in
+    // corpus_pipeline_multimodal's full-population key
+    assert(vDropC.isEmpty && aDropC.isEmpty,
+      s"corpus video/audio drops must be empty: $vDropC $aDropC")
+    assert(vDropB.nonEmpty && aDropB.nonEmpty && iDropB.nonEmpty,
+      "every batch media branch must bite")
+    // the batch image drops are exactly the planted straddling class
+    val liveIds = ids(live)
+    assert(iDropB == liveIds.filter(d =>
+      d % 2 == 1 && d % 10 == 3 && liveIds.contains(d - 1)),
+      "batch image drops must be exactly the planted class")
+    // composition contract: the mixed incremental IS the text
+    // incremental flagship over the media-gated populations
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val mixed = Curation.corpusMultimodalIncremental(spark, sf).collect()
+    spark.catalog.clearCache()
+    val mmDropC = vDropC ++ aDropC ++ iDropC
+    val mmDropB = vDropB ++ aDropB ++ iDropB
+    val gated = Curation.corpusPipelineIncrementalOn(
+      corpus0.filter(!col("doc_id").isInCollection(mmDropC)),
+      batch0.filter(!col("doc_id").isInCollection(mmDropB)),
+      bench, emb).collect()
+    spark.catalog.clearCache()
+    assert(mixed.map(key).toSet == gated.map(key).toSet,
+      "mixed incremental must equal the text incremental over media " +
+        "survivors")
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
