@@ -1107,4 +1107,45 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("image band state merges by plain union and the maintained-table " +
+      "probe equals screening against the derived corpus bands") {
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+    val imgs = Multimodal.pairImages(docs).persist()
+    try {
+      val even = imgs.filter(col("doc_id") % 2 === 0)
+      val odd = imgs.filter(col("doc_id") % 2 === 1)
+      val full = Multimodal.imageBandState(imgs).collect()
+        .map(_.toSeq).toSet
+      val merged = (Multimodal.imageBandState(even).collect() ++
+        Multimodal.imageBandState(odd).collect()).map(_.toSeq).toSet
+      assert(full == merged, "image band state is not union-mergeable")
+      // probing an append-assembled state equals probing the
+      // derived-at-once corpus bands
+      val appended = Multimodal
+        .imageBandState(even.filter(col("doc_id") % 4 === 0))
+        .unionByName(Multimodal
+          .imageBandState(even.filter(col("doc_id") % 4 === 2)))
+      val viaState = Multimodal.dedupImageDocsIncrementalOnState(
+        appended, odd, 3L).collect().map(_.toSeq).toSet
+      val direct = Multimodal.dedupImageDocsIncrementalOnState(
+        Multimodal.imageBandState(even), odd, 3L)
+        .collect().map(_.toSeq).toSet
+      assert(viaState == direct,
+        "maintained-table probe drifted from the derived-bands form")
+      // the planted straddling class is screened: odd 10k+3 docs are
+      // corpus image dups of their even 10k+2 partners
+      val dups = Multimodal.dedupImageDocsIncrementalOnState(
+        Multimodal.imageBandState(even), odd, 3L)
+        .filter(col("is_dup_corpus")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(dups == (0L until 64L)
+        .filter(d => d % 2 == 1 && d % 10 == 3).toSet, s"got $dups")
+    } finally {
+      imgs.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
 }
