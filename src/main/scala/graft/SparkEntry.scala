@@ -192,6 +192,11 @@ object SparkEntry {
     // band tables (the OnState probes), then the text incremental chain
     "corpus_multimodal_incremental" ->
       (Curation.corpusMultimodalIncremental _),
+    // the loop composed ACROSS the generation bump ON THE MEDIA AXIS:
+    // batch-1 absorbed into text censuses AND band tables, corpus
+    // compacted, batch-2 screened against the CARRIED two-family states
+    "corpus_multimodal_generation_cycle" ->
+      (Curation.corpusMultimodalGenerationCycle _),
     // eval-set decontamination (benchmark n-gram overlap gate)
     "contamination_check" -> (Curation.contaminationCheck _),
     // its acting form: drop flagged docs, survivors' text intact
@@ -206,6 +211,9 @@ object SparkEntry {
     // candidates fused by integer reciprocal-rank fusion (IVF swap-in
     // certificate-pinned in the suite)
     "search_hybrid" -> (Similarity.searchHybrid _),
+    // the hybrid's production serving path (IVF vector substrate), graded
+    // as a pooled-overlap certificate vs the exact hybrid
+    "search_hybrid_ivf" -> (Similarity.searchHybridIvfChecked _),
     // §2j corpus clustering: exact-integer Lloyd's k-means (learned centroids)
     "cluster_kmeans_int" -> (Clustering.clusterKmeansInt _),
     // density rebalancing over the learned cells: hash-uniform per-cluster cap
@@ -339,6 +347,10 @@ object SparkEntry {
     // its crawl-batch form: batch segments vs the corpus band table +
     // within-batch, per-clip corpus/batch fractions and the keep rule
     "dedup_audio_incremental" -> (Multimodal.dedupAudioIncremental _),
+    // the production probe shape graded: a fixed replica-0 batch screened
+    // against the three PRE-MATERIALIZED (parquet-landed) corpus band
+    // tables — the flat-probe claim on the oracle board
+    "dedup_media_onstate" -> (Multimodal.dedupMediaOnState _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     // video keyframe slot: per-frame feature deltas, cut list in-row

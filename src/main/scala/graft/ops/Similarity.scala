@@ -212,11 +212,28 @@ object Similarity {
 
   /** IVF search for an arbitrary probe predicate over the embeddings table. */
   def simSearchIvf(spark: SparkSession, sfDir: String, probe: Column,
-      k: Int = K): DataFrame = {
+      k: Int = K): DataFrame =
+    simSearchIvfBy(spark, sfDir, _.filter(probe), k)
+
+  /** IVF search for an explicit probe ID FRAME (`vec_id` rows) — the form
+    * a composition uses when its query set is itself a frame (the hybrid
+    * keys' query-by-example ids), avoiding a driver-side collect into a
+    * predicate. The id frame is probe-sized by contract → broadcast.
+    */
+  private[ops] def simSearchIvfForIds(spark: SparkSession, sfDir: String,
+      qIds: DataFrame, k: Int): DataFrame =
+    simSearchIvfBy(spark, sfDir,
+      _.join(broadcast(qIds.select(col("vec_id"))), Seq("vec_id")), k)
+
+  /** The shared IVF top-k body: `probesOf` selects the probe rows from the
+    * assigned corpus (predicate filter or broadcast id-frame semi-join).
+    */
+  private def simSearchIvfBy(spark: SparkSession, sfDir: String,
+      probesOf: DataFrame => DataFrame, k: Int): DataFrame = {
     val (assignedAll, centroids) = ivfAssign(spark, sfDir)
     val assigned = assignedAll.select(col("vec_id"), col("unit"), col("cluster"))
     // each probe picks its nProbe nearest centroids (32 rows → broadcast)
-    val probes = assigned.filter(probe)
+    val probes = probesOf(assigned)
       .select(col("vec_id").as("q_id"), col("unit").as("q_unit"))
     val probeClusters = nearestClusters(probes, centroids, IvfNProbe)
     // candidates = corpus rows in the probed clusters only
@@ -514,6 +531,15 @@ object Similarity {
       .filter(col("vec_rnk") <= kCand)
       .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
         col("vec_rnk"))
+    rrfFuse(lex, vec, k)
+  }
+
+  /** The RRF fusion tail shared by the exact and IVF hybrids (one
+    * formulation, so the serving variant cannot drift from the graded
+    * one): full-outer join of the two candidate frames (≤ qn·kCand rows
+    * each), integer reciprocal-rank scores, top-`k` per query.
+    */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
     val wf = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf_milli").desc, col("doc_id"))
     lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -539,119 +565,114 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
 
   /** The scale-path variant — vector candidates from the IVF index
-    * instead of the exact scan, fusion unchanged. Certificate-graded in
-    * ExtensionsSpec (pooled overlap vs [[searchHybridOn]]); the probe
-    * predicate selects the query docs' embeddings.
+    * instead of the exact scan, fusion unchanged ([[rrfFuse]]). The query
+    * ids (the first `qn` text-bearing docs — the BM25 side's layout) stay
+    * a FRAME through [[simSearchIvfForIds]]: no driver-side collect into
+    * a probe predicate.
     */
   private[graft] def searchHybridIvf(spark: SparkSession, sfDir: String,
-      probe: Column, qn: Int, kCand: Int, k: Int): DataFrame = {
+      qn: Int, kCand: Int, k: Int): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     val lex = TextAnalysis.searchBm25On(docs, qn, kCand)
       .select(col("query_id"), col("doc_id"), col("rnk").as("lex_rnk"))
-    val vec = simSearchIvf(spark, sfDir, probe, kCand)
+    val qIds = docs.filter(col("text").isNotNull)
+      .orderBy(col("doc_id")).limit(qn)
+      .select(col("doc_id").as("vec_id"))
+    val vec = simSearchIvfForIds(spark, sfDir, qIds, kCand)
       .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
         col("rnk").as("vec_rnk"))
-    val wf = Window.partitionBy(col("query_id"))
-      .orderBy(col("rrf_milli").desc, col("doc_id"))
-    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
-      .withColumn("rrf_milli",
-        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + lex_rnk)"),
-          lit(0L)) +
-        coalesce(expr(s"CAST(1000000 AS BIGINT) div ($RrfC + vec_rnk)"),
-          lit(0L)))
-      .withColumn("rnk", row_number().over(wf))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("doc_id"), col("lex_rnk"),
-        col("vec_rnk"), col("rrf_milli"), col("rnk"))
+    rrfFuse(lex, vec, k)
   }
+
+  /** `search_hybrid_ivf` checked key — the hybrid family's PRODUCTION
+    * serving path on the oracle board (the `sim_search_ivf` /
+    * `dedup_embed_ivf` certificate discipline): the IVF-swapped hybrid's
+    * pooled overlap against the exact hybrid, certified at the family's
+    * 0.8 floor. Every column except the Spark-verified overlap boolean is
+    * oracle-recomputable (n_probes = the exact hybrid's distinct query
+    * count, from the shared twin CTEs; k and the floor are the contract).
+    * The certificate runs BOTH paths — the cost of verification, not of
+    * serving (production serves the IVF path alone; this key is the
+    * recurring quality audit).
+    */
+  def searchHybridIvfChecked(spark: SparkSession, sfDir: String): DataFrame =
+    recallCertificate(
+      searchHybrid(spark, sfDir)
+        .select(col("query_id").as("q_id"), col("doc_id").as("c_id")),
+      searchHybridIvf(spark, sfDir, TextAnalysis.SearchQueries,
+        HybridCandK, K)
+        .select(col("query_id").as("q_id"), col("doc_id").as("c_id")),
+      K, floor = 0.8)
+
+  /** The fused-hybrid CTE chain shared by the `search_hybrid` and
+    * `search_hybrid_ivf` twins: the [[TextAnalysis.bm25SqlCtes]] scoring
+    * chain (ADVICE r17 — one BM25 formulation across all three twins),
+    * the exact-cosine vector side, RRF fusion; ends in `fr`, the fused
+    * ranking. Pre-stripped — concatenate, never re-wrap in stripMargin.
+    */
+  private def hybridFusedCtes: String =
+    "WITH " + TextAnalysis.bm25SqlCtes(TextAnalysis.SearchQueries) +
+      ",\n" +
+    s"""lex AS (
+       |  SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS lex_rnk
+       |  FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, doc_id) AS rnk
+       |    FROM s WHERE score > 0) lr
+       |  WHERE rnk <= $HybridCandK),
+       |v AS (
+       |  SELECT * FROM (
+       |    SELECT vec_id,
+       |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+       |           SQRT(list_sum(list_transform(embedding,
+       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+       |    FROM embeddings) v0 WHERE nrm > 0),
+       |q AS (
+       |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM v
+       |  WHERE vec_id IN (SELECT query_id FROM qids)),
+       |pairs AS (
+       |  SELECT q_id, v.vec_id AS c_id,
+       |    ROUND(list_sum(list_transform(list_zip(q_emb, v.emb),
+       |      p -> p[1] * p[2])) / (q_nrm * v.nrm), 6) AS sim
+       |  FROM q, v WHERE v.vec_id != q_id),
+       |vec AS (
+       |  SELECT q_id AS query_id, c_id AS doc_id,
+       |    CAST(rnk AS INTEGER) AS vec_rnk
+       |  FROM (
+       |    SELECT q_id, c_id,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, c_id) AS rnk
+       |    FROM pairs) vr
+       |  WHERE rnk <= $HybridCandK),
+       |f AS (
+       |  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
+       |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
+       |    lex.lex_rnk, vec.vec_rnk,
+       |    coalesce(CAST(1000000 AS BIGINT) // ($RrfC + lex.lex_rnk), 0)
+       |      + coalesce(CAST(1000000 AS BIGINT) // ($RrfC + vec.vec_rnk),
+       |        0) AS rrf_milli
+       |  FROM lex FULL OUTER JOIN vec
+       |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id),
+       |fr AS (
+       |  SELECT query_id, doc_id, lex_rnk, vec_rnk, rrf_milli,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_milli DESC, doc_id) AS INTEGER) AS rnk
+       |  FROM f)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "search_hybrid" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |qids AS (
-         |  SELECT doc_id AS query_id FROM d ORDER BY doc_id
-         |  LIMIT ${TextAnalysis.SearchQueries}),
-         |dl AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
-         |    AS dl FROM d),
-         |st AS (
-         |  SELECT CAST(sum(dl) AS BIGINT) AS s_total,
-         |    CAST(count(*) AS BIGINT) AS n_total FROM dl),
-         |qt AS (
-         |  SELECT DISTINCT query_id, token FROM (
-         |    SELECT d.doc_id AS query_id,
-         |      unnest(string_split(d.text, ' ')[1:3]) AS token
-         |    FROM d JOIN qids ON d.doc_id = qids.query_id) q1),
-         |tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM d),
-         |df AS (
-         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
-         |  GROUP BY token),
-         |w AS (SELECT token, 1000000 // df AS wt FROM df),
-         |tf AS (
-         |  SELECT qt.query_id, tok.doc_id, qt.token,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok JOIN qt USING (token)
-         |  GROUP BY qt.query_id, tok.doc_id, qt.token),
-         |s AS (
-         |  SELECT tf.query_id, tf.doc_id,
-         |    CAST(sum((w.wt * tf.tf * 22 * st.s_total)
-         |      // (10 * st.s_total * tf.tf + 3 * st.s_total
-         |          + 9 * dl.dl * st.n_total)) AS BIGINT) AS score
-         |  FROM tf JOIN w USING (token)
-         |    JOIN dl ON tf.doc_id = dl.doc_id
-         |    CROSS JOIN st
-         |  GROUP BY tf.query_id, tf.doc_id),
-         |lex AS (
-         |  SELECT query_id, doc_id, CAST(rnk AS INTEGER) AS lex_rnk
-         |  FROM (
-         |    SELECT query_id, doc_id,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, doc_id) AS rnk
-         |    FROM s WHERE score > 0) lr
-         |  WHERE rnk <= $HybridCandK),
-         |v AS (
-         |  SELECT * FROM (
-         |    SELECT vec_id,
-         |           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-         |           SQRT(list_sum(list_transform(embedding,
-         |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-         |    FROM embeddings) v0 WHERE nrm > 0),
-         |q AS (
-         |  SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM v
-         |  WHERE vec_id IN (SELECT query_id FROM qids)),
-         |pairs AS (
-         |  SELECT q_id, v.vec_id AS c_id,
-         |    ROUND(list_sum(list_transform(list_zip(q_emb, v.emb),
-         |      p -> p[1] * p[2])) / (q_nrm * v.nrm), 6) AS sim
-         |  FROM q, v WHERE v.vec_id != q_id),
-         |vec AS (
-         |  SELECT q_id AS query_id, c_id AS doc_id,
-         |    CAST(rnk AS INTEGER) AS vec_rnk
-         |  FROM (
-         |    SELECT q_id, c_id,
-         |      row_number() OVER (PARTITION BY q_id
-         |        ORDER BY sim DESC, c_id) AS rnk
-         |    FROM pairs) vr
-         |  WHERE rnk <= $HybridCandK),
-         |f AS (
-         |  SELECT coalesce(lex.query_id, vec.query_id) AS query_id,
-         |    coalesce(lex.doc_id, vec.doc_id) AS doc_id,
-         |    lex.lex_rnk, vec.vec_rnk,
-         |    coalesce(CAST(1000000 AS BIGINT) // ($RrfC + lex.lex_rnk), 0)
-         |      + coalesce(CAST(1000000 AS BIGINT) // ($RrfC + vec.vec_rnk),
-         |        0) AS rrf_milli
-         |  FROM lex FULL OUTER JOIN vec
-         |    ON lex.query_id = vec.query_id AND lex.doc_id = vec.doc_id)
-         |SELECT query_id, doc_id, lex_rnk, vec_rnk, rrf_milli,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_milli DESC, doc_id) AS INTEGER) AS rnk
-         |FROM f
-         |QUALIFY rnk <= $K
-         |ORDER BY query_id, rnk""".stripMargin,
+      (hybridFusedCtes + "\n" +
+      s"""SELECT query_id, doc_id, lex_rnk, vec_rnk, rrf_milli, rnk
+         |FROM fr WHERE rnk <= $K
+         |ORDER BY query_id, rnk""".stripMargin),
+    // the certificate row: every column but the Spark-verified overlap
+    // boolean is recomputed — n_probes from the exact hybrid's own CTEs
+    "search_hybrid_ivf" ->
+      (hybridFusedCtes + "\n" +
+      s"""SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_probes,
+         |  $K AS k, CAST(0.8 AS DOUBLE) AS min_recall, true AS recall_ok
+         |FROM fr WHERE rnk <= $K""".stripMargin),
     // recall certificates: every column except the Spark-verified pooled
     // recall boolean is exact cross-engine (probe count from the probe
     // predicate; k and the floor are the operator's published contract) —

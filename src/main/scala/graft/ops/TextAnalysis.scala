@@ -1726,6 +1726,54 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  /** The BM25 scoring CTE chain shared by the `search_bm25` twin and the
+    * hybrid-retrieval twins in [[Similarity]] (ADVICE r17 — ONE
+    * formulation, so a scoring change cannot silently drift the twins
+    * apart): query-by-example layout (`qids` = the first `qn`
+    * text-bearing docs, 3-token queries), exact-integer fixed-point
+    * saturation/normalization; ends in `s (query_id, doc_id, score)`.
+    * Pre-stripped — concatenate, never re-wrap in a stripMargin template.
+    */
+  private[ops] def bm25SqlCtes(qn: Int): String =
+    s"""d AS (
+       |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+       |qids AS (
+       |  SELECT doc_id AS query_id FROM d ORDER BY doc_id
+       |  LIMIT $qn),
+       |dl AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |    AS dl FROM d),
+       |st AS (
+       |  SELECT CAST(sum(dl) AS BIGINT) AS s_total,
+       |    CAST(count(*) AS BIGINT) AS n_total FROM dl),
+       |qt AS (
+       |  SELECT DISTINCT query_id, token FROM (
+       |    SELECT d.doc_id AS query_id,
+       |      unnest(string_split(d.text, ' ')[1:3]) AS token
+       |    FROM d JOIN qids ON d.doc_id = qids.query_id) q1),
+       |tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM d),
+       |df AS (
+       |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
+       |  GROUP BY token),
+       |w AS (SELECT token, 1000000 // df AS wt FROM df),
+       |tf AS (
+       |  SELECT qt.query_id, tok.doc_id, qt.token,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok JOIN qt USING (token)
+       |  GROUP BY qt.query_id, tok.doc_id, qt.token),
+       |s AS (
+       |  SELECT tf.query_id, tf.doc_id,
+       |    CAST(sum((w.wt * tf.tf * 22 * st.s_total)
+       |      // (10 * st.s_total * tf.tf + 3 * st.s_total
+       |          + 9 * dl.dl * st.n_total)) AS BIGINT) AS score
+       |  FROM tf JOIN w USING (token)
+       |    JOIN dl ON tf.doc_id = dl.doc_id
+       |    CROSS JOIN st
+       |  GROUP BY tf.query_id, tf.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same frozen-scorer recompute as quality_score_lm (bucket
     // membership re-derived from the generating rule), the identical
@@ -1774,50 +1822,15 @@ object TextAnalysis {
     // identical exact-integer fixed-point BM25: `//` == `div` on
     // non-negative BIGINTs, so every term score is bit-identical
     "search_bm25" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
-         |dl AS (
-         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
-         |    AS dl FROM d),
-         |st AS (
-         |  SELECT CAST(sum(dl) AS BIGINT) AS s_total,
-         |    CAST(count(*) AS BIGINT) AS n_total FROM dl),
-         |qt AS (
-         |  SELECT DISTINCT query_id, token FROM (
-         |    SELECT doc_id AS query_id,
-         |      unnest(string_split(text, ' ')[1:3]) AS token
-         |    FROM (SELECT doc_id, text FROM d
-         |          ORDER BY doc_id LIMIT $SearchQueries) q0) q1),
-         |tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM d),
-         |df AS (
-         |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |  FROM tok WHERE token IN (SELECT DISTINCT token FROM qt)
-         |  GROUP BY token),
-         |w AS (SELECT token, 1000000 // df AS wt FROM df),
-         |tf AS (
-         |  SELECT qt.query_id, tok.doc_id, qt.token,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok JOIN qt USING (token)
-         |  GROUP BY qt.query_id, tok.doc_id, qt.token),
-         |s AS (
-         |  SELECT tf.query_id, tf.doc_id,
-         |    CAST(sum((w.wt * tf.tf * 22 * st.s_total)
-         |      // (10 * st.s_total * tf.tf + 3 * st.s_total
-         |          + 9 * dl.dl * st.n_total)) AS BIGINT) AS score
-         |  FROM tf JOIN w USING (token)
-         |    JOIN dl ON tf.doc_id = dl.doc_id
-         |    CROSS JOIN st
-         |  GROUP BY tf.query_id, tf.doc_id),
-         |r AS (
+      ("WITH " + bm25SqlCtes(SearchQueries) + ",\n" +
+      s"""r AS (
          |  SELECT query_id, doc_id, score,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
          |  FROM s WHERE score > 0)
          |SELECT query_id, doc_id, score, rnk FROM r
          |WHERE rnk <= $SearchTopK
-         |ORDER BY query_id, rnk""".stripMargin,
+         |ORDER BY query_id, rnk""".stripMargin),
     "build_postings" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -973,6 +973,72 @@ class ExtensionsSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("corpus_multimodal_generation_cycle: media seen-ness survives " +
+      "compaction — a retired doc's re-encoded media re-crawl stays " +
+      "screened, and the day-2 band MERGE screens batch-1 partners") {
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val liveIds = live.select(col("doc_id")).collect()
+      .map(_.getLong(0)).toSet
+    val parts = Curation.multimodalGenerationCycleOn(
+      live.filter(col("doc_id") % 2 === 0),
+      live.filter(col("doc_id") % 4 === 1),
+      live.filter(col("doc_id") % 4 === 3),
+      docs.filter(col("doc_id") < 20 && col("text").isNotNull),
+      Tables.table(spark, sf, "embeddings"),
+      Curation.CompactHostCap, materializeContract = true)
+    try {
+      val shipped = parts.shipped.collect().map(_.getLong(0)).toSet
+      val retained = parts.retained.collect().map(_.getLong(0)).toSet
+      val dropB2 = parts.mediaDropB2.collect().map(_.getLong(0)).toSet
+      val keptB2 = parts.batchKept.select(col("doc_id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(retained.subsetOf(shipped))
+      assert(retained.size < shipped.size,
+        "compaction must retire docs for the pin to be non-vacuous")
+      assert(keptB2.nonEmpty, "day-3 batch must keep something")
+      // the planted batch-2 media-dup classes, by partner location:
+      // CORPUS partners — 10k+1 (video+audio re-encode of 10k) and
+      // 10k+3 (image JPEG re-encode of 10k+2) when % 4 = 3; BATCH-1
+      // partners — 20k+7 pairs with 20k+5, which is always % 4 = 1
+      val b2 = liveIds.filter(_ % 4 == 3)
+      val corpusPartner = b2.filter(d =>
+        (d % 10 == 1 || d % 10 == 3) && liveIds.contains(d - 1))
+      val batch1Partner = b2.filter(d =>
+        d % 20 == 7 && liveIds.contains(d - 2))
+      assert(corpusPartner.nonEmpty && batch1Partner.nonEmpty,
+        "both partner classes must be planted")
+      // the carry: EVERY batch-2 doc whose media the band states have
+      // seen is screened, whatever its holder's fate
+      assert(corpusPartner.forall(dropB2),
+        s"corpus-partner media dups leaked: ${corpusPartner -- dropB2}")
+      // the day-2 band MERGE is graded, not just the carry: batch-2
+      // docs whose partner arrived IN BATCH-1 are corpus dups only
+      // because the merge appended batch-1's bands
+      assert(batch1Partner.forall(dropB2),
+        s"batch-1-partner media dups leaked: ${batch1Partner -- dropB2}")
+      // the RETIREMENT branch is real: some corpus partner shipped and
+      // was then capped away at compaction — its re-encoded batch-2
+      // media re-crawl must STILL be screened (band tables never forget)
+      val ofRetired = corpusPartner
+        .filter(d => shipped(d - 1) && !retained(d - 1))
+      assert(ofRetired.nonEmpty,
+        "no retired-then-re-crawled media case planted — pin is vacuous")
+      assert(ofRetired.forall(dropB2),
+        "a retired doc's re-encoded media re-crawl re-entered the corpus")
+      // screened media dups never reach the text chain's kept set
+      assert(dropB2.forall(!keptB2.contains(_)))
+      // the cursor resets to generation 1 (the text cycle's geometry)
+      val man = parts.manifest.collect()
+      val g1 = man.filter(_.getInt(8) == 0)
+      val b2man = man.filter(_.getInt(8) == 1)
+      assert(g1.nonEmpty && b2man.nonEmpty)
+      assert(b2man.map(_.getLong(0)).min == g1.map(_.getLong(0)).max + 1,
+        "batch-2 shards must continue after generation 1's")
+    } finally spark.catalog.clearCache()
+  }
+
   test("corpus_pipeline_multimodal: every media rung bites " +
       "independently, the mixed flagship equals the text flagship over " +
       "media survivors, and the gates change the manifest") {
@@ -1052,22 +1118,13 @@ class ExtensionsSpec extends SparkSpec {
             "dual-listed doc must outrank a weaker single-listed one")
       }
     }
-    // the scale path: IVF vector candidates, fusion unchanged — pooled
-    // overlap certified at the family floor (recallCertificate treats
-    // the exact hybrid as reference)
-    val qIds = Tables.table(spark, sf, "documents")
-      .filter(col("text").isNotNull).orderBy(col("doc_id"))
-      .limit(TextAnalysis.SearchQueries)
-      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    val approx = Similarity.searchHybridIvf(spark, sf,
-      col("vec_id").isInCollection(qIds), TextAnalysis.SearchQueries,
-      10, 10)
-      .select(col("query_id").as("q_id"), col("doc_id").as("c_id"))
-    val exactPairs = Similarity.searchHybrid(spark, sf)
-      .select(col("query_id").as("q_id"), col("doc_id").as("c_id"))
-    val cert = Similarity.recallCertificate(exactPairs, approx, 10, 0.8)
-      .collect().head
+    // the scale path: IVF vector candidates, fusion unchanged — the
+    // graded certificate key (search_hybrid_ivf, round 18) certifies the
+    // pooled overlap at the family floor; spot-pin it here too
+    val cert = Similarity.searchHybridIvfChecked(spark, sf).collect().head
     spark.catalog.clearCache()
+    assert(cert.getLong(0) == TextAnalysis.SearchQueries,
+      s"every hybrid query must surface candidates: $cert")
     assert(cert.getBoolean(3),
       s"hybrid IVF pooled overlap under the 0.8 floor: $cert")
   }
@@ -1187,7 +1244,15 @@ class ExtensionsSpec extends SparkSpec {
     import graft.ops.Curation
     val baseline = Curation.corpusPipeline(spark, sf).collect()
     spark.catalog.clearCache()
-    val ckDir = java.nio.file.Files.createTempDirectory("graft_reliable_cp")
+    // under the build's target/ (swept by clean), not the system tmpdir:
+    // the dir must outlive the test (SparkContext has no unsetCheckpointDir
+    // — see the finally below), and an aborted JVM skips shutdown hooks,
+    // so a system-tmp location would accumulate across crashed suite runs
+    // (ADVICE r17)
+    val ckRoot = java.nio.file.Paths.get("target", "tmp")
+    java.nio.file.Files.createDirectories(ckRoot)
+    val ckDir =
+      java.nio.file.Files.createTempDirectory(ckRoot, "graft_reliable_cp")
     // a mistyped conf value fails loudly, naming the key (ADVICE r16)
     spark.conf.set(Curation.ReliableChkConf, "yes")
     val bad = intercept[IllegalArgumentException] {

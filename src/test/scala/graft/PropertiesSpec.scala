@@ -1148,4 +1148,41 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("mergeStates disjointness guard: an overlapping batch fails " +
+      "NAMED under graft.state.checkDisjointness, and a mistyped conf " +
+      "value fails naming the key") {
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val emb = Tables.table(spark, sf, "embeddings")
+    val corpus = live.filter(col("doc_id") % 2 === 0)
+    try {
+      spark.conf.set(Curation.CheckDisjointConf, "true")
+      // batch-1 = a subset of the corpus itself: the day-1 state merge
+      // must fail named instead of silently double-counting the censuses
+      // (the guard fires eagerly at merge time — no collect needed)
+      val err = intercept[IllegalArgumentException] {
+        Curation.corpusStatesUpdateOn(corpus,
+          corpus.filter(col("doc_id") % 4 === 0),
+          live.filter(col("doc_id") % 4 === 3), bench, emb)
+      }
+      assert(err.getMessage.contains("disjointness"),
+        s"unexpected message: ${err.getMessage}")
+      spark.catalog.clearCache()
+      // a mistyped value fails loudly, naming the key (the scopeFor
+      // strict-parse discipline — never a silent guard-off)
+      spark.conf.set(Curation.CheckDisjointConf, "1")
+      val bad = intercept[IllegalArgumentException] {
+        Curation.corpusStatesUpdateOn(corpus,
+          live.filter(col("doc_id") % 4 === 1),
+          live.filter(col("doc_id") % 4 === 3), bench, emb)
+      }
+      assert(bad.getMessage.contains(Curation.CheckDisjointConf))
+    } finally {
+      spark.conf.unset(Curation.CheckDisjointConf)
+      spark.catalog.clearCache()
+    }
+  }
 }
