@@ -32,7 +32,7 @@ object LocalFs {
     * | CDC flush landing | published cache | graft_cdc_flush_v1       | none | Streams.landedEventsFlush |
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
     * | noise-img fixture | published cache | graft_img_noise_v2       | none | Multimodal.noiseFixture   |
-    * | media band tables | published cache | graft_media_bands_v1     | none | Multimodal.mediaBandStates|
+    * | media band tables | published cache | graft_media_bands_v2     | none | Multimodal.mediaBandLanding|
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -55,7 +55,7 @@ object LocalFs {
     val ImageFixtureCache = "graft_img_fixture_v1"
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
     val ImgNoiseCache = "graft_img_noise_v2"
-    val MediaBandCache = "graft_media_bands_v1"
+    val MediaBandCache = "graft_media_bands_v2"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =

@@ -320,6 +320,11 @@ object SparkEntry {
     // streaming content dedup replayed to completion (ingest-time
     // dedup_exact; projection makes the survivor set batch-twin-exact)
     "stream_dedup" -> (Streams.streamDedupQuery _),
+    // streaming MEDIA ingest dedup: landed batch band rows stream-static
+    // joined against the maintained corpus band tables, per-doc verdicts
+    // folded in one flatMapGroupsWithState (pinned to the batch OnState
+    // probe)
+    "stream_dedup_media" -> (Streams.streamDedupMediaQuery _),
     // stream-stream interval join replayed to completion (the two-sided-
     // watermark pair step of join_range, pinned to the unbinned twin)
     "stream_range_join" -> (Streams.streamRangeJoinQuery _),

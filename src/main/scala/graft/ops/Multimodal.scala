@@ -1842,35 +1842,100 @@ object Multimodal {
     */
   private[graft] val ReplicaBound = 1000000000L
 
-  /** THE MAINTAINED MEDIA BAND TABLES AS A TABLE — the three band states
-    * over the even-parity corpus's media, materialized ONCE per corpus
-    * as a write-once parquet landing (content-fingerprinted against the
-    * documents table, atomically published — the `landedEvents` /
-    * `imageFixture` discipline). This is what "maintained state" MEANS
-    * in production: a bucketed table on durable storage that ingest
-    * appends to, not a frame re-derived per query — the landing stands
-    * in for it so the graded probe key pays batch-sized work only.
+  /** The unified band-row schema of the landing's BATCH side — one shape
+    * for all three modalities so a single file stream replays them:
+    * (modality, doc_id, unit_idx, dhash, band_idx, band_val). `unit_idx`
+    * is the modality's sub-document unit (video keyframe index, audio
+    * segment index, 0 for the single image hash), widened to long.
     */
-  private def mediaBandLanding(spark: SparkSession, sfDir: String): String = {
+  private[graft] val bandRowSchema: StructType = StructType(Seq(
+    StructField("modality", StringType),
+    StructField("doc_id", LongType),
+    StructField("unit_idx", LongType),
+    StructField("dhash", LongType),
+    StructField("band_idx", IntegerType),
+    StructField("band_val", LongType)))
+
+  /** Normalize a per-modality band frame to [[bandRowSchema]]. */
+  private def normBands(df: DataFrame, modality: String,
+      unitCol: Option[String]): DataFrame =
+    df.select(lit(modality).as("modality"), col("doc_id"),
+      unitCol.map(c => col(c).cast(LongType)).getOrElse(lit(0L))
+        .as("unit_idx"),
+      col("dhash"), col("band_idx").cast(IntegerType),
+      col("band_val").cast(LongType))
+
+  /** THE MAINTAINED MEDIA BAND TABLES AS TABLES — materialized ONCE per
+    * corpus as a write-once parquet landing (content-fingerprinted
+    * against the documents table, atomically published — the
+    * `landedEvents` / `imageFixture` discipline), two sides:
+    *
+    *  - `corpus/{video,audio,image}`: the three band states over the
+    *    even-parity corpus's media, raw per-modality schemas — what
+    *    "maintained state" MEANS in production (a bucketed table on
+    *    durable storage that ingest appends to, not a frame re-derived
+    *    per query); [[dedupMediaOnState]] probes these.
+    *  - `batch/`: the replica-0 batch's band rows in the unified
+    *    [[bandRowSchema]], ONE file per modality with ascending mtimes
+    *    (the `landedEventsSorted` discipline) — the cloud-storage
+    *    landing a file STREAM tails, each modality a real micro-batch;
+    *    `stream_dedup_media` replays it. Landing batch bands is the
+    *    production ingest shape: hashes are computed where media is
+    *    decoded (ingest), and the dedup gate consumes hash rows.
+    */
+  private[graft] def mediaBandLanding(spark: SparkSession,
+      sfDir: String): String = {
     import java.io.File
     val landing = graft.LocalFs.cachePath(
       graft.LocalFs.Names.MediaBandCache, sfDir,
       new File(s"$sfDir/documents.parquet"))
     if (!new File(s"$landing/_SUCCESS").exists()) {
       val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
-      val corpus = table(spark, sfDir, "documents")
-        .select(col("doc_id")).filter(col("doc_id") % 2 === 0)
+      val docs = table(spark, sfDir, "documents").select(col("doc_id"))
+      val corpus = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs
+        .filter(col("doc_id") % 2 === 1 && col("doc_id") < ReplicaBound)
       // serial ladders, plants released — the corpusPipelineMultimodalOn
       // memory discipline (the video plant feeds cut detection + the
       // keyframe slice; audio/image plants have single consumers)
       val vids = videoStructured(corpus).persist()
       videoBandState(vids, CutFrameBytes, CutThresholdMilli)
-        .write.mode("overwrite").parquet(s"$tmp/video")
+        .write.mode("overwrite").parquet(s"$tmp/corpus/video")
       vids.unpersist(blocking = false)
       audioBandState(audioStructured(corpus), AudioFpWin, AudioSegWin)
-        .write.mode("overwrite").parquet(s"$tmp/audio")
+        .write.mode("overwrite").parquet(s"$tmp/corpus/audio")
       imageBandState(pairImages(corpus))
-        .write.mode("overwrite").parquet(s"$tmp/image")
+        .write.mode("overwrite").parquet(s"$tmp/corpus/image")
+      // the batch side: one file per modality, mtimes ascending so a
+      // paced file stream replays modality-by-modality (coalesce(1) is
+      // harness landing plumbing, not an operator plan)
+      val bvids = videoStructured(batch).persist()
+      val batchSides = Seq(
+        "video" -> normBands(
+          videoBandState(bvids, CutFrameBytes, CutThresholdMilli),
+          "video", Some("frame_idx")),
+        "audio" -> normBands(
+          audioBandState(audioStructured(batch), AudioFpWin, AudioSegWin),
+          "audio", Some("seg_idx")),
+        "image" -> normBands(imageBandState(pairImages(batch)),
+          "image", None))
+      val batchDir = new File(tmp, "batch")
+      batchDir.mkdirs()
+      val base = System.currentTimeMillis()
+      batchSides.zipWithIndex.foreach { case ((name, bands), i) =>
+        val work = new File(tmp, s"work_$name")
+        bands.coalesce(1).write.mode("overwrite").parquet(work.getPath)
+        val part = Option(work.listFiles).getOrElse(Array.empty[File])
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for $name bands"))
+        val dest = new File(batchDir, f"b$i%02d_$name.parquet")
+        require(part.renameTo(dest), s"rename failed for $name bands")
+        graft.LocalFs.deleteRecursively(work)
+        require(dest.setLastModified(base + i * 1000),
+          s"mtime set failed for $dest")
+      }
+      bvids.unpersist(blocking = false)
       val marker = new File(tmp, "_SUCCESS")
       require(marker.createNewFile() || marker.exists(),
         s"could not create landing marker $marker")
@@ -1880,6 +1945,19 @@ object Multimodal {
     new File(landing).setLastModified(System.currentTimeMillis())
     landing
   }
+
+  /** The landing's corpus band tables in the unified [[bandRowSchema]]
+    * — the static side of the `stream_dedup_media` stream-static probe.
+    */
+  private[graft] def mediaBandStatic(spark: SparkSession,
+      landing: String): DataFrame =
+    normBands(spark.read.parquet(s"$landing/corpus/video"), "video",
+      Some("frame_idx"))
+      .unionByName(normBands(
+        spark.read.parquet(s"$landing/corpus/audio"), "audio",
+        Some("seg_idx")))
+      .unionByName(normBands(
+        spark.read.parquet(s"$landing/corpus/image"), "image", None))
 
   /** `dedup_media_onstate` checked key — THE PRODUCTION PROBE SHAPE on
     * the oracle board (r17 verdict #3: the flat-probe claim graded, not
@@ -1908,15 +1986,17 @@ object Multimodal {
       df.select(lit(modality).as("modality"), col("doc_id"),
         col("is_dup_corpus"), col("is_dup_batch"), col("keep"))
     verdict(dedupVideoIncrementalOnState(
-        spark.read.parquet(s"$landing/video"), videoStructured(batch),
+        spark.read.parquet(s"$landing/corpus/video"),
+        videoStructured(batch),
         CutFrameBytes, CutThresholdMilli, VideoTauMilli, VideoHamMax),
       "video")
       .unionByName(verdict(dedupAudioIncrementalOnState(
-        spark.read.parquet(s"$landing/audio"), audioStructured(batch),
+        spark.read.parquet(s"$landing/corpus/audio"),
+        audioStructured(batch),
         AudioFpWin, AudioSegWin, AudioTauMilli, AudioHamMax), "audio"))
       .unionByName(verdict(dedupImageDocsIncrementalOnState(
-        spark.read.parquet(s"$landing/image"), pairImages(batch), 3L),
-        "image"))
+        spark.read.parquet(s"$landing/corpus/image"), pairImages(batch),
+        3L), "image"))
       .orderBy(col("modality"), col("doc_id"))
   }
 

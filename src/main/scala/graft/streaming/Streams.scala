@@ -1302,7 +1302,176 @@ object Streams {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** One joined band-probe row entering the per-doc fold: `hit` = this
+    * band row matched SOME corpus band within the modality's hamming
+    * radius.
+    */
+  case class BandProbeRow(modality: String, doc_id: Long, unit_idx: Long,
+    hit: Boolean)
+
+  /** `stream_dedup_media`'s verdict row — the corpus-probe half of
+    * [[graft.ops.Multimodal.dedupMediaOnState]]'s contract (the ingest
+    * gate: "has the corpus seen this media?"; within-batch dedup stays a
+    * batch/compaction job).
+    */
+  case class MediaVerdictOut(modality: String, doc_id: Long,
+    n_units: Long, n_hit_units: Long, corpus_frac_milli: Long,
+    is_dup_corpus: Boolean)
+
+  /** STREAMING MEDIA INGEST DEDUP — the band-state probe as a stream
+    * (the one media shape that had no streaming form): a crawl batch's
+    * band rows arrive as landed files ([[graft.ops.Multimodal
+    * .mediaBandLanding]]'s batch side — hashes are computed where media
+    * is decoded, at ingest; the gate consumes hash rows), stream-static
+    * LEFT join against the MAINTAINED corpus band tables (the static
+    * side; at 100 TB a bucketed table — the join re-plans per
+    * micro-batch with batch-sized stream volume), then ONE stateful
+    * fold: `flatMapGroupsWithState` keyed on (modality, doc) folds the
+    * per-band hit flags into per-unit hits and emits the τ-fraction
+    * verdict. The fold is the reason for the operator: per-doc verdicts
+    * need units-seen ∪ units-hit, which would otherwise be TWO chained
+    * stateful aggregations (unsupported in append mode).
+    *
+    * COMPLETENESS CONTRACT: a (modality, doc)'s band rows arrive within
+    * ONE micro-batch — the landing writes one file per modality and the
+    * paced source takes one file per trigger — so each group emits its
+    * verdict exactly once, in the micro-batch that carried its file
+    * (state itself stays empty; the `stream_dedup` bounded-backfill
+    * honesty note applies: a production tail keying docs across files
+    * would hold per-doc state under an arrival-completeness watermark).
+    */
+  def mediaProbeStream(stream: DataFrame,
+      corpusBands: DataFrame): Dataset[MediaVerdictOut] = {
+    import graft.ops.Multimodal
+    val spark2 = stream.sparkSession
+    import spark2.implicits._
+    val joined = stream.join(
+        corpusBands.select(col("modality"), col("band_idx"),
+          col("band_val"), col("dhash").as("dh_c")),
+        Seq("modality", "band_idx", "band_val"), "left_outer")
+      .withColumn("ham_max",
+        when(col("modality") === "video", lit(Multimodal.VideoHamMax))
+          .when(col("modality") === "audio", lit(Multimodal.AudioHamMax))
+          .otherwise(lit(3L)))
+      .withColumn("hit", col("dh_c").isNotNull &&
+        bit_count(col("dhash").bitwiseXOR(col("dh_c"))) <= col("ham_max"))
+      .select(col("modality"), col("doc_id"), col("unit_idx"), col("hit"))
+      .as[BandProbeRow]
+    joined
+      .groupByKey(r => (r.modality, r.doc_id))
+      .flatMapGroupsWithState[Long, MediaVerdictOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((modality, docId), rows, _: GroupState[Long]) =>
+          // a unit is hit iff ANY of its band rows matched; units with
+          // no corpus match arrive as hit=false rows (left join), so
+          // n_units counts the full spine
+          val units = scala.collection.mutable.LongMap.empty[Boolean]
+          rows.foreach(r =>
+            units(r.unit_idx) = units.getOrElse(r.unit_idx, false) || r.hit)
+          val n = units.size.toLong
+          val nHit = units.count(_._2).toLong
+          val frac = if (n == 0) 0L else nHit * 1000L / n
+          val tau = modality match {
+            case "video" => Multimodal.VideoTauMilli
+            case "audio" => Multimodal.AudioTauMilli
+            case _ => 1L // image: one unit — any hit is a dup
+          }
+          Iterator.single(MediaVerdictOut(modality, docId, n, nHit, frac,
+            frac >= tau))
+      }
+  }
+
+  /** `stream_dedup_media` checked key: the batch band landing replayed
+    * file-per-trigger (three real micro-batches, one per modality)
+    * through [[mediaProbeStream]] to completion. StreamingSpec pins the
+    * emitted verdicts row-equal to the batch OnState probe's
+    * corpus-verdict projection; the DuckDB twin recomputes every verdict
+    * from the planting rules.
+    */
+  def streamDedupMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.Multimodal
+    val landing = Multimodal.mediaBandLanding(spark, sfDir)
+    val stream = spark.readStream.schema(Multimodal.bandRowSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$landing/batch")
+    replayToFeed(spark,
+      mediaProbeStream(stream, Multimodal.mediaBandStatic(spark, landing)))
+      .orderBy(col("modality"), col("doc_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // every verdict recomputed from the planting rules (the
+    // dedup_media_onstate twin's corpus-probe half, same populations)
+    "stream_dedup_media" -> {
+      import graft.ops.Multimodal
+      // concatenated head (see the media twins' stripMargin note)
+      "WITH mpop AS (SELECT doc_id FROM documents),\n" +
+      "bpop AS (SELECT doc_id FROM mpop\n" +
+      "  WHERE doc_id % 2 = 1 AND doc_id < 1000000000),\n" +
+      Multimodal.videoChainSqlCtes("v", "mpop") + ",\n" +
+      s"""vmc AS (
+         |  SELECT a.doc_id AS doc_a, a.kf AS kf_a, true AS hit
+         |  FROM vbands a JOIN vbands c ON a.band_idx = c.band_idx
+         |    AND a.band_val = c.band_val
+         |  WHERE a.doc_id IN (SELECT doc_id FROM bpop)
+         |    AND c.doc_id % 2 = 0
+         |    AND bit_count(xor(a.dhash, c.dhash))
+         |      <= ${Multimodal.VideoHamMax}
+         |  GROUP BY a.doc_id, a.kf),
+         |vv AS (
+         |  SELECT k.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(count(vmc.hit) AS BIGINT) AS n_hit_units,
+         |    CAST(count(vmc.hit) AS BIGINT) * 1000 // count(*)
+         |      AS corpus_frac_milli
+         |  FROM vkfs k
+         |  LEFT JOIN vmc ON vmc.doc_a = k.doc_id AND vmc.kf_a = k.kf
+         |  WHERE k.doc_id IN (SELECT doc_id FROM bpop)
+         |  GROUP BY k.doc_id),""".stripMargin + "\n" +
+      Multimodal.audioChainSqlCtes("x", "mpop") + ",\n" +
+      s"""xmc AS (
+         |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a, true AS hit
+         |  FROM xabands a JOIN xabands c ON a.band_idx = c.band_idx
+         |    AND a.band_val = c.band_val
+         |  WHERE a.doc_id IN (SELECT doc_id FROM bpop)
+         |    AND c.doc_id % 2 = 0
+         |    AND bit_count(xor(a.dhash, c.dhash))
+         |      <= ${Multimodal.AudioHamMax}
+         |  GROUP BY a.doc_id, a.seg_idx),
+         |xv AS (
+         |  SELECT h.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_units,
+         |    CAST(count(xmc.hit) AS BIGINT) AS n_hit_units,
+         |    CAST(count(xmc.hit) AS BIGINT) * 1000 // count(*)
+         |      AS corpus_frac_milli
+         |  FROM xah h
+         |  LEFT JOIN xmc ON xmc.doc_a = h.doc_id AND xmc.seg_a = h.seg_idx
+         |  WHERE h.doc_id IN (SELECT doc_id FROM bpop)
+         |  GROUP BY h.doc_id),
+         |iv AS (
+         |  SELECT doc_id,
+         |    CAST(1 AS BIGINT) AS n_units,
+         |    CAST(CASE WHEN doc_id % 10 = 3
+         |      AND (doc_id - 1) IN (SELECT doc_id FROM mpop)
+         |      THEN 1 ELSE 0 END AS BIGINT) AS n_hit_units
+         |  FROM bpop)
+         |SELECT 'video' AS modality, doc_id, n_units, n_hit_units,
+         |  corpus_frac_milli,
+         |  corpus_frac_milli >= ${Multimodal.VideoTauMilli}
+         |    AS is_dup_corpus
+         |FROM vv
+         |UNION ALL
+         |SELECT 'audio' AS modality, doc_id, n_units, n_hit_units,
+         |  corpus_frac_milli,
+         |  corpus_frac_milli >= ${Multimodal.AudioTauMilli}
+         |    AS is_dup_corpus
+         |FROM xv
+         |UNION ALL
+         |SELECT 'image' AS modality, doc_id, n_units, n_hit_units,
+         |  n_hit_units * 1000 AS corpus_frac_milli,
+         |  n_hit_units > 0 AS is_dup_corpus
+         |FROM iv
+         |ORDER BY modality, doc_id""".stripMargin
+    },
     // the windowed-aggregate twin: the direct batch hourly rollup — the
     // flush replay must land on exactly this (epoch-hour flooring
     // mirrors Spark's epoch-aligned window(); the per-row milli-floor

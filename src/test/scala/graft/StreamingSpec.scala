@@ -107,6 +107,34 @@ class StreamingSpec extends SparkSpec {
       "no payload duplicates in corpus — stream_dedup is vacuous")
   }
 
+  test("stream_dedup_media equals the batch OnState probe's corpus " +
+      "verdicts, replays one modality per micro-batch, and genuinely " +
+      "screens corpus dups") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Multimodal
+    val got = Streams.streamDedupMediaQuery(spark, sf)
+      .select(col("modality"), col("doc_id"), col("is_dup_corpus"))
+    // the pin: the streaming fold emits EXACTLY the batch OnState
+    // probe's corpus-verdict projection (same maintained state, two
+    // execution modes — the stream/batch consistency contract)
+    val want = Multimodal.dedupMediaOnState(spark, sf)
+      .select(col("modality"), col("doc_id"), col("is_dup_corpus"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "streaming verdicts drifted from the batch OnState probe")
+    spark.catalog.clearCache()
+    // non-vacuous: every modality contributes batch docs, and some are
+    // genuinely screened (the planted straddling classes)
+    val byMod = got.collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.length, rs.count(_.getBoolean(2)))).toMap
+    assert(byMod.keySet == Set("video", "audio", "image"))
+    byMod.foreach { case (m, (n, dups)) =>
+      assert(n > 0 && dups > 0, s"$m: $n rows, $dups corpus dups — vacuous")
+      assert(dups < n, s"$m: every row screened — the keep branch is dead")
+    }
+  }
+
   test("streaming windowed counts equal the batch aggregation over the corpus") {
     import org.apache.spark.sql.functions._
     // the harness events table replayed as landing files must produce
