@@ -658,4 +658,21 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("dedup_media_onstate probes the parquet-landed state with banded " +
+      "equi-joins, never cartesian") {
+    // the graded production probe: the corpus side must arrive as a
+    // parquet SCAN of the landing (the maintained table, not an in-key
+    // re-derivation), every probe join must key on (band_idx, band_val)
+    // (AQE picks the build side by size — at 100 TB that is the batch),
+    // and nothing may fall back to a cartesian/nested-loop product
+    val p = plan("dedup_media_onstate")
+    spark.catalog.clearCache()
+    assert("(?i)filescan parquet|scan parquet".r.findAllIn(p).nonEmpty, p)
+    assert(
+      "(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[band_idx"
+        .r.findAllIn(p).size >= 3, p) // one probe join per modality
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
 }
