@@ -1432,6 +1432,20 @@ object Curation {
     * [[corpusPipelineMultimodalOn]] memory discipline); the band merge
     * is an APPEND (production: new rows into the bucketed band table);
     * text cost is [[generationCycleOn]]'s per-stage shapes unchanged.
+    *
+    * STATE-GROWTH CONTRACT: append-only seen-ness means the band tables
+    * (like the text censuses) grow monotonically with everything ever
+    * crawled — by design, since forgetting re-opens the corpus to
+    * re-encoded re-uploads. The growth is hash rows (tens of bytes per
+    * keyframe/segment/image), i.e. orders of magnitude below the corpus
+    * itself, so at 100 TB the states are a bucketed table in the
+    * 10–100 GB class — cheap to keep forever. A deployment that still
+    * must bound them owns the policy trade explicitly: retiring band
+    * rows older than N generations re-admits content not seen since
+    * (a seen-ness TTL, the frontier analog of a crawler's re-visit
+    * policy) — that is a curation-policy decision, not an engine
+    * limitation, and it composes as a plain filter on the maintained
+    * table before the merge.
     */
   private[graft] def multimodalGenerationCycleOn(corpus0: DataFrame,
       batch1a: DataFrame, batch2a: DataFrame, benchmark: DataFrame,
