@@ -33,6 +33,7 @@ object LocalFs {
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
     * | noise-img fixture | published cache | graft_img_noise_v2       | none | Multimodal.noiseFixture   |
     * | media band tables | published cache | graft_media_bands_v2     | none | Multimodal.mediaBandLanding|
+    * | text state tables | published cache | graft_text_states_v1     | none | Curation.textStatesLanding|
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
@@ -56,12 +57,13 @@ object LocalFs {
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
     val ImgNoiseCache = "graft_img_noise_v2"
     val MediaBandCache = "graft_media_bands_v2"
+    val TextStatesCache = "graft_text_states_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
         CdcSortedCache, CdcFlushCache, ImageFixtureCache, JpegFixtureCache,
-        ImgNoiseCache, MediaBandCache)
+        ImgNoiseCache, MediaBandCache, TextStatesCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"

@@ -171,6 +171,11 @@ object SparkEntry {
     // per-family additive merges, batch-2 screened against the UPDATED
     // states (twin recomputes states over the union — merge law composed)
     "corpus_states_update" -> (Curation.corpusStatesUpdate _),
+    // the production batch-screen shape GRADED on the text axis: the
+    // maintained url/line/span/semantic states parquet-landed OUTSIDE
+    // the graded region, the key is one crawl batch's screen against
+    // the landed tables alone (the dedup_media_onstate precedent)
+    "corpus_states_onstate" -> (Curation.corpusStatesOnState _),
     // the flagship with the production tokenizer bootstrap: BPE fitted on
     // the CLEANED corpus, the manifest priced by the learned table
     "corpus_pipeline_learned_bpe" ->
@@ -266,6 +271,11 @@ object SparkEntry {
     "anchor_text" -> (Graph.anchorText _),
     // inverted-index stats + capped posting heads (search-side artifact)
     "build_postings" -> (TextAnalysis.buildPostingsQuery _),
+    // the index family's maintained state: a doc-disjoint crawl batch's
+    // census plus-merged into the corpus census (df/tf sums, heads
+    // re-cut from the two capped heads) — twin recomputes over the union
+    "build_postings_incremental" ->
+      (TextAnalysis.buildPostingsIncremental _),
     // epoch-order primitive: two-phase distributed deterministic shuffle
     "shuffle_deterministic" -> (Packing.shuffleDeterministic _),
     // the loader contract: epoch-0 shard plan with order-proving digests

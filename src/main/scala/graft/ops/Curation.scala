@@ -672,10 +672,13 @@ object Curation {
         .join(absorbed, Seq("doc_id"), "left_semi").count()
       require(overlap == 0L,
         s"mergeStates disjointness precondition violated: $overlap " +
-          "batch doc_ids are already absorbed into the maintained " +
-          "states — re-absorbing an overlapping batch double-counts " +
-          "the censuses; each crawl batch must be new documents " +
-          s"(guard enabled by $CheckDisjointConf)")
+          "batch doc_ids collide with the ID-BEARING maintained states " +
+          "(URL-census min holders, semantic member vec_ids — the only " +
+          "state columns that carry doc ids; the content-hash line/span " +
+          "censuses cannot be probed, so a clean guard pass is " +
+          "NECESSARY, not sufficient) — re-absorbing an overlapping " +
+          "batch double-counts the censuses; each crawl batch must be " +
+          s"new documents (guard enabled by $CheckDisjointConf)")
     }
     PipelineStates(
       st.urlCensus.unionByName(Web.urlCensus(br.unblocked))
@@ -900,6 +903,116 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
+  /** THE MAINTAINED TEXT STATE TABLES AS TABLES — the
+    * [[Multimodal.mediaBandLanding]] precedent applied to the TEXT axis
+    * (r18 verdict #2): the four pipeline states plus the append cursor,
+    * materialized ONCE per corpus as a write-once parquet landing
+    * (content-fingerprinted against documents AND embeddings —
+    * [[statesOf]]'s semantic members read both — atomically published).
+    * This is what "the corpus is never re-read" MEANS in production:
+    * the censuses are bucketed tables on durable storage that the day
+    * loop's merges append to, not frames a batch screen re-derives per
+    * run; [[corpusStatesOnState]] probes these. Layout:
+    *
+    *  - `url_census`:   (url_norm, n_variants, min_doc)
+    *  - `line_census`:  (lh, n_docs)
+    *  - `span_census`:  (gh, n_docs)
+    *  - `sem_members`:  (vec_id, unit, cell)
+    *  - `cursor`:       1 row (c_max_shard, c_n_docs)
+    */
+  private[graft] def textStatesLanding(spark: SparkSession,
+      sfDir: String): String = {
+    import java.io.File
+    val landing = graft.LocalFs.cachePath(
+      graft.LocalFs.Names.TextStatesCache, sfDir,
+      new File(s"$sfDir/documents.parquet"),
+      new File(s"$sfDir/embeddings.parquet"))
+    if (!new File(s"$landing/_SUCCESS").exists()) {
+      val tmp = s"$landing.tmp.${spark.sparkContext.applicationId}"
+      val docs0 = table(spark, sfDir, "documents")
+      val live = docs0
+        .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+      val corpus = live.filter(col("doc_id") % 2 === 0)
+      val benchmark = docs0
+        .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
+      val embeddings = table(spark, sfDir, "embeddings")
+      val scope = scopeFor(spark)
+      import scope.chk
+      val run = runPipeline(corpus, benchmark, embeddings, scope)
+      val cman = chk(run.manifest)
+      val st = statesOf(run, cman, embeddings)
+      Seq(
+        "url_census" -> st.urlCensus,
+        "line_census" -> st.lineCensus,
+        "span_census" -> st.spanCensus,
+        "sem_members" -> st.semMembers,
+        "cursor" -> st.cursor
+      ).foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$tmp/$name")
+      }
+      scope.release()
+      val marker = new File(tmp, "_SUCCESS")
+      require(marker.createNewFile() || marker.exists(),
+        s"could not create landing marker $marker")
+      graft.LocalFs.publishDir(new File(tmp), new File(landing),
+        destValid = () => new File(s"$landing/_SUCCESS").exists())
+    }
+    new File(landing).setLastModified(System.currentTimeMillis())
+    landing
+  }
+
+  /** `corpus_states_onstate` checked key — THE PRODUCTION BATCH-SCREEN
+    * SHAPE on the oracle board for the TEXT axis (the
+    * `dedup_media_onstate` precedent, r18 verdict #2): the maintained
+    * url/line/span/semantic states and the append cursor are
+    * parquet-landed OUTSIDE the graded region ([[textStatesLanding]])
+    * and the graded key is the BATCH SCREEN alone — one crawl batch
+    * (the odd parity) through [[runBatch]]'s incremental chain against
+    * the landed state tables, ending in its appended shard manifest.
+    * The graded cost is therefore what a production day actually pays:
+    * batch-sized chain work plus state probes that arrive as parquet
+    * scans (PlanSpec pins the leaves), with the corpus never re-read —
+    * the claim the incremental family's suite laws pin in-memory, here
+    * graded through a real storage round-trip.
+    *
+    * The DuckDB twin re-derives the states from the corpus populations
+    * and screens the same batch with independent SQL
+    * ([[batchChainCtes]] — the `corpus_pipeline_incremental` twin's
+    * batch half): hash equality proves the LANDED states probe exactly
+    * like the derived-state form. 10× slope is batch-bounded: the
+    * batch is FIXED to replica 0 (odd doc_ids < [[Multimodal
+    * .ReplicaBound]] — the `dedup_media_onstate` contract; a no-op at
+    * real scale factors, where every doc_id sits under the bound), the
+    * state parquet grows with the corpus but every probe is an
+    * equi-join keyed on the batch's own hash keys (AQE-broadcast /
+    * shuffle bounded by batch keys), and the landing build — the only
+    * corpus-sized term — is write-once, paid by the first run only.
+    */
+  def corpusStatesOnState(spark: SparkSession, sfDir: String): DataFrame = {
+    val landing = textStatesLanding(spark, sfDir)
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    val states = PipelineStates(
+      spark.read.parquet(s"$landing/url_census"),
+      spark.read.parquet(s"$landing/line_census"),
+      spark.read.parquet(s"$landing/span_census"),
+      spark.read.parquet(s"$landing/sem_members"),
+      spark.read.parquet(s"$landing/cursor"))
+    val scope = scopeFor(spark)
+    val br = runBatch(states,
+      live.filter(col("doc_id") % 2 === 1 &&
+        col("doc_id") < Multimodal.ReplicaBound),
+      docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
+      table(spark, sfDir, "embeddings"), scope)
+    val out = br.manifest.persist()
+    // the corpusPipelineOn materialize-then-release discipline (and its
+    // reliable-mode caveat) applies unchanged
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out.orderBy(col("shard_id"))
+  }
+
   /** THE LEARNED-TOKENIZER FLAGSHIP — [[corpusPipelineOn]] with the
     * production bootstrap order for a NEW tokenizer: clean first, then
     * FIT the tokenizer on the cleaned corpus and tokenize with it
@@ -1017,22 +1130,39 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
-  /** The generation-cycle composition's observable frames — the graded
-    * manifest plus the internal frames the suite pins the retirement
-    * contract on. The contract frames (everything but `manifest`) are
-    * persisted catalog entries ONLY under the suite overload
-    * (`materializeContract = true`, the default); the graded path passes
-    * false and the four frames are then INVALID after return (their
-    * checkpointed stage leaves are released with the scope) — ADVICE
-    * r17: the graded/bench run must not pay four extra materializations
-    * for frames only ExtensionsSpec reads.
+  /** The generation cycle's suite-pinned contract frames. Carried
+    * INSIDE the result ONLY when materialized (ADVICE r18: on the
+    * graded `materializeContract = false` path these frames would be
+    * invalid after return — their checkpointed stage leaves are
+    * released with the scope — so the result simply does not carry
+    * them; an invalid frame cannot escape to a caller).
     */
-  private[graft] final case class GenerationCycle(
-      manifest: DataFrame,  // gen-1 shards (phase 0) + day-3 shards (1)
+  private[graft] final case class CycleContract(
       shipped: DataFrame,   // (doc_id) the pre-compaction shipped world
       retained: DataFrame,  // (doc_id) the post-compaction gen-1 corpus
       urlCensus: DataFrame, // the CARRIED census batch-2 probes
       batchKept: DataFrame) // (doc_id, text) batch-2's clean output
+
+  /** The generation-cycle composition's observable frames — the graded
+    * manifest plus, under the suite overload (`materializeContract =
+    * true`, the default), the persisted contract frames the retirement
+    * pins read. The graded path passes false and carries NO contract
+    * (ADVICE r17: the graded/bench run must not pay four extra
+    * materializations for frames only ExtensionsSpec reads; ADVICE r18:
+    * the absent frames are now unrepresentable rather than invalid).
+    */
+  private[graft] final case class GenerationCycle(
+      manifest: DataFrame,  // gen-1 shards (phase 0) + day-3 shards (1)
+      contractOpt: Option[CycleContract]) {
+    /** The materialized contract frames; fails NAMED on the graded path
+      * instead of handing out released-checkpoint frames.
+      */
+    def contract: CycleContract = contractOpt.getOrElse(
+      throw new IllegalStateException(
+        "generation-cycle contract frames were not materialized " +
+          "(materializeContract = false — the graded path): only " +
+          ".manifest is valid on this result"))
+  }
 
   /** THE GENERATION CYCLE — the loop `corpus_compact` opened, closed:
     * proof that the incremental day loop CONTINUES past a compaction.
@@ -1132,7 +1262,10 @@ object Curation {
       }
     }
     scope.release()
-    GenerationCycle(out, shipped, retained, census, bkept)
+    GenerationCycle(out,
+      if (materializeContract)
+        Some(CycleContract(shipped, retained, census, bkept))
+      else None)
   }
 
   /** `corpus_generation_cycle`'s API form — the graded manifest. The
@@ -1377,18 +1510,33 @@ object Curation {
       .orderBy(col("shard_id"))
   }
 
-  /** The mixed generation cycle's observable frames — the graded
-    * manifest plus the frames the suite pins the MEDIA retirement
-    * contract on. The contract frames follow the [[GenerationCycle]]
-    * materialization rule: persisted catalog entries only under
-    * `materializeContract = true`; invalid after return otherwise.
+  /** The mixed cycle's suite-pinned contract frames — carried inside
+    * the result only when materialized (the [[CycleContract]] rule).
     */
-  private[graft] final case class MultimodalGenerationCycle(
-      manifest: DataFrame,   // gen-1 shards (phase 0) + day-3 shards (1)
+  private[graft] final case class MediaCycleContract(
       shipped: DataFrame,    // (doc_id) the pre-compaction shipped world
       retained: DataFrame,   // (doc_id) the post-compaction gen-1 corpus
       mediaDropB2: DataFrame, // (doc_id) day-3 media-screen drops
       batchKept: DataFrame)  // (doc_id, text) batch-2's clean output
+
+  /** The mixed generation cycle's observable frames — the graded
+    * manifest plus, under `materializeContract = true`, the persisted
+    * MEDIA retirement contract frames. The graded path carries NO
+    * contract ([[GenerationCycle]]'s ADVICE-r18 rule: absent, not
+    * invalid).
+    */
+  private[graft] final case class MultimodalGenerationCycle(
+      manifest: DataFrame,   // gen-1 shards (phase 0) + day-3 shards (1)
+      contractOpt: Option[MediaCycleContract]) {
+    /** The materialized contract frames; fails NAMED on the graded
+      * path instead of handing out released-checkpoint frames.
+      */
+    def contract: MediaCycleContract = contractOpt.getOrElse(
+      throw new IllegalStateException(
+        "multimodal generation-cycle contract frames were not " +
+          "materialized (materializeContract = false — the graded " +
+          "path): only .manifest is valid on this result"))
+  }
 
   /** THE MIXED-MODALITY GENERATION CYCLE — the r17 verdict's last
     * composition gap closed: [[generationCycleOn]] with the three MEDIA
@@ -1445,7 +1593,9 @@ object Curation {
     * (a seen-ness TTL, the frontier analog of a crawler's re-visit
     * policy) — that is a curation-policy decision, not an engine
     * limitation, and it composes as a plain filter on the maintained
-    * table before the merge.
+    * table before the merge: [[bandStateTtl]] is that filter made
+    * executable (r18 verdict #5), with the trade's visible cost — a
+    * TTL'd re-upload RE-ENTERS — pinned negatively in PropertiesSpec.
     */
   private[graft] def multimodalGenerationCycleOn(corpus0: DataFrame,
       batch1a: DataFrame, batch2a: DataFrame, benchmark: DataFrame,
@@ -1570,7 +1720,10 @@ object Curation {
       }
     }
     scope.release()
-    MultimodalGenerationCycle(out, shipped, retained, mmDropB2, bkept)
+    MultimodalGenerationCycle(out,
+      if (materializeContract)
+        Some(MediaCycleContract(shipped, retained, mmDropB2, bkept))
+      else None)
   }
 
   /** `corpus_multimodal_generation_cycle` checked key: the generation
@@ -1598,6 +1751,34 @@ object Curation {
       CompactHostCap, materializeContract = false)
       .manifest
       .orderBy(col("shard_id"))
+  }
+
+  /** SEEN-NESS TTL — the state-growth contract's bounding policy as an
+    * EXECUTABLE pre-merge filter (r18 verdict #5): retain only band
+    * rows absorbed within the last `ttlGenerations` generations, i.e.
+    * drop rows with `currentGen - gen >= ttlGenerations`. `state` is
+    * any maintained band table whose rows are stamped with the
+    * generation that absorbed them (`gen` — production stamps it on
+    * the merge's append side; the un-stamped graded keys keep seen-ness
+    * forever, the contract's default). The retained frame probes and
+    * merges exactly like the full table.
+    *
+    * THE TRADE IS THE POINT, not a side effect: content whose only
+    * band rows age out is no longer "seen", so a re-upload (including
+    * a re-encoded copy) RE-ENTERS the corpus — PropertiesSpec pins
+    * that re-entry negatively, so a deployment adopting the policy
+    * sees its cost in a test, not in production. At 100 TB the filter
+    * is a partition-prunable scan predicate when the band table is
+    * laid out by generation (`gen` as the append partition column).
+    */
+  private[graft] def bandStateTtl(state: DataFrame, currentGen: Long,
+      ttlGenerations: Long): DataFrame = {
+    require(ttlGenerations >= 1,
+      s"ttlGenerations must be >= 1, got $ttlGenerations")
+    require(state.columns.contains("gen"),
+      "bandStateTtl requires a generation-stamped band table " +
+        "(a 'gen' column: the generation that absorbed each row)")
+    state.filter(col("gen") > lit(currentGen) - lit(ttlGenerations))
   }
 
   /** The composed twin of [[corpusPipelineOn]] — ONE DuckDB statement
@@ -2061,6 +2242,30 @@ object Curation {
        |UNION ALL
        |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
        |  n_bpe_tokens, n_seqs, shard_digest, 1 AS is_batch FROM bman
+       |ORDER BY shard_id""".stripMargin
+  }
+
+  /** The twin of [[corpusStatesOnState]]: the even-parity corpus core
+    * re-derives the states the Spark side reads from the parquet
+    * landing, then the batch chain ([[batchChainCtes]], odd parity)
+    * screens against them — the `corpus_pipeline_incremental` twin's
+    * batch half alone. Hash equality proves the LANDED state tables
+    * probe exactly like the derived-state form through a real storage
+    * round-trip.
+    */
+  private def statesOnStateSql: String = {
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 1 AND " +
+        s"doc_id < ${Multimodal.ReplicaBound} AND text IS NOT NULL",
+        day1OracleStates) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest FROM bman
        |ORDER BY shard_id""".stripMargin
   }
 
@@ -2724,6 +2929,7 @@ object Curation {
     "corpus_multimodal_incremental" -> multimodalIncrementalSql,
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "corpus_states_update" -> statesUpdateSql,
+    "corpus_states_onstate" -> statesOnStateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,
     "corpus_compact" -> compactSql,
     "corpus_generation_cycle" -> generationCycleSql,

@@ -1946,18 +1946,37 @@ object Multimodal {
     landing
   }
 
+  /** ONE modality's corpus band table from the landing in the unified
+    * [[bandRowSchema]] — the PRUNED static side of the
+    * `stream_dedup_media` probe (SCALE.md r18: the landing is
+    * partitioned by modality, so a per-modality ingest stream scans
+    * ONLY its own maintained band table per trigger instead of the
+    * three-modality union — the static-scan term drops from
+    * triggers × full table to one pass over the table total).
+    */
+  private[graft] def mediaBandStaticFor(spark: SparkSession,
+      landing: String, modality: String): DataFrame = modality match {
+    case "video" => normBands(
+      spark.read.parquet(s"$landing/corpus/video"), "video",
+      Some("frame_idx"))
+    case "audio" => normBands(
+      spark.read.parquet(s"$landing/corpus/audio"), "audio",
+      Some("seg_idx"))
+    case "image" => normBands(
+      spark.read.parquet(s"$landing/corpus/image"), "image", None)
+    case other => throw new IllegalArgumentException(
+      s"unknown modality '$other' (expected video/audio/image)")
+  }
+
   /** The landing's corpus band tables in the unified [[bandRowSchema]]
-    * — the static side of the `stream_dedup_media` stream-static probe.
+    * — the three-modality union (suite comparisons; the streaming probe
+    * reads the per-modality sides via [[mediaBandStaticFor]]).
     */
   private[graft] def mediaBandStatic(spark: SparkSession,
       landing: String): DataFrame =
-    normBands(spark.read.parquet(s"$landing/corpus/video"), "video",
-      Some("frame_idx"))
-      .unionByName(normBands(
-        spark.read.parquet(s"$landing/corpus/audio"), "audio",
-        Some("seg_idx")))
-      .unionByName(normBands(
-        spark.read.parquet(s"$landing/corpus/image"), "image", None))
+    mediaBandStaticFor(spark, landing, "video")
+      .unionByName(mediaBandStaticFor(spark, landing, "audio"))
+      .unionByName(mediaBandStaticFor(spark, landing, "image"))
 
   /** `dedup_media_onstate` checked key — THE PRODUCTION PROBE SHAPE on
     * the oracle board (r17 verdict #3: the flat-probe claim graded, not

@@ -1301,6 +1301,85 @@ object TextAnalysis {
     buildPostings(table(spark, sfDir, "documents"), PostingsCap)
       .orderBy(col("token"))
 
+  /** The postings census over ONE population in its MERGEABLE form —
+    * [[buildPostings]]' stats + head with the head kept as a SORTED
+    * LONG ARRAY (the first `cap` doc ids), the representation the
+    * additive merge can re-cut without parsing strings. Same plan
+    * shape as [[buildPostings]]: the head cut is the map-side partial
+    * top-k window, stats aggregate with map-side partials.
+    */
+  private def postingsCensus(docs: DataFrame, cap: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val stats = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+    val heads = tok.select(col("token"), col("doc_id")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .groupBy(col("token"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("head_ids"))
+    stats.join(heads, Seq("token"))
+  }
+
+  /** THE POSTINGS MERGE — absorb a crawl batch's census into the
+    * maintained one by the family's additive laws (the `lineCensus`
+    * discipline applied to the search index, r18 verdict #4): over
+    * doc-disjoint populations df and tf are PLUS-MERGEABLE per token,
+    * and the posting head RE-CUTS from the two capped heads alone —
+    * firstCap(A ∪ B) ⊆ firstCap(A) ∪ firstCap(B) whenever each side's
+    * head is its population's first `cap`, so the merge never needs a
+    * posting list longer than 2·cap per token. PropertiesSpec pins
+    * merge == recompute-over-union.
+    *
+    * Scale shape: one equi-shuffle keyed on token over census-sized
+    * rows (vocab × ~2, not corpus tokens) — at 100 TB an append to the
+    * token-bucketed census table plus a sum/slice compaction over the
+    * batch's key overlap; the corpus token stream is never re-read.
+    */
+  private[graft] def mergePostings(state: DataFrame,
+      batchCensus: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    state.unionByName(batchCensus)
+      .groupBy(col("token"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tf")).as("tf"),
+        slice(array_sort(flatten(collect_list(col("head_ids")))), 1, cap)
+          .as("head_ids"))
+  }
+
+  /** The census rendered to [[buildPostings]]' graded surface. */
+  private def renderPostings(census: DataFrame): DataFrame =
+    census.select(col("token"), col("n_docs"), col("tf"),
+      array_join(col("head_ids"), ",").as("posting_head"))
+
+  /** The incremental index build: the maintained census absorbed a
+    * doc-disjoint batch ([[mergePostings]]) and rendered. INPUT
+    * CONTRACT: `corpus` and `batch` must be doc_id-disjoint (each crawl
+    * day is new documents) — the plus-merge double-counts under
+    * overlap, exactly like the curation censuses.
+    */
+  def buildPostingsIncrementalOn(corpus: DataFrame, batch: DataFrame,
+      cap: Int): DataFrame =
+    renderPostings(mergePostings(postingsCensus(corpus, cap),
+      postingsCensus(batch, cap), cap))
+
+  /** `build_postings_incremental` checked key: the family parity split
+    * (even = indexed corpus, odd = incoming crawl batch) absorbed at
+    * [[PostingsCap]]. The DuckDB twin recomputes the index DIRECTLY
+    * over the whole corpus (the union population), so hash equality is
+    * an independent proof of the merge law — a daily re-index pays
+    * batch tokenization + a census-sized merge, never a corpus re-scan.
+    */
+  def buildPostingsIncremental(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    buildPostingsIncrementalOn(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1), PostingsCap)
+      .orderBy(col("token"))
+  }
+
   /** Query count / result depth for [[searchLexical]]'s graded key. */
   val SearchQueries = 16
   val SearchTopK = 5
@@ -1443,6 +1522,59 @@ object TextAnalysis {
     searchBm25On(table(spark, sfDir, "documents"), SearchQueries,
       SearchTopK)
       .orderBy(col("query_id"), col("rnk"))
+
+  /** [[searchBm25On]] CONSUMING THE MAINTAINED POSTINGS CENSUS for df
+    * instead of recomputing it from the token stream — the serving-side
+    * consumer of `build_postings_incremental`'s merged stats (a daily
+    * re-index feeds retrieval through the census table; the query never
+    * aggregates corpus tokens for df). `census` is any
+    * (token, n_docs, …) frame whose n_docs is the corpus df —
+    * [[buildPostingsIncrementalOn]]'s output qualifies directly. The
+    * census frame is query-term-filtered THEN broadcast (vocab-sized →
+    * ≤ qn×3 rows), so the scoring plan is [[searchBm25On]]'s
+    * broadcast shape with one corpus aggregate removed. Identical
+    * output by construction (census df == corpus df for every token a
+    * query can contain); PropertiesSpec pins the equality over a
+    * MERGED census.
+    */
+  private[graft] def searchBm25FromStats(census: DataFrame,
+      docs: DataFrame, qn: Int, k: Int): DataFrame = {
+    require(qn >= 1 && k >= 1, s"qn/k must be >= 1, got $qn/$k")
+    val d = docs.filter(col("text").isNotNull)
+    val dl = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("dl"))
+    val stats = dl.agg(sum(col("dl")).as("s_total"),
+      count(lit(1)).as("n_total"))
+    val qtok = d.orderBy(col("doc_id")).limit(qn)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("token"))
+      .distinct()
+    val tok = d.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    // the one structural change vs searchBm25On: df arrives from the
+    // maintained census, not a corpus token aggregate
+    val qwt = qtok
+      .join(census.select(col("token"), col("n_docs").as("df")),
+        Seq("token"))
+      .withColumn("wt", expr("CAST(1000000 AS BIGINT) div df"))
+      .select(col("query_id"), col("token"), col("wt"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    tok.join(broadcast(qwt), Seq("token"))
+      .groupBy(col("query_id"), col("doc_id"), col("token"), col("wt"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", expr(
+        "(wt * tf * 22 * s_total) div " +
+          "(10 * s_total * tf + 3 * s_total + 9 * dl * n_total)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+      .filter(col("score") > 0)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
 
   /** Frozen thresholds of the GOPHER QUALITY GATE (Rae et al. 2021,
     * "Scaling Language Models: Methods, Analysis & Insights from Training
@@ -1774,6 +1906,33 @@ object TextAnalysis {
        |    CROSS JOIN st
        |  GROUP BY tf.query_id, tf.doc_id)""".stripMargin
 
+  /** The inverted-index twin — shared verbatim by `build_postings`
+    * (direct) and `build_postings_incremental` (whose merged census
+    * must equal exactly this direct recompute over the union corpus).
+    */
+  private def postingsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |stats AS (
+       |  SELECT token,
+       |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tok GROUP BY token),
+       |h AS (
+       |  SELECT token, doc_id FROM (SELECT DISTINCT token, doc_id
+       |                             FROM tok) t
+       |  QUALIFY row_number() OVER (PARTITION BY token
+       |                             ORDER BY doc_id) <= $PostingsCap),
+       |heads AS (
+       |  SELECT token,
+       |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |      AS posting_head
+       |  FROM h GROUP BY token)
+       |SELECT s.token, s.n_docs, s.tf, h.posting_head
+       |FROM stats s JOIN heads h USING (token)
+       |ORDER BY s.token""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // same frozen-scorer recompute as quality_score_lm (bucket
     // membership re-derived from the generating rule), the identical
@@ -1831,28 +1990,12 @@ object TextAnalysis {
          |SELECT query_id, doc_id, score, rnk FROM r
          |WHERE rnk <= $SearchTopK
          |ORDER BY query_id, rnk""".stripMargin),
-    "build_postings" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |  FROM documents),
-         |stats AS (
-         |  SELECT token,
-         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM tok GROUP BY token),
-         |h AS (
-         |  SELECT token, doc_id FROM (SELECT DISTINCT token, doc_id
-         |                             FROM tok) t
-         |  QUALIFY row_number() OVER (PARTITION BY token
-         |                             ORDER BY doc_id) <= $PostingsCap),
-         |heads AS (
-         |  SELECT token,
-         |    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
-         |      AS posting_head
-         |  FROM h GROUP BY token)
-         |SELECT s.token, s.n_docs, s.tf, h.posting_head
-         |FROM stats s JOIN heads h USING (token)
-         |ORDER BY s.token""".stripMargin,
+    "build_postings" -> postingsSql,
+    // the merged census must equal the DIRECT index over the whole
+    // corpus: the parity split is doc-disjoint and even ∪ odd = all
+    // documents, so the recompute-over-union twin IS the build_postings
+    // formulation — hash equality grades the merge law independently
+    "build_postings_incremental" -> postingsSql,
     // full twin: query regeneration, query-term-only df, the identical
     // truncating idf surrogate (`//` == `div` on non-negative BIGINTs),
     // occurrence-summed scores, (score DESC, doc_id) top-k

@@ -1335,10 +1335,15 @@ object Streams {
     * COMPLETENESS CONTRACT: a (modality, doc)'s band rows arrive within
     * ONE micro-batch — the landing writes one file per modality and the
     * paced source takes one file per trigger — so each group emits its
-    * verdict exactly once, in the micro-batch that carried its file
-    * (state itself stays empty; the `stream_dedup` bounded-backfill
-    * honesty note applies: a production tail keying docs across files
-    * would hold per-doc state under an arrival-completeness watermark).
+    * verdict exactly once, in the micro-batch that carried its file.
+    * ENFORCED (ADVICE r18): the fold records emission in its GroupState,
+    * so a group whose rows straddle micro-batches (a landing with more
+    * than one file per modality, or a source that splits a file) FAILS
+    * NAMED on re-arrival instead of silently emitting duplicate/partial
+    * verdicts — the `stream_dedup` bounded-backfill honesty note
+    * applies: a production tail keying docs across files would hold
+    * per-doc unit state under an arrival-completeness watermark and
+    * merge here instead of failing.
     */
   def mediaProbeStream(stream: DataFrame,
       corpusBands: DataFrame): Dataset[MediaVerdictOut] = {
@@ -1359,9 +1364,21 @@ object Streams {
       .as[BandProbeRow]
     joined
       .groupByKey(r => (r.modality, r.doc_id))
-      .flatMapGroupsWithState[Long, MediaVerdictOut](
+      .flatMapGroupsWithState[Boolean, MediaVerdictOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case ((modality, docId), rows, _: GroupState[Long]) =>
+        case ((modality, docId), rows, state: GroupState[Boolean]) =>
+          // the emitted-keys record: a verdict for this group already
+          // left in an earlier micro-batch, so the single-micro-batch
+          // completeness contract is violated — fail loudly instead of
+          // emitting a silently wrong duplicate/partial verdict
+          if (state.exists) throw new IllegalStateException(
+            s"mediaProbeStream completeness contract violated: " +
+              s"(modality=$modality, doc_id=$docId) band rows arrived " +
+              "in more than one micro-batch — the landing must hold one " +
+              "file per modality and the source one file per trigger; " +
+              "a multi-file tail needs per-doc unit state under an " +
+              "arrival-completeness watermark")
+          state.update(true)
           // a unit is hit iff ANY of its band rows matched; units with
           // no corpus match arrive as hit=false rows (left join), so
           // n_units counts the full spine
@@ -1382,19 +1399,35 @@ object Streams {
   }
 
   /** `stream_dedup_media` checked key: the batch band landing replayed
-    * file-per-trigger (three real micro-batches, one per modality)
-    * through [[mediaProbeStream]] to completion. StreamingSpec pins the
-    * emitted verdicts row-equal to the batch OnState probe's
-    * corpus-verdict projection; the DuckDB twin recomputes every verdict
-    * from the planting rules.
+    * through [[mediaProbeStream]] to completion as THREE PER-MODALITY
+    * ingest streams (the production shape: video/audio/image ingest are
+    * separate pipelines), each a real micro-batch carrying exactly one
+    * modality's landed file and each joining ONLY its modality's
+    * maintained corpus band table ([[graft.ops.Multimodal
+    * .mediaBandStaticFor]] — the landing is partitioned by modality, so
+    * the static side PRUNES per stream instead of re-scanning the
+    * three-modality union every trigger; SCALE.md's r18 2.0× slope term
+    * was exactly that re-scan: triggers × full table, now one pass over
+    * the table total). StreamingSpec pins the emitted verdicts row-equal
+    * to the batch OnState probe's corpus-verdict projection; the DuckDB
+    * twin recomputes every verdict from the planting rules.
     */
   def streamDedupMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Multimodal
     val landing = Multimodal.mediaBandLanding(spark, sfDir)
-    val stream = spark.readStream.schema(Multimodal.bandRowSchema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$landing/batch")
-    replayToFeed(spark,
-      mediaProbeStream(stream, Multimodal.mediaBandStatic(spark, landing)))
+    // the landing's batch side writes b00_video / b01_audio / b02_image
+    // (ascending mtimes); each per-modality stream tails its own file
+    // (glob, not the literal file path — the file source needs a
+    // directory basePath)
+    Seq("video", "audio", "image")
+      .map { modality =>
+        val stream = spark.readStream.schema(Multimodal.bandRowSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$landing/batch/b*_$modality.parquet")
+        replayToFeed(spark, mediaProbeStream(stream,
+          Multimodal.mediaBandStaticFor(spark, landing, modality)))
+      }
+      .reduce(_ unionByName _)
       .orderBy(col("modality"), col("doc_id"))
   }
 

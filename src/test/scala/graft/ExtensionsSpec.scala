@@ -930,9 +930,10 @@ class ExtensionsSpec extends SparkSpec {
       Tables.table(spark, sf, "embeddings"),
       Curation.CompactHostCap)
     try {
-      val shipped = parts.shipped.collect().map(_.getLong(0)).toSet
-      val retained = parts.retained.collect().map(_.getLong(0)).toSet
-      val keptB2 = parts.batchKept.select(col("doc_id")).collect()
+      val c = parts.contract
+      val shipped = c.shipped.collect().map(_.getLong(0)).toSet
+      val retained = c.retained.collect().map(_.getLong(0)).toSet
+      val keptB2 = c.batchKept.select(col("doc_id")).collect()
         .map(_.getLong(0)).toSet
       assert(retained.subsetOf(shipped))
       assert(retained.size < shipped.size,
@@ -942,7 +943,7 @@ class ExtensionsSpec extends SparkSpec {
       // split by the census holder's fate
       val b2seen = Web.urlNormalizeOn(Web.urlStructured(batch2))
         .select(col("doc_id"), col("url_norm"))
-        .join(parts.urlCensus.select(col("url_norm"), col("min_doc")),
+        .join(c.urlCensus.select(col("url_norm"), col("min_doc")),
           Seq("url_norm"))
         .select(col("doc_id"), col("min_doc"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -989,10 +990,11 @@ class ExtensionsSpec extends SparkSpec {
       Tables.table(spark, sf, "embeddings"),
       Curation.CompactHostCap, materializeContract = true)
     try {
-      val shipped = parts.shipped.collect().map(_.getLong(0)).toSet
-      val retained = parts.retained.collect().map(_.getLong(0)).toSet
-      val dropB2 = parts.mediaDropB2.collect().map(_.getLong(0)).toSet
-      val keptB2 = parts.batchKept.select(col("doc_id")).collect()
+      val c = parts.contract
+      val shipped = c.shipped.collect().map(_.getLong(0)).toSet
+      val retained = c.retained.collect().map(_.getLong(0)).toSet
+      val dropB2 = c.mediaDropB2.collect().map(_.getLong(0)).toSet
+      val keptB2 = c.batchKept.select(col("doc_id")).collect()
         .map(_.getLong(0)).toSet
       assert(retained.subsetOf(shipped))
       assert(retained.size < shipped.size,

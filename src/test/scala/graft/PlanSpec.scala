@@ -675,4 +675,49 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("corpus_states_onstate probes the parquet-landed text states " +
+      "with keyed equi-joins, never cartesian") {
+    // the graded key's stage boundaries are eager checkpoints, so the
+    // final manifest plan cannot show the state leaves — pin each state
+    // PROBE's plan over the same landed tables the key reads (the
+    // dedup_media_onstate template on the text axis): the maintained
+    // census must arrive as a parquet SCAN (a table, not an in-key
+    // re-derivation) and the probe must key on the census hash column
+    import graft.ops.{Curation, Dedup, Web}
+    import org.apache.spark.sql.functions.col
+    val landing = Curation.textStatesLanding(spark, sf)
+    val docs = Tables.table(spark, sf, "documents")
+    val batch = docs
+      .filter(col("doc_id") >= 20 && col("text").isNotNull &&
+        col("doc_id") % 2 === 1)
+    def pinProbe(p: String, key: String): Unit = {
+      assert("(?i)filescan parquet|scan parquet".r.findAllIn(p).nonEmpty,
+        s"state did not arrive as a parquet scan:\n$p")
+      assert(
+        s"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[$key"
+          .r.findAllIn(p).nonEmpty ||
+          s"(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin)(\\(\\d+\\))? \\[$key"
+            .r.findAllIn(p).nonEmpty,
+        s"probe is not an equi-join on $key:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoop"), p)
+    }
+    // frontier screen vs the landed URL census (keyed on url_norm)
+    pinProbe(Web.dedupUrlIncrementalOn(
+        spark.read.parquet(s"$landing/url_census"),
+        Web.urlStructured(batch))
+      .queryExecution.executedPlan.toString, "url_norm")
+    // line screen vs the landed line census (keyed on lh)
+    pinProbe(Dedup.dedupLinesIncrementalOn(
+        spark.read.parquet(s"$landing/line_census"),
+        batch.select(col("doc_id"), col("text")), 2L)
+      .queryExecution.executedPlan.toString, "lh")
+    // span screen vs the landed span census (keyed on gh)
+    pinProbe(Dedup.dedupSpansStripIncrementalOn(
+        spark.read.parquet(s"$landing/span_census"),
+        batch.select(col("doc_id"), col("text")), Dedup.SpanGram)
+      .queryExecution.executedPlan.toString, "gh")
+    spark.catalog.clearCache()
+  }
+
 }

@@ -1185,4 +1185,89 @@ class PropertiesSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("postings census: merge equals recompute-over-union, heads are " +
+      "genuinely re-cut, and the merged stats serve BM25 identically") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.table(spark, sf, "documents")
+    // a split DIFFERENT from the graded key's parity (the law must hold
+    // for any doc-disjoint split, not the one the twin grades)
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+    val merged = TextAnalysis.buildPostingsIncrementalOn(a, b,
+      TextAnalysis.PostingsCap)
+    val got = merged.collect().map(_.toSeq).toSet
+    val want = TextAnalysis
+      .buildPostings(docs, TextAnalysis.PostingsCap)
+      .collect().map(_.toSeq).toSet
+    assert(got == want, "postings merge drifted from recompute-over-union")
+    assert(got.nonEmpty)
+    // non-vacuous: some token's merged head differs from BOTH sides'
+    // own heads — the re-cut (not a concat) is what the law grades
+    def headsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+      TextAnalysis.buildPostings(df, TextAnalysis.PostingsCap)
+        .select(col("token"), col("posting_head"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val (ha, hb) = (headsOf(a), headsOf(b))
+    val mh = merged.select(col("token"), col("posting_head"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(mh.exists { case (t, h) =>
+      ha.get(t).exists(_ != h) && hb.get(t).exists(_ != h)
+    }, "no token's head was re-cut across the split — the pin is vacuous")
+    // the serving side: BM25 over the MERGED census's df equals the
+    // self-contained scorer (the maintained index feeds retrieval
+    // without a corpus df aggregate)
+    val served = TextAnalysis.searchBm25FromStats(merged, docs,
+        TextAnalysis.SearchQueries, TextAnalysis.SearchTopK)
+      .collect().map(_.toSeq).toSet
+    val direct = TextAnalysis.searchBm25On(docs,
+        TextAnalysis.SearchQueries, TextAnalysis.SearchTopK)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct && served.nonEmpty,
+      "BM25 over the merged census drifted from the self-contained scorer")
+    spark.catalog.clearCache()
+  }
+
+  test("bandStateTtl: an in-window TTL keeps screening, an expired TTL " +
+      "re-admits a re-upload (the visible policy trade), and the guards " +
+      "fail named") {
+    import graft.ops.{Curation, Multimodal}
+    val imgs = Multimodal.pairImages(
+      Tables.table(spark, sf, "documents")
+        .select(col("doc_id")).limit(64)).persist()
+    try {
+      val corpus = imgs.filter(col("doc_id") % 2 === 0)
+      val batch = imgs.filter(col("doc_id") % 2 === 1)
+      // the maintained band table, generation-stamped at absorption
+      val state = Multimodal.imageBandState(corpus)
+        .withColumn("gen", lit(0L))
+      def corpusDups(st: org.apache.spark.sql.DataFrame): Set[Long] =
+        Multimodal.dedupImageDocsIncrementalOnState(
+            st.drop("gen"), batch, 3L)
+          .filter(col("is_dup_corpus")).select(col("doc_id"))
+          .collect().map(_.getLong(0)).toSet
+      val full = corpusDups(state)
+      assert(full.nonEmpty, "no planted corpus image dups — vacuous")
+      // in-window: gen-0 rows survive a 2-generation TTL at gen 1 —
+      // the filtered table screens exactly like the full one
+      assert(corpusDups(Curation.bandStateTtl(state, 1L, 2L)) == full,
+        "an in-window TTL changed the screen")
+      // expired: at gen 2 the gen-0 rows age out — the SAME re-uploads
+      // RE-ENTER (the state-growth contract's documented trade, visible)
+      assert(corpusDups(Curation.bandStateTtl(state, 2L, 2L)).isEmpty,
+        "a TTL'd re-upload stayed screened — the trade is invisible")
+      // guards fail named
+      val g1 = intercept[IllegalArgumentException] {
+        Curation.bandStateTtl(state, 1L, 0L)
+      }
+      assert(g1.getMessage.contains("ttlGenerations"))
+      val g2 = intercept[IllegalArgumentException] {
+        Curation.bandStateTtl(state.drop("gen"), 1L, 1L)
+      }
+      assert(g2.getMessage.contains("gen"))
+    } finally {
+      imgs.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
 }

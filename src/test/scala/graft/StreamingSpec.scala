@@ -135,6 +135,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mediaProbeStream fails NAMED when a doc's band rows straddle " +
+      "micro-batches (the recorded-emission guard, ADVICE r18)") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Multimodal
+    import spark.implicits._
+    // two parquet files carrying band rows for the SAME (modality, doc):
+    // file-per-trigger replays them as two micro-batches, violating the
+    // single-micro-batch completeness contract — the GroupState
+    // emitted-record must surface it loudly, not emit a partial verdict
+    val dir = Files.createTempDirectory("graft_mps_split").toString
+    def bandRows(unit: Long) =
+      Seq(("image", 7L, unit, 123L, 0, 99L))
+        .toDF("modality", "doc_id", "unit_idx", "dhash", "band_idx",
+          "band_val")
+    bandRows(0L).write.mode("append").parquet(dir)
+    bandRows(1L).write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(Multimodal.bandRowSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams
+      .mediaProbeStream(stream, bandRows(0L).filter(lit(false)))
+      .writeStream.format("memory").queryName("mps_split")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val err = intercept[
+      org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("completeness contract violated"),
+      s"expected the named contract failure, got:\n$chain")
+  }
+
   test("streaming windowed counts equal the batch aggregation over the corpus") {
     import org.apache.spark.sql.functions._
     // the harness events table replayed as landing files must produce
