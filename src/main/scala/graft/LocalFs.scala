@@ -32,7 +32,7 @@ object LocalFs {
     * | CDC flush landing | published cache | graft_cdc_flush_v1       | none | Streams.landedEventsFlush |
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
     * | noise-img fixture | published cache | graft_img_noise_v2       | none | Multimodal.noiseFixture   |
-    * | media band tables | published cache | graft_media_bands_v2     | none | Multimodal.mediaBandLanding|
+    * | media band tables | published cache | graft_media_bands_v3     | none | Multimodal.mediaBandLanding|
     * | text state tables | published cache | graft_text_states_v1     | none | Curation.textStatesLanding|
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
@@ -56,7 +56,10 @@ object LocalFs {
     val ImageFixtureCache = "graft_img_fixture_v1"
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
     val ImgNoiseCache = "graft_img_noise_v2"
-    val MediaBandCache = "graft_media_bands_v2"
+    // v3: corpus sides are BUCKETED tables (8 buckets on band_idx,
+    // band_val, sortBy same) so the streaming probe's static side joins
+    // with zero Exchange and zero Sort — bump on ANY layout change
+    val MediaBandCache = "graft_media_bands_v3"
     val TextStatesCache = "graft_text_states_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */

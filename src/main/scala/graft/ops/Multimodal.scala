@@ -1895,17 +1895,35 @@ object Multimodal {
       val corpus = docs.filter(col("doc_id") % 2 === 0)
       val batch = docs
         .filter(col("doc_id") % 2 === 1 && col("doc_id") < ReplicaBound)
+      // the corpus sides are BUCKETED tables on the probe keys (v3 —
+      // SCALE.md r18's named fix: 8 buckets on (band_idx, band_val),
+      // sortBy the same, via a throwaway external stage table whose
+      // files land in the tmp dir — the bucketedJoin write-once
+      // discipline), so every probe joins the maintained table with
+      // ZERO Exchange and ZERO Sort on the corpus side; the files stay
+      // plain parquet, so schema-only readers (the batch OnState
+      // probes) read the same paths unchanged
+      def writeBucketed(df: DataFrame, modality: String): Unit = {
+        val stage = s"graft_media_bands_stage_$modality"
+        spark.sql(s"DROP TABLE IF EXISTS $stage")
+        df.write.mode("overwrite")
+          .option("path", s"$tmp/corpus/$modality")
+          .bucketBy(8, "band_idx", "band_val")
+          .sortBy("band_idx", "band_val")
+          .saveAsTable(stage)
+        spark.sql(s"DROP TABLE $stage")
+      }
       // serial ladders, plants released — the corpusPipelineMultimodalOn
       // memory discipline (the video plant feeds cut detection + the
       // keyframe slice; audio/image plants have single consumers)
       val vids = videoStructured(corpus).persist()
-      videoBandState(vids, CutFrameBytes, CutThresholdMilli)
-        .write.mode("overwrite").parquet(s"$tmp/corpus/video")
+      writeBucketed(
+        videoBandState(vids, CutFrameBytes, CutThresholdMilli), "video")
       vids.unpersist(blocking = false)
-      audioBandState(audioStructured(corpus), AudioFpWin, AudioSegWin)
-        .write.mode("overwrite").parquet(s"$tmp/corpus/audio")
-      imageBandState(pairImages(corpus))
-        .write.mode("overwrite").parquet(s"$tmp/corpus/image")
+      writeBucketed(
+        audioBandState(audioStructured(corpus), AudioFpWin, AudioSegWin),
+        "audio")
+      writeBucketed(imageBandState(pairImages(corpus)), "image")
       // the batch side: one file per modality, mtimes ascending so a
       // paced file stream replays modality-by-modality (coalesce(1) is
       // harness landing plumbing, not an operator plan)
@@ -1946,37 +1964,36 @@ object Multimodal {
     landing
   }
 
-  /** ONE modality's corpus band table from the landing in the unified
-    * [[bandRowSchema]] — the PRUNED static side of the
-    * `stream_dedup_media` probe (SCALE.md r18: the landing is
+  /** ONE modality's corpus band table from the landing AS THE BUCKETED
+    * CATALOG TABLE — the PRUNED static side of the `stream_dedup_media`
+    * probe (SCALE.md r18's named fix, both halves): the landing is
     * partitioned by modality, so a per-modality ingest stream scans
-    * ONLY its own maintained band table per trigger instead of the
-    * three-modality union — the static-scan term drops from
-    * triggers × full table to one pass over the table total).
+    * ONLY its own maintained band table (the static-scan term drops
+    * from triggers × full three-modality union to one pass over the
+    * table total), and the files are registered metadata-only as a
+    * table CLUSTERED/SORTED BY (band_idx, band_val) INTO 8 BUCKETS (the
+    * `bucketed_join` re-registration discipline), so the probe's
+    * sort-merge join needs NO Exchange and NO Sort on the corpus side —
+    * only the batch-sized stream side shuffles. Raw per-modality
+    * schema; callers project the probe columns WITHOUT casting
+    * band_idx/band_val (a cast mints new attributes and discards the
+    * bucket distribution).
     */
-  private[graft] def mediaBandStaticFor(spark: SparkSession,
-      landing: String, modality: String): DataFrame = modality match {
-    case "video" => normBands(
-      spark.read.parquet(s"$landing/corpus/video"), "video",
-      Some("frame_idx"))
-    case "audio" => normBands(
-      spark.read.parquet(s"$landing/corpus/audio"), "audio",
-      Some("seg_idx"))
-    case "image" => normBands(
-      spark.read.parquet(s"$landing/corpus/image"), "image", None)
-    case other => throw new IllegalArgumentException(
-      s"unknown modality '$other' (expected video/audio/image)")
+  private[graft] def mediaBandCorpusBucketed(spark: SparkSession,
+      landing: String, modality: String): DataFrame = {
+    require(Seq("video", "audio", "image").contains(modality),
+      s"unknown modality '$modality' (expected video/audio/image)")
+    val path = s"$landing/corpus/$modality"
+    val tbl = s"graft_media_bands_$modality"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val schemaDdl = spark.read.parquet(path).schema.toDDL
+    spark.sql(
+      s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
+         |CLUSTERED BY (band_idx, band_val)
+         |SORTED BY (band_idx, band_val) INTO 8 BUCKETS
+         |LOCATION '$path'""".stripMargin)
+    spark.table(tbl)
   }
-
-  /** The landing's corpus band tables in the unified [[bandRowSchema]]
-    * — the three-modality union (suite comparisons; the streaming probe
-    * reads the per-modality sides via [[mediaBandStaticFor]]).
-    */
-  private[graft] def mediaBandStatic(spark: SparkSession,
-      landing: String): DataFrame =
-    mediaBandStaticFor(spark, landing, "video")
-      .unionByName(mediaBandStaticFor(spark, landing, "audio"))
-      .unionByName(mediaBandStaticFor(spark, landing, "image"))
 
   /** `dedup_media_onstate` checked key — THE PRODUCTION PROBE SHAPE on
     * the oracle board (r17 verdict #3: the flat-probe claim graded, not

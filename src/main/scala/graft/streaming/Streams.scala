@@ -1350,10 +1350,16 @@ object Streams {
     import graft.ops.Multimodal
     val spark2 = stream.sparkSession
     import spark2.implicits._
+    // ONE modality per probe (the per-modality ingest-pipeline shape),
+    // so the join keys are exactly the static table's bucket columns
+    // (band_idx, band_val) — the corpus side arrives pre-clustered and
+    // pre-sorted (mediaBandCorpusBucketed) and the SMJ adds no Exchange
+    // and no Sort to it; the projection below must NOT cast the key
+    // columns (a cast would discard the bucket distribution)
     val joined = stream.join(
-        corpusBands.select(col("modality"), col("band_idx"),
-          col("band_val"), col("dhash").as("dh_c")),
-        Seq("modality", "band_idx", "band_val"), "left_outer")
+        corpusBands.select(col("band_idx"), col("band_val"),
+          col("dhash").as("dh_c")),
+        Seq("band_idx", "band_val"), "left_outer")
       .withColumn("ham_max",
         when(col("modality") === "video", lit(Multimodal.VideoHamMax))
           .when(col("modality") === "audio", lit(Multimodal.AudioHamMax))
@@ -1403,14 +1409,16 @@ object Streams {
     * ingest streams (the production shape: video/audio/image ingest are
     * separate pipelines), each a real micro-batch carrying exactly one
     * modality's landed file and each joining ONLY its modality's
-    * maintained corpus band table ([[graft.ops.Multimodal
-    * .mediaBandStaticFor]] — the landing is partitioned by modality, so
-    * the static side PRUNES per stream instead of re-scanning the
-    * three-modality union every trigger; SCALE.md's r18 2.0× slope term
-    * was exactly that re-scan: triggers × full table, now one pass over
-    * the table total). StreamingSpec pins the emitted verdicts row-equal
-    * to the batch OnState probe's corpus-verdict projection; the DuckDB
-    * twin recomputes every verdict from the planting rules.
+    * maintained corpus band table as the BUCKETED catalog table
+    * ([[graft.ops.Multimodal.mediaBandCorpusBucketed]] — SCALE.md r18's
+    * named fix, both halves: the modality partition prunes the static
+    * scan from triggers × the three-modality union to one pass over the
+    * table total, and the (band_idx, band_val) bucketing + sortBy
+    * removes the static side's Exchange AND Sort from the probe join,
+    * leaving only the batch-sized stream side to shuffle). StreamingSpec
+    * pins the emitted verdicts row-equal to the batch OnState probe's
+    * corpus-verdict projection; the DuckDB twin recomputes every verdict
+    * from the planting rules.
     */
   def streamDedupMediaQuery(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.Multimodal
@@ -1425,7 +1433,7 @@ object Streams {
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$landing/batch/b*_$modality.parquet")
         replayToFeed(spark, mediaProbeStream(stream,
-          Multimodal.mediaBandStaticFor(spark, landing, modality)))
+          Multimodal.mediaBandCorpusBucketed(spark, landing, modality)))
       }
       .reduce(_ unionByName _)
       .orderBy(col("modality"), col("doc_id"))
