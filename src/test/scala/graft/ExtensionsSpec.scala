@@ -335,6 +335,52 @@ class ExtensionsSpec extends SparkSpec {
       .filter(col("blocked") === 0).count() > 0)
   }
 
+  test("idnHostsToAscii: unicode hosts convert to punycode against " +
+      "JDK-computed fixtures, ASCII/port/path/query pass through " +
+      "untouched, the adapter is idempotent, and it fronts the " +
+      "canonicalizer chain cleanly") {
+    import graft.ops.Web
+    import spark.implicits._
+    val feed = Seq(
+      (1L, "https://münchen.example/docs/a?q=ü#f"), // unicode host; q/frag kept
+      (2L, "http://bücher.de:8080/x"),              // port preserved
+      (3L, "https://example.com./docs/a"),          // ASCII + FQDN dot: identity
+      (4L, "//пример.example/p"),                   // protocol-relative
+      (5L, "münchen.de/bare"),                      // scheme-less
+      (6L, "https://example.com/docs/münchen"))     // unicode PATH untouched
+      .toDF("doc_id", "url")
+    val got = Web.idnHostsToAscii(feed).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // JDK-computed fixtures (the adapter must agree with the platform
+    // IDNA it wraps) + one well-known ACE anchor
+    assert(got(1L) ==
+      s"https://${java.net.IDN.toASCII("münchen.example")}/docs/a?q=ü#f")
+    assert(got(2L) == "http://xn--bcher-kva.de:8080/x") // known ACE form
+    assert(got(3L) == "https://example.com./docs/a",
+      "ASCII host must take the identity path (IDNA would reject the FQDN dot)")
+    assert(got(4L) ==
+      s"//${java.net.IDN.toASCII("пример.example")}/p")
+    assert(got(5L) == s"${java.net.IDN.toASCII("münchen.de")}/bare")
+    assert(got(6L) == "https://example.com/docs/münchen",
+      "a unicode PATH is data, not authority — must pass through")
+    // idempotence: punycode hosts are ASCII → identity on re-application
+    val twice = Web.idnHostsToAscii(Web.idnHostsToAscii(feed)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(twice == got, "adapter is not idempotent")
+    // composition: the converted feed runs the pre-normalizer →
+    // canonicalizer chain and every url_norm host is pure ASCII
+    val normed = Web.urlNormalizeOn(
+      Web.urlPrenormalizeOn(Web.idnHostsToAscii(feed))
+        .select(col("doc_id"), col("url_pre").as("url")))
+      .select(col("url_norm")).collect().map(_.getString(0))
+    assert(normed.length == 6)
+    normed.foreach { u =>
+      val host = u.replaceFirst("^[a-z][a-z0-9+.-]*://", "")
+        .takeWhile(c => c != '/' && c != '?' && c != '#')
+      assert(host.forall(_ < 128), s"canonical host not ASCII: $u")
+    }
+  }
+
   test("dedup_url_incremental: census is additive, the screen equals the" +
       " recompute-over-union, and both dup branches populate") {
     import graft.ops.Web
