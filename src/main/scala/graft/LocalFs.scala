@@ -37,6 +37,7 @@ object LocalFs {
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
+    * | state-absorb work | session dir     | graft_states_absorb_     | 1h   | Curation.corpusStatesAbsorbOnState |
     *
     * Published caches (`<prefix><sfTag>_<fp>`, `_SUCCESS`-guarded) have no
     * TTL: they are deleted only by [[cachePath]]'s superseded-fingerprint
@@ -72,10 +73,11 @@ object LocalFs {
     val SinkParquet = "graft_sink_parquet_"
     val SinkJsonl = "graft_sink_jsonl_"
     val CdcReplay = "graft_cdcrun_"
+    val StatesAbsorb = "graft_states_absorb_"
 
     /** Prefixes handed to [[sweepAged]] for session-scoped work dirs. */
     val sweptPrefixes: Seq[String] =
-      Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay)
+      Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay, StatesAbsorb)
 
     /** True iff sweeping `sweepPrefix` could delete a directory published
       * under `cachePrefix`. A published name is `<cachePrefix><sfTag>_<fp>`

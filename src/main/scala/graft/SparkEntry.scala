@@ -176,6 +176,12 @@ object SparkEntry {
     // the graded region, the key is one crawl batch's screen against
     // the landed tables alone (the dedup_media_onstate precedent)
     "corpus_states_onstate" -> (Curation.corpusStatesOnState _),
+    // the day loop ON STORAGE: batch-1 screened against the landed
+    // states, its census deltas APPENDED as parquet (batch-sized write,
+    // never a state rewrite), batch-2 screened against the union read —
+    // append-through-storage == merge == recompute, one graded key
+    "corpus_states_absorb_onstate" ->
+      (Curation.corpusStatesAbsorbOnState _),
     // the flagship with the production tokenizer bootstrap: BPE fitted on
     // the CLEANED corpus, the manifest priced by the learned table
     "corpus_pipeline_learned_bpe" ->

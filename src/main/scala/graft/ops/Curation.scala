@@ -680,21 +680,43 @@ object Curation {
           "batch double-counts the censuses; each crawl batch must be " +
           s"new documents (guard enabled by $CheckDisjointConf)")
     }
+    val d = batchCensusesOf(br, embeddings)
     PipelineStates(
-      st.urlCensus.unionByName(Web.urlCensus(br.unblocked))
-        .groupBy(col("url_norm"))
-        .agg(sum(col("n_variants")).as("n_variants"),
-          min(col("min_doc")).as("min_doc")),
-      st.lineCensus.unionByName(Dedup.lineCensus(br.extracted))
-        .groupBy(col("lh")).agg(sum(col("n_docs")).as("n_docs")),
-      st.spanCensus
-        .unionByName(Dedup.spanCensus(br.gated, Dedup.SpanGram))
-        .groupBy(col("gh")).agg(sum(col("n_docs")).as("n_docs")),
-      st.semMembers.unionByName(Dedup.assignedUnits(
-        embeddings.join(br.stripped.select(col("doc_id").as("vec_id")),
-          Seq("vec_id"), "left_semi"), 64)),
+      mergeUrlCensus(st.urlCensus, d.urlCensus),
+      mergeHashCensus(st.lineCensus, d.lineCensus, "lh"),
+      mergeHashCensus(st.spanCensus, d.spanCensus, "gh"),
+      st.semMembers.unionByName(d.semMembers),
       st.cursor)
   }
+
+  /** A processed batch's per-family census DELTAS — the exact frames the
+    * day-2 merge absorbs ([[mergeStates]]' batch side, factored so the
+    * storage-append composition cannot drift from the in-memory merge).
+    */
+  private final case class BatchCensuses(
+      urlCensus: DataFrame, lineCensus: DataFrame, spanCensus: DataFrame,
+      semMembers: DataFrame)
+
+  private def batchCensusesOf(br: BatchRun,
+      embeddings: DataFrame): BatchCensuses = BatchCensuses(
+    Web.urlCensus(br.unblocked),
+    Dedup.lineCensus(br.extracted),
+    Dedup.spanCensus(br.gated, Dedup.SpanGram),
+    Dedup.assignedUnits(
+      embeddings.join(br.stripped.select(col("doc_id").as("vec_id")),
+        Seq("vec_id"), "left_semi"), 64))
+
+  /** The URL census' additive law: per-url variant SUM, holder MIN. */
+  private def mergeUrlCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("url_norm"))
+      .agg(sum(col("n_variants")).as("n_variants"),
+        min(col("min_doc")).as("min_doc"))
+
+  /** The content-hash censuses' additive law: per-hash doc-count SUM. */
+  private def mergeHashCensus(a: DataFrame, b: DataFrame,
+      key: String): DataFrame =
+    a.unionByName(b).groupBy(col(key))
+      .agg(sum(col("n_docs")).as("n_docs"))
 
   /** One crawl batch through the incremental chain against EXPLICIT
     * state frames — the factored batch side of
@@ -1006,6 +1028,116 @@ object Curation {
       docs0.filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull),
       table(spark, sfDir, "embeddings"), scope)
     val out = br.manifest.persist()
+    // the corpusPipelineOn materialize-then-release discipline (and its
+    // reliable-mode caveat) applies unchanged
+    out.queryExecution.toRdd.count()
+    scope.release()
+    out.orderBy(col("shard_id"))
+  }
+
+  private val absorbSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `corpus_states_absorb_onstate` checked key — THE DAY LOOP ON
+    * STORAGE, the last state-axis asymmetry: [[corpusStatesUpdateOn]]
+    * grades the merge IN MEMORY and [[corpusStatesOnState]] grades the
+    * probe ON STORAGE; this key grades the ABSORB through storage, the
+    * way production actually runs it. Day-1 states arrive from the
+    * parquet landing ([[textStatesLanding]], outside the graded
+    * region); batch-1 (doc_id % 4 = 1, replica-0 bounded) screens
+    * against them and its per-family census DELTAS
+    * ([[batchCensusesOf]] — the exact frames [[mergeStates]] absorbs)
+    * are APPENDED as parquet to a session work dir: the absorb is a
+    * BATCH-SIZED WRITE, never a state rewrite (production appends to
+    * the bucketed census table and compacts on its own schedule — a
+    * full merged-state rewrite per day would be the scale
+    * anti-pattern). Batch-2 (doc_id % 4 = 3, bounded) then screens
+    * against the UNION READ of landing ∪ delta with each family's
+    * additive law applied at probe build ([[mergeUrlCensus]] /
+    * [[mergeHashCensus]] / member union — the same algebra as
+    * [[mergeStates]], shared code), and the cursor advances
+    * ARITHMETICALLY from the landed cursor plus batch-1's manifest
+    * aggregate (maintained-state arithmetic; batch shards always
+    * continue after the corpus's, so greatest+sum equals the
+    * recomputed post-append cursor).
+    *
+    * Output: batch-1's shards (`day` 1) then batch-2's (`day` 2),
+    * shard ids and positions contiguous. The DuckDB twin is the
+    * [[corpusStatesUpdateOn]] twin's two batch chains with the day-2
+    * states RECOMPUTED over the union input populations — hash
+    * equality proves append-through-storage == in-memory merge ==
+    * recompute-over-union, the three formulations closed in one graded
+    * key. 10× slope: both batch axes are replica-0 fixed, the delta
+    * write is batch-sized, and the union-read probes stay keyed on
+    * batch hash keys — the landing build is the only corpus-sized
+    * term, write-once.
+    */
+  def corpusStatesAbsorbOnState(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import java.io.File
+    val landing = textStatesLanding(spark, sfDir)
+    val docs0 = table(spark, sfDir, "documents")
+    val live = docs0
+      .filter(col("doc_id") >= ContamBenchDocs && col("text").isNotNull)
+    val benchmark = docs0
+      .filter(col("doc_id") < ContamBenchDocs && col("text").isNotNull)
+    val embeddings = table(spark, sfDir, "embeddings")
+    val bound = Multimodal.ReplicaBound
+    val st1 = PipelineStates(
+      spark.read.parquet(s"$landing/url_census"),
+      spark.read.parquet(s"$landing/line_census"),
+      spark.read.parquet(s"$landing/span_census"),
+      spark.read.parquet(s"$landing/sem_members"),
+      spark.read.parquet(s"$landing/cursor"))
+    val scope = scopeFor(spark)
+    import scope.chk
+    // day 1: batch-1 against the landed states
+    val r1 = runBatch(st1,
+      live.filter(col("doc_id") % 4 === 1 && col("doc_id") < bound),
+      benchmark, embeddings, scope)
+    val b1man = chk(r1.manifest)
+    // THE ABSORB: batch census deltas appended as parquet — a session
+    // work dir (the replayToFeed allocation discipline; production:
+    // an append to the bucketed state table)
+    val parent = new File(sys.props("java.io.tmpdir"))
+    val work = new File(parent,
+      s"${graft.LocalFs.Names.StatesAbsorb}" +
+        s"${spark.sparkContext.applicationId}_" +
+        absorbSeq.incrementAndGet())
+    graft.LocalFs.sweepAged(parent, graft.LocalFs.Names.StatesAbsorb,
+      keep = work, ttlMs = 60L * 60 * 1000)
+    graft.LocalFs.deleteOnExit(work)
+    val d = batchCensusesOf(r1, embeddings)
+    Seq("url_census" -> d.urlCensus, "line_census" -> d.lineCensus,
+        "span_census" -> d.spanCensus, "sem_members" -> d.semMembers)
+      .foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$work/$name")
+      }
+    // day-2 states: landing ∪ appended delta, merged at probe build by
+    // the shared additive laws; cursor advanced arithmetically
+    val cursor2 = b1man
+      .agg(coalesce(max(col("shard_id")), lit(-1L)).as("b_max"),
+        coalesce(sum(col("n_docs")), lit(0L)).as("b_n"))
+      .crossJoin(broadcast(st1.cursor))
+      .select(greatest(col("b_max"), col("c_max_shard"))
+          .as("c_max_shard"),
+        (col("b_n") + col("c_n_docs")).as("c_n_docs"))
+    val st2 = PipelineStates(
+      mergeUrlCensus(st1.urlCensus,
+        spark.read.parquet(s"$work/url_census")),
+      mergeHashCensus(st1.lineCensus,
+        spark.read.parquet(s"$work/line_census"), "lh"),
+      mergeHashCensus(st1.spanCensus,
+        spark.read.parquet(s"$work/span_census"), "gh"),
+      st1.semMembers.unionByName(
+        spark.read.parquet(s"$work/sem_members")),
+      cursor2)
+    // day 2: batch-2 against the union-read states
+    val r2 = runBatch(st2,
+      live.filter(col("doc_id") % 4 === 3 && col("doc_id") < bound),
+      benchmark, embeddings, scope)
+    val out = b1man.withColumn("day", lit(1))
+      .unionByName(r2.manifest.withColumn("day", lit(2)))
+      .persist()
     // the corpusPipelineOn materialize-then-release discipline (and its
     // reliable-mode caveat) applies unchanged
     out.queryExecution.toRdd.count()
@@ -2317,6 +2449,45 @@ object Curation {
        |    SQRT(list_sum(list_transform(mean, x -> x * x))) AS mnrm
        |  FROM m2mn)""".stripMargin
 
+  /** The twin of [[corpusStatesAbsorbOnState]]: the
+    * [[statesUpdateSql]] chain with replica-0-bounded batch
+    * populations, selecting the two batch manifests only (the corpus
+    * manifest exists only to derive the states the Spark side reads
+    * from the landing). The day-2 states are RECOMPUTED over the union
+    * input populations, so hash equality proves
+    * append-through-storage == in-memory merge == recompute-over-union
+    * in one statement.
+    */
+  private def statesAbsorbOnStateSql: String = {
+    val day2 = OracleStates("u2", "l2", "s2", "mem2", "m2mm", "cstat2")
+    val bound = Multimodal.ReplicaBound
+    // concatenated head (see pipelineSql's stripMargin note)
+    "WITH " +
+      pipelineCoreCtes(s"doc_id >= $ContamBenchDocs AND " +
+        "doc_id % 2 = 0 AND text IS NOT NULL") +
+      ",\ncman AS MATERIALIZED (\n" + manifestSelectSql + "),\n" +
+      day1StateCtes + ",\n" +
+      batchChainCtes("b", s"doc_id >= $ContamBenchDocs AND " +
+        s"doc_id % 4 = 1 AND doc_id < $bound AND text IS NOT NULL",
+        day1OracleStates) + ",\n" +
+      day2CensusCtes + ",\n" +
+    s"""cstat2 AS (
+       |  SELECT CAST(coalesce(max(shard_id), -1) AS BIGINT) AS c_max_shard,
+       |    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS c_n_docs
+       |  FROM (SELECT shard_id, n_docs FROM cman
+       |        UNION ALL SELECT shard_id, n_docs FROM bman) mu),""".stripMargin +
+      "\n" +
+      batchChainCtes("b2", s"doc_id >= $ContamBenchDocs AND " +
+        s"doc_id % 4 = 3 AND doc_id < $bound AND text IS NOT NULL",
+        day2) + "\n" +
+    s"""SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 1 AS day FROM bman
+       |UNION ALL
+       |SELECT shard_id, n_docs, first_pos, last_pos, n_ws_tokens,
+       |  n_bpe_tokens, n_seqs, shard_digest, 2 AS day FROM b2man
+       |ORDER BY shard_id""".stripMargin
+  }
+
   private def statesUpdateSql: String = {
     val day2 = OracleStates("u2", "l2", "s2", "mem2", "m2mm", "cstat2")
     // concatenated head (see pipelineSql's stripMargin note)
@@ -2930,6 +3101,7 @@ object Curation {
     "corpus_pipeline_incremental" -> pipelineIncrementalSql,
     "corpus_states_update" -> statesUpdateSql,
     "corpus_states_onstate" -> statesOnStateSql,
+    "corpus_states_absorb_onstate" -> statesAbsorbOnStateSql,
     "corpus_pipeline_learned_bpe" -> learnedBpeSql,
     "corpus_compact" -> compactSql,
     "corpus_generation_cycle" -> generationCycleSql,
