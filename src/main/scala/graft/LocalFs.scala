@@ -38,6 +38,7 @@ object LocalFs {
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
     * | state-absorb work | session dir     | graft_states_absorb_     | 1h   | Curation.corpusStatesAbsorbOnState |
+    * | media-absorb work | session dir     | graft_media_absorb_      | 1h   | Multimodal.dedupMediaAbsorbOnState |
     *
     * Published caches (`<prefix><sfTag>_<fp>`, `_SUCCESS`-guarded) have no
     * TTL: they are deleted only by [[cachePath]]'s superseded-fingerprint
@@ -74,10 +75,12 @@ object LocalFs {
     val SinkJsonl = "graft_sink_jsonl_"
     val CdcReplay = "graft_cdcrun_"
     val StatesAbsorb = "graft_states_absorb_"
+    val MediaAbsorb = "graft_media_absorb_"
 
     /** Prefixes handed to [[sweepAged]] for session-scoped work dirs. */
     val sweptPrefixes: Seq[String] =
-      Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay, StatesAbsorb)
+      Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay, StatesAbsorb,
+        MediaAbsorb)
 
     /** True iff sweeping `sweepPrefix` could delete a directory published
       * under `cachePrefix`. A published name is `<cachePrefix><sfTag>_<fp>`

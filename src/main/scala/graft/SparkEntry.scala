@@ -371,6 +371,12 @@ object SparkEntry {
     // the production probe shape graded: a fixed replica-0 batch screened
     // against the three PRE-MATERIALIZED (parquet-landed) corpus band
     // tables — the flat-probe claim on the oracle board
+    // the media absorb THROUGH storage: batch-1 probed against the
+    // landed band tables and its band rows appended (batch-sized);
+    // batch-2 probed against the union read — the {20k+5, 20k+7}
+    // straddling classes flip only through the absorbed delta
+    "dedup_media_absorb_onstate" ->
+      (Multimodal.dedupMediaAbsorbOnState _),
     "dedup_media_onstate" -> (Multimodal.dedupMediaOnState _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),

@@ -2036,6 +2036,99 @@ object Multimodal {
       .orderBy(col("modality"), col("doc_id"))
   }
 
+  private val mediaAbsorbSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** `dedup_media_absorb_onstate` checked key — THE MEDIA ABSORB
+    * THROUGH STORAGE, completing the state-axis triangle on the media
+    * family (the `corpus_states_absorb_onstate` discipline applied to
+    * the band tables): day-1 batch media (doc_id % 4 = 1, replica-0
+    * bounded) are hashed ONCE per modality, probed against the
+    * parquet-landed corpus band tables, and their band rows APPENDED
+    * as parquet to a session work dir — the absorb is a batch-sized
+    * write, the union-merge law's production form (new rows into the
+    * bucketed band table, never a rewrite). Day-2 batch media
+    * (% 4 = 3, bounded) then probe the UNION READ of landing ∪ delta.
+    * The planted `{20k+5, 20k+7}` video/audio classes straddle the two
+    * batches, so day-2 verdicts flip to corpus-dup ONLY through the
+    * absorbed delta — the storage round-trip is graded, not just
+    * exercised (the in-memory form of this law is graded inside
+    * `corpus_multimodal_generation_cycle`; the image axis has no
+    * cross-batch class, so its day-2 union is semantically inert by
+    * construction — documented, and the twin proves it stays inert).
+    *
+    * Output: one verdict row per (day, modality, batch doc). The
+    * DuckDB twin recomputes every verdict from the planting rules with
+    * day-2's corpus side = the UNION population (even ∪ batch-1). 10×
+    * slope is batch-bounded: both batch axes replica-0 fixed, the
+    * delta append batch-sized, the probes banded equi-joins.
+    */
+  def dedupMediaAbsorbOnState(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import java.io.File
+    val landing = mediaBandLanding(spark, sfDir)
+    val docs = table(spark, sfDir, "documents")
+    def batchOf(r: Int): DataFrame = docs
+      .filter(col("doc_id") % 4 === r && col("doc_id") < ReplicaBound)
+    val parent = new File(sys.props("java.io.tmpdir"))
+    val work = new File(parent,
+      s"${graft.LocalFs.Names.MediaAbsorb}" +
+        s"${spark.sparkContext.applicationId}_" +
+        mediaAbsorbSeq.incrementAndGet())
+    graft.LocalFs.sweepAged(parent, graft.LocalFs.Names.MediaAbsorb,
+      keep = work, ttlMs = 60L * 60 * 1000)
+    graft.LocalFs.deleteOnExit(work)
+    val landedV = spark.read.parquet(s"$landing/corpus/video")
+    val landedA = spark.read.parquet(s"$landing/corpus/audio")
+    val landedI = spark.read.parquet(s"$landing/corpus/image")
+    def verdict(df: DataFrame, modality: String, day: Int): DataFrame =
+      df.select(lit(day).as("day"), lit(modality).as("modality"),
+        col("doc_id"), col("is_dup_corpus"), col("is_dup_batch"),
+        col("keep"))
+    // day 1: batch-1 banded once per modality (probe + absorb), plants
+    // released serially — the corpusPipelineMultimodalOn discipline;
+    // band frames stay persisted (probe joins + the append), released
+    // by the caller's clearCache contract
+    val b1 = batchOf(1)
+    val vids1 = videoStructured(b1).persist()
+    val vb1 = videoBandState(vids1, CutFrameBytes, CutThresholdMilli)
+      .persist()
+    // THE ABSORB (an action — also materializes vb1 for the probe)
+    vb1.write.mode("overwrite").parquet(s"$work/video")
+    vids1.unpersist(blocking = false)
+    val ab1 = audioBandState(audioStructured(b1), AudioFpWin,
+      AudioSegWin).persist()
+    ab1.write.mode("overwrite").parquet(s"$work/audio")
+    val ib1 = imageBandState(pairImages(b1)).persist()
+    ib1.write.mode("overwrite").parquet(s"$work/image")
+    val day1 = verdict(dedupVideoIncrementalFromBands(landedV, vb1,
+        VideoTauMilli, VideoHamMax), "video", 1)
+      .unionByName(verdict(dedupAudioIncrementalFromBands(landedA, ab1,
+        AudioTauMilli, AudioHamMax), "audio", 1))
+      .unionByName(verdict(dedupImageDocsIncrementalFromBands(landedI,
+        ib1, 3L), "image", 1))
+    // day 2: batch-2 against the union read of landing ∪ appended delta
+    val b2 = batchOf(3)
+    val vids2 = videoStructured(b2).persist()
+    val vb2 = videoBandState(vids2, CutFrameBytes, CutThresholdMilli)
+      .persist()
+    vb2.queryExecution.toRdd.count()
+    vids2.unpersist(blocking = false)
+    val ab2 = audioBandState(audioStructured(b2), AudioFpWin,
+      AudioSegWin).persist()
+    val ib2 = imageBandState(pairImages(b2)).persist()
+    val day2 = verdict(dedupVideoIncrementalFromBands(
+        landedV.unionByName(spark.read.parquet(s"$work/video")), vb2,
+        VideoTauMilli, VideoHamMax), "video", 2)
+      .unionByName(verdict(dedupAudioIncrementalFromBands(
+        landedA.unionByName(spark.read.parquet(s"$work/audio")), ab2,
+        AudioTauMilli, AudioHamMax), "audio", 2))
+      .unionByName(verdict(dedupImageDocsIncrementalFromBands(
+        landedI.unionByName(spark.read.parquet(s"$work/image")), ib2,
+        3L), "image", 2))
+    day1.unionByName(day2)
+      .orderBy(col("day"), col("modality"), col("doc_id"))
+  }
+
   /** The planted scene-key rule as SQL — single source with
     * [[videoPayload]]'s Scala rule (interpolated into both video twins).
     */
@@ -2159,7 +2252,133 @@ object Multimodal {
        |  FROM ${p}ah, UNNEST(range(0, 4)) AS bi(i))""".stripMargin
   }
 
+  /** One batch's video+audio verdict CTE block for the media state
+    * twins, parameterized by CTE prefix `q`, batch-population CTE name
+    * and the corpus-side condition (referencing `c.doc_id`) — the
+    * `dedup_media_onstate` formulation factored so the absorb twin can
+    * instantiate it per day with day-2's corpus side = the UNION
+    * population. Consumes the shared unprefixed chains (`vbands` /
+    * `vkfs` / `xabands` / `xah` over `mpop`).
+    */
+  private def mediaVerdictCtes(q: String, bpop: String,
+      corpusCond: String): String =
+    s"""${q}vmc AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a, true AS hit
+       |  FROM vbands a JOIN vbands c ON a.band_idx = c.band_idx
+       |    AND a.band_val = c.band_val
+       |  WHERE a.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND ($corpusCond)
+       |    AND bit_count(xor(a.dhash, c.dhash)) <= $VideoHamMax
+       |  GROUP BY a.doc_id, a.kf),
+       |${q}vmb AS (
+       |  SELECT a.doc_id AS doc_a, a.kf AS kf_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM vbands a JOIN vbands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND b.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $VideoHamMax
+       |  GROUP BY a.doc_id, a.kf),
+       |${q}vv AS (
+       |  SELECT k.doc_id,
+       |    CAST(count(${q}vmc.hit) AS BIGINT) * 1000 // count(*)
+       |      AS corpus_frac_milli,
+       |    CAST(count(${q}vmb.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS batch_frac_milli,
+       |    min(${q}vmb.min_partner) AS min_batch_partner
+       |  FROM vkfs k
+       |  LEFT JOIN ${q}vmc ON ${q}vmc.doc_a = k.doc_id
+       |    AND ${q}vmc.kf_a = k.kf
+       |  LEFT JOIN ${q}vmb ON ${q}vmb.doc_a = k.doc_id
+       |    AND ${q}vmb.kf_a = k.kf
+       |  WHERE k.doc_id IN (SELECT doc_id FROM $bpop)
+       |  GROUP BY k.doc_id),
+       |${q}xmc AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a, true AS hit
+       |  FROM xabands a JOIN xabands c ON a.band_idx = c.band_idx
+       |    AND a.band_val = c.band_val
+       |  WHERE a.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND ($corpusCond)
+       |    AND bit_count(xor(a.dhash, c.dhash)) <= $AudioHamMax
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |${q}xmb AS (
+       |  SELECT a.doc_id AS doc_a, a.seg_idx AS seg_a,
+       |    min(b.doc_id) AS min_partner
+       |  FROM xabands a JOIN xabands b ON a.band_idx = b.band_idx
+       |    AND a.band_val = b.band_val AND a.doc_id != b.doc_id
+       |  WHERE a.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND b.doc_id IN (SELECT doc_id FROM $bpop)
+       |    AND bit_count(xor(a.dhash, b.dhash)) <= $AudioHamMax
+       |  GROUP BY a.doc_id, a.seg_idx),
+       |${q}xv AS (
+       |  SELECT h.doc_id,
+       |    CAST(count(${q}xmc.hit) AS BIGINT) * 1000 // count(*)
+       |      AS corpus_frac_milli,
+       |    CAST(count(${q}xmb.min_partner) AS BIGINT) * 1000 // count(*)
+       |      AS batch_frac_milli,
+       |    min(${q}xmb.min_partner) AS min_batch_partner
+       |  FROM xah h
+       |  LEFT JOIN ${q}xmc ON ${q}xmc.doc_a = h.doc_id
+       |    AND ${q}xmc.seg_a = h.seg_idx
+       |  LEFT JOIN ${q}xmb ON ${q}xmb.doc_a = h.doc_id
+       |    AND ${q}xmb.seg_a = h.seg_idx
+       |  WHERE h.doc_id IN (SELECT doc_id FROM $bpop)
+       |  GROUP BY h.doc_id)""".stripMargin
+
+  /** One batch's day-stamped verdict select over [[mediaVerdictCtes]]'
+    * `${q}vv`/`${q}xv` plus the image planting rule.
+    */
+  private def mediaVerdictSelect(q: String, bpop: String,
+      day: Int): String =
+    s"""SELECT $day AS day, 'video' AS modality, doc_id,
+       |  corpus_frac_milli >= $VideoTauMilli AS is_dup_corpus,
+       |  (corpus_frac_milli < $VideoTauMilli AND coalesce(
+       |    batch_frac_milli >= $VideoTauMilli
+       |      AND min_batch_partner < doc_id, false)) AS is_dup_batch,
+       |  (corpus_frac_milli < $VideoTauMilli AND NOT coalesce(
+       |    batch_frac_milli >= $VideoTauMilli
+       |      AND min_batch_partner < doc_id, false)) AS keep
+       |FROM ${q}vv
+       |UNION ALL
+       |SELECT $day AS day, 'audio' AS modality, doc_id,
+       |  corpus_frac_milli >= $AudioTauMilli AS is_dup_corpus,
+       |  (corpus_frac_milli < $AudioTauMilli AND coalesce(
+       |    batch_frac_milli >= $AudioTauMilli
+       |      AND min_batch_partner < doc_id, false)) AS is_dup_batch,
+       |  (corpus_frac_milli < $AudioTauMilli AND NOT coalesce(
+       |    batch_frac_milli >= $AudioTauMilli
+       |      AND min_batch_partner < doc_id, false)) AS keep
+       |FROM ${q}xv
+       |UNION ALL
+       |SELECT $day AS day, 'image' AS modality, doc_id,
+       |  (doc_id % 10 = 3 AND (doc_id - 1) IN (SELECT doc_id FROM mpop))
+       |    AS is_dup_corpus,
+       |  false AS is_dup_batch,
+       |  NOT (doc_id % 10 = 3
+       |    AND (doc_id - 1) IN (SELECT doc_id FROM mpop)) AS keep
+       |FROM $bpop""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // the media absorb twin: both batches' verdicts from the planting
+    // rules, day-2's corpus side = the UNION population (even ∪
+    // batch-1) — the absorbed delta recomputed independently
+    "dedup_media_absorb_onstate" -> {
+      // concatenated head (see the dedup_video stripMargin note)
+      "WITH mpop AS (SELECT doc_id FROM documents),\n" +
+      "b1pop AS (SELECT doc_id FROM mpop\n" +
+      s"  WHERE doc_id % 4 = 1 AND doc_id < $ReplicaBound),\n" +
+      "b2pop AS (SELECT doc_id FROM mpop\n" +
+      s"  WHERE doc_id % 4 = 3 AND doc_id < $ReplicaBound),\n" +
+      videoChainSqlCtes("v", "mpop") + ",\n" +
+      audioChainSqlCtes("x", "mpop") + ",\n" +
+      mediaVerdictCtes("d1", "b1pop", "c.doc_id % 2 = 0") + ",\n" +
+      mediaVerdictCtes("d2", "b2pop",
+        "c.doc_id % 2 = 0 OR c.doc_id IN (SELECT doc_id FROM b1pop)") +
+      "\n" +
+      mediaVerdictSelect("d1", "b1pop", 1) + "\nUNION ALL\n" +
+      mediaVerdictSelect("d2", "b2pop", 2) +
+      "\nORDER BY day, modality, doc_id"
+    },
     // pure planting-rule recompute: window levels → energies → segment
     // fingerprints → banded hamming → keep-min verdict, no strings
     "dedup_audio" -> {
