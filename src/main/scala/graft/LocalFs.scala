@@ -32,12 +32,14 @@ object LocalFs {
     * | CDC flush landing | published cache | graft_cdc_flush_v1       | none | Streams.landedEventsFlush |
     * | image fixture     | published cache | graft_img_fixture_v1     | none | Multimodal.imageFixture   |
     * | noise-img fixture | published cache | graft_img_noise_v2       | none | Multimodal.noiseFixture   |
-    * | media band tables | published cache | graft_media_bands_v3     | none | Multimodal.mediaBandLanding|
-    * | text state tables | published cache | graft_text_states_v1     | none | Curation.textStatesLanding|
+    * | media band tables | published cache | graft_media_bands_v4     | none | Multimodal.mediaBandLanding|
+    * | text state tables | published cache | graft_text_states_v3     | none | Curation.textStatesLanding|
+    * | landed postings   | published cache | graft_postings_v1        | none | TextAnalysis.postingsLanding|
     * | CSV sink          | session dir     | graft_sink_csv_          | 1h   | Sources.sinkCsvRoundTrip  |
     * | parquet sink      | session dir     | graft_sink_parquet_      | 1h   | Sources.sinkParquetPartitioned |
     * | CDC replay work   | session dir     | graft_cdcrun_            | 1h   | Streams.replayToFeed      |
     * | state-absorb work | session dir     | graft_states_absorb_     | 1h   | Curation.corpusStatesAbsorbOnState |
+    * | state-compact work| session dir     | graft_states_compact_    | 1h   | Curation.corpusStatesCompact |
     * | media-absorb work | session dir     | graft_media_absorb_      | 1h   | Multimodal.dedupMediaAbsorbOnState |
     *
     * Published caches (`<prefix><sfTag>_<fp>`, `_SUCCESS`-guarded) have no
@@ -58,29 +60,43 @@ object LocalFs {
     val ImageFixtureCache = "graft_img_fixture_v1"
     val JpegFixtureCache = "graft_jpeg_fixture_v1"
     val ImgNoiseCache = "graft_img_noise_v2"
-    // v3: corpus sides are BUCKETED tables (8 buckets on band_idx,
-    // band_val, sortBy same) so the streaming probe's static side joins
-    // with zero Exchange and zero Sort — bump on ANY layout change
-    val MediaBandCache = "graft_media_bands_v3"
-    val TextStatesCache = "graft_text_states_v1"
+    // v4 (layout bump rule: ANY layout change): v3 made the corpus
+    // sides BUCKETED tables (8 buckets on band_idx, band_val, sortBy
+    // same — zero Exchange/Sort on the streaming probe's static side);
+    // v4 adds `odd/{video,audio,image}` — the UNBOUNDED odd-parity band
+    // tables in raw per-modality schemas, the landed ingest plants the
+    // composed cycle keys read their batch bands from (r19 verdict #1a)
+    val MediaBandCache = "graft_media_bands_v4"
+    // v2 added `clean`/`manifest` (the flagship run's output side, so
+    // the composed cycle keys read day-0 from the landing — r19 verdict
+    // #1a); v3 adds `batch/b*_{url,line,span}.parquet` — the replica-0
+    // batch's per-family probe keys, the stream_ingest_text landing
+    // (r19 verdict #4)
+    val TextStatesCache = "graft_text_states_v3"
+    // the landed inverted index (r19 verdict #3): postings with inline
+    // norms + the maintained stats census + the one-row corpus stats,
+    // postings/census bucketed on token — search_bm25_onstate serves
+    // from these tables alone
+    val PostingsCache = "graft_postings_v1"
 
     /** Write-once `_SUCCESS`-guarded caches published via [[publishDir]]. */
     val publishedCaches: Seq[String] =
       Seq(ScanCsvCache, BucketedCache, IvfQuantizerCache, CdcLandingCache,
         CdcSortedCache, CdcFlushCache, ImageFixtureCache, JpegFixtureCache,
-        ImgNoiseCache, MediaBandCache, TextStatesCache)
+        ImgNoiseCache, MediaBandCache, TextStatesCache, PostingsCache)
 
     val SinkCsv = "graft_sink_csv_"
     val SinkParquet = "graft_sink_parquet_"
     val SinkJsonl = "graft_sink_jsonl_"
     val CdcReplay = "graft_cdcrun_"
     val StatesAbsorb = "graft_states_absorb_"
+    val StatesCompact = "graft_states_compact_"
     val MediaAbsorb = "graft_media_absorb_"
 
     /** Prefixes handed to [[sweepAged]] for session-scoped work dirs. */
     val sweptPrefixes: Seq[String] =
       Seq(SinkCsv, SinkParquet, SinkJsonl, CdcReplay, StatesAbsorb,
-        MediaAbsorb)
+        StatesCompact, MediaAbsorb)
 
     /** True iff sweeping `sweepPrefix` could delete a directory published
       * under `cachePrefix`. A published name is `<cachePrefix><sfTag>_<fp>`

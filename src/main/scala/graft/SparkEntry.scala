@@ -182,6 +182,11 @@ object SparkEntry {
     // append-through-storage == merge == recompute, one graded key
     "corpus_states_absorb_onstate" ->
       (Curation.corpusStatesAbsorbOnState _),
+    // the STATE-LANDING generation bump: landing ∪ appended deltas
+    // folded into a gen-1 state landing by the shared additive laws,
+    // batch-2 screened against the COMPACTED tables alone — same twin
+    // as the absorb key, proving compacted == union-read == merge
+    "corpus_states_compact" -> (Curation.corpusStatesCompact _),
     // the flagship with the production tokenizer bootstrap: BPE fitted on
     // the CLEANED corpus, the manifest priced by the learned table
     "corpus_pipeline_learned_bpe" ->
@@ -250,6 +255,11 @@ object SparkEntry {
     // BM25 over the same substrate: exact-integer tf saturation +
     // doc-length normalization (k1=1.2, b=0.75 cleared to fixed point)
     "search_bm25" -> (TextAnalysis.searchBm25 _),
+    // the index family's OnState form: BM25 served from the LANDED
+    // postings/census/stats tables alone (norms inline, df from the
+    // maintained census) — same twin as search_bm25, proving the landed
+    // index serves exactly like the derived form
+    "search_bm25_onstate" -> (TextAnalysis.searchBm25OnState _),
     // the complete Gopher document-level quality gate (word bounds, mean
     // word length, symbol/bullet/ellipsis ratios, stopword presence)
     "gopher_rules" -> (TextAnalysis.gopherRules _),
@@ -341,6 +351,11 @@ object SparkEntry {
     // folded in one flatMapGroupsWithState (pinned to the batch OnState
     // probe)
     "stream_dedup_media" -> (Streams.streamDedupMediaQuery _),
+    // streaming TEXT ingest gate: landed per-family probe keys
+    // stream-static joined against the maintained url/line/span
+    // censuses, per-doc seen-ness folded in one flatMapGroupsWithState
+    // (the stream_dedup_media shape on the text axis)
+    "stream_ingest_text" -> (Streams.streamIngestTextQuery _),
     // stream-stream interval join replayed to completion (the two-sided-
     // watermark pair step of join_range, pinned to the unbinned twin)
     "stream_range_join" -> (Streams.streamRangeJoinQuery _),
@@ -371,13 +386,13 @@ object SparkEntry {
     // the production probe shape graded: a fixed replica-0 batch screened
     // against the three PRE-MATERIALIZED (parquet-landed) corpus band
     // tables — the flat-probe claim on the oracle board
+    "dedup_media_onstate" -> (Multimodal.dedupMediaOnState _),
     // the media absorb THROUGH storage: batch-1 probed against the
     // landed band tables and its band rows appended (batch-sized);
     // batch-2 probed against the union read — the {20k+5, 20k+7}
     // straddling classes flip only through the absorbed delta
     "dedup_media_absorb_onstate" ->
       (Multimodal.dedupMediaAbsorbOnState _),
-    "dedup_media_onstate" -> (Multimodal.dedupMediaOnState _),
     // overlapping-window audio features (PCM16 stand-in decode + HOF windows)
     "mm_audio_features" -> (Multimodal.audioFeatures _),
     // video keyframe slot: per-frame feature deltas, cut list in-row

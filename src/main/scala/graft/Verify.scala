@@ -20,7 +20,10 @@ object Verify {
       // Tables.normalizeTs handles that shape alongside NTZ/TIMESTAMP.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN — the benign WindowExec/CacheManager WARN spam
+    // must not bury the [verify] failure lines (r19 verdict #1b; the
+    // Bench main documents the driver's tail-window mechanics)
+    spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1357,6 +1357,14 @@ object Dedup {
             x => x.getField("line")),
           "\n").as("clean_text"))
 
+  /** The line family's PROBE KEYS — one `(doc_id, lh)` row per DISTINCT
+    * line hash of each document: the rows the streaming text-ingest gate
+    * lands at ingest and screens against the maintained [[lineCensus]]
+    * (`stream_ingest_text`'s line side).
+    */
+  private[graft] def lineProbeRows(docs: DataFrame): DataFrame =
+    docLines(docs).select(col("doc_id"), col("lh")).distinct()
+
   /** LINE CENSUS — the maintained corpus-side state of incremental line
     * dedup: `(lh, n_docs)`, the number of DISTINCT documents each line
     * hash occurs in. This is an ADDITIVE sketch: two censuses over
@@ -1664,6 +1672,12 @@ object Dedup {
              |      slice(w, cast(i + 1 AS INT), $n), ' ')), 1, 15), 16, 10)
              |      AS BIGINT) AS gh))""".stripMargin)).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+
+  /** The span family's PROBE KEYS — one `(doc_id, gh)` row per DISTINCT
+    * gram hash ([[lineProbeRows]]' counterpart on the span axis).
+    */
+  private[graft] def spanProbeRows(docs: DataFrame, n: Int): DataFrame =
+    spanGrams(spanBase(docs), n).select(col("doc_id"), col("gh")).distinct()
 
   /** SPAN EXCISION — `dedup_spans` measures cross-document verbatim
     * overlap; this ACTS on it, the remove step of Lee et al. 2022's

@@ -1882,6 +1882,16 @@ object Multimodal {
     *    `stream_dedup_media` replays it. Landing batch bands is the
     *    production ingest shape: hashes are computed where media is
     *    decoded (ingest), and the dedup gate consumes hash rows.
+    *  - `odd/{video,audio,image}` (v4 — r19 verdict #1a): the
+    *    UNBOUNDED odd-parity population's band tables in raw
+    *    per-modality schemas — the landed ingest output the composed
+    *    cycle keys draw their crawl-batch bands from (sliced by id
+    *    predicate at read: the %4 day splits and the live filter are
+    *    row filters over these tables). Unbounded, NOT replica-0
+    *    bounded, so at a scaled-up dir the landed batches grow with
+    *    the data exactly as the in-key hashing did — slicing the
+    *    landing changes WHERE batch bands come from, never which rows
+    *    exist.
     */
   private[graft] def mediaBandLanding(spark: SparkSession,
       sfDir: String): String = {
@@ -1904,7 +1914,12 @@ object Multimodal {
       // plain parquet, so schema-only readers (the batch OnState
       // probes) read the same paths unchanged
       def writeBucketed(df: DataFrame, modality: String): Unit = {
-        val stage = s"graft_media_bands_stage_$modality"
+        // appId-suffixed: two sessions racing on first materialization
+        // each stage under their own name (the publish rename decides
+        // the winner; the loser's tmp dir is discarded)
+        val app = spark.sparkContext.applicationId
+          .replaceAll("[^A-Za-z0-9_]", "_")
+        val stage = s"graft_media_bands_stage_${modality}_$app"
         spark.sql(s"DROP TABLE IF EXISTS $stage")
         df.write.mode("overwrite")
           .option("path", s"$tmp/corpus/$modality")
@@ -1954,6 +1969,18 @@ object Multimodal {
           s"mtime set failed for $dest")
       }
       bvids.unpersist(blocking = false)
+      // the odd-parity ingest plants (v4): raw per-modality schemas,
+      // plain parquet — the cycle keys' batch sources, sliced at read;
+      // serial ladders, plants released (the memory discipline above)
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val ovids = videoStructured(odd).persist()
+      videoBandState(ovids, CutFrameBytes, CutThresholdMilli)
+        .write.mode("overwrite").parquet(s"$tmp/odd/video")
+      ovids.unpersist(blocking = false)
+      audioBandState(audioStructured(odd), AudioFpWin, AudioSegWin)
+        .write.mode("overwrite").parquet(s"$tmp/odd/audio")
+      imageBandState(pairImages(odd))
+        .write.mode("overwrite").parquet(s"$tmp/odd/image")
       val marker = new File(tmp, "_SUCCESS")
       require(marker.createNewFile() || marker.exists(),
         s"could not create landing marker $marker")
@@ -1963,6 +1990,21 @@ object Multimodal {
     new File(landing).setLastModified(System.currentTimeMillis())
     landing
   }
+
+  /** One landed band table restricted to `pop`'s doc_ids (left-semi; the
+    * id frame is small at every day scale, so AQE broadcasts it). Band
+    * derivation is per-document ([[videoBandState]] / [[audioBandState]]
+    * / [[imageBandState]] hash one doc's payload independently of every
+    * other row), so the RESTRICTION of a landed table IS the band state
+    * of the restricted population — the slice the composed cycle keys
+    * read instead of re-synthesizing and re-hashing plants per run (r19
+    * verdict #1a; PropertiesSpec pins the filter corollary of the
+    * union-merge law).
+    */
+  private[graft] def landedBandsOf(spark: SparkSession, landing: String,
+      side: String, modality: String, pop: DataFrame): DataFrame =
+    spark.read.parquet(s"$landing/$side/$modality")
+      .join(pop.select(col("doc_id")), Seq("doc_id"), "left_semi")
 
   /** ONE modality's corpus band table from the landing AS THE BUCKETED
     * CATALOG TABLE — the PRUNED static side of the `stream_dedup_media`
@@ -1984,8 +2026,15 @@ object Multimodal {
     require(Seq("video", "audio", "image").contains(modality),
       s"unknown modality '$modality' (expected video/audio/image)")
     val path = s"$landing/corpus/$modality"
-    val tbl = s"graft_media_bands_$modality"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // SESSION-UNIQUE catalog name (ADVICE r19): a fixed global name
+    // raced on DROP/CREATE between concurrent sessions sharing the
+    // metastore, and a superseded-fingerprint sweep could delete the
+    // location out from under a stale registration. The appId suffix
+    // scopes the registration to this session (the stage-table
+    // write-once discipline); callers drop it after the probe
+    // ([[dropMediaBandCorpusTable]]).
+    val tbl = mediaBandTableName(spark, modality)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl") // same-session re-run only
     val schemaDdl = spark.read.parquet(path).schema.toDDL
     spark.sql(
       s"""CREATE TABLE $tbl ($schemaDdl) USING parquet
@@ -1993,6 +2042,22 @@ object Multimodal {
          |SORTED BY (band_idx, band_val) INTO 8 BUCKETS
          |LOCATION '$path'""".stripMargin)
     spark.table(tbl)
+  }
+
+  private[graft] def mediaBandTableName(spark: SparkSession,
+      modality: String): String = {
+    val app = spark.sparkContext.applicationId
+      .replaceAll("[^A-Za-z0-9_]", "_")
+    s"graft_media_bands_${modality}_$app"
+  }
+
+  /** Drop the session-scoped bucketed registration once its probe has
+    * completed — metadata only, the landing files are untouched.
+    */
+  private[graft] def dropMediaBandCorpusTable(spark: SparkSession,
+      modality: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS ${mediaBandTableName(spark, modality)}")
+    ()
   }
 
   /** `dedup_media_onstate` checked key — THE PRODUCTION PROBE SHAPE on

@@ -198,8 +198,16 @@ object Web {
       }
     val cut = tail.indexWhere(c => c == '/' || c == '?' || c == '#')
     val authEnd = if (cut == -1) tail.length else cut
-    val auth = tail.substring(0, authEnd)
+    val fullAuth = tail.substring(0, authEnd)
     val path = tail.substring(authEnd)
+    // userinfo is not a host label: split on the LAST '@' (RFC 3986 —
+    // the host starts after it) and convert only the host part, or a
+    // unicode userinfo would be punycoded INTO the host (ADVICE r19)
+    val atIdx = fullAuth.lastIndexOf('@')
+    val (userinfo, auth) =
+      if (atIdx >= 0) (fullAuth.substring(0, atIdx + 1),
+        fullAuth.substring(atIdx + 1))
+      else ("", fullAuth)
     val portIdx = auth.lastIndexOf(':')
     val (host, port) =
       if (portIdx >= 0 && portIdx < auth.length - 1 &&
@@ -208,7 +216,7 @@ object Web {
       else (auth, "")
     val asciiHost =
       if (host.forall(_ < 128)) host else java.net.IDN.toASCII(host)
-    prefix + asciiHost + port + path
+    prefix + userinfo + asciiHost + port + path
   }
 
   /** IDN PUNYCODE ADAPTER — the one declared deployment stub of the URL

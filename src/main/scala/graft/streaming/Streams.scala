@@ -1432,14 +1432,130 @@ object Streams {
         val stream = spark.readStream.schema(Multimodal.bandRowSchema)
           .option("maxFilesPerTrigger", "1")
           .parquet(s"$landing/batch/b*_$modality.parquet")
-        replayToFeed(spark, mediaProbeStream(stream,
+        val fed = replayToFeed(spark, mediaProbeStream(stream,
           Multimodal.mediaBandCorpusBucketed(spark, landing, modality)))
+        // the replay has completed and `fed` reads the feed dir, not
+        // the catalog — drop the session-scoped registration (ADVICE
+        // r19: never leave it pointing into a sweepable cache dir)
+        Multimodal.dropMediaBandCorpusTable(spark, modality)
+        fed
       }
       .reduce(_ unionByName _)
       .orderBy(col("modality"), col("doc_id"))
   }
 
+  /** Schema of the landed text probe-row files
+    * ([[graft.ops.Curation.textStatesLanding]]'s batch side).
+    */
+  private[graft] val textKeyRowSchema: StructType = StructType(Seq(
+    StructField("family", StringType),
+    StructField("doc_id", LongType),
+    StructField("k", StringType)))
+
+  /** One joined key-probe row entering the per-doc fold: `hit` = this
+    * probe key exists in the family's maintained census.
+    */
+  case class KeyProbeRow(family: String, doc_id: Long, k: String,
+    hit: Boolean)
+
+  /** `stream_ingest_text`'s verdict row — per-(family, doc) seen-ness
+    * against the maintained text states (the ingest gate: "has the
+    * corpus seen this URL / these lines / these spans?"; the acting
+    * strips and their combined thresholds stay a batch job — the
+    * [[MediaVerdictOut]] contract on the text axis).
+    */
+  case class TextVerdictOut(family: String, doc_id: Long, n_units: Long,
+    n_hit_units: Long, hit_frac_milli: Long, is_seen_corpus: Boolean)
+
+  /** STREAMING TEXT-INGEST GATE (r19 verdict #4 — the
+    * [[mediaProbeStream]] shape on the text axis): a crawl batch's
+    * per-family probe keys arrive as landed files (computed where text
+    * is processed, at ingest; the gate consumes key rows), stream-static
+    * LEFT join against ONE maintained census (keys are UNIQUE in every
+    * census, so the join never fans out), then one
+    * `flatMapGroupsWithState` fold keyed on (family, doc) emitting the
+    * per-doc seen-ness verdict. The [[mediaProbeStream]] completeness
+    * contract applies verbatim: one file per family, one file per
+    * trigger, fail NAMED on a group straddling micro-batches.
+    *
+    * SCOPE — the three HASH-KEYED censuses (url/line/span). The
+    * semantic state is deliberately not probed here: at ingest time the
+    * embeddings do not exist yet (the embedding model runs downstream
+    * of extraction), and its probe is vector geometry against cell
+    * centroids, not a keyed seen-ness lookup — it is graded in the
+    * batch OnState keys where it belongs.
+    */
+  def textProbeStream(stream: DataFrame,
+      censusKeys: DataFrame): Dataset[TextVerdictOut] = {
+    val spark2 = stream.sparkSession
+    import spark2.implicits._
+    val joined = stream.join(
+        censusKeys.select(col("k"), lit(true).as("__hit")),
+        Seq("k"), "left_outer")
+      .select(col("family"), col("doc_id"), col("k"),
+        coalesce(col("__hit"), lit(false)).as("hit"))
+      .as[KeyProbeRow]
+    joined
+      .groupByKey(r => (r.family, r.doc_id))
+      .flatMapGroupsWithState[Boolean, TextVerdictOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((family, docId), rows, state: GroupState[Boolean]) =>
+          if (state.exists) throw new IllegalStateException(
+            s"textProbeStream completeness contract violated: " +
+              s"(family=$family, doc_id=$docId) probe rows arrived in " +
+              "more than one micro-batch — the landing must hold one " +
+              "file per family and the source one file per trigger; a " +
+              "multi-file tail needs per-doc key state under an " +
+              "arrival-completeness watermark")
+          state.update(true)
+          // landing rows are distinct per (family, doc, k) and census
+          // keys are unique, so each row is one unit
+          var n = 0L
+          var nHit = 0L
+          rows.foreach { r => n += 1; if (r.hit) nHit += 1 }
+          val frac = if (n == 0) 0L else nHit * 1000L / n
+          Iterator.single(TextVerdictOut(family, docId, n, nHit, frac,
+            nHit > 0))
+      }
+  }
+
+  /** `stream_ingest_text` checked key: the landed probe rows replayed
+    * through [[textProbeStream]] to completion as THREE PER-FAMILY
+    * ingest streams (the `stream_dedup_media` replay shape), each
+    * joining ONLY its family's landed census. The DuckDB twin
+    * ([[graft.ops.Curation.streamIngestTextSql]]) recomputes censuses
+    * AND probe keys from the base tables; StreamingSpec pins the
+    * verdicts row-equal to the batch-computed fold over the same landed
+    * rows and the url family's seen-ness equal to the frontier screen's
+    * `is_dup_corpus`.
+    */
+  def streamIngestTextQuery(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.ops.Curation
+    val landing = Curation.textStatesLanding(spark, sfDir)
+    val censusKeys = Map(
+      "url" -> spark.read.parquet(s"$landing/url_census")
+        .select(col("url_norm").as("k")),
+      "line" -> spark.read.parquet(s"$landing/line_census")
+        .select(col("lh").as("k")),
+      "span" -> spark.read.parquet(s"$landing/span_census")
+        .select(col("gh").cast("string").as("k")))
+    Seq("url", "line", "span")
+      .map { family =>
+        val stream = spark.readStream.schema(textKeyRowSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$landing/batch/b*_$family.parquet")
+        replayToFeed(spark, textProbeStream(stream, censusKeys(family)))
+      }
+      .reduce(_ unionByName _)
+      .orderBy(col("family"), col("doc_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // the text-ingest gate's verdicts recomputed from the base tables
+    // (censuses + chain-faithful probe keys — the CTE machinery lives
+    // beside the chain twins in Curation)
+    "stream_ingest_text" -> graft.ops.Curation.streamIngestTextSql,
     // every verdict recomputed from the planting rules (the
     // dedup_media_onstate twin's corpus-probe half, same populations)
     "stream_dedup_media" -> {

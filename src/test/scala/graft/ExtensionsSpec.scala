@@ -347,7 +347,8 @@ class ExtensionsSpec extends SparkSpec {
       (3L, "https://example.com./docs/a"),          // ASCII + FQDN dot: identity
       (4L, "//пример.example/p"),                   // protocol-relative
       (5L, "münchen.de/bare"),                      // scheme-less
-      (6L, "https://example.com/docs/münchen"))     // unicode PATH untouched
+      (6L, "https://example.com/docs/münchen"),     // unicode PATH untouched
+      (7L, "https://usér@bücher.de/x"))             // userinfo is not a host
       .toDF("doc_id", "url")
     val got = Web.idnHostsToAscii(feed).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
@@ -363,14 +364,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(got(5L) == s"${java.net.IDN.toASCII("münchen.de")}/bare")
     assert(got(6L) == "https://example.com/docs/münchen",
       "a unicode PATH is data, not authority — must pass through")
+    assert(got(7L) ==
+      s"https://usér@${java.net.IDN.toASCII("bücher.de")}/x",
+      "userinfo must pass through unchanged, never punycoded into the host")
     // idempotence: punycode hosts are ASCII → identity on re-application
     val twice = Web.idnHostsToAscii(Web.idnHostsToAscii(feed)).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(twice == got, "adapter is not idempotent")
-    // composition: the converted feed runs the pre-normalizer →
-    // canonicalizer chain and every url_norm host is pure ASCII
+    // composition: the converted feed (minus the userinfo row — the
+    // strict canonicalizer's host alphabet is a separate contract) runs
+    // the pre-normalizer → canonicalizer chain, every host pure ASCII
     val normed = Web.urlNormalizeOn(
-      Web.urlPrenormalizeOn(Web.idnHostsToAscii(feed))
+      Web.urlPrenormalizeOn(
+        Web.idnHostsToAscii(feed.filter(col("doc_id") =!= 7)))
         .select(col("doc_id"), col("url_pre").as("url")))
       .select(col("url_norm")).collect().map(_.getString(0))
     assert(normed.length == 6)
@@ -1262,6 +1268,65 @@ class ExtensionsSpec extends SparkSpec {
     assert(mixed.map(key).toSet == gated.map(key).toSet,
       "mixed incremental must equal the text incremental over media " +
         "survivors")
+  }
+
+  test("landed day-0: the rewired cycle keys equal their self-contained " +
+      "derivations row for row (r19 verdict #1a — the landing moves " +
+      "where the plants come from, never what the keys compute)") {
+    import graft.ops.Curation
+    val docs = Tables.table(spark, sf, "documents")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val live = docs.filter(col("doc_id") >= 20 && col("text").isNotNull)
+    val bench = docs.filter(col("doc_id") < 20 && col("text").isNotNull)
+    val corpus = live.filter(col("doc_id") % 2 === 0)
+    val b1 = live.filter(col("doc_id") % 4 === 1)
+    val b2 = live.filter(col("doc_id") % 4 === 3)
+    val odd = live.filter(col("doc_id") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    def eq(name: String, got: Array[org.apache.spark.sql.Row],
+        want: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(got.nonEmpty, s"$name: landed form returned nothing")
+      assert(got.map(key).toSet == want.map(key).toSet,
+        s"$name: landed form drifted from the self-contained derivation")
+    }
+    val gotG = Curation.corpusGenerationCycle(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantG = Curation.corpusGenerationCycleOn(corpus, b1, b2, bench,
+      emb, Curation.CompactHostCap).collect()
+    spark.catalog.clearCache()
+    eq("corpus_generation_cycle", gotG, wantG)
+    val gotC = Curation.corpusCompact(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantC = Curation.corpusCompactOn(corpus, odd, bench, emb,
+      Curation.CompactHostCap).collect()
+    spark.catalog.clearCache()
+    eq("corpus_compact", gotC, wantC)
+    val gotM = Curation.corpusMultimodalIncremental(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantM = Curation.corpusMultimodalIncrementalOn(corpus, odd,
+      bench, emb).collect()
+    spark.catalog.clearCache()
+    eq("corpus_multimodal_incremental", gotM, wantM)
+    val gotMG = Curation.corpusMultimodalGenerationCycle(spark, sf)
+      .collect()
+    spark.catalog.clearCache()
+    val wantMG = Curation.multimodalGenerationCycleOn(corpus, b1, b2,
+      bench, emb, Curation.CompactHostCap, materializeContract = false)
+      .manifest.collect()
+    spark.catalog.clearCache()
+    eq("corpus_multimodal_generation_cycle", gotMG, wantMG)
+    val gotU = Curation.corpusStatesUpdate(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantU = Curation.corpusStatesUpdateOn(corpus, b1, b2, bench,
+      emb).collect()
+    spark.catalog.clearCache()
+    eq("corpus_states_update", gotU, wantU)
+    val gotI = Curation.corpusPipelineIncremental(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantI = Curation.corpusPipelineIncrementalOn(corpus, odd, bench,
+      emb).collect()
+    spark.catalog.clearCache()
+    eq("corpus_pipeline_incremental", gotI, wantI)
   }
 
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +

@@ -675,6 +675,27 @@ class PlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("search_bm25_onstate serves from the landed index: parquet scans, " +
+      "token-keyed broadcast joins with the landed side streamed, never " +
+      "cartesian") {
+    import graft.ops.TextAnalysis
+    val p = TextAnalysis.searchBm25OnState(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the landed tables arrive as parquet scans (postings, census,
+    // stats + the query-frame documents scan)
+    assert("(?i)filescan parquet|scan parquet".r.findAllIn(p).size >= 3, p)
+    // both landed-table probes are token-keyed BROADCAST joins (the
+    // ≤ qn×3 query frame broadcasts), so the landed side is STREAMED —
+    // no Exchange, no Sort on it; an SMJ on token would mean the landed
+    // scan got shuffled for a 48-row probe
+    assert("BroadcastHashJoin(\\(\\d+\\))? \\[token".r
+      .findAllIn(p).size >= 2, p)
+    assert(!"(SortMergeJoin|ShuffledHashJoin)(\\(\\d+\\))? \\[token".r
+      .findAllIn(p).hasNext, p)
+    assert(!p.contains("CartesianProduct"), p)
+    spark.catalog.clearCache()
+  }
+
   test("corpus_states_onstate probes the parquet-landed text states " +
       "with keyed equi-joins, never cartesian") {
     // the graded key's stage boundaries are eager checkpoints, so the

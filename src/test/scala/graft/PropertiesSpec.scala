@@ -1074,6 +1074,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("band states restrict by population: a doc_id slice of the state " +
+      "equals the state of the sliced population (the landedBandsOf " +
+      "filter corollary of the union-merge law)") {
+    import graft.ops.Multimodal
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id")).filter(col("doc_id") < 64)
+    val sub = docs.filter(col("doc_id") % 4 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // per-document derivation ⇒ filtering the full state to a
+    // sub-population's ids IS that sub-population's state — the law
+    // that lets the cycle keys slice one landed table per side
+    val vids = Multimodal.videoStructured(docs).persist()
+    val vSub = Multimodal.videoStructured(sub).persist()
+    try {
+      val full = Multimodal.videoBandState(vids,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli)
+      val sliced = full.join(sub, Seq("doc_id"), "left_semi")
+      val direct = Multimodal.videoBandState(vSub,
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli)
+      assert(rows(sliced) == rows(direct),
+        "video band slice drifted from the sliced population's state")
+      assert(rows(direct).nonEmpty)
+      val iFull = Multimodal.imageBandState(Multimodal.pairImages(docs))
+      val iSliced = iFull.join(sub, Seq("doc_id"), "left_semi")
+      val iDirect = Multimodal.imageBandState(Multimodal.pairImages(sub))
+      assert(rows(iSliced) == rows(iDirect),
+        "image band slice drifted from the sliced population's state")
+    } finally {
+      vids.unpersist(blocking = false)
+      vSub.unpersist(blocking = false)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("audio band state merges by plain union and the maintained-table " +
       "probe equals the derive-in-key incremental form") {
     import graft.ops.Multimodal

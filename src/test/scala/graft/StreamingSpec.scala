@@ -168,6 +168,96 @@ class StreamingSpec extends SparkSpec {
       s"expected the named contract failure, got:\n$chain")
   }
 
+  test("stream_ingest_text equals the batch fold over the landed probe " +
+      "rows, and the url family IS the frontier screen's corpus verdict") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Curation, Multimodal, Web}
+    val got = Streams.streamIngestTextQuery(spark, sf)
+    val landing = Curation.textStatesLanding(spark, sf)
+    def censusKeys(family: String) = family match {
+      case "url" => spark.read.parquet(s"$landing/url_census")
+        .select(col("url_norm").as("k"))
+      case "line" => spark.read.parquet(s"$landing/line_census")
+        .select(col("lh").as("k"))
+      case _ => spark.read.parquet(s"$landing/span_census")
+        .select(col("gh").cast("string").as("k"))
+    }
+    // the pin: the streaming fold emits EXACTLY the batch left-join +
+    // aggregate over the same landed rows and the same landed censuses
+    // (same state, two execution modes — the stream/batch contract)
+    val want = Seq("url", "line", "span").map { fam =>
+      spark.read.parquet(s"$landing/batch/b*_$fam.parquet")
+        .join(censusKeys(fam).withColumn("__hit", lit(true)),
+          Seq("k"), "left_outer")
+        .groupBy(col("family"), col("doc_id"))
+        .agg(count(lit(1)).as("n_units"),
+          count(col("__hit")).as("n_hit_units"))
+        .select(col("family"), col("doc_id"), col("n_units"),
+          col("n_hit_units"),
+          expr("n_hit_units * 1000 div n_units").as("hit_frac_milli"),
+          (col("n_hit_units") > 0).as("is_seen_corpus"))
+    }.reduce(_ unionByName _)
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty,
+      "streaming verdicts drifted from the batch fold")
+    // the url family IS the frontier screen: is_seen_corpus must equal
+    // dedupUrlIncrementalOn's is_dup_corpus over the same batch + census
+    val batch = Tables.table(spark, sf, "documents")
+      .filter(col("doc_id") >= 20 && col("text").isNotNull &&
+        col("doc_id") % 2 === 1 &&
+        col("doc_id") < Multimodal.ReplicaBound)
+    val urls = Web.urlStructured(batch)
+    val unb = urls.join(
+      Web.urlBlocklistOn(urls, Web.BlockedDomains, Web.BlockedPrefixes)
+        .filter(col("blocked") === 0).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val screen = Web.dedupUrlIncrementalOn(
+        spark.read.parquet(s"$landing/url_census"), unb)
+      .select(col("doc_id"), col("is_dup_corpus"))
+    val urlGot = got.filter(col("family") === "url")
+      .select(col("doc_id"), col("is_seen_corpus"))
+    assert(urlGot.except(screen).isEmpty && screen.except(urlGot).isEmpty,
+      "url seen-ness drifted from the frontier screen")
+    // non-vacuous: every family emits, the url gate has both branches,
+    // and at least one family records real corpus seen-ness
+    val rows = got.collect()
+    spark.catalog.clearCache()
+    val byFam = rows.groupBy(_.getString(0)).view
+      .mapValues(rs => (rs.length, rs.count(_.getBoolean(5)))).toMap
+    assert(byFam.keySet == Set("url", "line", "span"))
+    byFam.foreach { case (f, (n, _)) => assert(n > 0, s"$f is empty") }
+    val (un, useen) = byFam("url")
+    assert(useen > 0 && useen < un,
+      s"url gate vacuous: $useen seen of $un")
+  }
+
+  test("textProbeStream fails NAMED when a doc's probe rows straddle " +
+      "micro-batches (the mediaProbeStream completeness contract)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tps_split").toString
+    def keyRows(k: String) =
+      Seq(("url", 7L, k)).toDF("family", "doc_id", "k")
+    keyRows("a").write.mode("append").parquet(dir)
+    keyRows("b").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(Streams.textKeyRowSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = Streams
+      .textProbeStream(stream, keyRows("a").select(col("k"))
+        .filter(lit(false)))
+      .writeStream.format("memory").queryName("tps_split")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val err = intercept[
+      org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    val chain = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("completeness contract violated"),
+      s"expected the named contract failure, got:\n$chain")
+  }
+
   test("streaming windowed counts equal the batch aggregation over the corpus") {
     import org.apache.spark.sql.functions._
     // the harness events table replayed as landing files must produce
