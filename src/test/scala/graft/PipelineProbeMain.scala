@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
 object PipelineProbeMain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -29,6 +30,11 @@ object PipelineProbeMain {
       println(f"STAGE $name: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
       t0 = System.nanoTime()
     }
+    // reps > 1 re-runs the whole chain in the SAME JVM so steady-state
+    // stage weights are readable past the cold-JIT first pass
+    (1 to reps).foreach { rep =>
+    println(s"== pass $rep ==")
+    t0 = System.nanoTime()
     val corpus = docs0
       .filter(col("doc_id") >= 20 && col("text").isNotNull)
     val benchmark = docs0
@@ -85,6 +91,8 @@ object PipelineProbeMain {
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"))
     lap("manifest", manifest.count())
+    spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }
