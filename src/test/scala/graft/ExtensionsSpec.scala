@@ -1315,6 +1315,11 @@ class ExtensionsSpec extends SparkSpec {
       .manifest.collect()
     spark.catalog.clearCache()
     eq("corpus_multimodal_generation_cycle", gotMG, wantMG)
+    val gotP = Curation.corpusPipelineMultimodal(spark, sf).collect()
+    spark.catalog.clearCache()
+    val wantP = Curation.corpusPipelineMultimodalOn(docs, emb).collect()
+    spark.catalog.clearCache()
+    eq("corpus_pipeline_multimodal", gotP, wantP)
     val gotU = Curation.corpusStatesUpdate(spark, sf).collect()
     spark.catalog.clearCache()
     val wantU = Curation.corpusStatesUpdateOn(corpus, b1, b2, bench,
