@@ -366,6 +366,24 @@ object Curation {
           }
         }))
 
+  /** Run several INDEPENDENT driver-side jobs, CONCURRENTLY when
+    * `parallel` (the [[ChkScope.chkAll]] rationale generalized: each
+    * thunk submits its own Spark job(s); serial submission leaves the
+    * box idle between them). Callers own the independence claim — no
+    * thunk may read state another writes. Content is mode-independent
+    * by construction; the serial order is the Seq order.
+    */
+  private[graft] def runAll(parallel: Boolean,
+      jobs: Seq[() => Unit]): Unit =
+    if (!parallel || jobs.lengthCompare(2) < 0) jobs.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec = boundaryPool
+      Await.result(Future.sequence(jobs.map(j => Future(j()))),
+        Duration.Inf)
+    }
+
   /** Write several independent (name → frame) parquet outputs under
     * `base`, CONCURRENTLY when `parallel` (the [[ChkScope.chkAll]]
     * rationale applied to the absorb/compact keys' batch-sized census
@@ -373,20 +391,38 @@ object Curation {
     * the box idle between them). Distinct subdirectories, so the
     * writes cannot interfere; content identical either way.
     */
-  private def writeAll(parts: Seq[(String, DataFrame)], base: String,
-      parallel: Boolean): Unit =
-    if (!parallel || parts.lengthCompare(2) < 0)
-      parts.foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$base/$name")
-      }
-    else {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec = boundaryPool
-      Await.result(Future.sequence(parts.map { case (name, df) =>
-        Future(df.write.mode("overwrite").parquet(s"$base/$name"))
-      }), Duration.Inf)
+  private[graft] def writeAll(parts: Seq[(String, DataFrame)],
+      base: String, parallel: Boolean): Unit =
+    runAll(parallel, parts.map { case (name, df) =>
+      () => df.write.mode("overwrite").parquet(s"$base/$name")
+    })
+
+  /** Promote single-file replay work dirs (`<tmp>/work_<name>`, written
+    * via [[writeAll]] with `coalesce(1)` frames) into `dir/b<i>_<name>
+    * .parquet` with EXPLICIT ascending mtimes — shared by the landing
+    * batch sides (media bands, text probe keys). The paced file
+    * streams' replay order is carried by these mtimes, never by write
+    * completion order, which is what makes the work-dir writes safe to
+    * submit concurrently (r20 §2.6 on the landing builds).
+    */
+  private[graft] def promoteReplayFiles(names: Seq[String], tmp: String,
+      dir: java.io.File): Unit = {
+    import java.io.File
+    require(dir.mkdirs() || dir.isDirectory, s"could not create $dir")
+    val base = System.currentTimeMillis()
+    names.zipWithIndex.foreach { case (name, i) =>
+      val work = new File(tmp, s"work_$name")
+      val part = Option(work.listFiles).getOrElse(Array.empty[File])
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no part file written for $name"))
+      val dest = new File(dir, f"b$i%02d_$name.parquet")
+      require(part.renameTo(dest), s"rename failed for $name")
+      graft.LocalFs.deleteRecursively(work)
+      require(dest.setLastModified(base + i * 1000),
+        s"mtime set failed for $dest")
     }
+  }
 
   /** Session conf key selecting reliable stage boundaries for every
     * composed pipeline in this object (default false = localCheckpoint,
@@ -415,7 +451,7 @@ object Curation {
         s"$key must be 'true' or 'false', got '$v'")
     }
 
-  private def parallelFor(spark: SparkSession): Boolean =
+  private[graft] def parallelFor(spark: SparkSession): Boolean =
     boolConf(spark, ParallelBoundariesConf, default = true)
 
   private def scopeFor(spark: SparkSession): ChkScope = {
@@ -1102,17 +1138,17 @@ object Curation {
       val run = runPipeline(corpus, benchmark, embeddings, scope)
       val cman = chk(run.manifest)
       val st = statesOf(run, cman, embeddings)
-      Seq(
+      // seven independent reads of the run's checkpointed boundaries —
+      // submitted concurrently (guide §2.6 via writeAll; the landing is
+      // rep-1-only wall-clock, but the driver's bench pays it once)
+      writeAll(Seq(
         "url_census" -> st.urlCensus,
         "line_census" -> st.lineCensus,
         "span_census" -> st.spanCensus,
         "sem_members" -> st.semMembers,
         "cursor" -> st.cursor,
         "clean" -> run.clean,
-        "manifest" -> cman
-      ).foreach { case (name, df) =>
-        df.write.mode("overwrite").parquet(s"$tmp/$name")
-      }
+        "manifest" -> cman), tmp, parallelFor(spark))
       // the STREAMING TEXT-INGEST GATE's probe rows (batch/ side, v2 —
       // the mediaBandLanding batch-side discipline on the text axis):
       // the replica-0 batch run through the incremental chain against
@@ -1140,23 +1176,14 @@ object Curation {
         "span" -> Dedup.spanProbeRows(br.gated, Dedup.SpanGram)
           .select(lit("span").as("family"), col("doc_id"),
             col("gh").cast("string").as("k")))
-      val batchDir = new File(tmp, "batch")
-      require(batchDir.mkdirs() || batchDir.isDirectory,
-        s"could not create $batchDir")
-      val base = System.currentTimeMillis()
-      familySides.zipWithIndex.foreach { case ((name, rows), i) =>
-        val workDir = new File(tmp, s"work_$name")
-        rows.coalesce(1).write.mode("overwrite").parquet(workDir.getPath)
-        val part = Option(workDir.listFiles).getOrElse(Array.empty[File])
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written for $name rows"))
-        val dest = new File(batchDir, f"b$i%02d_$name.parquet")
-        require(part.renameTo(dest), s"rename failed for $name rows")
-        graft.LocalFs.deleteRecursively(workDir)
-        require(dest.setLastModified(base + i * 1000),
-          s"mtime set failed for $dest")
-      }
+      // three independent probe-key frames: concurrent work-dir writes,
+      // then serial promotion with explicit ascending mtimes (the
+      // replay-order contract rides the mtimes, not write order)
+      writeAll(familySides.map { case (n, rows) =>
+        s"work_$n" -> rows.coalesce(1)
+      }, tmp, parallelFor(spark))
+      promoteReplayFiles(familySides.map(_._1), tmp,
+        new File(tmp, "batch"))
       scope.release()
       val marker = new File(tmp, "_SUCCESS")
       require(marker.createNewFile() || marker.exists(),

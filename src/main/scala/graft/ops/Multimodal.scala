@@ -1928,59 +1928,55 @@ object Multimodal {
           .saveAsTable(stage)
         spark.sql(s"DROP TABLE $stage")
       }
-      // serial ladders, plants released — the corpusPipelineMultimodalOn
-      // memory discipline (the video plant feeds cut detection + the
-      // keyframe slice; audio/image plants have single consumers)
+      // VIDEO ladders first, serial — video plants are the PERSISTED
+      // ones (one plant in memory at a time, the
+      // corpusPipelineMultimodalOn memory discipline; the video plant
+      // feeds cut detection + the keyframe slice, so it persists while
+      // its band state derives). The three populations' audio/image
+      // ladders have NO persisted plants (single consumers, streamed
+      // through tasks), so their six writes submit CONCURRENTLY after
+      // the video phase (guide §2.6 via Curation.runAll — the landing
+      // is rep-1-only wall-clock, but the driver's bench pays it once);
+      // each write's content is its own plan's, mode-independent by
+      // construction. The batch side's replay order rides EXPLICIT
+      // ascending mtimes (promoteReplayFiles), never write order.
+      val odd = docs.filter(col("doc_id") % 2 === 1)
+      val parallel = Curation.parallelFor(spark)
+      def writeWork(name: String, bands: DataFrame): Unit =
+        bands.coalesce(1).write.mode("overwrite")
+          .parquet(s"$tmp/work_$name")
       val vids = videoStructured(corpus).persist()
       writeBucketed(
         videoBandState(vids, CutFrameBytes, CutThresholdMilli), "video")
       vids.unpersist(blocking = false)
-      writeBucketed(
-        audioBandState(audioStructured(corpus), AudioFpWin, AudioSegWin),
-        "audio")
-      writeBucketed(imageBandState(pairImages(corpus)), "image")
-      // the batch side: one file per modality, mtimes ascending so a
-      // paced file stream replays modality-by-modality (coalesce(1) is
-      // harness landing plumbing, not an operator plan)
       val bvids = videoStructured(batch).persist()
-      val batchSides = Seq(
-        "video" -> normBands(
-          videoBandState(bvids, CutFrameBytes, CutThresholdMilli),
-          "video", Some("frame_idx")),
-        "audio" -> normBands(
-          audioBandState(audioStructured(batch), AudioFpWin, AudioSegWin),
-          "audio", Some("seg_idx")),
-        "image" -> normBands(imageBandState(pairImages(batch)),
-          "image", None))
-      val batchDir = new File(tmp, "batch")
-      batchDir.mkdirs()
-      val base = System.currentTimeMillis()
-      batchSides.zipWithIndex.foreach { case ((name, bands), i) =>
-        val work = new File(tmp, s"work_$name")
-        bands.coalesce(1).write.mode("overwrite").parquet(work.getPath)
-        val part = Option(work.listFiles).getOrElse(Array.empty[File])
-          .find(f => f.getName.startsWith("part-") &&
-            f.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no part file written for $name bands"))
-        val dest = new File(batchDir, f"b$i%02d_$name.parquet")
-        require(part.renameTo(dest), s"rename failed for $name bands")
-        graft.LocalFs.deleteRecursively(work)
-        require(dest.setLastModified(base + i * 1000),
-          s"mtime set failed for $dest")
-      }
+      writeWork("video", normBands(
+        videoBandState(bvids, CutFrameBytes, CutThresholdMilli),
+        "video", Some("frame_idx")))
       bvids.unpersist(blocking = false)
-      // the odd-parity ingest plants (v4): raw per-modality schemas,
-      // plain parquet — the cycle keys' batch sources, sliced at read;
-      // serial ladders, plants released (the memory discipline above)
-      val odd = docs.filter(col("doc_id") % 2 === 1)
       val ovids = videoStructured(odd).persist()
       videoBandState(ovids, CutFrameBytes, CutThresholdMilli)
         .write.mode("overwrite").parquet(s"$tmp/odd/video")
       ovids.unpersist(blocking = false)
-      audioBandState(audioStructured(odd), AudioFpWin, AudioSegWin)
-        .write.mode("overwrite").parquet(s"$tmp/odd/audio")
-      imageBandState(pairImages(odd))
-        .write.mode("overwrite").parquet(s"$tmp/odd/image")
+      Curation.runAll(parallel, Seq(
+        () => writeBucketed(
+          audioBandState(audioStructured(corpus), AudioFpWin,
+            AudioSegWin), "audio"),
+        () => writeBucketed(imageBandState(pairImages(corpus)), "image"),
+        () => writeWork("audio", normBands(
+          audioBandState(audioStructured(batch), AudioFpWin, AudioSegWin),
+          "audio", Some("seg_idx"))),
+        () => writeWork("image", normBands(imageBandState(pairImages(batch)),
+          "image", None)),
+        () => audioBandState(audioStructured(odd), AudioFpWin, AudioSegWin)
+          .write.mode("overwrite").parquet(s"$tmp/odd/audio"),
+        () => imageBandState(pairImages(odd))
+          .write.mode("overwrite").parquet(s"$tmp/odd/image")))
+      // the batch side: one file per modality, mtimes ascending so a
+      // paced file stream replays modality-by-modality (coalesce(1) is
+      // harness landing plumbing, not an operator plan)
+      Curation.promoteReplayFiles(Seq("video", "audio", "image"), tmp,
+        new File(tmp, "batch"))
       val marker = new File(tmp, "_SUCCESS")
       require(marker.createNewFile() || marker.exists(),
         s"could not create landing marker $marker")

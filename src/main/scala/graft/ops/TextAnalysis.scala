@@ -1627,16 +1627,20 @@ object TextAnalysis {
           .saveAsTable(stage)
         spark.sql(s"DROP TABLE $stage")
       }
-      writeBucketed(
-        tok.groupBy(col("token"), col("doc_id"))
-          .agg(count(lit(1)).as("tf"))
-          .join(dl, Seq("doc_id"))
-          .select(col("token"), col("doc_id"), col("tf"), col("dl")),
-        "postings")
-      writeBucketed(postingsCensus(d, PostingsCap), "census")
-      dl.agg(sum(col("dl")).as("s_total"),
-          count(lit(1)).as("n_total"))
-        .write.mode("overwrite").parquet(s"$tmp/stats")
+      // three independent derivations of the same source scan —
+      // submitted concurrently (guide §2.6 via Curation.runAll; content
+      // per table unchanged from the serial form)
+      Curation.runAll(Curation.parallelFor(spark), Seq(
+        () => writeBucketed(
+          tok.groupBy(col("token"), col("doc_id"))
+            .agg(count(lit(1)).as("tf"))
+            .join(dl, Seq("doc_id"))
+            .select(col("token"), col("doc_id"), col("tf"), col("dl")),
+          "postings"),
+        () => writeBucketed(postingsCensus(d, PostingsCap), "census"),
+        () => dl.agg(sum(col("dl")).as("s_total"),
+            count(lit(1)).as("n_total"))
+          .write.mode("overwrite").parquet(s"$tmp/stats")))
       val marker = new File(tmp, "_SUCCESS")
       require(marker.createNewFile() || marker.exists(),
         s"could not create landing marker $marker")

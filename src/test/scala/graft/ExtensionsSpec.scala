@@ -1407,6 +1407,79 @@ class ExtensionsSpec extends SparkSpec {
       Curation.corpusStatesCompact(spark, sf))
   }
 
+  test("landing builds: parallel write submission is mode-equal on " +
+      "every landed table (r20 §2.6 on the write-once landings — " +
+      "overlap moves wall-clock, never content)") {
+    import java.io.File
+    import graft.ops.{Curation, Multimodal, TextAnalysis}
+    // two fingerprint-distinct copies of the suite corpus, so each mode
+    // builds its landings FRESH (the caches are write-once per
+    // fingerprint; fresh copy mtimes give fresh fingerprints)
+    def copyCorpus(dst: File): Unit = {
+      def cp(src: File, dest: File): Unit =
+        if (src.isDirectory) {
+          require(dest.mkdirs() || dest.isDirectory, s"mkdir $dest failed")
+          Option(src.listFiles).getOrElse(Array.empty[File])
+            .foreach(f => cp(f, new File(dest, f.getName)))
+        } else {
+          java.nio.file.Files.copy(src.toPath, dest.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+        }
+      LocalFs.deleteRecursively(dst)
+      require(dst.mkdirs(), s"mkdir $dst failed")
+      Seq("documents.parquet", "embeddings.parquet").foreach { n =>
+        cp(new File(sf, n), new File(dst, n))
+      }
+    }
+    val root = new File(sys.props("java.io.tmpdir"))
+    val dirA = new File(root, "graft_landing_modeeq_par")
+    val dirB = new File(root, "graft_landing_modeeq_ser")
+    copyCorpus(dirA); copyCorpus(dirB)
+    def landings(d: String) = Seq(
+      Curation.textStatesLanding(spark, d),
+      Multimodal.mediaBandLanding(spark, d),
+      TextAnalysis.postingsLanding(spark, d))
+    val la = landings(dirA.getPath) // parallel (the session default)
+    spark.conf.set(Curation.ParallelBoundariesConf, "false")
+    val lb = try landings(dirB.getPath) finally {
+      spark.conf.unset(Curation.ParallelBoundariesConf)
+    }
+    // multiset row compare per table (order within a parquet dir is not
+    // part of the landing contract; row multiplicity is)
+    def rowsOf(path: String): Map[String, Long] =
+      spark.read.parquet(path).collect().groupBy(_.toSeq.toList.toString)
+        .view.mapValues(_.length.toLong).toMap
+    val tables = Seq(
+      0 -> Seq("url_census", "line_census", "span_census", "sem_members",
+        "cursor", "clean", "manifest"),
+      1 -> Seq("corpus/video", "corpus/audio", "corpus/image",
+        "odd/video", "odd/audio", "odd/image"),
+      2 -> Seq("postings", "census", "stats"))
+    tables.foreach { case (i, names) =>
+      names.foreach { n =>
+        assert(rowsOf(s"${la(i)}/$n") == rowsOf(s"${lb(i)}/$n"),
+          s"landing table $n drifted between parallel and serial builds")
+      }
+    }
+    // the replay batch sides: same file names in the same MTIME order
+    // (the paced streams' replay contract), same rows per file
+    Seq(la(0) -> lb(0), la(1) -> lb(1)).foreach { case (a, b) =>
+      def files(p: String) = Option(new File(p, "batch").listFiles)
+        .getOrElse(Array.empty[File]).sortBy(_.lastModified)
+        .map(_.getName).toSeq
+      assert(files(a).nonEmpty && files(a) == files(b),
+        s"batch replay order drifted between parallel and serial builds")
+      files(a).foreach { n =>
+        assert(rowsOf(s"$a/batch/$n") == rowsOf(s"$b/batch/$n"),
+          s"batch file $n drifted between parallel and serial builds")
+      }
+    }
+    // keep /tmp tidy: the copies and their landings are test-scoped
+    (la ++ lb).foreach(p => LocalFs.deleteRecursively(new File(p)))
+    LocalFs.deleteRecursively(dirA); LocalFs.deleteRecursively(dirB)
+  }
+
   test("corpus_pipeline_learned_bpe: manifest equals the flagship except " +
       "the learned token pricing; seq arithmetic consistent") {
     import graft.ops.Curation
